@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + oracle-parity helpers shared by every operator module.
+  *
+  * Scale notes (100 TB design stance):
+  *  - All loaders are plain parquet scans: Catalyst pushes filters and
+  *    prunes columns into the scan, so downstream operators must express
+  *    predicates/projections declaratively (no `.rdd`, no collect).
+  *  - Money/quantity arithmetic is done in DECIMAL and only converted to
+  *    DOUBLE once, after the (exact) aggregation. This is not just an
+  *    oracle-parity trick: at 1000-executor scale, double summation order
+  *    is nondeterministic across retries/AQE re-plans; decimal sums are
+  *    exact and therefore stable run-to-run.
+  */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a raw
+    * nanosecond LongType under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in Verify/Bench/tests). We expose both the raw nanos (`ts`,
+    * exact integer arithmetic — no double rounding at 1.7e18 magnitude)
+    * and a µs-truncated TimestampType `ts_us` for window functions.
+    * Oracle parity: DuckDB side uses make_timestamp(epoch_ns(ts)//1000).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+
+  /** Exact decimal cast for 2-dp money/quantity columns. Precision 12 keeps
+    * products of three factors within DECIMAL(38,_) so Spark never rounds. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact decimal sum, surfaced as DOUBLE (single, correctly-rounded
+    * conversion — deterministic across partitionings and engines). */
+  def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Exact decimal average: exact sum / count in double division. */
+  def davg(c: Column): Column = sum(dec2(c)).cast("double") / count(lit(1))
+
+  /** Oracle-side (DuckDB) equivalent of `ts_us`. */
+  val ORA_TS_US = "make_timestamp(epoch_ns(ts)//1000)"
+}

@@ -1,0 +1,310 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational surface: scan → filter → join → aggregate → sort/limit.
+  *
+  * Mirrors SURVEY.md §2 rows A1–A9 (aggregations), J1–J4 (joins), O1–O2
+  * (top-k / sort), U1–U3 (set ops), EXT-A10 (cube/rollup), EXT-J5
+  * (range / as-of joins) over the driver star schema.
+  *
+  * Scale stance: every query is a declarative DataFrame plan — Catalyst
+  * pushes filters/projections into the parquet scan, plans partial+final
+  * hash aggregation, and picks broadcast joins for the small dims
+  * (region/nation/customer at sf vs lineitem). Top-k uses orderBy+limit,
+  * which Spark plans as TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (A1/A8/A9 shapes). */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val o01 = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Orders ⋈ customer grouped by market segment (A5 shape, equi join). */
+  def q02TopSegments(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+
+  val o02 = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** TPC-H Q5-style multiway join: revenue per nation in one region (EXT-J4). */
+  def q03RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val o03 = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** Left-semi join (J1 shape: EXISTS subquery → semi join). */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val o04 = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey"""
+
+  /** Left-anti join (NOT EXISTS): customers with no large order. */
+  def q05AntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val o05 = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey"""
+
+  /** Top-k brands by lineitem count (A7/O1: TakeOrderedAndProject). */
+  def q06TopBrands(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(desc("n"), col("p_brand"))
+      .limit(10)
+
+  val o06 = """
+    SELECT p_brand, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10"""
+
+  /** Min/max/avg stats per group (A9). */
+  def q07Stats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val o07 = """
+    SELECT l_returnflag, MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+      MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** CUBE over two dimensions (EXT-A10). */
+  def q08Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val o08 = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** ROLLUP over order status/priority (EXT-A10). */
+  def q09Rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val o09 = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  /** INTERSECT (EXT-U3): customers with both open and finished orders. */
+  def q10Intersect(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val o10 = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey"""
+
+  /** EXCEPT (EXT-U3). */
+  def q11Except(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val o11 = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey"""
+
+  /** UNION ALL of two id streams then grouped count (U1 contributor shape). */
+  def q12UnionContrib(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("id"))
+      .unionByName(customer(s, d).select(col("c_custkey").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("appearances"))
+      .filter(col("appearances") >= 15)
+      .orderBy(col("id"))
+
+  val o12 = """
+    SELECT id, COUNT(*) AS appearances FROM (
+      SELECT o_custkey AS id FROM orders
+      UNION ALL
+      SELECT c_custkey AS id FROM customer) u
+    GROUP BY id HAVING COUNT(*) >= 15 ORDER BY id"""
+
+  /** COUNT(DISTINCT) over a union (A3/U2 distinct-contributors shape). */
+  def q13DistinctIds(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("id"))
+      .unionByName(customer(s, d).select(col("c_custkey").as("id")))
+      .agg(countDistinct(col("id")).as("n_distinct"),
+           count(lit(1)).as("n_total"))
+
+  val o13 = """
+    SELECT COUNT(DISTINCT id) AS n_distinct, COUNT(*) AS n_total FROM (
+      SELECT o_custkey AS id FROM orders
+      UNION ALL
+      SELECT c_custkey AS id FROM customer) u"""
+
+  /** Range join (EXT-J5): purchases within 10 min after a click, same user.
+    * Equi key (user_id) + range predicate on raw nanosecond longs — Spark
+    * plans SMJ on the equi key with the range as a post-condition; at scale
+    * the equi key bounds the join fan-out. */
+  def q14RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("bts"))
+    clicks.join(buys, Seq("user_id"))
+      .filter(col("bts") >= col("cts") &&
+              col("bts") < col("cts") + expr("600000000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val o14 = """
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, event_id, epoch_ns(ts) AS cts FROM events WHERE event_type='click') c
+    JOIN (SELECT user_id, event_id, epoch_ns(ts) AS bts FROM events WHERE event_type='purchase') b
+      ON c.user_id = b.user_id AND b.bts >= c.cts AND b.bts < c.cts + 600000000000
+    GROUP BY c.user_id ORDER BY c.user_id"""
+
+  /** As-of join (EXT-J5): for each purchase, the most recent prior click by
+    * the same user — union + ordered window (single shuffle on user_id)
+    * instead of a per-row subquery. */
+  def q15AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_click",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("prior_click"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val o15 = """
+    SELECT event_id AS purchase_id, user_id, prior_click FROM (
+      SELECT event_id, user_id, event_type,
+        LAST_VALUE(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+      FROM events WHERE event_type IN ('click','purchase')) t
+    WHERE event_type = 'purchase' ORDER BY purchase_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_top_segments"    -> (q02TopSegments _),
+    "q03_revenue_by_nation" -> (q03RevenueByNation _),
+    "q04_semi_join"       -> (q04SemiJoin _),
+    "q05_anti_join"       -> (q05AntiJoin _),
+    "q06_top_brands"      -> (q06TopBrands _),
+    "q07_group_stats"     -> (q07Stats _),
+    "q08_cube"            -> (q08Cube _),
+    "q09_rollup"          -> (q09Rollup _),
+    "q10_intersect"       -> (q10Intersect _),
+    "q11_except"          -> (q11Except _),
+    "q12_union_contrib"   -> (q12UnionContrib _),
+    "q13_distinct_ids"    -> (q13DistinctIds _),
+    "q14_range_join"      -> (q14RangeJoin _),
+    "q15_asof_join"       -> (q15AsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> o01, "q02_top_segments" -> o02,
+    "q03_revenue_by_nation" -> o03, "q04_semi_join" -> o04,
+    "q05_anti_join" -> o05, "q06_top_brands" -> o06,
+    "q07_group_stats" -> o07, "q08_cube" -> o08, "q09_rollup" -> o09,
+    "q10_intersect" -> o10, "q11_except" -> o11, "q12_union_contrib" -> o12,
+    "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15)
+}
