@@ -74,10 +74,15 @@ def compare(got, exp):
             bad = None
             for i in range(len(g)):
                 gv, ev = g.iloc[i], e.iloc[i]
-                same = (pd.isna(gv) and pd.isna(ev)) or \
-                    (np.array_equal(gv, ev) if isinstance(gv, np.ndarray) else gv == ev)
+                try:
+                    same = (pd.isna(gv) and pd.isna(ev)) or \
+                        (np.array_equal(gv, ev) if isinstance(gv, np.ndarray) else gv == ev)
+                except Exception:
+                    same = False
                 if not same:
                     bad = (i, gv, ev); break
+            if bad is None:  # vectorized compare tripped on dtype only; values equal
+                continue
             return False, f"col {c} differs at row {bad[0]}: got {bad[1]!r} vs oracle {bad[2]!r} (dtype {g.dtype} vs {e.dtype})"
     return True, ""
 

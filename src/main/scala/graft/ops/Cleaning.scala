@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** OSM-wrangling operator surface (SURVEY.md §2 P1–P11, A1–A7, J1, S2)
+  * re-expressed Spark-first over the driver tables.
+  *
+  * The reference family's cleaning funcs (`key_type`, `update_name`,
+  * postcode fix) are pure per-row string ops — here they are codegen'd
+  * built-in expression pipelines (`rlike`/`regexp_extract`/`when`), never
+  * UDFs, so whole-stage codegen keeps them inside the scan stage, and
+  * the tiny canonicalization dimension is a broadcast join (no shuffle).
+  */
+object Cleaning {
+
+  // ---- P3: tag-key classifier (reference `tags.py` key_type) ----
+  // Class check order matches the reference: lower, lower_colon,
+  // problemchars (search, unanchored), else other.
+  val LOWER = "^[a-z_]*$"
+  val LOWER_COLON = "^[a-z_]*:[a-z_]*$"
+  val PROBLEM = """[=+/&<>;'"?%#$@,. \t\r\n]"""
+
+  def keyType(k: Column): Column =
+    when(k.rlike(LOWER), "lower")
+      .when(k.rlike(LOWER_COLON), "lower_colon")
+      .when(k.rlike(PROBLEM), "problemchars")
+      .otherwise("other")
+
+  // ---- P4: split key on ':' into (type, subkey), default 'regular' ----
+  def tagType(k: Column): Column =
+    when(k.contains(":"), split(k, ":", 2).getItem(0)).otherwise("regular")
+  def tagSubkey(k: Column): Column =
+    when(k.contains(":"), split(k, ":", 2).getItem(1)).otherwise(k)
+
+  // ---- P6: street-type extract (last token, reference `\b\S+\.?$`) ----
+  def lastToken(c: Column): Column = regexp_extract(c, "(\\S+)$", 1)
+
+  // ---- P7: suffix canonicalization mapping (reference `update_name`) ----
+  val suffixMapping: Seq[(String, String)] = Seq(
+    "agg" -> "aggregate", "dup" -> "duplicate", "big" -> "large",
+    "fast" -> "quick", "val" -> "value")
+
+  def normalizeLast(df: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val m = broadcast(suffixMapping.toDF("suffix", "canonical"))
+    df.withColumn("last_tok", lastToken(col("text")))
+      .join(m, col("last_tok") === col("suffix"), "left")
+      .withColumn("normalized", coalesce(col("canonical"), col("last_tok")))
+  }
+
+  // ---- P8: 5-digit postcode extraction ----
+  def zip5(c: Column): Column = regexp_extract(c, "([0-9]{5})$", 1)
+
+  /** A long-format (id, key, value) tag table derived from `part` — the
+    * same shape as the reference's nodes_tags/ways_tags, with keys chosen
+    * to exercise all four P3 classes. stack() is a Generator: one pass,
+    * no shuffle. */
+  def partTags(s: SparkSession, d: String): DataFrame =
+    part(s, d).selectExpr("p_partkey AS id",
+      """stack(4,
+         'name', p_name,
+         'Brand', p_brand,
+         'part:type', p_type,
+         'part size', CAST(p_size AS STRING)) AS (key, value)""")
+
+  val ORA_PART_TAGS = """
+    SELECT p_partkey AS id, 'name' AS key, p_name AS value FROM part
+    UNION ALL SELECT p_partkey, 'Brand', p_brand FROM part
+    UNION ALL SELECT p_partkey, 'part:type', p_type FROM part
+    UNION ALL SELECT p_partkey, 'part size', CAST(p_size AS VARCHAR) FROM part"""
+
+  /** A2: histogram of P3 key classes over the long tag table. */
+  def q16TagClassify(s: SparkSession, d: String): DataFrame =
+    partTags(s, d)
+      .groupBy(keyType(col("key")).as("key_class"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"))
+      .orderBy(col("key_class"))
+
+  val o16 = s"""
+    WITH tags AS ($ORA_PART_TAGS)
+    SELECT CASE
+        WHEN regexp_matches(key, '^[a-z_]*$$') THEN 'lower'
+        WHEN regexp_matches(key, '^[a-z_]*:[a-z_]*$$') THEN 'lower_colon'
+        WHEN regexp_matches(key, '[=+/&<>;''"?%#$$@,. \t\r\n]') THEN 'problemchars'
+        ELSE 'other' END AS key_class,
+      COUNT(*) AS n, COUNT(DISTINCT key) AS n_keys
+    FROM tags GROUP BY key_class ORDER BY key_class"""
+
+  /** P4/P5: split keys on ':', drop problem-char keys, histogram by type. */
+  def q17KeySplit(s: SparkSession, d: String): DataFrame =
+    partTags(s, d)
+      .filter(!col("key").rlike(PROBLEM))
+      .select(tagType(col("key")).as("tag_type"), tagSubkey(col("key")).as("subkey"))
+      .groupBy(col("tag_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("subkey")).as("n_subkeys"))
+      .orderBy(col("tag_type"))
+
+  val o17 = s"""
+    WITH tags AS ($ORA_PART_TAGS)
+    SELECT CASE WHEN contains(key, ':') THEN split_part(key, ':', 1) ELSE 'regular' END AS tag_type,
+      COUNT(*) AS n,
+      COUNT(DISTINCT CASE WHEN contains(key, ':')
+        THEN substr(key, length(split_part(key, ':', 1)) + 2) ELSE key END) AS n_subkeys
+    FROM tags WHERE NOT regexp_matches(key, '[=+/&<>;''"?%#$$@,. \t\r\n]')
+    GROUP BY tag_type ORDER BY tag_type"""
+
+  /** P6+P7+A4 shape: extract trailing token of each document, canonicalize
+    * via broadcast mapping join, count per normalized form. */
+  def q18StreetNormalize(s: SparkSession, d: String): DataFrame =
+    normalizeLast(documents(s, d), s)
+      .groupBy(col("normalized"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("last_tok")).as("n_raw_forms"))
+      .orderBy(col("normalized"))
+
+  val o18 = """
+    SELECT COALESCE(m.canonical, t.last_tok) AS normalized, COUNT(*) AS n,
+      COUNT(DISTINCT t.last_tok) AS n_raw_forms
+    FROM (SELECT regexp_extract(text, '(\S+)$', 1) AS last_tok FROM documents) t
+    LEFT JOIN (VALUES ('agg','aggregate'), ('dup','duplicate'), ('big','large'),
+               ('fast','quick'), ('val','value')) m(suffix, canonical)
+      ON t.last_tok = m.suffix
+    GROUP BY normalized ORDER BY normalized"""
+
+  /** P8: postcode-style 5-digit extraction, row-level sample. */
+  def q19Postcode(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_custkey") % 37 === 0)
+      .select(col("c_custkey"), zip5(col("c_name")).as("zip5"))
+      .orderBy(col("c_custkey"))
+
+  val o19 = """
+    SELECT c_custkey, regexp_extract(c_name, '([0-9]{5})$', 1) AS zip5
+    FROM customer WHERE c_custkey % 37 = 0 ORDER BY c_custkey"""
+
+  /** P10: timestamp part extraction + grouped counts. */
+  def q20TimeParts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+               month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("y"), col("m"))
+
+  val o20 = """
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+      COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY y, m ORDER BY y, m"""
+
+  /** S2: systematic k-th element sampler (deterministic variant). */
+  def q21Sampler(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  val o21 = """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id % 97 = 0 ORDER BY event_id"""
+
+  /** A5: top-10 contributors. */
+  def q22TopContributors(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy(desc("n"), col("user_id"))
+      .limit(10)
+
+  val o22 = """
+    SELECT user_id, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"""
+
+  /** A6: number of single-event users (nested aggregation). */
+  def q23SingleEventUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1)
+      .agg(count(lit(1)).as("n_single_users"))
+
+  val o23 = """
+    SELECT COUNT(*) AS n_single_users FROM (
+      SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) = 1) t"""
+
+  /** A4: grouped set-collect (defaultdict(set) shape) — sorted for
+    * determinism; scalars alongside the array. */
+  def q24GroupedCollect(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("user_id") < 20)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_set(col("user_id"))).as("users"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  val o24 = """
+    SELECT event_type, list_sort(list(DISTINCT user_id)) AS users,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE user_id < 20
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** J1 semi-join chain (the "religion of worship places" pattern):
+    * purchases of users that appear in the signup stream. */
+  def q25SemiChain(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct()
+    e.filter(col("event_type") === "purchase")
+      .join(signups, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total"))
+      .orderBy(col("user_id"))
+  }
+
+  val o25 = """
+    SELECT user_id, COUNT(*) AS n_purchases,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'purchase'
+      AND user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    GROUP BY user_id ORDER BY user_id"""
+
+  /** EXT-P12: JSON field extraction from `events.props`. */
+  def q26JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           count(when(col("k") > 50, 1)).as("n_hi"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val o26 = """
+    SELECT event_type, CAST(SUM(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      COUNT(CASE WHEN CAST(props::JSON->>'k' AS BIGINT) > 50 THEN 1 END) AS n_hi,
+      COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_tag_classify"     -> (q16TagClassify _),
+    "q17_key_split"        -> (q17KeySplit _),
+    "q18_street_normalize" -> (q18StreetNormalize _),
+    "q19_postcode"         -> (q19Postcode _),
+    "q20_time_parts"       -> (q20TimeParts _),
+    "q21_sampler"          -> (q21Sampler _),
+    "q22_top_contributors" -> (q22TopContributors _),
+    "q23_single_event_users" -> (q23SingleEventUsers _),
+    "q24_grouped_collect"  -> (q24GroupedCollect _),
+    "q25_semi_chain"       -> (q25SemiChain _),
+    "q26_json_extract"     -> (q26JsonExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_tag_classify" -> o16, "q17_key_split" -> o17,
+    "q18_street_normalize" -> o18, "q19_postcode" -> o19,
+    "q20_time_parts" -> o20, "q21_sampler" -> o21,
+    "q22_top_contributors" -> o22, "q23_single_event_users" -> o23,
+    "q24_grouped_collect" -> o24, "q25_semi_chain" -> o25,
+    "q26_json_extract" -> o26)
+}

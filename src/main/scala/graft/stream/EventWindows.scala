@@ -1,0 +1,102 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Event-time windowing surface (SURVEY.md §2.8 ST1–ST4) in its
+  * batch-checkable form: the exact same `window`/`session_window`
+  * expressions run under Structured Streaming with a watermark (see
+  * graft.stream.StreamingDemo + StreamingSpec); the driver oracle is
+  * batch DuckDB, so the registry entries are batch.
+  *
+  * All window assignment happens on µs-truncated event time (`ts_us`),
+  * matching the oracle's make_timestamp(epoch_ns//1000) exactly.
+  */
+object EventWindows {
+
+  /** ST1: tumbling 1-hour windows per event type. */
+  def q30Tumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+              col("n"), col("total"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val o30 = s"""
+    SELECT date_trunc('hour', $ORA_TS_US) AS hour_start, event_type,
+      COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type"""
+
+  /** ST1: sliding windows — 10 min size, 5 min slide (each event lands in
+    * exactly two windows). */
+  def q31Sliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts_us"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("win_start"), col("n"), col("total"))
+      .orderBy(col("win_start"))
+
+  val o31 = """
+    WITH e AS (SELECT epoch_ns(ts)//1000 AS eus, value FROM events),
+    w AS (SELECT make_timestamp((eus//300000000)*300000000 - o) AS win_start, value
+          FROM e, (VALUES (0::BIGINT), (300000000::BIGINT)) t(o))
+    SELECT win_start, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM w GROUP BY win_start ORDER BY win_start"""
+
+  /** ST2: session windows — 5-minute inactivity gap per user. Output keyed
+    * on integer µs session start for exact cross-engine compare. */
+  def q32Session(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts_us"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+              col("n"), col("total"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
+  val o32 = """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts)//1000 AS eus, value FROM events),
+    m AS (
+      SELECT user_id, eus, value,
+        CASE WHEN eus - LAG(eus) OVER (PARTITION BY user_id ORDER BY eus)
+                  >= 300000000 OR
+                  LAG(eus) OVER (PARTITION BY user_id ORDER BY eus) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+    sess AS (
+      SELECT user_id, eus, value,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eus
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m)
+    SELECT user_id, MIN(eus) AS sess_start_us, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, sess_start_us"""
+
+  /** ST4 batch analogue: deterministic distributed dedup — first event id
+    * per (user, type). (dropDuplicates keeps an arbitrary row; min-per-key
+    * is the deterministic, shuffle-once formulation that also scales.) */
+  def q33EventDedup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val o33 = """
+    SELECT user_id, event_type, MIN(event_id) AS first_id, COUNT(*) AS n_dups
+    FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_tumbling_window" -> (q30Tumbling _),
+    "q31_sliding_window"  -> (q31Sliding _),
+    "q32_session_window"  -> (q32Session _),
+    "q33_event_dedup"     -> (q33EventDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_tumbling_window" -> o30, "q31_sliding_window" -> o31,
+    "q32_session_window" -> o32, "q33_event_dedup" -> o33)
+}
