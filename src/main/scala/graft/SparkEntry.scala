@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
-      stream.EventWindows.queries
+      stream.EventWindows.queries ++ text.TextOps.queries ++
+      text.Dedup.queries ++ sim.Similarity.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
-      stream.EventWindows.oracles
+      stream.EventWindows.oracles ++ text.TextOps.oracles ++
+      text.Dedup.oracles ++ sim.Similarity.oracles ++ multimodal.Multimodal.oracles
 }

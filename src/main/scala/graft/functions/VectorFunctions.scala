@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<float>` columns, with whole-stage codegen (SURVEY.md §2.9
+  * upgrade path: "custom Catalyst Expression with codegen if profiling
+  * demands" — the knn/LSH hot path evaluates this once per candidate
+  * pair, so avoiding the boxed `zip_with`+`aggregate` lambda chain
+  * matters at scale).
+  *
+  * Accumulates dot/norms in DOUBLE, sequentially (i = 0..n-1) — the same
+  * order the DuckDB oracle uses, so results are bit-identical.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x$i = (double) $a.getFloat($i);
+         |  double y$i = (double) $b.getFloat($i);
+         |  $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.GraftInternal
+
+  /** Column-level entry point: cosine similarity of two array<float>. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftInternal.toColumn(CosineSimilarity(
+      GraftInternal.toExpression(a), GraftInternal.toExpression(b)))
+}

@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal-column plumbing (north star): media payloads as opaque
+  * `binary` columns with typed metadata, decode/feature-extract as
+  * partition-wise transforms.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (`decodeStub`): it derives fake
+  * dimensions from the payload bytes. Everything around it — binary
+  * schema, batch shape, partition-wise execution, metadata struct — is
+  * the real plumbing a codec-backed decoder would drop into (swap
+  * `fakeDecode` for the JNI/FFI call; the Spark plan is unchanged).
+  */
+object Multimodal {
+
+  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+                       format: String)
+
+  /** DETERMINISTIC FAKE of a media decode — stands in for e.g. libjpeg.
+    * Derives stable pseudo-dimensions from payload length and first
+    * bytes; a real build replaces only this function. */
+  def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    val head = if (payload.nonEmpty) payload(0) & 0xff else 0
+    MediaMeta(docId, n, (64 + n % 512).toInt, (64 + (n * 7 + head) % 512).toInt,
+      if (n % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Partition-wise decode over a binary column — the Scala analogue of a
+    * `mapInPandas` decode UDF: one iterator pass per partition, no
+    * per-row task overhead, codec state reusable across rows. */
+  def decodeStub(df: DataFrame)(implicit s: SparkSession): Dataset[MediaMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
+  }
+
+  /** q45: binary payload + metadata extraction, SQL-expressible part.
+    * (The decodeStub path is exercised in MultimodalSpec; the registry
+    * query keeps to expressions both engines can hash-match.) */
+  def q45MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        (lit(64) + length(col("payload")) % 512).cast("long").as("width"),
+        (lit(64) + (length(col("payload")) * 7) % 512).cast("long").as("height"))
+      .orderBy(col("doc_id"))
+
+  val o45 = """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      md5(text) AS digest,
+      CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
+      CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height
+    FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_multimodal_meta" -> (q45MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q45_multimodal_meta" -> o45)
+}

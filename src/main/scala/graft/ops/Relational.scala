@@ -283,6 +283,25 @@ object Relational {
       FROM events WHERE event_type IN ('click','purchase')) t
     WHERE event_type = 'purchase' ORDER BY purchase_id"""
 
+  /** J2 shape (way→node resolution): rebuild each order's ordered line
+    * sequence — order-preserving child aggregation via sort_array over
+    * (position, value) structs (the posexplode round-trip inverse). */
+  def q46OrderLines(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") % 500 === 0)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(expr("transform(array_sort(collect_list(struct(l_linenumber, l_partkey))), x -> x.l_partkey)")
+             .as("part_seq"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+
+  val o46 = """
+    SELECT o_orderkey, list(l_partkey ORDER BY l_linenumber, l_partkey) AS part_seq,
+      COUNT(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 500 = 0
+    GROUP BY o_orderkey ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
@@ -298,7 +317,8 @@ object Relational {
     "q12_union_contrib"   -> (q12UnionContrib _),
     "q13_distinct_ids"    -> (q13DistinctIds _),
     "q14_range_join"      -> (q14RangeJoin _),
-    "q15_asof_join"       -> (q15AsofJoin _))
+    "q15_asof_join"       -> (q15AsofJoin _),
+    "q46_order_lines"     -> (q46OrderLines _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> o01, "q02_top_segments" -> o02,
@@ -306,5 +326,6 @@ object Relational {
     "q05_anti_join" -> o05, "q06_top_brands" -> o06,
     "q07_group_stats" -> o07, "q08_cube" -> o08, "q09_rollup" -> o09,
     "q10_intersect" -> o10, "q11_except" -> o11, "q12_union_contrib" -> o12,
-    "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15)
+    "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
+    "q46_order_lines" -> o46)
 }

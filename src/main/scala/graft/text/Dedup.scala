@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deduplication surface for the LLM-data-pipeline extension: exact
+  * (hash-groupBy), n-gram Jaccard similarity join, MinHash+LSH, SimHash
+  * (SURVEY.md EXT-J6 + north star).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregation on a fingerprint — the only
+  *    correct O(n) distributed formulation (dropDuplicates without a
+  *    deterministic keeper rule is partitioning-dependent).
+  *  - The Jaccard join is a shingle-inverted-index self-join: explode →
+  *    distinct → equi-join on shingle → count-intersections. At 100 TB
+  *    add stop-shingle removal (drop shingles with doc-frequency above a
+  *    cutoff) — the classic prefix-filter; candidates here are already
+  *    bounded (~1.1M pairs at sf0.1) so no cutoff is applied, keeping the
+  *    oracle exact.
+  *  - MinHash+LSH replaces the all-pairs index join with banded signature
+  *    buckets: 48 hashes, 16 bands × 3 rows ⇒ P(candidate | J=0.8) ≈
+  *    1 − (1−0.8³)¹⁶ ≈ 1 − 1e-5, P(candidate | J=0.2) ≈ 12%. Candidates
+  *    are verified with exact Jaccard, so the output equals the exact
+  *    join's at threshold 0.5 (same oracle) while scaling linearly in
+  *    corpus size instead of quadratically in the index join.
+  */
+object Dedup {
+
+  val JACCARD_THRESHOLD = 0.5
+  val NUM_HASHES = 48
+  val BANDS = 16
+  val ROWS_PER_BAND = 3
+
+  /** Distinct (doc_id, 3-gram shingle) pairs — the inverted-index input. */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""")).as("sg"))
+
+  val ORA_SHINGLES = """
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         , unnest(range(1, len(t) - 1)) u(i)
+    WHERE len(t) >= 3"""
+
+  /** Exact-verified Jaccard pairs from a candidate set (i < j pairs). */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("i"), col("sg")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("sg")), Seq("j", "sg"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("i"), col("n_sg").as("ni")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n_sg").as("nj")), Seq("j"))
+      .withColumn("jac", col("common").cast("double")
+        / (col("ni") + col("nj") - col("common")))
+      .filter(col("jac") >= JACCARD_THRESHOLD)
+      .select(col("i"), col("j"), col("common"), col("ni"), col("nj"),
+              round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val ORA_JACCARD_PAIRS = s"""
+    WITH sh AS ($ORA_SHINGLES),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY i, j),
+    jac AS (
+      SELECT i, j, common, si.n_sg AS ni, sj.n_sg AS nj,
+        CAST(common AS DOUBLE) / (si.n_sg + sj.n_sg - common) AS jac
+      FROM common
+        JOIN sizes si ON si.doc_id = common.i
+        JOIN sizes sj ON sj.doc_id = common.j)
+    SELECT i, j, common, ni, nj, ROUND(jac, 6) AS jaccard
+    FROM jac WHERE jac >= 0.5 ORDER BY i, j"""
+
+  /** q39: exact dedup via normalized-text fingerprint hash-groupBy. */
+  def q39DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("fp", md5(lower(col("text"))))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  val o39 = """
+    SELECT md5(lower(text)) AS fp, MIN(doc_id) AS keeper_id,
+      COUNT(*) AS n_copies
+    FROM documents GROUP BY fp ORDER BY keeper_id"""
+
+  /** q40: n-gram Jaccard near-dup join via the shingle inverted index. */
+  def q40NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val cand = sh.select(col("doc_id").as("i"), col("sg"))
+      .join(sh.select(col("doc_id").as("j"), col("sg")), Seq("sg"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    verifyPairs(cand, sh)
+  }
+
+  val o40 = ORA_JACCARD_PAIRS
+
+  /** q41: MinHash+LSH near-dup join — banded signatures generate the
+    * candidate set (linear scale path); exact verification makes the
+    * output identical to q40, so it shares the oracle. */
+  def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sigCols = (0 until NUM_HASHES).map(i =>
+      min(xxhash64(lit(i), col("sg"))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until BANDS).map { b =>
+      val hs = (0 until ROWS_PER_BAND).map(r =>
+        col(s"h${b * ROWS_PER_BAND + r}").as(s"r$r"))
+      struct(lit(b).as("band") +: hs: _*)
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val cand = buckets.select(col("doc_id").as("i"), col("bk"))
+      .join(buckets.select(col("doc_id").as("j"), col("bk")), Seq("bk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    verifyPairs(cand, sh)
+  }
+
+  val o41 = ORA_JACCARD_PAIRS
+
+  /** q42: SimHash near-dup pairs — 64-bit per-doc signature from shingle
+    * hashes, Hamming ≤ HAM_MAX via 4×16-bit chunk blocking (pigeonhole:
+    * any pair within distance 3 shares at least one exact chunk).
+    * xxhash64 is not reproducible in DuckDB → rows-only check here;
+    * correctness is asserted on fixtures in DedupSpec. */
+  val HAM_MAX = 3
+  def q42Simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).withColumn("h", xxhash64(col("sg")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sig = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    val chunks = sig.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(c => struct(lit(c).as("c"),
+        expr(s"(simhash >> ${c * 16}) & 65535").as("v"))): _*)).as("ck"))
+    chunks.select(col("doc_id").as("i"), col("simhash").as("si"), col("ck"))
+      .join(chunks.select(col("doc_id").as("j"), col("simhash").as("sj"), col("ck")),
+            Seq("ck"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+              expr("bit_count(si ^ sj)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HAM_MAX)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_dedup_exact"    -> (q39DedupExact _),
+    "q40_ngram_jaccard"  -> (q40NgramJaccard _),
+    "q41_minhash_lsh"    -> (q41MinhashLsh _),
+    "q42_simhash"        -> (q42Simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
+    "q41_minhash_lsh" -> o41)
+}

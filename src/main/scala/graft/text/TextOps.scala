@@ -1,0 +1,163 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis surface for the LLM-data-pipeline extension (north star):
+  * token counting, language-ID heuristic, quality scoring, document
+  * fingerprinting, and a custom typed Aggregator (SURVEY.md EXT-P13,
+  * EXT-A11).
+  *
+  * Everything row-level is built-in expressions / higher-order functions
+  * (codegen'd, stays inside the scan stage); the only custom piece is the
+  * typed Aggregator, which demonstrates the `Aggregator[IN,BUF,OUT]` +
+  * `udaf()` extension point with exact integer math.
+  */
+object TextOps {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** q34: per-document token statistics. The avg-token-length formula uses
+    * only integer counts and one double division, so it is bit-identical
+    * across engines. */
+  def q34TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        ((length(col("text")) - (size(col("toks")) - 1)).cast("double")
+          / size(col("toks"))).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  val o34 = """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' ')) AS avg_tok_len
+    FROM documents ORDER BY doc_id"""
+
+  /** Language-ID heuristic (script ranges + stopword markers) — the
+    * classic n-gram-free fast path; deterministic, mirrored in SQL. */
+  def langGuess(text: Column): Column =
+    when(text.rlike("[一-鿿]"), "zh")
+      .when(text.rlike("[Ѐ-ӿ]"), "ru")
+      .when(text.rlike("\\b(el|la|los|las)\\b"), "es")
+      .when(text.rlike("\\b(der|die|das|und)\\b"), "de")
+      .when(text.rlike("\\b(le|les|des|une)\\b"), "fr")
+      .when(text.rlike("\\b(the|a|of|and)\\b"), "en")
+      .otherwise("unknown")
+
+  /** q35: predicted-vs-labelled language confusion counts. */
+  def q35LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"), langGuess(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val o35 = """
+    SELECT lang,
+      CASE
+        WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        WHEN regexp_matches(text, '\b(el|la|los|las)\b') THEN 'es'
+        WHEN regexp_matches(text, '\b(der|die|das|und)\b') THEN 'de'
+        WHEN regexp_matches(text, '\b(le|les|des|une)\b') THEN 'fr'
+        WHEN regexp_matches(text, '\b(the|a|of|and)\b') THEN 'en'
+        ELSE 'unknown' END AS predicted,
+      COUNT(*) AS n
+    FROM documents GROUP BY lang, predicted ORDER BY lang, predicted"""
+
+  /** q36: quality scoring — stopword ratio + length band, integer counts
+    * with a fixed-order double formula. */
+  def q36QualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(expr("filter(toks, t -> t IN ('the','a','of','and'))")).cast("long"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_stop"),
+        round((lit(1.0) - col("n_stop").cast("double") / col("n_tok"))
+          * least(col("n_tok"), lit(100)).cast("double") / 100.0, 6)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+
+  val o36 = """
+    SELECT doc_id,
+      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+      CAST(len(list_filter(string_split(text,' '),
+            t -> t IN ('the','a','of','and'))) AS BIGINT) AS n_stop,
+      ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+              t -> t IN ('the','a','of','and'))) AS DOUBLE)
+              / len(string_split(text,' ')))
+        * CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100.0,
+        6) AS quality
+    FROM documents ORDER BY doc_id"""
+
+  /** q37: document fingerprinting — md5 of the normalized text (rolling
+    * hashes are in Dedup; md5 is the cross-engine-checkable fingerprint). */
+  def q37Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+              md5(lower(col("text"))).as("fingerprint"),
+              length(col("text")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  val o37 = """
+    SELECT doc_id, md5(lower(text)) AS fingerprint,
+      CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id"""
+
+  // ---- EXT-A11: custom typed Aggregator over per-doc token counts ----
+  case class TokStats(total: Long, mx: Long, n: Long)
+
+  /** Typed corpus-stats aggregator: (sum, max, count) of token counts.
+    * Associative + commutative merge → Spark plans partial aggregation
+    * (map-side combine) exactly as for built-ins. */
+  object TokenStatsAgg extends Aggregator[Long, TokStats, TokStats] {
+    def zero: TokStats = TokStats(0L, 0L, 0L)
+    def reduce(b: TokStats, a: Long): TokStats =
+      TokStats(b.total + a, math.max(b.mx, a), b.n + 1)
+    def merge(x: TokStats, y: TokStats): TokStats =
+      TokStats(x.total + y.total, math.max(x.mx, y.mx), x.n + y.n)
+    def finish(r: TokStats): TokStats = r
+    def bufferEncoder: Encoder[TokStats] = Encoders.product[TokStats]
+    def outputEncoder: Encoder[TokStats] = Encoders.product[TokStats]
+  }
+
+  /** q38: per-language corpus stats via the custom Aggregator. */
+  def q38DocStats(s: SparkSession, d: String): DataFrame = {
+    val tokStats = udaf(TokenStatsAgg)
+    documents(s, d)
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(tokStats(col("n_tok")).as("st"))
+      .select(col("lang"), col("st.total").as("total_tokens"),
+              col("st.mx").as("max_tokens"), col("st.n").as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val o38 = """
+    SELECT lang,
+      CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+      CAST(MAX(len(string_split(text,' '))) AS BIGINT) AS max_tokens,
+      COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_token_stats"   -> (q34TokenStats _),
+    "q35_lang_id"       -> (q35LangId _),
+    "q36_quality_score" -> (q36QualityScore _),
+    "q37_fingerprint"   -> (q37Fingerprint _),
+    "q38_doc_stats"     -> (q38DocStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q34_token_stats" -> o34, "q35_lang_id" -> o35,
+    "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
+    "q38_doc_stats" -> o38)
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column ↔ Expression conversions —
+  * needed since Spark 4 removed the public `Column.expr` / `new Column`
+  * surface. Standard extension-library pattern (same-package shim). */
+object GraftInternal {
+  def toExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+}
