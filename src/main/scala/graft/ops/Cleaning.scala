@@ -50,8 +50,9 @@ object Cleaning {
       .withColumn("normalized", coalesce(col("canonical"), col("last_tok")))
   }
 
-  // ---- P8: 5-digit postcode extraction ----
-  def zip5(c: Column): Column = regexp_extract(c, "([0-9]{5})$", 1)
+  // ---- P8: 5-digit postcode extraction (first 5-digit run: strips a
+  // state prefix like 'MD 21401' and a '-1234' suffix) ----
+  def zip5(c: Column): Column = regexp_extract(c, "([0-9]{5})", 1)
 
   /** A long-format (id, key, value) tag table derived from `part` — the
     * same shape as the reference's nodes_tags/ways_tags, with keys chosen
@@ -131,7 +132,7 @@ object Cleaning {
       .orderBy(col("c_custkey"))
 
   val o19 = """
-    SELECT c_custkey, regexp_extract(c_name, '([0-9]{5})$', 1) AS zip5
+    SELECT c_custkey, regexp_extract(c_name, '([0-9]{5})', 1) AS zip5
     FROM customer WHERE c_custkey % 37 = 0 ORDER BY c_custkey"""
 
   /** P10: timestamp part extraction + grouped counts. */

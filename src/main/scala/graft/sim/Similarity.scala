@@ -60,45 +60,66 @@ object Similarity {
     SELECT qid, rank, nid, sim FROM ranked
     WHERE rank <= $TOP_K ORDER BY qid, rank"""
 
-  // ---- q44: random-hyperplane LSH bucketing ----
-  val N_PLANES = 4 // 16 buckets
+  // ---- q44: multi-table random-hyperplane LSH ----
+  val N_TABLES = 8 // independent hash tables; candidates are unioned
+  val N_PLANES = 4 // sign bits per table → 16 buckets each
 
-  /** Deterministic Gaussian hyperplanes (seeded; java.util.Random's
-    * algorithm is specified, so this is stable across JVMs). */
-  lazy val planes: Seq[Array[Double]] = {
+  /** Deterministic Gaussian hyperplanes, [table][plane][dim] (seeded;
+    * java.util.Random's algorithm is specified, so this is stable
+    * across JVMs). */
+  lazy val planes: Seq[Seq[Array[Double]]] = {
     val rnd = new java.util.Random(42L)
-    Seq.fill(N_PLANES)(Array.fill(64)(rnd.nextGaussian()))
+    Seq.fill(N_TABLES)(Seq.fill(N_PLANES)(Array.fill(64)(rnd.nextGaussian())))
   }
 
-  private def bucketCol(v: String): org.apache.spark.sql.Column =
-    (0 until N_PLANES).map { p =>
-      val dot = expr(
-        s"""aggregate(zip_with($v, pl$p, (x, y) -> CAST(x AS DOUBLE) * y),
-            0D, (acc, z) -> acc + z)""")
-      when(dot >= 0, lit(1 << p)).otherwise(0)
-    }.reduce(_ + _)
-
-  /** q44: ANN restricted to the query's LSH bucket — the plan that holds
-    * at 100 TB (bucket id is a shuffle key; each bucket is searched
-    * independently). Rows-only checked; recall asserted in tests. */
-  def q44KnnLshBucketed(s: SparkSession, d: String): DataFrame = {
-    val withPlanes = planes.zipWithIndex.foldLeft(embeddings(s, d)) {
-      case (df, (pl, i)) => df.withColumn(s"pl$i", typedLit(pl.toSeq))
+  /** (table, bucket) pairs for a vector column — one struct per table. */
+  private def bucketEntries(df: DataFrame, v: String): DataFrame = {
+    val withPlanes = planes.zipWithIndex.foldLeft(df) {
+      case (acc, (tbl, t)) =>
+        tbl.zipWithIndex.foldLeft(acc) { case (a, (pl, p)) =>
+          a.withColumn(s"pl_${t}_$p", typedLit(pl.toSeq))
+        }
     }
-    val bucketed = withPlanes
-      .withColumn("bucket", bucketCol("embedding"))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
-    val q = bucketed.filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
-    val base = bucketed
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
-    broadcast(q).join(base, Seq("bucket"))
+    val entries = (0 until N_TABLES).map { t =>
+      val bucket = (0 until N_PLANES).map { p =>
+        val dot = expr(
+          s"""aggregate(zip_with($v, pl_${t}_$p, (x, y) -> CAST(x AS DOUBLE) * y),
+              0D, (acc, z) -> acc + z)""")
+        when(dot >= 0, lit(1 << p)).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    withPlanes.withColumn("tb", explode(array(entries: _*)))
+      .drop((for (t <- 0 until N_TABLES; p <- 0 until N_PLANES)
+        yield s"pl_${t}_$p"): _*)
+  }
+
+  /** q44: ANN over the union of the query's buckets across N_TABLES
+    * independent hash tables — the 100 TB plan: (table, bucket) is the
+    * shuffle key, each bucket searched independently, candidates deduped
+    * before scoring. More tables raise recall, more planes per table
+    * sharpen pruning; both are config, not code. Rows-only checked;
+    * recall vs. the exact baseline asserted in SimilaritySpec. */
+  def q44KnnLshBucketed(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val base = bucketEntries(
+      e.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nv")
+      .select(col("tb"), col("nid"))
+    val q = bucketEntries(
+      e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
+      .select(col("tb"), col("qid"))
+    val cand = broadcast(q).join(base, Seq("tb"))
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
       .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TOP_K)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"), col("bucket"))
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
       .orderBy(col("qid"), col("rank"))
   }
 

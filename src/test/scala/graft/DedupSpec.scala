@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Dedup
+
+/** Dedup correctness on the driver corpus + seeded fixtures. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical normalized texts") {
+    val docs = Seq((1L, "a b c"), (2L, "A B C"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = docs.withColumn("fp", md5(lower(col("text"))))
+      .groupBy("fp").agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      .select("keeper", "n").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L) // 1 and 2 collapse after lowercasing
+    assert(got(3L) == 1L)
+  }
+
+  test("ngram jaccard finds planted near-dup, skips unrelated docs") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val nearDup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 wX" // differs in last token
+    val other = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    Seq((0L, base, "en", "s", 0L), (1L, nearDup, "en", "s", 0L),
+        (2L, other, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
+    val pairs = Dedup.q40NgramJaccard(spark, "/tmp/graft_test_docs")
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    // shingle sets: 8 each, 7 common → J = 7/9
+    assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("minhash LSH output equals the exact jaccard join (sf0.001)") {
+    val exact = Dedup.q40NgramJaccard(spark, TestSpark.SF)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.q41MinhashLsh(spark, TestSpark.SF)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash distance 0 for identical docs, pairs are symmetric-free") {
+    Seq((0L, "a b c d e f g h", "en", "s", 0L),
+        (1L, "a b c d e f g h", "en", "s", 0L),
+        (2L, "p q r s t u v w", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs2/documents.parquet")
+    val got = Dedup.q42Simhash(spark, "/tmp/graft_test_docs2")
+      .as[(Long, Long, Long)].collect()
+    assert(got.exists { case (i, j, h) => i == 0 && j == 1 && h == 0 })
+    assert(got.forall { case (i, j, _) => i < j })
+  }
+}

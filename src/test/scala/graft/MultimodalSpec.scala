@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Binary-column plumbing: schema, partition-wise decode, determinism. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decodeStub runs partition-wise over binary payloads with stable output") {
+    implicit val s = spark
+    val df = Seq((1L, "hello"), (2L, "world!!"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val metas = Multimodal.decodeStub(df).collect().sortBy(_.doc_id)
+    assert(metas.map(_.n_bytes).sameElements(Array(5L, 7L)))
+    assert(metas(0).format == "jpeg" && metas(1).format == "jpeg")
+    // deterministic: second run identical
+    val again = Multimodal.decodeStub(df).collect().sortBy(_.doc_id)
+    assert(metas.sameElements(again))
+  }
+
+  test("binary round trip: cast to binary preserves utf-8 bytes") {
+    val got = Seq("graft £ ünïcode").toDF("text")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("payload").cast("string"))
+      .as[String].head()
+    assert(got == "graft £ ünïcode")
+  }
+
+  test("CSV and JSON sinks round-trip a cleaned table (S3/S4)") {
+    val df = Seq((1L, "addr:street", "Main St"), (2L, "amenity", "cafe"))
+      .toDF("id", "key", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    df.write.option("header", "true").mode("overwrite").csv(s"$tmp/csv")
+    df.write.mode("overwrite").json(s"$tmp/json")
+    val backCsv = spark.read.option("header", "true").csv(s"$tmp/csv")
+      .withColumn("id", col("id").cast("long"))
+    val backJson = spark.read.json(s"$tmp/json")
+    assert(backCsv.count() == 2 && backJson.count() == 2)
+    assert(backJson.select("id", "key", "value").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "addr:street", "Main St"), (2L, "amenity", "cafe")))
+  }
+}
