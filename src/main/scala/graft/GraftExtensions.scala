@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, RollingHash}
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * Catalyst expressions available to pure-SQL users
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}
+
+/** Registration on an already-running session (the extensions config
+  * only applies at session construction). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+  }
+}

@@ -54,6 +54,14 @@ object Cleaning {
   // state prefix like 'MD 21401' and a '-1234' suffix) ----
   def zip5(c: Column): Column = regexp_extract(c, "([0-9]{5})", 1)
 
+  // ---- P9: phone canonicalization — strip punctuation, drop a US
+  // country prefix, keep the 10-digit national number ----
+  def normalizePhone(c: Column): Column = {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    when(length(digits) === 11 && digits.startsWith("1"), digits.substr(2, 10))
+      .otherwise(digits)
+  }
+
   /** A long-format (id, key, value) tag table derived from `part` — the
     * same shape as the reference's nodes_tags/ways_tags, with keys chosen
     * to exercise all four P3 classes. stack() is a Generator: one pass,

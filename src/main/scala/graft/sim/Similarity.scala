@@ -123,10 +123,38 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q47: embedding-cosine near-dup pairs above a threshold (the dedup
+    * variant of similarity search). All-pairs here; at 100 TB the q44
+    * LSH bucketing becomes the candidate generator and this exact
+    * cosine the verify stage — same shape as MinHash→Jaccard in Dedup. */
+  val NEAR_DUP_TAU = 0.45
+  def q47EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("sim", cosine_sim(col("va"), col("vb")))
+      .filter(col("sim") >= NEAR_DUP_TAU)
+      .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val o47 = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT i, j, ROUND(sim, 6) AS sim FROM p
+    WHERE sim >= $NEAR_DUP_TAU ORDER BY i, j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
-    "q44_knn_lsh_bucketed" -> (q44KnnLshBucketed _))
+    "q44_knn_lsh_bucketed" -> (q44KnnLshBucketed _),
+    "q47_embed_near_dup"  -> (q47EmbedNearDup _))
 
   val oracles: Map[String, String] = Map(
-    "q43_knn_bruteforce" -> o43)
+    "q43_knn_bruteforce" -> o43,
+    "q47_embed_near_dup" -> o47)
 }

@@ -149,12 +149,23 @@ object TextOps {
       COUNT(*) AS n_docs
     FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** q48: Karp–Rabin rolling fingerprint (custom codegen expression;
+    * xxhash-free, incrementally updatable — the content-defined-chunking
+    * primitive). Not SQL-expressible in DuckDB → rows-only check;
+    * golden values asserted in ExtensionsSpec. */
+  def q48RollingFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.RollingHash.rolling_hash(col("text")).as("rh"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_token_stats"   -> (q34TokenStats _),
     "q35_lang_id"       -> (q35LangId _),
     "q36_quality_score" -> (q36QualityScore _),
     "q37_fingerprint"   -> (q37Fingerprint _),
-    "q38_doc_stats"     -> (q38DocStats _))
+    "q38_doc_stats"     -> (q38DocStats _),
+    "q48_rolling_fingerprint" -> (q48RollingFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,

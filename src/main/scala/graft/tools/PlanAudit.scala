@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale audit: dumps the formatted physical plan of every registry
+  * query and greps for the properties that must hold at 100 TB —
+  * parquet filter pushdown, column-pruned ReadSchema, broadcast joins
+  * for small dims, TakeOrderedAndProject for top-k, whole-stage codegen
+  * coverage. Run: sbt "runMain graft.tools.PlanAudit [sfDir]" */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      // execute this exact plan so AQE finalizes and codegen ids
+      // appear (.count()/.write wrap it in a different QueryExecution)
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
+      val bhj = plan.contains("BroadcastHashJoin")
+      val smj = plan.contains("SortMergeJoin")
+      val topk = plan.contains("TakeOrderedAndProject")
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      val codegen = "\\[codegen id : \\d+\\]".r.findAllIn(plan)
+        .map(identity).toSet.size
+      println(f"$name%-24s exchanges=$exchanges%-3d codegenSpans=$codegen%-3d " +
+        f"pushdown=$pushed%-5s bhj=$bhj%-5s smj=$smj%-5s topk=$topk")
+      if (args.contains("--full")) println(plan)
+    }
+    spark.stop()
+  }
+}

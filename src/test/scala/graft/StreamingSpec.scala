@@ -8,8 +8,43 @@ import org.scalatest.funsuite.AnyFunSuite
   * window expression the batch registry uses, run through readStream →
   * watermark → windowed agg → memory sink, must agree with the batch
   * result. */
+case class Ev(user: Long, n: Long)
+case class RunningCount(user: Long, total: Long)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  test("ST5: flatMapGroupsWithState carries state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val counts = input.toDS()
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[Long, RunningCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.map(_.n).sum
+          state.update(total)
+          Iterator(RunningCount(user, total))
+      }
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("graft_state_test").start()
+    try {
+      input.addData(Ev(1, 2), Ev(1, 3), Ev(2, 10))
+      q.processAllAvailable()
+      input.addData(Ev(1, 5), Ev(2, 1)) // second batch: state must persist
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("graft_state_test")
+      .as[RunningCount].collect().groupBy(_.user)
+      .map { case (u, rs) => u -> rs.map(_.total).toSet }
+    assert(rows(1L) == Set(5L, 10L)) // 2+3 then +5
+    assert(rows(2L) == Set(10L, 11L))
+  }
 
   test("streamed tumbling-window counts equal the batch computation") {
     val schema = StructType(Seq(
