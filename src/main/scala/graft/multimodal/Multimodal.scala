@@ -40,6 +40,22 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
   }
 
+  /** Frame sampling over a binary payload: every k-th fixed-size block
+    * (the video-frame-subsample shape — deterministic, pure expression,
+    * no data leaves the executor). */
+  def frameSample(payload: org.apache.spark.sql.Column, blockSize: Int,
+                  everyK: Int): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0, greatest(int(length(${payload.toString})/$blockSize) - 1, 0), $everyK)," +
+         s" i -> substring(${payload.toString}, i * $blockSize + 1, $blockSize))")
+
+  /** Resize stub: recompute the fake dimensions to a bounded box,
+    * preserving the deterministic contract of `fakeDecode`. */
+  def resizeStub(m: MediaMeta, maxSide: Int): MediaMeta = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+    m.copy(width = math.max(1, (m.width * scale).toInt),
+           height = math.max(1, (m.height * scale).toInt))
+  }
+
   /** q45: binary payload + metadata extraction, SQL-expressible part.
     * (The decodeStub path is exercised in MultimodalSpec; the registry
     * query keeps to expressions both engines can hash-match.) */

@@ -302,7 +302,21 @@ object Relational {
     WHERE o_orderkey % 500 = 0
     GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  /** A3 at scale: HLL sketch (approx_count_distinct) beside the exact
+    * count. Sketches merge associatively → one shuffle of fixed-size
+    * state regardless of cardinality; this is the 100 TB formulation of
+    * COUNT(DISTINCT). Approximation differs per engine → rows-only
+    * check; relative error vs exact asserted in RegistrySpec. */
+  def q49ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+           approx_count_distinct(col("user_id")).as("approx_users"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),

@@ -22,6 +22,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.sameElements(again))
   }
 
+  test("frame sampling takes every k-th block; resize stub preserves aspect bound") {
+    val df = Seq("0123456789abcdef").toDF("text")
+      .withColumn("payload", col("text").cast("binary"))
+    val frames = df.select(Multimodal.frameSample(col("payload"), 4, 2).as("f"))
+      .selectExpr("transform(f, b -> cast(b AS STRING)) AS fs")
+      .as[Seq[String]].head()
+    assert(frames == Seq("0123", "89ab")) // blocks 0 and 2 of size 4
+    val m = Multimodal.fakeDecode(1L, Array.fill(600)(7.toByte))
+    val r = Multimodal.resizeStub(m, 64)
+    assert(math.max(r.width, r.height) <= 64 && r.width >= 1 && r.height >= 1)
+  }
+
   test("binary round trip: cast to binary preserves utf-8 bytes") {
     val got = Seq("graft £ ünïcode").toDF("text")
       .withColumn("payload", col("text").cast("binary"))

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.OsmShape
+
+/** E2 pipeline golden test: raw OSM-like elements → 5 shaped tables
+  * (FIXTURES.md §B model), with cleaning + validation fused in. */
+class OsmShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("type", StringType), StructField("id", LongType),
+    StructField("lat", DoubleType), StructField("lon", DoubleType),
+    StructField("user", StringType), StructField("uid", LongType),
+    StructField("version", StringType), StructField("changeset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("tags", ArrayType(StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType))))),
+    StructField("nds", ArrayType(LongType))))
+
+  private val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+
+  private def elems = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("node", 1L, 39.0, -76.5, "alice", 10L, "1", 100L, ts,
+        Seq(Row("addr:street", "Main St"), Row("amenity", "cafe"),
+            Row("name with space", "bad")), null),
+      Row("node", 2L, 95.0, -76.5, "bob", 11L, "1", 101L, ts,
+        Seq(), null), // invalid: lat out of range
+      Row("way", 7L, null, null, "carol", 12L, "2", 102L, ts,
+        Seq(Row("highway", "residential")), Seq(1L, 3L, 2L)))), schema)
+
+  private val mapping = Map("St" -> "Street", "Ave" -> "Avenue")
+
+  test("shapes 5 tables with validation and cleaning fused") {
+    val out = OsmShape.shapeAll(elems, mapping)
+
+    val nodes = out("nodes").collect()
+    assert(nodes.map(_.getLong(0)).toSeq == Seq(1L)) // node 2 invalid
+
+    val nt = out("nodes_tags").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    // problem-char key dropped; addr:street split + canonicalized
+    assert(nt == Set(("street", "Main Street", "addr"), ("amenity", "cafe", "regular")))
+
+    assert(out("ways").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(out("ways_tags").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet ==
+      Set(("highway", "residential", "regular")))
+
+    val wn = out("ways_nodes").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2)
+    assert(wn.toSeq == Seq((1L, 0), (3L, 1), (2L, 2))) // <nd> order preserved
+
+    assert(OsmShape.corrupt(elems).collect().map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
+  test("street canonicalization leaves unmapped values untouched") {
+    val nt = OsmShape.shapeTags(elems, "node", Map("Rd" -> "Road")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toMap
+    assert(nt("street") == "Main St") // 'St' not in this mapping
+  }
+}
