@@ -315,8 +315,47 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Correlated scalar subquery shape (each customer's max-price
+    * orders) — expressed as aggregate + self-join, which is exactly what
+    * Catalyst decorrelates the subquery into; value comparison is raw
+    * (no arithmetic), so double equality is exact. */
+  def q50ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val mx = o.groupBy(col("o_custkey").as("ck"))
+      .agg(max(col("o_totalprice")).as("max_tp"))
+    o.join(mx, col("o_custkey") === col("ck") && col("o_totalprice") === col("max_tp"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val o50 = """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** Pivot (long → wide): event-type counts per user bucket. */
+  def q51Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+
+  val o51 = """
+    SELECT user_id % 10 AS user_bucket,
+      COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_bucket ORDER BY user_bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_approx_distinct" -> (q49ApproxDistinct _),
+    "q50_scalar_subquery" -> (q50ScalarSubquery _),
+    "q51_pivot"           -> (q51Pivot _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
@@ -341,5 +380,5 @@ object Relational {
     "q07_group_stats" -> o07, "q08_cube" -> o08, "q09_rollup" -> o09,
     "q10_intersect" -> o10, "q11_except" -> o11, "q12_union_contrib" -> o12,
     "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
-    "q46_order_lines" -> o46)
+    "q46_order_lines" -> o46, "q50_scalar_subquery" -> o50, "q51_pivot" -> o51)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Skew
+
+/** Scale-mechanics checks: salted joins preserve semantics, partitioned
+  * writes prune at read time. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join equals plain join (inner + left)") {
+    val big = Tables.events(spark, TestSpark.SF)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val small = Tables.events(spark, TestSpark.SF)
+      .groupBy("user_id").agg(count(lit(1)).as("user_n"))
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("user_id"), jt)
+        .select("event_id", "user_n").as[(Long, Long)].collect().sorted.toSeq
+      val salted = Skew.saltedJoin(big, small, "user_id", salts = 7, joinType = jt)
+        .select("event_id", "user_n").as[(Long, Long)].collect().sorted.toSeq
+      assert(salted == plain, s"join type $jt")
+    }
+  }
+
+  test("keyHistogram surfaces the heaviest keys in order") {
+    val h = Skew.keyHistogram(
+      Tables.events(spark, TestSpark.SF), col("event_type"), 3)
+      .as[(String, Long)].collect()
+    assert(h.length == 3)
+    assert(h.map(_._2).toSeq == h.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("partitionBy write → partition pruning at read (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, TestSpark.SF)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+    val df = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      "expected non-empty PartitionFilters in:\n" + plan.take(2000))
+    // pruned read returns exactly the partition's rows
+    val expected = Tables.events(spark, TestSpark.SF)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == expected)
+  }
+}
