@@ -197,12 +197,13 @@ object Cleaning {
     events(s, d)
       .filter(col("user_id") < 20)
       .groupBy(col("event_type"))
-      .agg(array_sort(collect_set(col("user_id"))).as("users"),
+      .agg(concat_ws(",", array_sort(collect_set(col("user_id")))).as("users"),
            countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
   val o24 = """
-    SELECT event_type, list_sort(list(DISTINCT user_id)) AS users,
+    SELECT event_type,
+      array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
       COUNT(DISTINCT user_id) AS n_users
     FROM events WHERE user_id < 20
     GROUP BY event_type ORDER BY event_type"""

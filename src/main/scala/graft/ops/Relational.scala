@@ -290,13 +290,15 @@ object Relational {
     orders(s, d).filter(col("o_orderkey") % 500 === 0)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
-      .agg(expr("transform(array_sort(collect_list(struct(l_linenumber, l_partkey))), x -> x.l_partkey)")
-             .as("part_seq"),
+      .agg(expr("""concat_ws(',', transform(
+             array_sort(collect_list(struct(l_linenumber, l_partkey))),
+             x -> x.l_partkey))""").as("part_seq"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderkey"))
 
   val o46 = """
-    SELECT o_orderkey, list(l_partkey ORDER BY l_linenumber, l_partkey) AS part_seq,
+    SELECT o_orderkey,
+      array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey), ',') AS part_seq,
       COUNT(*) AS n_lines
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey % 500 = 0
@@ -352,10 +354,33 @@ object Relational {
       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
     FROM events GROUP BY user_bucket ORDER BY user_bucket"""
 
+  /** Per-group top-k via the custom TopKPerGroup plan node (partial
+    * map-side heaps + clustered final merge — see graft.plans). Same
+    * semantics as the q27 window formulation, checked against the same
+    * oracle shape. */
+  def q52CustomTopK(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      customer(s, d),
+      groupCols = Seq("c_mktsegment"),
+      sortCols = Seq("c_acctbal" -> true, "c_custkey" -> false),
+      k = 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment"), desc("c_acctbal"), col("c_custkey"))
+
+  val o52 = """
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q50_scalar_subquery" -> (q50ScalarSubquery _),
     "q51_pivot"           -> (q51Pivot _),
+    "q52_custom_topk"     -> (q52CustomTopK _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
@@ -380,5 +405,6 @@ object Relational {
     "q07_group_stats" -> o07, "q08_cube" -> o08, "q09_rollup" -> o09,
     "q10_intersect" -> o10, "q11_except" -> o11, "q12_union_contrib" -> o12,
     "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
-    "q46_order_lines" -> o46, "q50_scalar_subquery" -> o50, "q51_pivot" -> o51)
+    "q46_order_lines" -> o46, "q50_scalar_subquery" -> o50, "q51_pivot" -> o51,
+    "q52_custom_topk" -> o52)
 }
