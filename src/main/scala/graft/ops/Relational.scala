@@ -376,11 +376,54 @@ object Relational {
     WHERE rn <= 3
     ORDER BY c_mktsegment, c_acctbal DESC, c_custkey"""
 
+  /** Exact interpolated quantiles (A9 extension): `percentile` in Spark
+    * and `quantile_cont` in DuckDB share the p·(n−1) interpolation rule.
+    * (The sketch-based scale variant is `percentile_approx`/t-digest —
+    * approximate, so the exact form is what the oracle checks.) */
+  def q53Quantiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+           expr("percentile(l_quantity, 0.9)").as("p90"),
+           expr("percentile(l_quantity, 0.99)").as("p99"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val o53 = """
+    SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+      quantile_cont(l_quantity, 0.9) AS p90,
+      quantile_cont(l_quantity, 0.99) AS p99, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Edit-distance near-dup pairs (dedup family): exact Levenshtein on a
+    * bounded candidate set — at scale this is the verify stage behind a
+    * length/shingle prefilter, never the full cross product. */
+  def q54EditDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 30)
+    val a = docs.select(col("doc_id").as("i"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("j"), col("text").as("tb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= 300)
+      .select(col("i"), col("j"), col("dist"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val o54 = """
+    SELECT a.doc_id AS i, b.doc_id AS j,
+      CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 30 AND b.doc_id < 30
+      AND levenshtein(a.text, b.text) <= 300
+    ORDER BY i, j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q50_scalar_subquery" -> (q50ScalarSubquery _),
     "q51_pivot"           -> (q51Pivot _),
     "q52_custom_topk"     -> (q52CustomTopK _),
+    "q53_quantiles"       -> (q53Quantiles _),
+    "q54_edit_distance"   -> (q54EditDistance _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
@@ -406,5 +449,6 @@ object Relational {
     "q10_intersect" -> o10, "q11_except" -> o11, "q12_union_contrib" -> o12,
     "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
     "q46_order_lines" -> o46, "q50_scalar_subquery" -> o50, "q51_pivot" -> o51,
-    "q52_custom_topk" -> o52)
+    "q52_custom_topk" -> o52, "q53_quantiles" -> o53,
+    "q54_edit_distance" -> o54)
 }
