@@ -56,6 +56,32 @@ object Multimodal {
            height = math.max(1, (m.height * scale).toInt))
   }
 
+  /** Feature extraction over a binary payload: L1-normalized byte
+    * histogram as an Array[Float] embedding — the partition-wise
+    * "model inference" slot (swap for an ONNX/codec call; schema,
+    * batch shape and downstream ANN compatibility stay identical). */
+  def byteHistogram(payload: Array[Byte], bins: Int = 64): Array[Float] = {
+    val h = new Array[Float](bins)
+    var i = 0
+    while (i < payload.length) { h((payload(i) & 0xff) % bins) += 1f; i += 1 }
+    if (payload.length > 0) {
+      var j = 0
+      while (j < bins) { h(j) /= payload.length; j += 1 }
+    }
+    h
+  }
+
+  /** Binary column → embedding column, partition-wise (mapInPandas
+    * analogue), ready for graft.sim ANN operators. */
+  def embedStub(df: DataFrame, bins: Int = 64)
+               (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, byteHistogram(bytes, bins)) })
+      .toDF("doc_id", "embedding")
+  }
+
   /** q45: binary payload + metadata extraction, SQL-expressible part.
     * (The decodeStub path is exercised in MultimodalSpec; the registry
     * query keeps to expressions both engines can hash-match.) */

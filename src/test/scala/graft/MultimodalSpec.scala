@@ -42,6 +42,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == "graft £ ünïcode")
   }
 
+  test("embedStub: binary → byte-histogram embedding → ANN-compatible cosine") {
+    implicit val s = spark
+    val df = Tables.documents(spark, TestSpark.SF)
+      .limit(20)
+      .withColumn("payload", col("text").cast("binary"))
+    val emb = Multimodal.embedStub(df)
+    val row = emb.head()
+    assert(row.getSeq[Float](1).length == 64)
+    assert(math.abs(row.getSeq[Float](1).sum - 1f) < 1e-3) // L1 normalized
+    // feeds the similarity operator directly
+    val a = emb.select(col("doc_id").as("i"), col("embedding").as("va"))
+    val b = emb.select(col("doc_id").as("j"), col("embedding").as("vb"))
+    val sims = a.join(b, col("i") < col("j"))
+      .select(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")).as("s"))
+      .as[Double].collect()
+    assert(sims.nonEmpty && sims.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
   test("CSV and JSON sinks round-trip a cleaned table (S3/S4)") {
     val df = Seq((1L, "addr:street", "Main St"), (2L, "amenity", "cafe"))
       .toDF("id", "key", "value")

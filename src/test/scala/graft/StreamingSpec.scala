@@ -46,6 +46,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L) == Set(10L, 11L))
   }
 
+  test("file sink + checkpoint: streamed agg lands in parquet, checkpoint persists") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink_stream").toString
+
+    val input = MemoryStream[Ev]
+    val q = input.toDS()
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, 2), Ev(2, 3))
+      q.processAllAvailable()
+      input.addData(Ev(3, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.parquet(s"$tmp/out").as[Ev].collect().sortBy(_.user)
+    assert(back.toSeq == Seq(Ev(1, 2), Ev(2, 3), Ev(3, 4)))
+    assert(new java.io.File(s"$tmp/ckpt/offsets").list().nonEmpty) // checkpoint state
+  }
+
   test("streamed tumbling-window counts equal the batch computation") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
