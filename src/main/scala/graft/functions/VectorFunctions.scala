@@ -57,6 +57,43 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of an array<float> column with a constant double[]
+  * weight vector (codegen; the weights live in a referenced field, not
+  * the expression tree — 64 literals per plane would bloat the plan and
+  * defeat codegen). Used for LSH hyperplane projections. */
+case class DotWithConst(child: Expression, weights: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), weights.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * weights(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $w.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * $w[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftInternal
 
@@ -64,4 +101,8 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftInternal.toColumn(CosineSimilarity(
       GraftInternal.toExpression(a), GraftInternal.toExpression(b)))
+
+  /** Dot product with a constant weight vector (LSH projections). */
+  def dot_const(a: Column, weights: Array[Double]): Column =
+    GraftInternal.toColumn(DotWithConst(GraftInternal.toExpression(a), weights))
 }

@@ -72,26 +72,18 @@ object Similarity {
     Seq.fill(N_TABLES)(Seq.fill(N_PLANES)(Array.fill(64)(rnd.nextGaussian())))
   }
 
-  /** (table, bucket) pairs for a vector column — one struct per table. */
+  /** (table, bucket) pairs for a vector column — one struct per table.
+    * Hyperplane projections run through the codegen DotWithConst
+    * expression (weights in referenced fields, not literal trees). */
   private def bucketEntries(df: DataFrame, v: String): DataFrame = {
-    val withPlanes = planes.zipWithIndex.foldLeft(df) {
-      case (acc, (tbl, t)) =>
-        tbl.zipWithIndex.foldLeft(acc) { case (a, (pl, p)) =>
-          a.withColumn(s"pl_${t}_$p", typedLit(pl.toSeq))
-        }
-    }
+    import graft.functions.VectorFunctions.dot_const
     val entries = (0 until N_TABLES).map { t =>
       val bucket = (0 until N_PLANES).map { p =>
-        val dot = expr(
-          s"""aggregate(zip_with($v, pl_${t}_$p, (x, y) -> CAST(x AS DOUBLE) * y),
-              0D, (acc, z) -> acc + z)""")
-        when(dot >= 0, lit(1 << p)).otherwise(0)
+        when(dot_const(col(v), planes(t)(p)) >= 0, lit(1 << p)).otherwise(0)
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
-    withPlanes.withColumn("tb", explode(array(entries: _*)))
-      .drop((for (t <- 0 until N_TABLES; p <- 0 until N_PLANES)
-        yield s"pl_${t}_$p"): _*)
+    df.withColumn("tb", explode(array(entries: _*)))
   }
 
   /** q44: ANN over the union of the query's buckets across N_TABLES
