@@ -141,10 +141,54 @@ object Similarity {
     SELECT i, j, ROUND(sim, 6) AS sim FROM p
     WHERE sim >= $NEAR_DUP_TAU ORDER BY i, j"""
 
+  // ---- q55: IVF-style ANN (coarse quantizer + probed cells) ----
+  val N_CELLS = 16
+  val N_PROBE = 2
+
+  /** q55: IVF-flat ANN — a coarse quantizer (here: the first N_CELLS
+    * vectors, normalized; a k-means fit would slot in identically)
+    * partitions the base into cells; each query probes its N_PROBE
+    * nearest cells only. The quantizer fit is the one driver-side step
+    * (N_CELLS rows — the classic train-then-broadcast pattern); scoring
+    * runs through the codegen DotWithConst projections. Rows-only
+    * checked; recall vs q43 asserted in SimilaritySpec. */
+  def q55KnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    // "train" the quantizer: normalized centroids, collected once
+    val cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < N_CELLS)
+      .select(col("vec_id"), col("embedding"))
+      .collect().toSeq.map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0).toInt, if (n == 0) v else v.map(_ / n))
+      }
+    import graft.functions.VectorFunctions.dot_const
+    def cellsDesc(v: String) = sort_array(array(cents.map { case (c, w) =>
+      struct(dot_const(col(v), w).as("s"), lit(c).as("c"))
+    }: _*), asc = false)
+
+    val base = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("cell", element_at(cellsDesc("nv"), 1).getField("c"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
+    val qProbes = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("cells", cellsDesc("qv"))
+      .withColumn("probe", explode(slice(col("cells"), 1, N_PROBE)))
+      .select(col("qid"), col("qv"), col("probe.c").as("cell"))
+    broadcast(qProbes).join(base, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
     "q44_knn_lsh_bucketed" -> (q44KnnLshBucketed _),
-    "q47_embed_near_dup"  -> (q47EmbedNearDup _))
+    "q47_embed_near_dup"  -> (q47EmbedNearDup _),
+    "q55_knn_ivf"         -> (q55KnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q43_knn_bruteforce" -> o43,

@@ -52,4 +52,17 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = lsh.count { case (q, s) => math.abs(s - bf(q)) < 1e-9 }.toDouble / bf.size
     assert(recall >= 0.5, s"recall@1 $recall below multi-table expectation")
   }
+
+  test("IVF-probed ANN: valid results and plausible recall vs brute force") {
+    val bf = Similarity.q43KnnBruteForce(spark, TestSpark.SF)
+      .filter(col("rank") === 1)
+      .select("qid", "sim").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.q55KnnIvf(spark, TestSpark.SF)
+      .filter(col("rank") === 1)
+      .select("qid", "sim").as[(Long, Double)].collect().toMap
+    assert(ivf.nonEmpty && ivf.keySet.subsetOf(bf.keySet))
+    ivf.foreach { case (q, s) => assert(s <= bf(q) + 1e-9) }
+    val recall = ivf.count { case (q, s) => math.abs(s - bf(q)) < 1e-9 }.toDouble / bf.size
+    assert(recall >= 0.15, s"recall@1 $recall implausibly low for ${Similarity.N_PROBE}/${Similarity.N_CELLS} probes")
+  }
 }
