@@ -96,8 +96,10 @@ object Dedup {
 
   /** q40: n-gram Jaccard near-dup join via the shingle inverted index.
     * The intersection size falls straight out of the index self-join
-    * (join on shingle → count per pair) — no separate candidate
-    * materialization, one shuffle fewer than verify-after-LSH. */
+    * (join on shingle → count per pair). On this corpus the direct join
+    * beats the prefix-filtered variant (`ppjoinJaccard` below) — the
+    * frequent-shingle quadratic term is small at these sizes; at 100 TB
+    * with heavy-tailed shingle frequencies the prefix filter wins. */
   def q40NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
@@ -114,6 +116,31 @@ object Dedup {
       .select(col("i"), col("j"), col("common"), col("ni"), col("nj"),
               round(col("jac"), 6).as("jaccard"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** PPJoin-style prefix-filtered exact Jaccard join — LOSSLESS for
+    * threshold τ: shingles globally ordered rarest-first, a document
+    * with n shingles indexes only its first n − ⌈τ·n⌉ + 1; any pair
+    * with J ≥ τ must collide inside these prefixes. Same output as
+    * q40 (asserted in DedupSpec); the scale path when shingle
+    * frequencies are heavy-tailed. */
+  def ppjoinJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val docFreq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))
+    val prefixes = sh.join(docFreq, Seq("sg"))
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n_sg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <=
+        col("n_sg") - ceil(col("n_sg") * lit(JACCARD_THRESHOLD)) + 1)
+      .select(col("doc_id"), col("sg"))
+    val cand = prefixes.select(col("doc_id").as("i"), col("sg"))
+      .join(prefixes.select(col("doc_id").as("j"), col("sg")), Seq("sg"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    verifyPairs(cand, sh)
   }
 
   val o40 = ORA_JACCARD_PAIRS

@@ -34,6 +34,14 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-6)
   }
 
+  test("PPJoin prefix filter is lossless: same pairs as the direct index join") {
+    val direct = Dedup.q40NgramJaccard(spark, TestSpark.SF)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val ppjoin = Dedup.ppjoinJaccard(spark, TestSpark.SF)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(ppjoin == direct && direct.nonEmpty)
+  }
+
   test("minhash LSH output equals the exact jaccard join (sf0.001)") {
     val exact = Dedup.q40NgramJaccard(spark, TestSpark.SF)
       .select("i", "j").as[(Long, Long)].collect().toSet
