@@ -159,7 +159,28 @@ object TextOps {
               graft.functions.RollingHash.rolling_hash(col("text")).as("rh"))
       .orderBy(col("doc_id"))
 
+  /** q56: BPE-ish regex tokenization beside whitespace counting —
+    * letter runs, digit runs, and single non-space symbols as separate
+    * tokens (the GPT-2-style pre-tokenizer shape, minus byte fallback). */
+  def q56RegexTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bpe", expr("regexp_extract_all(text, '([a-z]+|[0-9]+|\\\\S)', 1)"))
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(col("bpe")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("bpe"))).cast("long").as("n_distinct_bpe"))
+      .orderBy(col("doc_id"))
+
+  val o56 = """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '([a-z]+|[0-9]+|\S)', 1)) AS BIGINT) AS n_bpe_tokens,
+      CAST(len(list_distinct(regexp_extract_all(text, '([a-z]+|[0-9]+|\S)', 1))) AS BIGINT) AS n_distinct_bpe
+    FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_regex_tokens"  -> (q56RegexTokens _),
     "q34_token_stats"   -> (q34TokenStats _),
     "q35_lang_id"       -> (q35LangId _),
     "q36_quality_score" -> (q36QualityScore _),
@@ -170,5 +191,5 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
-    "q38_doc_stats" -> o38)
+    "q38_doc_stats" -> o38, "q56_regex_tokens" -> o56)
 }
