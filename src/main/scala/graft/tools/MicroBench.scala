@@ -16,6 +16,21 @@ object MicroBench {
     s
   }
 
+  /** Total shuffle-write bytes during `f` (SparkListener accumulation) —
+    * the quantity TopKPerGroup is designed to reduce. */
+  def shuffleBytes[A](spark: SparkSession)(f: => A): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { f; Thread.sleep(500) } // let the listener bus drain
+    finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -37,15 +52,21 @@ object MicroBench {
     big.limit(1000).withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3).count()
 
+    var shWin = 0L; var shCustom = 0L
     val tWin = time("topk via window row_number") {
-      big.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select("g", "id").write.mode("overwrite").format("noop").save()
+      shWin = shuffleBytes(spark) {
+        big.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("g", "id").write.mode("overwrite").format("noop").save()
+      }
     }
     val tCustom = time("topk via TopKPerGroup operator") {
-      graft.plans.TopKPerGroup(big.toDF(), Seq("g"),
-        Seq("v" -> true, "id" -> false), 3)
-        .select("g", "id").write.mode("overwrite").format("noop").save()
+      shCustom = shuffleBytes(spark) {
+        graft.plans.TopKPerGroup(big.toDF(), Seq("g"),
+          Seq("v" -> true, "id" -> false), 3)
+          .select("g", "id").write.mode("overwrite").format("noop").save()
+      }
     }
+    println(f"shuffle bytes: window ${shWin / 1e6}%.1f MB vs TopKPerGroup ${shCustom / 1e6}%.1f MB (${shWin.toDouble / math.max(shCustom, 1)}%.1fx less)")
 
     // ---- cosine: 4M pairs of 64-dim float vectors ----
     val vecs = spark.range(2000)
