@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Full round gate, in driver order: tests → t1 smoke → t2 verify+oracle
+# (all SFs) → bench. Exits nonzero on any failure.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== sbt test =="
+sbt -batch test 2>&1 | grep -E "Tests:|\*\*\*" | tail -2
+
+echo "== t1 smoke =="
+sbt -batch "runMain graft.tools.EntrySmoke" 2>&1 | grep smoke
+
+for sf in sf0.001 sf0.01 sf0.1; do
+  echo "== verify + oracle @ $sf =="
+  out="/tmp/gate_$sf"
+  sbt -batch "runMain graft.Verify /root/testdata/$sf $out" >/dev/null 2>&1
+  python3 scripts/check.py "/root/testdata/$sf" "$out" | tail -1
+done
+
+echo "== bench @ sf0.1 =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep -F '"metric"' | sed 's/^\[info\] //'

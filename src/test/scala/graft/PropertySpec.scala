@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingHash
+import graft.text.Dedup
+
+/** Randomized / invariant checks across operators. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TopKPerGroup equals window formulation on randomized datasets") {
+    val gen = Gen.listOfN(300, Gen.zip(
+      Gen.choose(0L, 10L), Gen.choose(0L, 20L), Gen.choose(0L, 1000000L)))
+    val seen = scala.collection.mutable.Set[Long]()
+    Iterator.continually(gen.sample).flatten.take(5).zipWithIndex.foreach {
+      case (rows, trial) =>
+        // make ids unique so the tiebreak is total
+        val data = rows.zipWithIndex.map { case ((g, v, _), i) => (g, v, i.toLong) }
+        val df = data.toDF("g", "v", "id")
+        val k = 1 + trial % 4
+        val custom = graft.plans.TopKPerGroup(df, Seq("g"),
+          Seq("v" -> true, "id" -> false), k)
+          .select("g", "v", "id").as[(Long, Long, Long)].collect().sorted.toSeq
+        val w = Window.partitionBy(col("g")).orderBy(desc("v"), col("id"))
+        val win = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).select("g", "v", "id")
+          .as[(Long, Long, Long)].collect().sorted.toSeq
+        assert(custom == win, s"trial $trial k=$k")
+        seen += data.size.toLong
+    }
+    assert(seen.nonEmpty)
+  }
+
+  test("q40 output invariants: 0 < J <= 1, common <= min(ni,nj), i < j") {
+    val rows = Dedup.q40NgramJaccard(spark, TestSpark.SF)
+      .select("i", "j", "common", "ni", "nj", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (i, j, c, ni, nj, jac) =>
+      assert(i < j)
+      assert(c >= 1 && c <= math.min(ni, nj))
+      assert(jac > 0.0 && jac <= 1.0)
+      assert(math.abs(jac - c.toDouble / (ni + nj - c)) < 1e-5)
+    }
+  }
+
+  test("rolling hash: range bound and no collisions across the corpus") {
+    val hs = Tables.documents(spark, TestSpark.SF)
+      .select(RollingHash.rolling_hash(col("text"))).as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < RollingHash.MOD))
+    assert(hs.distinct.length == hs.length) // 500 docs, 61-bit space
+  }
+
+  test("rolling hash mulMod agrees with BigInt arithmetic (random)") {
+    val gen = Gen.zip(Gen.choose(0L, RollingHash.MOD - 1), Gen.choose(0L, RollingHash.MOD - 1))
+    Iterator.continually(gen.sample).flatten.take(200).foreach { case (a, b) =>
+      val expected = (BigInt(a) * BigInt(b) % BigInt(RollingHash.MOD)).toLong
+      assert(RollingHash.mulMod(a, b) == expected, s"$a * $b")
+    }
+  }
+
+  test("OsmShape routes null-uid and null-timestamp elements to corrupt") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("id", LongType),
+      StructField("lat", DoubleType), StructField("lon", DoubleType),
+      StructField("user", StringType), StructField("uid", LongType),
+      StructField("version", StringType), StructField("changeset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType))))),
+      StructField("nds", ArrayType(LongType))))
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val elems = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("node", 1L, 10.0, 10.0, "a", null, "1", 1L, ts, Seq(), null),
+      Row("node", 2L, 10.0, 10.0, "b", 5L, "1", 1L, null, Seq(), null),
+      Row("node", 3L, 10.0, 10.0, "c", 6L, "1", 1L, ts, Seq(), null))), schema)
+    assert(graft.ops.OsmShape.corrupt(elems).collect()
+      .map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    assert(graft.ops.OsmShape.shapeNodes(elems).count() == 1)
+  }
+}
