@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -170,6 +170,33 @@ object Dedup {
 
   val o41 = ORA_JACCARD_PAIRS
 
+  /** Single-pass SimHash signature aggregator: one typed Aggregator
+    * maintaining all 64 bit-counters per group (vs 64 separate SUM
+    * expressions — one buffer, one pass, partial+final merge like any
+    * built-in aggregate). */
+  object SimhashAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) { b(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      b
+    }
+    def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { x(j) += y(j); j += 1 }
+      x
+    }
+    def finish(b: Array[Int]): Long = {
+      var sig = 0L; var j = 0
+      while (j < 64) { if (b(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]()
+  }
+
   /** q42: SimHash near-dup pairs — 64-bit per-doc signature from shingle
     * hashes, Hamming ≤ HAM_MAX via 4×16-bit chunk blocking (pigeonhole:
     * any pair within distance 3 shares at least one exact chunk).
@@ -177,12 +204,10 @@ object Dedup {
     * correctness is asserted on fixtures in DedupSpec. */
   val HAM_MAX = 3
   def q42Simhash(s: SparkSession, d: String): DataFrame = {
+    val simhashOf = udaf(SimhashAgg)
     val sh = shingles(s, d).withColumn("h", xxhash64(col("sg")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    val sig = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), (0 until 64).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(simhashOf(col("h")).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("c"),
         expr(s"(simhash >> ${c * 16}) & 65535").as("v"))): _*)).as("ck"))
