@@ -16,7 +16,12 @@ object Bench {
     // not first-use initialization of the session
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one untimed full-query execution absorbs residual codegen/JIT cost
+    sorted.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -145,18 +145,45 @@ object Dedup {
 
   val o40 = ORA_JACCARD_PAIRS
 
+  /** Single-pass MinHash signature aggregator: one buffer holds all
+    * NUM_HASHES minima (vs NUM_HASHES separate MIN expressions).
+    * Murmur3 with per-function seeds — any good hash family preserves
+    * the min-wise property; the band recall math is seed-agnostic. */
+  object MinhashAgg extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.fill(NUM_HASHES)(Long.MaxValue)
+    def reduce(b: Array[Long], sg: String): Array[Long] = {
+      val bytes = sg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < NUM_HASHES) {
+        val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i).toLong & 0xffffffffL
+        if (h < b(i)) b(i) = h
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NUM_HASHES) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** q41: MinHash+LSH near-dup join — banded signatures generate the
     * candidate set (linear scale path); exact verification makes the
     * output identical to q40, so it shares the oracle. */
   def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val minhashOf = udaf(MinhashAgg)
     val sh = shingles(s, d)
-    val sigCols = (0 until NUM_HASHES).map(i =>
-      min(xxhash64(lit(i), col("sg"))).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
+      .agg(minhashOf(col("sg")).as("sig"))
     val bandStructs = (0 until BANDS).map { b =>
       val hs = (0 until ROWS_PER_BAND).map(r =>
-        col(s"h${b * ROWS_PER_BAND + r}").as(s"r$r"))
+        element_at(col("sig"), b * ROWS_PER_BAND + r + 1).as(s"r$r"))
       struct(lit(b).as("band") +: hs: _*)
     }
     val buckets = sigs
