@@ -417,9 +417,35 @@ object Relational {
       AND levenshtein(a.text, b.text) <= 300
     ORDER BY i, j"""
 
+  /** Skew-mitigated join in the graded path: the salted equi-join is
+    * semantically identical to the plain join, so the plain SQL is its
+    * oracle — the determinism of the mitigation is itself under test. */
+  def q57SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
+    Skew.saltedJoin(e, dim, "user_id", salts = 8)
+      .filter(col("user_n") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val o57 = """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN (SELECT user_id, COUNT(*) AS user_n
+                        FROM events GROUP BY user_id) d
+      ON e.user_id = d.user_id
+    WHERE user_n > 50
+    GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q50_scalar_subquery" -> (q50ScalarSubquery _),
+    "q57_salted_join"     -> (q57SaltedJoin _),
     "q51_pivot"           -> (q51Pivot _),
     "q52_custom_topk"     -> (q52CustomTopK _),
     "q53_quantiles"       -> (q53Quantiles _),
@@ -450,5 +476,5 @@ object Relational {
     "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
     "q46_order_lines" -> o46, "q50_scalar_subquery" -> o50, "q51_pivot" -> o51,
     "q52_custom_topk" -> o52, "q53_quantiles" -> o53,
-    "q54_edit_distance" -> o54)
+    "q54_edit_distance" -> o54, "q57_salted_join" -> o57)
 }
