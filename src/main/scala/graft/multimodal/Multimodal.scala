@@ -45,8 +45,11 @@ object Multimodal {
     * no data leaves the executor). */
   def frameSample(payload: org.apache.spark.sql.Column, blockSize: Int,
                   everyK: Int): org.apache.spark.sql.Column =
-    expr(s"transform(sequence(0, greatest(int(length(${payload.toString})/$blockSize) - 1, 0), $everyK)," +
-         s" i -> substring(${payload.toString}, i * $blockSize + 1, $blockSize))")
+    transform(
+      sequence(lit(0),
+        greatest((length(payload) / blockSize).cast("int") - 1, lit(0)),
+        lit(everyK)),
+      i => payload.substr(i * blockSize + 1, lit(blockSize)))
 
   /** Resize stub: recompute the fake dimensions to a bounded box,
     * preserving the deterministic contract of `fakeDecode`. */

@@ -27,13 +27,17 @@ object OsmShape {
   val WAY_FIELDS: Seq[String] =
     Seq("id", "user", "uid", "version", "changeset", "timestamp")
 
-  /** Cerberus-style structural validation predicate. */
+  /** Cerberus-style structural validation predicate. Null-safe: a NULL
+    * lat/lon (or any three-valued-logic NULL) coerces to invalid, so
+    * every row lands in exactly one of valid/corrupt — nothing is
+    * silently dropped by a NULL predicate. */
   def isValid(elemType: Column): Column = {
     val base = col("id").isNotNull && col("uid").isNotNull &&
       col("timestamp").isNotNull
-    when(elemType === "node",
-      base && col("lat").between(-90, 90) && col("lon").between(-180, 180))
-      .otherwise(base)
+    val geo = coalesce(
+      col("lat").between(-90, 90) && col("lon").between(-180, 180),
+      lit(false))
+    when(elemType === "node", base && geo).otherwise(base)
   }
 
   def shapeNodes(elements: DataFrame): DataFrame =

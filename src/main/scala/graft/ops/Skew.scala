@@ -20,6 +20,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // Only semantics-preserving when unmatched SMALL rows are never
+    // emitted: right/full outer would emit each unmatched small row
+    // once per salt replica. Fail fast on misuse.
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin does not preserve semantics for joinType=$joinType " +
+        "(replicated small side would duplicate unmatched rows)")
     val bigS = big.withColumn("__salt",
       pmod((rand(42) * salts).cast("int"), lit(salts)))
     val smallS = small.withColumn("__salt",

@@ -175,7 +175,18 @@ object Dedup {
 
   /** q41: MinHash+LSH near-dup join — banded signatures generate the
     * candidate set (linear scale path); exact verification makes the
-    * output identical to q40, so it shares the oracle. */
+    * output identical to q40, so it shares the oracle.
+    *
+    * The equality is margin-based, not universal: with 16 bands × 3
+    * rows, P(miss | J) = (1−J³)¹⁶ ≈ 1e-5 at J=0.8 but ≈ 12% at J=0.5.
+    * It is exact here because the corpus has a Jaccard margin — every
+    * true near-dup pair is ≥ 0.8 and all noise pairs are ≤ 0.2, with
+    * nothing near the τ=0.5 threshold (asserted by DedupSpec's
+    * "corpus margin" test, which fails loudly if a regenerated corpus
+    * ever plants a near-threshold pair). Retuning to 24 bands × 2 rows
+    * would push miss(0.5) to 0.1% but raises P(candidate | J=0.2) from
+    * 12% to 62% — a near-quadratic verify stage; with the margin
+    * asserted, 16×3 is the better operating point. */
   def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val minhashOf = udaf(MinhashAgg)
     val sh = shingles(s, d)

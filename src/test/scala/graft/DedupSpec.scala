@@ -50,6 +50,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("corpus has a Jaccard margin around the LSH threshold (q41 exactness)") {
+    // q41's LSH==exact equality relies on no pair sitting near τ=0.5
+    // (16 bands × 3 rows misses a J=0.5 pair with p≈12%). Assert the
+    // margin: every pair above 0.3 is in fact ≥ 0.75, where the miss
+    // probability is ≤ (1−0.75³)¹⁶ ≈ 2e-4. Fails loudly if a
+    // regenerated corpus ever plants a near-threshold pair.
+    val sh = Dedup.shingles(spark, TestSpark.SF)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
+    val loose = sh.select(col("doc_id").as("i"), col("sg"))
+      .join(sh.select(col("doc_id").as("j"), col("sg")), Seq("sg"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("i"), col("n_sg").as("ni")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n_sg").as("nj")), Seq("j"))
+      .withColumn("jac", col("common").cast("double")
+        / (col("ni") + col("nj") - col("common")))
+      .filter(col("jac") >= 0.3)
+      .select("jac").as[Double].collect()
+    assert(loose.nonEmpty && loose.forall(_ >= 0.75),
+      s"pairs in the LSH risk band [0.3, 0.75): ${loose.filter(_ < 0.75).mkString(",")}")
+  }
+
   test("simhash distance 0 for identical docs, pairs are symmetric-free") {
     Seq((0L, "a b c d e f g h", "en", "s", 0L),
         (1L, "a b c d e f g h", "en", "s", 0L),

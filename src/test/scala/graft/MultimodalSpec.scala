@@ -29,6 +29,17 @@ class MultimodalSpec extends AnyFunSuite {
       .selectExpr("transform(f, b -> cast(b AS STRING)) AS fs")
       .as[Seq[String]].head()
     assert(frames == Seq("0123", "89ab")) // blocks 0 and 2 of size 4
+    // works on computed/qualified columns, not just bare names
+    val computed = df.alias("t")
+      .select(Multimodal.frameSample(col("t.payload"), 4, 2).as("f"))
+      .selectExpr("transform(f, b -> cast(b AS STRING)) AS fs")
+      .as[Seq[String]].head()
+    assert(computed == Seq("0123", "89ab"))
+    val fromExpr = df
+      .select(Multimodal.frameSample(col("text").cast("binary"), 8, 1).as("f"))
+      .selectExpr("transform(f, b -> cast(b AS STRING)) AS fs")
+      .as[Seq[String]].head()
+    assert(fromExpr == Seq("01234567", "89abcdef"))
     val m = Multimodal.fakeDecode(1L, Array.fill(600)(7.toByte))
     val r = Multimodal.resizeStub(m, 64)
     assert(math.max(r.width, r.height) <= 64 && r.width >= 1 && r.height >= 1)

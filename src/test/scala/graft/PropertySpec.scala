@@ -63,6 +63,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("OsmShape routes null-lat/lon nodes to corrupt, never drops them") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("id", LongType),
+      StructField("lat", DoubleType), StructField("lon", DoubleType),
+      StructField("user", StringType), StructField("uid", LongType),
+      StructField("version", StringType), StructField("changeset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("k", StringType), StructField("v", StringType))))),
+      StructField("nds", ArrayType(LongType))))
+    val ts = Timestamp.valueOf("2020-01-01 00:00:00")
+    val elems = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("node", 1L, null, 10.0, "a", 5L, "1", 1L, ts, Seq(), null),
+      Row("node", 2L, 10.0, null, "b", 5L, "1", 1L, ts, Seq(), null),
+      Row("node", 3L, null, null, "c", 5L, "1", 1L, ts, Seq(), null),
+      Row("node", 4L, 10.0, 10.0, "d", 5L, "1", 1L, ts, Seq(), null),
+      Row("way", 5L, null, null, "e", 5L, "1", 1L, ts, Seq(), null))), schema)
+    // every row lands in exactly one of valid/corrupt (audit-trail contract)
+    assert(graft.ops.OsmShape.corrupt(elems).collect()
+      .map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(graft.ops.OsmShape.shapeNodes(elems).collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    assert(graft.ops.OsmShape.shapeWays(elems).count() == 1)
+  }
+
   test("OsmShape routes null-uid and null-timestamp elements to corrupt") {
     import java.sql.Timestamp
     import org.apache.spark.sql.Row

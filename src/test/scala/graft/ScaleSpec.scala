@@ -25,6 +25,15 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join rejects join types it cannot preserve") {
+    val df = Seq((1L, 1L)).toDF("user_id", "x")
+    for (jt <- Seq("right", "full", "full_outer", "right_outer")) {
+      assertThrows[IllegalArgumentException] {
+        Skew.saltedJoin(df, df, "user_id", salts = 3, joinType = jt)
+      }
+    }
+  }
+
   test("keyHistogram surfaces the heaviest keys in order") {
     val h = Skew.keyHistogram(
       Tables.events(spark, TestSpark.SF), col("event_type"), 3)
