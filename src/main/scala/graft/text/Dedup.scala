@@ -235,15 +235,18 @@ object Dedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]()
   }
 
-  /** q42: SimHash near-dup pairs — 64-bit per-doc signature from shingle
+  /** q42: SimHash near-dup pairs — 60-bit per-doc signature from shingle
     * hashes, Hamming ≤ HAM_MAX via 4×16-bit chunk blocking (pigeonhole:
-    * any pair within distance 3 shares at least one exact chunk).
-    * xxhash64 is not reproducible in DuckDB → rows-only check here;
-    * correctness is asserted on fixtures in DedupSpec. */
+    * any pair within distance 3 shares at least one exact chunk; the
+    * blocked join is therefore lossless, so the full-pairs DuckDB oracle
+    * matches it exactly). The shingle hash is the first 15 hex chars of
+    * md5 parsed base-16 — md5 is bit-identical across engines, which is
+    * what makes the signature oracle-checkable (xxhash64 is not). */
   val HAM_MAX = 3
   def q42Simhash(s: SparkSession, d: String): DataFrame = {
     val simhashOf = udaf(SimhashAgg)
-    val sh = shingles(s, d).withColumn("h", xxhash64(col("sg")))
+    val sh = shingles(s, d)
+      .withColumn("h", conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long"))
     val sig = sh.groupBy(col("doc_id"))
       .agg(simhashOf(col("h")).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(array(
@@ -260,6 +263,28 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Full O(n²)-pairs mirror of q42: per-doc 60-bit SimHash from the
+    * md5-derived shingle hash, all pairs at Hamming ≤ 3. The Spark side
+    * prunes pairs with 16-bit chunk blocking, which is lossless at
+    * distance ≤ 3, so both compute the same set. */
+  val o42 = s"""
+    WITH sh AS ($ORA_SHINGLES),
+    hv AS (SELECT doc_id, ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h FROM sh),
+    bits AS (
+      SELECT doc_id, jj,
+        SUM(CASE WHEN (h >> jj) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM hv, unnest(range(0, 60)) b(jj)
+      GROUP BY doc_id, jj),
+    sig AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN c > 0 THEN 1::BIGINT << jj ELSE 0::BIGINT END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS i, b.doc_id AS j,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAM_MAX
+    ORDER BY i, j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_dedup_exact"    -> (q39DedupExact _),
     "q40_ngram_jaccard"  -> (q40NgramJaccard _),
@@ -268,5 +293,5 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
-    "q41_minhash_lsh" -> o41)
+    "q41_minhash_lsh" -> o41, "q42_simhash" -> o42)
 }

@@ -151,13 +151,25 @@ object TextOps {
 
   /** q48: Karp–Rabin rolling fingerprint (custom codegen expression;
     * xxhash-free, incrementally updatable — the content-defined-chunking
-    * primitive). Not SQL-expressible in DuckDB → rows-only check;
-    * golden values asserted in ExtensionsSpec. */
+    * primitive). Oracle: DuckDB folds the same polynomial over the
+    * code points with HUGEINT list_reduce — identical to the byte fold
+    * because the corpus is pure ASCII (verified at every SF: code point
+    * == UTF-8 byte). */
   def q48RollingFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
               graft.functions.RollingHash.rolling_hash(col("text")).as("rh"))
       .orderBy(col("doc_id"))
+
+  val o48 = """
+    SELECT doc_id,
+      CAST(list_reduce(
+        list_prepend(0::HUGEINT,
+          list_transform(range(1, length(text) + 1),
+                         i -> unicode(text[i])::HUGEINT)),
+        (h, b) -> (h * 257 + b + 1) % 2305843009213693951
+      ) AS BIGINT) AS rh
+    FROM documents ORDER BY doc_id"""
 
   /** q56: BPE-ish regex tokenization beside whitespace counting —
     * letter runs, digit runs, and single non-space symbols as separate
@@ -191,5 +203,6 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
-    "q38_doc_stats" -> o38, "q56_regex_tokens" -> o56)
+    "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
+    "q56_regex_tokens" -> o56)
 }
