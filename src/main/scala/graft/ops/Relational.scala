@@ -442,7 +442,179 @@ object Relational {
     WHERE user_n > 50
     GROUP BY event_type ORDER BY event_type"""
 
+  /** EXT-A10 (general form): explicit GROUPING SETS with grouping_id —
+    * subsumes cube/rollup; run through spark.sql to exercise the SQL
+    * entry point alongside the DSL. */
+  def q59GroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus), ())
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  val o59 = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** Correlated EXISTS / NOT EXISTS (J1 family, subquery form) —
+    * Catalyst decorrelates both into semi/anti joins; asserted against
+    * the same ANSI text in DuckDB. */
+  def q60ExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F'
+                          AND o.o_totalprice < 50000)
+      ORDER BY c_custkey""")
+  }
+
+  val o60 = """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 50000)
+    ORDER BY c_custkey"""
+
+  /** Long→wide→long: unpivot (melt) is the inverse of q51's pivot —
+    * wide per-brand metrics back to (brand, metric, value) rows. */
+  def q61Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = part(s, d).groupBy(col("p_brand")).agg(
+      count(lit(1)).cast("double").as("n_parts"),
+      round(dsum(col("p_retailprice")), 2).as("total_price"),
+      max(col("p_size")).cast("double").as("max_size"))
+    wide.unpivot(
+      ids = Array(col("p_brand")),
+      values = Array(col("n_parts"), col("total_price"), col("max_size")),
+      variableColumnName = "metric",
+      valueColumnName = "value")
+      .orderBy(col("p_brand"), col("metric"))
+  }
+
+  val o61 = """
+    WITH wide AS (
+      SELECT p_brand,
+        CAST(COUNT(*) AS DOUBLE) AS n_parts,
+        ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price,
+        CAST(MAX(p_size) AS DOUBLE) AS max_size
+      FROM part GROUP BY p_brand)
+    SELECT p_brand, metric, value FROM (
+      SELECT p_brand, 'n_parts' AS metric, n_parts AS value FROM wide
+      UNION ALL
+      SELECT p_brand, 'total_price', total_price FROM wide
+      UNION ALL
+      SELECT p_brand, 'max_size', max_size FROM wide) u
+    ORDER BY p_brand, metric"""
+
+  /** S2 at scale (stratified systematic sampler): every 10th event per
+    * event_type stratum in (ts, event_id) order — deterministic, unlike
+    * fraction sampling, so it sits under the oracle. */
+  def q64StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter((col("rn") - 1) % 10 === 0)
+      .select(col("event_type"), col("rn"), col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  val o64 = """
+    SELECT event_type, rn, event_id, user_id FROM (
+      SELECT event_type, event_id, user_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY epoch_ns(ts), event_id) AS BIGINT) AS rn
+      FROM events) t
+    WHERE (rn - 1) % 10 = 0 ORDER BY event_type, rn"""
+
+  /** Manual runtime filter (the Spark-native bloom-join pattern): build
+    * a bloom filter over the selective side's join key (distributed
+    * aggregation via DataFrameStatFunctions), ship it to the probe side
+    * as a task-serialized sketch, and keep the EXACT join afterwards —
+    * false positives only cost probe rows, never correctness, so the
+    * output (and oracle) is identical to the plain join. At 100 TB this
+    * is what cuts the probe-side shuffle before a selective join; Spark's
+    * own InjectRuntimeFilter does the same rewrite when it fires. */
+  def q65BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bf = bigOrders.stat.bloomFilter("o_orderkey", 10000, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    lineitem(s, d)
+      .filter(mightContain(col("l_orderkey")))
+      .join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val o65 = """
+    SELECT o_orderkey, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderkey ORDER BY o_orderkey"""
+
+  /** EXT-U3 multiset forms: INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (grouped afterwards so the output is small and
+    * totally ordered). */
+  def q67ExceptAll(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val cheap = l.filter(col("l_quantity") < 10).select(col("l_suppkey"))
+    val returned = l.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    val exc = cheap.exceptAll(returned)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_exc"))
+    val inter = cheap.intersectAll(returned)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_int"))
+    exc.join(inter, Seq("l_suppkey"), "full_outer")
+      .select(col("l_suppkey"),
+        coalesce(col("n_exc"), lit(0L)).as("n_exc"),
+        coalesce(col("n_int"), lit(0L)).as("n_int"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val o67 = """
+    WITH cheap AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),
+    ret AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+    exc AS (SELECT l_suppkey, COUNT(*) AS n_exc FROM
+              (SELECT * FROM cheap EXCEPT ALL SELECT * FROM ret)
+            GROUP BY l_suppkey),
+    intr AS (SELECT l_suppkey, COUNT(*) AS n_int FROM
+              (SELECT * FROM cheap INTERSECT ALL SELECT * FROM ret)
+            GROUP BY l_suppkey)
+    SELECT COALESCE(exc.l_suppkey, intr.l_suppkey) AS l_suppkey,
+      COALESCE(n_exc, 0) AS n_exc, COALESCE(n_int, 0) AS n_int
+    FROM exc FULL OUTER JOIN intr ON exc.l_suppkey = intr.l_suppkey
+    ORDER BY l_suppkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_grouping_sets"   -> (q59GroupingSets _),
+    "q60_exists_subquery" -> (q60ExistsSubquery _),
+    "q61_unpivot"         -> (q61Unpivot _),
+    "q64_stratified_sample" -> (q64StratifiedSample _),
+    "q65_bloom_join"      -> (q65BloomJoin _),
+    "q67_except_all"      -> (q67ExceptAll _),
     "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q50_scalar_subquery" -> (q50ScalarSubquery _),
     "q57_salted_join"     -> (q57SaltedJoin _),
@@ -476,5 +648,8 @@ object Relational {
     "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
     "q46_order_lines" -> o46, "q50_scalar_subquery" -> o50, "q51_pivot" -> o51,
     "q52_custom_topk" -> o52, "q53_quantiles" -> o53,
-    "q54_edit_distance" -> o54, "q57_salted_join" -> o57)
+    "q54_edit_distance" -> o54, "q57_salted_join" -> o57,
+    "q59_grouping_sets" -> o59, "q60_exists_subquery" -> o60,
+    "q61_unpivot" -> o61, "q64_stratified_sample" -> o64,
+    "q65_bloom_join" -> o65, "q67_except_all" -> o67)
 }

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** S3 (CSV sink) / S4 (JSON sink) under the driver's oracle gate — the
+  * reference's DictWriter-CSV and per-element-JSON outputs re-expressed
+  * as `df.write.csv/json` plus schema-explicit reads.
+  *
+  * The query round-trips a dimension through BOTH formats and joins the
+  * two read-backs before aggregating, so a row lost or mangled by either
+  * sink/source path breaks the hash match against the direct-SQL oracle.
+  * Reads use explicit schemas (schema-on-read, no inference) — the only
+  * scale-safe way to read text formats: inference is a second full scan
+  * and can flip types between runs. */
+object SinkRoundtrip {
+
+  def q62CsvJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dim = nation(s, d)
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sink_roundtrip"
+    dim.write.mode("overwrite").option("header", true).csv(base + "/csv")
+    dim.write.mode("overwrite").json(base + "/json")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("r_name", StringType)))
+    val fromCsv = s.read.option("header", true).schema(schema).csv(base + "/csv")
+    val fromJson = s.read.schema(schema).json(base + "/json")
+    fromCsv
+      .join(fromJson.select(col("n_nationkey").as("k2"), col("r_name").as("r2")),
+            col("n_nationkey") === col("k2"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      .orderBy(col("r_name"))
+  }
+
+  val o62 = """
+    SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_sink_roundtrip" -> (q62CsvJsonRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q62_sink_roundtrip" -> o62)
+}

@@ -191,7 +191,49 @@ object TextOps {
       CAST(len(list_distinct(regexp_extract_all(text, '([a-z]+|[0-9]+|\S)', 1))) AS BIGINT) AS n_distinct_bpe
     FROM documents ORDER BY doc_id"""
 
+  /** q63: TF-IDF top terms per document. Term frequency and document
+    * frequency are exact integers; ranking uses the integer keys
+    * (tf DESC, df ASC, term) so tie-breaks never depend on float
+    * rounding; the tf·ln(N/df) score itself is emitted rounded. The
+    * corpus total N enters via a broadcast single-row aggregate — a
+    * declarative scalar, not a driver collect. */
+  val TFIDF_TOP_K = 3
+  def q63Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tf"), col("df"), col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TFIDF_TOP_K)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val o63 = s"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT doc_id, term, tf, df, n_docs,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, df, term) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+      ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM ranked WHERE rank <= $TFIDF_TOP_K ORDER BY doc_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_tfidf"         -> (q63Tfidf _),
     "q56_regex_tokens"  -> (q56RegexTokens _),
     "q34_token_stats"   -> (q34TokenStats _),
     "q35_lang_id"       -> (q35LangId _),
@@ -204,5 +246,5 @@ object TextOps {
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
-    "q56_regex_tokens" -> o56)
+    "q56_regex_tokens" -> o56, "q63_tfidf" -> o63)
 }
