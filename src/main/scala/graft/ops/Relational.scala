@@ -50,9 +50,14 @@ object Relational {
     ORDER BY l_returnflag, l_linestatus"""
 
   /** Orders ⋈ customer grouped by market segment (A5 shape, equi join). */
+  /** Broadcast the projected 2-column dim (key + segment) — the
+    * projection is what keeps the broadcast small; at dim sizes where
+    * even that exceeds executor memory, drop the hint and AQE falls
+    * back to a shuffled join from runtime stats. */
   def q02TopSegments(s: SparkSession, d: String): DataFrame =
     orders(s, d)
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
            dsum(col("o_totalprice")).as("total_price"))
@@ -64,15 +69,26 @@ object Relational {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
-  /** TPC-H Q5-style multiway join: revenue per nation in one region (EXT-J4). */
+  /** TPC-H Q5-style multiway join: revenue per nation in one region
+    * (EXT-J4). Join order is selectivity-first: the region filter
+    * reduces customers ~5×, that reduces orders, and only the reduced
+    * (o_orderkey, n_name) set meets lineitem — AQE sees its runtime
+    * size and broadcasts it, so the fact table is never shuffled.
+    * (Catalyst without CBO keeps the written join order, so putting the
+    * big join last is on us; the same order is what a cost-based
+    * optimizer would derive at any scale.) */
   def q03RevenueByNation(s: SparkSession, d: String): DataFrame = {
     val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
-    lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+    val asiaCust = customer(s, d)
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"), col("n_name"))
+    val asiaOrders = orders(s, d)
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    lineitem(s, d)
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), col("n_name"))

@@ -39,11 +39,9 @@ object Dedup {
     * until the (small) candidate or bucket keys shuffle. */
   def shingleArrays(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3),
-           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""").as("sgs"))
+      .select(col("doc_id"),
+        graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
+      .filter(size(col("sgs")) > 0)
 
   /** Distinct (doc_id, 3-gram shingle) pairs — the inverted-index input. */
   def shingles(s: SparkSession, d: String): DataFrame =
@@ -122,8 +120,16 @@ object Dedup {
     // materialize m²/2 pair structs in one row for a shingle shared by
     // m docs — a per-row OOM hazard the streaming join never hits.
     // Set sizes are row-local (no shuffle).
+    //
+    // The repartition pins an EXPLICIT partition count: the postings
+    // shuffle is small in BYTES (~10 MB at sf0.1) so AQE would coalesce
+    // it to one partition — but the join's OUTPUT is quadratic in each
+    // partition's posting lists, so byte-based coalescing serializes
+    // the expensive part onto one core (measured 4.6 s → 0.9 s from
+    // this line alone). Classic case of output-heavy operators needing
+    // input-size-independent parallelism.
     val sh = arr.select(col("doc_id"), explode(col("sgs")).as("sg"))
-      .repartition(col("sg"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("sg"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sg") === col("b.sg")
         && col("a.doc_id") < col("b.doc_id"))

@@ -72,6 +72,24 @@ class DedupSpec extends AnyFunSuite {
       s"pairs in the LSH risk band [0.3, 0.75): ${loose.filter(_ < 0.75).mkString(",")}")
   }
 
+  test("ShingleSet expression equals the declarative HOF formulation") {
+    val texts = Seq("a b c d e", "a b c a b c a b c", "x y", "", "w1 w2 w3",
+      "t t t t t t", "p q r s p q r s")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val viaExpr = df.select(col("doc_id"),
+      graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaHof = df.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 3 THEN
+             array_distinct(transform(sequence(0, size(toks) - 3),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+           ELSE array() END""").as("sgs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaExpr == viaHof)
+  }
+
   test("row-local signatures agree with the Aggregator formulations") {
     val sgs = Seq("a b c", "b c d", "c d e", "x y z")
     // minhash: fold vs Aggregator over the same shingle stream
