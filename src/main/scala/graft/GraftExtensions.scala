@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -392,6 +392,32 @@ object Relational {
     WHERE rn <= 3
     ORDER BY c_mktsegment, c_acctbal DESC, c_custkey"""
 
+  /** The TopKRewrite optimizer rule under the oracle gate: the query is
+    * written as the plain window idiom (row_number ≤ k, rank pruned);
+    * the injected Rule[LogicalPlan] replaces it with TopKPerGroupPlan
+    * (window sort eliminated) and the rewritten plan must still
+    * hash-match DuckDB's window SQL. */
+  def q68TopkRewrite(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopKRewrite.enable(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s_nationkey"))
+      .orderBy(desc("s_acctbal"), col("s_suppkey"))
+    supplier(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("s_nationkey"), desc("s_acctbal"), col("s_suppkey"))
+  }
+
+  val o68 = """
+    SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+      SELECT s_nationkey, s_suppkey, s_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      FROM supplier) t
+    WHERE rn <= 2
+    ORDER BY s_nationkey, s_acctbal DESC, s_suppkey"""
+
   /** Exact interpolated quantiles (A9 extension): `percentile` in Spark
     * and `quantile_cont` in DuckDB share the p·(n−1) interpolation rule.
     * (The sketch-based scale variant is `percentile_approx`/t-digest —
@@ -631,6 +657,7 @@ object Relational {
     "q64_stratified_sample" -> (q64StratifiedSample _),
     "q65_bloom_join"      -> (q65BloomJoin _),
     "q67_except_all"      -> (q67ExceptAll _),
+    "q68_topk_rewrite"    -> (q68TopkRewrite _),
     "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q50_scalar_subquery" -> (q50ScalarSubquery _),
     "q57_salted_join"     -> (q57SaltedJoin _),
@@ -667,5 +694,6 @@ object Relational {
     "q54_edit_distance" -> o54, "q57_salted_join" -> o57,
     "q59_grouping_sets" -> o59, "q60_exists_subquery" -> o60,
     "q61_unpivot" -> o61, "q64_stratified_sample" -> o64,
-    "q65_bloom_join" -> o65, "q67_except_all" -> o67)
+    "q65_bloom_join" -> o65, "q67_except_all" -> o67,
+    "q68_topk_rewrite" -> o68)
 }

@@ -46,6 +46,37 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(plan.contains("Exchange"), "expected a clustered exchange between stages")
   }
 
+  test("TopKRewrite rule replaces window+filter+prune with the custom plan") {
+    graft.plans.TopKRewrite.enable(spark)
+    val rewritten = windowTopK(3)
+    val optimized = rewritten.queryExecution.optimizedPlan
+    assert(optimized.collect { case p: graft.plans.TopKPerGroupPlan => p }.nonEmpty,
+      s"expected TopKPerGroupPlan in:\n$optimized")
+    assert(optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      "window node should be eliminated")
+    // and the rewritten plan still computes the right rows
+    val viaCustom = TopKPerGroup(Tables.events(spark, TestSpark.SF),
+      Seq("user_id"), Seq("value" -> true, "event_id" -> false), 3)
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(rewritten.as[(Long, Long, Double)].collect().sorted.toSeq == viaCustom)
+  }
+
+  test("TopKRewrite leaves the plan alone when the row number is projected") {
+    graft.plans.TopKRewrite.enable(spark)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("value"), col("event_id"))
+    val keepsRn = Tables.events(spark, TestSpark.SF)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "rn") // rn survives → no rewrite
+    val optimized = keepsRn.queryExecution.optimizedPlan
+    assert(optimized.collect { case p: graft.plans.TopKPerGroupPlan => p }.isEmpty)
+    assert(optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty)
+  }
+
   test("handles ties and groups smaller than k") {
     val df = Seq((1L, 5.0, 1L), (1L, 5.0, 2L), (1L, 5.0, 3L), (2L, 1.0, 4L))
       .toDF("g", "v", "id")
