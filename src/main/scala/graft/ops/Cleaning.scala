@@ -244,7 +244,48 @@ object Cleaning {
       COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** P9 under the oracle: phone canonicalization. No phone column
+    * exists in the driver tables, so both engines deterministically
+    * synthesize the same raw strings from c_custkey (two formats: a
+    * "+1 (AAA) MMM-LLLL" international form and a dotted national
+    * form), then normalize — strip punctuation, drop the US country
+    * prefix, keep the 10-digit national number. */
+  def q69PhoneNormalize(s: SparkSession, d: String): DataFrame = {
+    val area = lpad((col("c_custkey") % 700 + 200).cast("string"), 3, "0")
+    val mid  = lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0")
+    val last = lpad((col("c_custkey") % 10000).cast("string"), 4, "0")
+    val raw = when(col("c_custkey") % 2 === 0,
+        concat(lit("+1 ("), area, lit(") "), mid, lit("-"), last))
+      .otherwise(concat(area, lit("."), mid, lit("."), last))
+    customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), raw.as("raw_phone"),
+              normalizePhone(raw).as("phone"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val o69 = """
+    WITH raw AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 2 = 0 THEN
+          '+1 (' || lpad(CAST(c_custkey % 700 + 200 AS VARCHAR), 3, '0') || ') '
+            || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        ELSE
+          lpad(CAST(c_custkey % 700 + 200 AS VARCHAR), 3, '0') || '.'
+            || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '.'
+            || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        END AS raw_phone
+      FROM customer WHERE c_custkey <= 300),
+    dig AS (SELECT c_custkey, raw_phone,
+              regexp_replace(raw_phone, '[^0-9]', '', 'g') AS digits FROM raw)
+    SELECT c_custkey, raw_phone,
+      CASE WHEN length(digits) = 11 AND digits LIKE '1%'
+           THEN substr(digits, 2, 10) ELSE digits END AS phone
+    FROM dig ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_phone_normalize"  -> (q69PhoneNormalize _),
     "q16_tag_classify"     -> (q16TagClassify _),
     "q17_key_split"        -> (q17KeySplit _),
     "q18_street_normalize" -> (q18StreetNormalize _),
@@ -263,5 +304,5 @@ object Cleaning {
     "q20_time_parts" -> o20, "q21_sampler" -> o21,
     "q22_top_contributors" -> o22, "q23_single_event_users" -> o23,
     "q24_grouped_collect" -> o24, "q25_semi_chain" -> o25,
-    "q26_json_extract" -> o26)
+    "q26_json_extract" -> o26, "q69_phone_normalize" -> o69)
 }

@@ -175,13 +175,18 @@ object Dedup {
   val o40 = ORA_JACCARD_PAIRS
 
   /** Fold one shingle into a NUM_HASHES-minima signature buffer.
-    * Murmur3 with per-function seeds — any good hash family preserves
-    * the min-wise property; the band recall math is seed-agnostic. */
+    * Two base murmurs + the Kirsch–Mitzenmacher family h_i = h1 + i·h2
+    * (mod 2³²): 2 passes over the bytes instead of NUM_HASHES, and the
+    * derived family preserves the min-wise property in practice (the
+    * band recall math is hash-family-agnostic; q41's output is exact
+    * regardless because candidates are verified). */
   private def minhashUpdate(b: Array[Long], sg: String): Array[Long] = {
     val bytes = sg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0).toLong & 0xffffffffL
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 1).toLong | 1L // odd → full-period
     var i = 0
     while (i < NUM_HASHES) {
-      val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i).toLong & 0xffffffffL
+      val h = (h1 + i * h2) & 0xffffffffL
       if (h < b(i)) b(i) = h
       i += 1
     }

@@ -46,6 +46,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L) == Set(10L, 11L))
   }
 
+  test("ST4: dropDuplicatesWithinWatermark dedups copies arriving across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_stream").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$m%02d:00")
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      // duplicate of id=1 in a later batch, within the watermark window
+      input.addData((1L, ts(2)), (3L, ts(3)))
+      q.processAllAvailable()
+      // advance event time far enough to emit everything
+      input.addData((99L, ts(59)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("graft_dedup_stream")
+      .select("id").as[Long].collect().toSeq
+    assert(ids.count(_ == 1L) == 1, s"id=1 must appear once, got $ids")
+    assert(ids.toSet == Set(1L, 2L, 3L, 99L))
+  }
+
   test("file sink + checkpoint: streamed agg lands in parquet, checkpoint persists") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
