@@ -200,13 +200,17 @@ object TextOps {
   val TFIDF_TOP_K = 3
   def q63Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // TF is row-local (codegen TokenCounts — no groupBy(doc_id, term)
+    // shuffle); DF aggregates the vocabulary and is broadcast back, so
+    // the only full-corpus shuffle left is the top-k window by doc_id.
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TokenCounts.token_counts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(desc("tf"), col("df"), col("term"))
-    tf.join(df, Seq("term"))
+    tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TFIDF_TOP_K)
