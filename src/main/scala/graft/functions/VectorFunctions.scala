@@ -94,12 +94,57 @@ case class DotWithConst(child: Expression, weights: Array[Double])
     copy(child = newChild)
 }
 
+/** Plain dot product of two array<float> columns (codegen). Paired with
+  * per-vector precomputed norms this does cosine at one third of
+  * CosineSimilarity's flops — the norms of each vector are row-local
+  * facts, so recomputing them per PAIR in an all-pairs join wastes
+  * 2/3 of the arithmetic. Accumulation order matches CosineSimilarity
+  * and the DuckDB oracle (sequential i = 0..n-1), so
+  * dot/(sqrt(na)·sqrt(nb)) stays bit-identical. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftInternal
 
   /** Column-level entry point: cosine similarity of two array<float>. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftInternal.toColumn(CosineSimilarity(
+      GraftInternal.toExpression(a), GraftInternal.toExpression(b)))
+
+  /** Dot product of two array<float> columns. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftInternal.toColumn(DotProduct(
       GraftInternal.toExpression(a), GraftInternal.toExpression(b)))
 
   /** Dot product with a constant weight vector (LSH projections). */

@@ -121,11 +121,21 @@ object Similarity {
     * cosine the verify stage — same shape as MinHash→Jaccard in Dedup. */
   val NEAR_DUP_TAU = 0.45
   def q47EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    import graft.functions.VectorFunctions.dot_product
+    // Norms are row-local: precompute sqrt(v·v) once per vector instead
+    // of once per PAIR — 3× fewer flops in the quadratic stage, and the
+    // accumulation order is unchanged so the result stays bit-identical
+    // to the cosine oracle.
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"),
+                     col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"),
+                     col("nrm").as("nb"))
     a.join(b, col("i") < col("j"))
-      .withColumn("sim", cosine_sim(col("va"), col("vb")))
+      .withColumn("sim",
+        when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+          .otherwise(dot_product(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("sim") >= NEAR_DUP_TAU)
       .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
       .orderBy(col("i"), col("j"))
