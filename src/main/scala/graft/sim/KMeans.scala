@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dot_const
+
+/** Distributed Lloyd's k-means over an `array<float>` embedding column —
+  * the trainable half of the IVF index (q55's coarse quantizer).
+  *
+  * Shape per iteration (the classic train loop as DataFrame ops):
+  *   assign: argmin over k codegen'd DotWithConst projections — row-local,
+  *           centroids ride along as broadcast constants;
+  *   update: posexplode(embedding) → groupBy(cell, dim) avg → collect
+  *           k·dim cells to the driver (k rows of state — the
+  *           train-then-broadcast pattern, not a data collect).
+  *
+  * Deterministic by construction: init is the first k vectors by id
+  * (no RNG), ties in assignment break toward the lower cell id, and
+  * the mean update uses one double sum per (cell, dim) whose input
+  * order Spark's partial aggregation fixes only up to partitioning —
+  * so assignments (integer argmins over well-separated projections)
+  * are stable run-to-run even though centroid doubles may differ in
+  * the last ulp. */
+object KMeans {
+
+  /** Squared-L2 argmin assignment: for unit-free argmin it is enough to
+    * maximize 2·c·x − |c|² over centroids c (|x|² is constant per row). */
+  private def assignExpr(cents: Seq[(Int, Array[Double])], v: String) = {
+    val scored = cents.map { case (cid, c) =>
+      val score = dot_const(col(v), c.map(_ * 2.0)) - lit(c.map(x => x * x).sum)
+      struct(score.as("s"), lit(-cid).as("negc"))
+    }
+    // greatest struct = max score, ties toward lower cell id (higher -cid)
+    -greatest(scored: _*).getField("negc")
+  }
+
+  /** One assignment pass: adds a `cell` column. */
+  def assign(df: DataFrame, cents: Seq[(Int, Array[Double])],
+             vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", assignExpr(cents, vecCol).cast("int"))
+
+  /** Fit k centroids with `iters` Lloyd iterations. Returns
+    * (cellId, centroid) pairs; empty cells keep their previous
+    * centroid. */
+  def fit(df: DataFrame, k: Int, iters: Int, dim: Int,
+          vecCol: String = "embedding", idCol: String = "vec_id")
+      : Seq[(Int, Array[Double])] = {
+    var cents: Seq[(Int, Array[Double])] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+    for (_ <- 1 to iters) {
+      val updated = assign(df, cents, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = updated.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val c = old.clone()
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+            (cid, c)
+          case None => (cid, old) // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Mean squared distance of each row to its assigned centroid —
+    * the quantity Lloyd's iterations are guaranteed not to increase. */
+  def inertia(df: DataFrame, cents: Seq[(Int, Array[Double])],
+              vecCol: String = "embedding"): Double = {
+    val assigned = assign(df, cents, vecCol)
+    def term(c: Array[Double]) =
+      -lit(2.0) * dot_const(col(vecCol), c) + lit(c.map(x => x * x).sum)
+    val dist2 = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, term(cents.head._2))) {
+      case (acc, (cid, c)) => acc.when(col("cell") === cid, term(c))
+    }
+    val selfDot = graft.functions.VectorFunctions
+      .dot_product(col(vecCol), col(vecCol))
+    assigned.select(avg(selfDot + dist2)).head().getDouble(0)
+  }
+}

@@ -22,8 +22,12 @@ object SinkRoundtrip {
       .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"), col("r_name"))
     val base = System.getProperty("java.io.tmpdir") + "/graft_sink_roundtrip"
-    dim.write.mode("overwrite").option("header", true).csv(base + "/csv")
-    dim.write.mode("overwrite").json(base + "/json")
+    // 25-row dim: one output file per format, not one per core — at real
+    // scale the writer parallelism should track data size, not cluster
+    // size (the small-files problem in reverse).
+    val dim1 = dim.coalesce(1)
+    dim1.write.mode("overwrite").option("header", true).csv(base + "/csv")
+    dim1.write.mode("overwrite").json(base + "/json")
     val schema = StructType(Seq(
       StructField("n_nationkey", LongType), StructField("n_name", StringType),
       StructField("r_name", StringType)))
