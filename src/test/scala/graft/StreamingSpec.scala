@@ -74,6 +74,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSet == Set(1L, 2L, 3L, 99L))
   }
 
+  test("ST2: streamed session_window agg equals the batch computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2020-01-01 10:$m%02d:$s%02d")
+    // user 1: two sessions (gap > 5 min); user 2: one session
+    val rows = Seq((1L, ts(0)), (1L, ts(2)), (1L, ts(20)),
+                   (2L, ts(1)), (2L, ts(4)))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessed = input.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n"))
+    val q = sessed.writeStream.outputMode("append")
+      .format("memory").queryName("graft_session_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((99L, ts(59))) // advance watermark to close sessions
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("graft_session_stream")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val batch = rows.toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch.subsetOf(streamed), s"batch=$batch streamed=$streamed")
+    assert(streamed.count(_._1 == 1L) == 2) // two closed sessions for user 1
+  }
+
   test("file sink + checkpoint: streamed agg lands in parquet, checkpoint persists") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
