@@ -484,6 +484,43 @@ object Relational {
     WHERE user_n > 50
     GROUP BY event_type ORDER BY event_type"""
 
+  /** As-of join WITH TOLERANCE (EXT-J5 depth): most recent prior click
+    * per purchase, but only if it happened within the last 10 minutes —
+    * the bounded-staleness form every market-data/feature-store as-of
+    * uses. Same single user_id shuffle as q15; the tolerance is a
+    * row-local comparison of the carried as-of timestamp (integer ns). */
+  def q70AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val tolNs = 600L * 1000 * 1000 * 1000
+    val e = events(s, d).filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    e.withColumn("prior_click", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("prior_ts", last(clickTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("prior_ts") >= col("ts") - tolNs, col("prior_click"))
+          .as("click_within_10m"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val o70 = """
+    SELECT purchase_id, user_id,
+      CASE WHEN prior_ts >= tns - 600000000000 THEN prior_click END
+        AS click_within_10m
+    FROM (
+      SELECT event_id AS purchase_id, user_id, event_type, epoch_ns(ts) AS tns,
+        LAST_VALUE(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
+          OVER w AS prior_click,
+        LAST_VALUE(CASE WHEN event_type='click' THEN epoch_ns(ts) END IGNORE NULLS)
+          OVER w AS prior_ts
+      FROM events WHERE event_type IN ('click','purchase')
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+    WHERE event_type = 'purchase' ORDER BY purchase_id"""
+
   /** EXT-A10 (general form): explicit GROUPING SETS with grouping_id —
     * subsumes cube/rollup; run through spark.sql to exercise the SQL
     * entry point alongside the DSL. */
@@ -658,6 +695,7 @@ object Relational {
     "q65_bloom_join"      -> (q65BloomJoin _),
     "q67_except_all"      -> (q67ExceptAll _),
     "q68_topk_rewrite"    -> (q68TopkRewrite _),
+    "q70_asof_tolerance"  -> (q70AsofTolerance _),
     "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q50_scalar_subquery" -> (q50ScalarSubquery _),
     "q57_salted_join"     -> (q57SaltedJoin _),
@@ -695,5 +733,5 @@ object Relational {
     "q59_grouping_sets" -> o59, "q60_exists_subquery" -> o60,
     "q61_unpivot" -> o61, "q64_stratified_sample" -> o64,
     "q65_bloom_join" -> o65, "q67_except_all" -> o67,
-    "q68_topk_rewrite" -> o68)
+    "q68_topk_rewrite" -> o68, "q70_asof_tolerance" -> o70)
 }

@@ -12,12 +12,16 @@ import graft.Tables._
   *  - Exact dedup is one hash aggregation on a fingerprint — the only
   *    correct O(n) distributed formulation (dropDuplicates without a
   *    deterministic keeper rule is partitioning-dependent).
-  *  - The Jaccard join is a shingle-inverted-index self-join: explode →
-  *    distinct → equi-join on shingle → count-intersections. At 100 TB
-  *    add stop-shingle removal (drop shingles with doc-frequency above a
-  *    cutoff) — the classic prefix-filter; candidates here are already
-  *    bounded (~1.1M pairs at sf0.1) so no cutoff is applied, keeping the
-  *    oracle exact.
+  *  - Everything per-document is row-local: shingle sets come from the
+  *    codegen ShingleSet expression (one scan, no shuffle), signatures
+  *    and set sizes are per-row functions of that array, and candidate
+  *    verification intersects the two arrays on the candidate row. The
+  *    only corpus-wide shuffles are the inverted-index/bucket keys.
+  *  - The Jaccard join is a shingle-inverted-index self-join (a single
+  *    reused exchange). At 100 TB add stop-shingle removal (drop
+  *    shingles with doc-frequency above a cutoff) — the classic
+  *    prefix-filter; candidates here are already bounded (~1.3M pairs
+  *    at sf0.1) so no cutoff is applied, keeping the oracle exact.
   *  - MinHash+LSH replaces the all-pairs index join with banded signature
   *    buckets: 48 hashes, 16 bands × 3 rows ⇒ P(candidate | J=0.8) ≈
   *    1 − (1−0.8³)¹⁶ ≈ 1 − 1e-5, P(candidate | J=0.2) ≈ 12%. Candidates
