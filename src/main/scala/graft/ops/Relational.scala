@@ -87,8 +87,13 @@ object Relational {
     val asiaOrders = orders(s, d)
       .join(asiaCust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("n_name"))
+    // Pin the build side: left to itself AQE broadcast the FACT table
+    // here (both fit locally, and it picked the bigger hash table —
+    // a 600k-row build to probe 60k rows). The reduced key set is the
+    // correct build side at every scale; if it outgrows broadcast,
+    // drop the hint and this becomes a shuffled join on l_orderkey.
     lineitem(s, d)
-      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaOrders), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), col("n_name"))
