@@ -106,9 +106,43 @@ object Multimodal {
       CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height
     FROM documents ORDER BY doc_id"""
 
+  /** q71: frame sampling under the oracle. The Spark side materializes
+    * the sampled frames (every 4th 16-byte block) and measures them;
+    * the oracle derives the same frame count and first/last lengths
+    * arithmetically — any off-by-one in the sampling expression breaks
+    * the hash match. */
+  val FRAME_BLOCK = 16
+  val FRAME_EVERY = 4
+  def q71FrameStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        frameSample(col("payload"), FRAME_BLOCK, FRAME_EVERY).as("frames"),
+        length(col("payload")).as("b"))
+      .select(col("doc_id"),
+        size(col("frames")).cast("long").as("n_frames"),
+        length(element_at(col("frames"), 1)).cast("long").as("first_len"),
+        length(element_at(col("frames"), -1)).cast("long").as("last_len"),
+        col("b").cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  val o71 = s"""
+    SELECT doc_id,
+      top // $FRAME_EVERY + 1 AS n_frames,
+      LEAST($FRAME_BLOCK, b) AS first_len,
+      LEAST($FRAME_BLOCK, b - (top // $FRAME_EVERY * $FRAME_EVERY) * $FRAME_BLOCK)
+        AS last_len,
+      b AS n_bytes
+    FROM (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS b,
+        GREATEST(CAST(length(text) AS BIGINT) // $FRAME_BLOCK - 1, 0) AS top
+      FROM documents)
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q45_multimodal_meta" -> (q45MultimodalMeta _))
+    "q45_multimodal_meta" -> (q45MultimodalMeta _),
+    "q71_frame_stats"     -> (q71FrameStats _))
 
   val oracles: Map[String, String] = Map(
-    "q45_multimodal_meta" -> o45)
+    "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71)
 }
