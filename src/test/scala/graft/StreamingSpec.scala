@@ -11,6 +11,24 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(user: Long, n: Long)
 case class RunningCount(user: Long, total: Long)
 
+/** transformWithState processor: running per-user total in ValueState
+  * (Spark 4's arbitrary-state API — the successor to
+  * (flat)MapGroupsWithState; requires the RocksDB state store). */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, RunningCount] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var total: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[RunningCount] = {
+    val t = (if (total.exists()) total.get() else 0L) + rows.map(_.n).sum
+    total.update(t)
+    Iterator(RunningCount(key, t))
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -44,6 +62,38 @@ class StreamingSpec extends AnyFunSuite {
       .map { case (u, rs) => u -> rs.map(_.total).toSet }
     assert(rows(1L) == Set(5L, 10L)) // 2+3 then +5
     assert(rows(2L) == Set(10L, 11L))
+  }
+
+  test("ST5 (transformWithState): ValueState persists across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val counts = input.toDS().groupByKey(_.user)
+        .transformWithState(new RunningTotalProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = counts.writeStream.outputMode("append")
+        .format("memory").queryName("graft_tws_test").start()
+      try {
+        input.addData(Ev(1, 2), Ev(1, 3), Ev(2, 10))
+        q.processAllAvailable()
+        input.addData(Ev(1, 5), Ev(2, 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("graft_tws_test")
+        .as[RunningCount].collect().groupBy(_.user)
+        .map { case (u, rs) => u -> rs.map(_.total).toSet }
+      assert(rows(1L) == Set(5L, 10L))
+      assert(rows(2L) == Set(10L, 11L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("ST4: dropDuplicatesWithinWatermark dedups copies arriving across batches") {
