@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, RollingHash}
+import graft.functions.{CosineSimilarity, DotProduct, RollingHash, ShingleSet, TokenCounts}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst expressions available to pure-SQL users
@@ -18,6 +18,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (exprs: Seq[Expression]) => TokenCounts(exprs.head)))
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
@@ -32,5 +44,11 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_set", exprs => ShingleSet(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "token_counts", exprs => TokenCounts(exprs.head), "scala_udf")
   }
 }

@@ -32,6 +32,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rh == 6498345L)
   }
 
+  test("SQL registration exposes shingle_set, token_counts, dot_product") {
+    GraftFunctions.register(spark)
+    val sgs = spark.sql("SELECT shingle_set('a b c d') AS s")
+      .as[Seq[String]].head()
+    assert(sgs == Seq("a b c", "b c d"))
+    val tc = spark.sql(
+      "SELECT token_counts('x y x') AS t")
+      .selectExpr("transform(t, e -> concat(e.term, ':', e.tf)) AS f")
+      .as[Seq[String]].head()
+    assert(tc == Seq("x:2", "y:1"))
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .as[Double].head()
+    assert(math.abs(dot - 11.0) < 1e-12)
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val before = org.apache.spark.sql.SparkSession.getDefaultSession
     org.apache.spark.sql.SparkSession.clearDefaultSession()
