@@ -236,7 +236,55 @@ object TextOps {
       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
     FROM ranked WHERE rank <= $TFIDF_TOP_K ORDER BY doc_id, rank"""
 
+  /** q72: content-defined chunking — the rolling hash applied to its
+    * real job (see graft.functions.CdcChunks). The output joins every
+    * chunk length into a string, so the oracle (which recomputes each
+    * window hash from scratch in SQL) checks every boundary position,
+    * not just the counts. */
+  val CDC_WINDOW = 16
+  val CDC_MASK_BITS = 6
+  def q72CdcChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.CdcChunks.cdc_chunks(
+          col("text"), CDC_WINDOW, CDC_MASK_BITS).as("lens"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .select(col("doc_id"),
+        size(col("lens")).cast("long").as("n_chunks"),
+        array_max(col("lens")).as("max_chunk"),
+        concat_ws(",", col("lens").cast("array<string>")).as("lens_str"),
+        col("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  val o72 = {
+    val mod = (1L << 61) - 1
+    val mask = (1 << CDC_MASK_BITS) - 1
+    s"""
+    WITH b AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        [i for i in range($CDC_WINDOW, length(text)+1) if
+          (CAST(list_reduce(list_prepend(0::HUGEINT,
+             [unicode(text[j])::HUGEINT for j in range(i-${CDC_WINDOW - 1}, i+1)]),
+             (h, c) -> (h*257 + c + 1) % $mod) AS BIGINT) & $mask) = 0] AS bnds
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+        CASE WHEN len(bnds) = 0 OR bnds[-1] < n
+             THEN list_append(bnds, n) ELSE bnds END AS ends
+      FROM b),
+    l AS (
+      SELECT doc_id, n,
+        [ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END
+         for k in range(1, len(ends)+1)] AS lens
+      FROM c)
+    SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_chunks,
+      CAST(list_max(lens) AS BIGINT) AS max_chunk,
+      array_to_string(lens, ',') AS lens_str, n AS n_bytes
+    FROM l ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_cdc_chunks"    -> (q72CdcChunks _),
     "q63_tfidf"         -> (q63Tfidf _),
     "q56_regex_tokens"  -> (q56RegexTokens _),
     "q34_token_stats"   -> (q34TokenStats _),
@@ -250,5 +298,6 @@ object TextOps {
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
-    "q56_regex_tokens" -> o56, "q63_tfidf" -> o63)
+    "q56_regex_tokens" -> o56, "q63_tfidf" -> o63,
+    "q72_cdc_chunks" -> o72)
 }

@@ -63,6 +63,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunking is insertion-local: edits shift at most a window of boundaries") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lens(s: String): Seq[Long] =
+      graft.functions.CdcChunks.chunks(UTF8String.fromString(s), 16, 6)
+        .toLongArray().toSeq
+    // seeded varied text — repeated/periodic text can legitimately have
+    // no boundaries at all (the window hash cycles)
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)(rnd.nextInt(1 << 20).toString).mkString(" ")
+    val a = words(30)
+    val b = words(120)
+    val ins = "INSERTED TEXT "
+    val l1 = lens(a + b)
+    val l2 = lens(a + ins + b)
+    // exact guarantee: every boundary at/after the first boundary past
+    // the edit's influence (edit end + window) is preserved, because a
+    // boundary depends only on the trailing window bytes. So the chunk
+    // sequences share a common suffix from that resync point on.
+    val insEnd = a.length + ins.length + 16
+    val ends2 = l2.scanLeft(0L)(_ + _).tail
+    val resync = ends2.find(_ >= insEnd).getOrElse(ends2.last)
+    val common = l1.reverse.zip(l2.reverse).takeWhile { case (x, y) => x == y }
+    assert(common.map(_._1).sum >= ends2.last - resync,
+      s"resync too late: $l1 vs $l2")
+    assert(common.nonEmpty, "no shared suffix at all")
+    // and chunk lengths always partition the input exactly
+    assert(l1.sum == (a + b).length && l2.sum == (a + ins + b).length)
+  }
+
   test("OsmShape routes null-lat/lon nodes to corrupt, never drops them") {
     import java.sql.Timestamp
     import org.apache.spark.sql.Row
