@@ -35,9 +35,12 @@ object ShingleSet {
   final val N = 3
 
   /** Split on single spaces, emit each distinct 3-token window once,
-    * preserving first-occurrence order (deterministic output). */
+    * preserving first-occurrence order (deterministic output).
+    * split limit -1 keeps trailing empty tokens — matching Spark SQL's
+    * split() and DuckDB's string_split, so oracle parity survives
+    * corpora with trailing whitespace. */
   def shingles(text: UTF8String): ArrayData = {
-    val toks = text.toString.split(' ')
+    val toks = text.toString.split(" ", -1)
     if (toks.length < N) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

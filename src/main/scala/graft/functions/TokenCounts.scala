@@ -38,7 +38,9 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
 
 object TokenCounts {
   def counts(text: UTF8String): ArrayData = {
-    val toks = text.toString.split(' ')
+    // limit -1 keeps trailing empty tokens (Spark SQL split / DuckDB
+    // string_split semantics — oracle parity on irregular whitespace)
+    val toks = text.toString.split(" ", -1)
     val m = new java.util.LinkedHashMap[String, Long]()
     var i = 0
     while (i < toks.length) {

@@ -22,9 +22,11 @@ object Skew {
     require(salts > 0)
     // Only semantics-preserving when unmatched SMALL rows are never
     // emitted: right/full outer would emit each unmatched small row
-    // once per salt replica. Fail fast on misuse.
-    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
-      .contains(joinType.toLowerCase),
+    // once per salt replica. Fail fast on misuse; accept every Spark
+    // spelling of the safe left-ish types.
+    val normalized = joinType.toLowerCase.replace("_", "").replace(" ", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti").contains(normalized),
       s"saltedJoin does not preserve semantics for joinType=$joinType " +
         "(replicated small side would duplicate unmatched rows)")
     val bigS = big.withColumn("__salt",

@@ -40,7 +40,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, w: Window))
-        if w.windowExpressions.size == 1 && w.orderSpec.nonEmpty =>
+        if w.windowExpressions.size == 1 && w.orderSpec.nonEmpty &&
+          w.partitionSpec.nonEmpty =>
+      // partitionSpec.nonEmpty: a global (unpartitioned) top-k would
+      // need ClusteredDistribution(Nil), which Spark rejects — leave
+      // that shape to TakeOrderedAndProject.
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) =>

@@ -42,7 +42,7 @@ object KMeans {
   /** Fit k centroids with `iters` Lloyd iterations. Returns
     * (cellId, centroid) pairs; empty cells keep their previous
     * centroid. */
-  def fit(df: DataFrame, k: Int, iters: Int, dim: Int,
+  def fit(df: DataFrame, k: Int, iters: Int,
           vecCol: String = "embedding", idCol: String = "vec_id")
       : Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] = df
@@ -55,7 +55,7 @@ object KMeans {
       val updated = assign(df, cents, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+        .agg(avg(col("x")).as("m"))
         .collect()
       val byCell = updated.groupBy(_.getInt(0))
       cents = cents.map { case (cid, old) =>

@@ -178,7 +178,7 @@ object Similarity {
     val cents = quantizerCache.computeIfAbsent(
       s"$d|$N_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
       _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE),
-        N_CELLS, KMEANS_ITERS, dim = 64))
+        N_CELLS, KMEANS_ITERS))
     import graft.functions.VectorFunctions.dot_const
     def cellsDesc(v: String) = sort_array(array(cents.map { case (cid, c) =>
       struct((dot_const(col(v), c.map(_ * 2.0)) - lit(c.map(x => x * x).sum)).as("s"),

@@ -17,11 +17,19 @@ import graft.Tables._
   * and can flip types between runs. */
 object SinkRoundtrip {
 
+  /** Stable within a JVM (repeat executions reuse the directory),
+    * unique across JVMs (no cross-process races). */
+  private val processTag: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid.toString
+
   def q62CsvJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dim = nation(s, d)
       .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"), col("r_name"))
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sink_roundtrip"
+    // path embeds the dataset dir and a per-process suffix so parallel
+    // JVMs (verify vs bench vs tests) never race on overwrite-then-read
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_sink_roundtrip_${d.hashCode.toHexString}_${SinkRoundtrip.processTag}"
     // 25-row dim: one output file per format, not one per core — at real
     // scale the writer parallelism should track data size, not cluster
     // size (the small-files problem in reverse).

@@ -274,8 +274,9 @@ object TextOps {
       FROM b),
     l AS (
       SELECT doc_id, n,
-        [ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END
-         for k in range(1, len(ends)+1)] AS lens
+        CASE WHEN n = 0 THEN []::BIGINT[] ELSE
+          [ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END
+           for k in range(1, len(ends)+1)] END AS lens
       FROM c)
     SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_chunks,
       CAST(list_max(lens) AS BIGINT) AS max_chunk,

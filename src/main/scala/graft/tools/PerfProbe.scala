@@ -8,8 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(5)
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // first arg is the rep count only if numeric; otherwise everything
+    // is query names and reps defaults to 5
+    val repsGiven = args.headOption.exists(_.forall(_.isDigit))
+    val reps = if (repsGiven) args.head.toInt else 5
+    val rest = if (repsGiven) args.drop(1).toSeq else args.toSeq
+    val names = if (rest.nonEmpty) rest
                 else graft.SparkEntry.queries.keys.toSeq.sorted
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()

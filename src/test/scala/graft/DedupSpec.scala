@@ -74,7 +74,10 @@ class DedupSpec extends AnyFunSuite {
 
   test("ShingleSet expression equals the declarative HOF formulation") {
     val texts = Seq("a b c d e", "a b c a b c a b c", "x y", "", "w1 w2 w3",
-      "t t t t t t", "p q r s p q r s")
+      "t t t t t t", "p q r s p q r s",
+      // whitespace irregularities: trailing/leading/double spaces must
+      // match Spark SQL split semantics (limit -1, empties kept)
+      "a b c ", " a b c", "a  b c", "a b c  d ")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val viaExpr = df.select(col("doc_id"),

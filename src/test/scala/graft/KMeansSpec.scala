@@ -13,16 +13,16 @@ class KMeansSpec extends AnyFunSuite {
 
   test("inertia is non-increasing across Lloyd iterations") {
     val df = embeddings.filter(col("vec_id") < 500)
-    val i0 = KMeans.inertia(df, KMeans.fit(df, 8, 0, 64))
-    val i1 = KMeans.inertia(df, KMeans.fit(df, 8, 1, 64))
-    val i2 = KMeans.inertia(df, KMeans.fit(df, 8, 2, 64))
+    val i0 = KMeans.inertia(df, KMeans.fit(df, 8, 0))
+    val i1 = KMeans.inertia(df, KMeans.fit(df, 8, 1))
+    val i2 = KMeans.inertia(df, KMeans.fit(df, 8, 2))
     assert(i1 <= i0 + 1e-9 && i2 <= i1 + 1e-9, s"$i0 -> $i1 -> $i2")
     assert(i2 < i0, "two iterations should strictly improve on init here")
   }
 
   test("assign() picks the exact nearest centroid (squared-L2)") {
     val df = embeddings.filter(col("vec_id") < 200)
-    val cents = KMeans.fit(df, 4, 1, 64)
+    val cents = KMeans.fit(df, 4, 1)
     val got = KMeans.assign(df, cents)
       .select(col("vec_id"), col("cell"), col("embedding"))
       .collect()
@@ -37,8 +37,8 @@ class KMeansSpec extends AnyFunSuite {
 
   test("fit is deterministic for a fixed input") {
     val df = embeddings.filter(col("vec_id") < 300)
-    val a = KMeans.fit(df, 4, 2, 64).map { case (c, arr) => (c, arr.toSeq) }
-    val b = KMeans.fit(df, 4, 2, 64).map { case (c, arr) => (c, arr.toSeq) }
+    val a = KMeans.fit(df, 4, 2).map { case (c, arr) => (c, arr.toSeq) }
+    val b = KMeans.fit(df, 4, 2).map { case (c, arr) => (c, arr.toSeq) }
     assert(a == b)
   }
 }

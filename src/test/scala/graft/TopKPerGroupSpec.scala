@@ -77,6 +77,20 @@ class TopKPerGroupSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty)
   }
 
+  test("TopKRewrite skips unpartitioned windows (global top-k still works)") {
+    graft.plans.TopKRewrite.enable(spark)
+    val w = Window.orderBy(desc("value"), col("event_id")) // no partitionBy
+    val globalTop = Tables.events(spark, TestSpark.SF)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .select("event_id", "value")
+    // must not rewrite into TopKPerGroupPlan(Nil, ...) — that distribution
+    // is unplannable; the query must still execute
+    assert(globalTop.queryExecution.optimizedPlan.collect {
+      case p: graft.plans.TopKPerGroupPlan => p }.isEmpty)
+    assert(globalTop.count() == 5)
+  }
+
   test("handles ties and groups smaller than k") {
     val df = Seq((1L, 5.0, 1L), (1L, 5.0, 2L), (1L, 5.0, 3L), (2L, 1.0, 4L))
       .toDF("g", "v", "id")
