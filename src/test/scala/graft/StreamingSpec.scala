@@ -161,6 +161,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_._1 == 1L) == 2) // two closed sessions for user 1
   }
 
+  test("stream-stream interval join: purchases match clicks within 10 minutes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$m%02d:00")
+
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("c_user", "click_id", "c_ts")
+      .withWatermark("c_ts", "30 minutes")
+    val b = buys.toDS().toDF("b_user", "buy_id", "b_ts")
+      .withWatermark("b_ts", "30 minutes")
+    val joined = c.join(b,
+      expr("""c_user = b_user AND
+              b_ts >= c_ts AND b_ts <= c_ts + interval 10 minutes"""))
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ss_join").start()
+    try {
+      clicks.addData((1L, 100L, ts(0)), (2L, 200L, ts(1)))
+      buys.addData((1L, 900L, ts(5))) // within 10m of click 100
+      q.processAllAvailable()
+      // later batch: a buy matching an EARLIER batch's click (state join),
+      // and one outside the interval
+      buys.addData((2L, 901L, ts(8)), (1L, 902L, ts(30)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_ss_join")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 900L), (200L, 901L)), s"got $got")
+  }
+
   test("file sink + checkpoint: streamed agg lands in parquet, checkpoint persists") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
