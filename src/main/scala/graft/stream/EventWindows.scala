@@ -90,13 +90,105 @@ object EventWindows {
     SELECT user_id, event_type, MIN(event_id) AS first_id, COUNT(*) AS n_dups
     FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
 
+  /** q73: manual sessionization — the composable form of q32's
+    * session_window: a lag gap-flag, a running sum assigning session
+    * ids, then per-session stats. One user_id shuffle; everything else
+    * is in-partition window math over integer nanoseconds. */
+  def q73Sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapNs = 3600L * 1000 * 1000 * 1000 // 60 minutes
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events(s, d)
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(wOrd) > gapNs
+          || lag(col("ts"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("ts")) - min(col("ts"))) / lit(1000000000L))
+          .cast("long").as("duration_sec"))
+      .filter(col("n_events") >= 3)
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val o73 = """
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+             > 3600000000000
+             OR LAG(epoch_ns(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+             IS NULL
+        THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, tns,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS sess_id
+      FROM flagged)
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      COUNT(*) AS n_events,
+      CAST((MAX(tns) - MIN(tns)) // 1000000000 AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, sess_id HAVING COUNT(*) >= 3
+    ORDER BY user_id, sess_id"""
+
+  /** q74: conversion funnel — users whose first view precedes their
+    * first click precedes their first purchase. One aggregation (the
+    * per-stage first-timestamp pivot is conditional min), then pure
+    * row-local comparisons: the funnel at any scale is a groupBy, not
+    * a join chain. */
+  def q74Funnel(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      .withColumn("reached",
+        when(col("t_view").isNotNull && col("t_click").isNotNull
+            && col("t_buy").isNotNull && col("t_view") <= col("t_click")
+            && col("t_click") <= col("t_buy"), "full_funnel")
+        .when(col("t_view").isNotNull && col("t_click").isNotNull
+            && col("t_view") <= col("t_click"), "view_click")
+        .when(col("t_view").isNotNull, "view_only")
+        .otherwise("no_view"))
+      .groupBy(col("reached"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("reached"))
+
+  val o74 = """
+    WITH stages AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_buy
+      FROM events GROUP BY user_id),
+    labeled AS (
+      SELECT CASE
+        WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+             AND t_view <= t_click AND t_click <= t_buy THEN 'full_funnel'
+        WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+             AND t_view <= t_click THEN 'view_click'
+        WHEN t_view IS NOT NULL THEN 'view_only'
+        ELSE 'no_view' END AS reached
+      FROM stages)
+    SELECT reached, COUNT(*) AS n_users FROM labeled
+    GROUP BY reached ORDER BY reached"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_tumbling_window" -> (q30Tumbling _),
     "q31_sliding_window"  -> (q31Sliding _),
     "q32_session_window"  -> (q32Session _),
-    "q33_event_dedup"     -> (q33EventDedup _))
+    "q33_event_dedup"     -> (q33EventDedup _),
+    "q73_sessionize"      -> (q73Sessionize _),
+    "q74_funnel"          -> (q74Funnel _))
 
   val oracles: Map[String, String] = Map(
     "q30_tumbling_window" -> o30, "q31_sliding_window" -> o31,
-    "q32_session_window" -> o32, "q33_event_dedup" -> o33)
+    "q32_session_window" -> o32, "q33_event_dedup" -> o33,
+    "q73_sessionize" -> o73, "q74_funnel" -> o74)
 }
