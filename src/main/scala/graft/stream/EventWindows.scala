@@ -95,11 +95,11 @@ object EventWindows {
     * ids, then per-session stats. One user_id shuffle; everything else
     * is in-partition window math over integer nanoseconds. */
   def q73Sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val gapNs = 3600L * 1000 * 1000 * 1000 // 60 minutes
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wRun = wOrd.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .withColumn("new_sess",
         when(col("ts") - lag(col("ts"), 1).over(wOrd) > gapNs
@@ -107,8 +107,10 @@ object EventWindows {
       .withColumn("sess_id", sum(col("new_sess")).over(wRun))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
-        ((max(col("ts")) - min(col("ts"))) / lit(1000000000L))
-          .cast("long").as("duration_sec"))
+        // integer floor division (`div`), matching the oracle's `//` —
+        // long/long `/` promotes to double and can round up at large
+        // magnitudes, breaking the integer-ns-arithmetic parity rule
+        expr("(max(ts) - min(ts)) div 1000000000").as("duration_sec"))
       .filter(col("n_events") >= 3)
       .orderBy(col("user_id"), col("sess_id"))
   }
