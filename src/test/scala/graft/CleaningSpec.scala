@@ -12,6 +12,8 @@ class CleaningSpec extends AnyFunSuite {
   // scalatestplus isn't on the offline classpath; drive Gen directly
   private def forAll[A](gen: Gen[A], n: Int = 100)(body: A => Unit): Unit =
     Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+  private def forAllCollect[A](gen: Gen[A], n: Int = 100): Seq[A] =
+    Iterator.continually(gen.sample).flatten.take(n).toSeq
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -75,6 +77,22 @@ class CleaningSpec extends AnyFunSuite {
       val twice = m.getOrElse(once, once)
       assert(once == twice) // canonical forms are fixed points
     }
+  }
+
+  test("P8 zip5 total on arbitrary strings: empty or exactly 5 digits (property)") {
+    val strs = forAllCollect(Gen.asciiPrintableStr, 200)
+    val got = strs.toDF("v").select(Cleaning.zip5(col("v")))
+      .as[String].collect()
+    got.foreach { z =>
+      assert(z.isEmpty || (z.length == 5 && z.forall(_.isDigit)), s"'$z'")
+    }
+  }
+
+  test("P9 phone normalizer total: result is always bare digits (property)") {
+    val strs = forAllCollect(Gen.asciiPrintableStr, 200)
+    val got = strs.toDF("v").select(Cleaning.normalizePhone(col("v")))
+      .as[String].collect()
+    got.foreach { p => assert(p.forall(_.isDigit), s"'$p'") }
   }
 
   test("P8 zip5 extracts trailing 5-digit codes") {
