@@ -37,7 +37,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
+    // Both rounds' BENCH artifacts had "parsed": null — the metric line
+    // was buried in sbt [info]-prefixed stdout and truncated by tail
+    // capture. Persist the JSON to a file the driver (or a human) can
+    // always read, then print it as the very last stdout line.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, RollingHash, ShingleSet, TokenCounts}
+import graft.functions.{CosineSimilarity, DotProduct, MinhashSig, RollingHash, ShingleSet, SimhashSig, TokenCounts}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst expressions available to pure-SQL users
@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
       (exprs: Seq[Expression]) => TokenCounts(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimhashSig(exprs.head)))
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
@@ -50,5 +59,11 @@ object GraftFunctions {
       "shingle_set", exprs => ShingleSet(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "token_counts", exprs => TokenCounts(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinhashSig(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimhashSig(exprs.head), "scala_udf")
   }
 }

@@ -238,9 +238,13 @@ object Dedup {
     * 12% to 62% — a near-quadratic verify stage; with the margin
     * asserted, 16×3 is the better operating point. */
   def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigOf = udf(minhashSig _)
     val arr = shingleArrays(s, d)
-    val sigs = arr.select(col("doc_id"), sigOf(col("sgs")).as("sig"))
+    // Codegen MinhashSig expression, not udf(minhashSig _): the udf
+    // boxed the whole shingle array per row and broke the
+    // WholeStageCodegen span (measured 2.55 s → 5.94 s regression when
+    // this line was a udf; see SigFunctions.scala).
+    val sigs = arr.select(col("doc_id"),
+      graft.functions.MinhashSig.minhash_sig(col("sgs"), NUM_HASHES).as("sig"))
     val bandStructs = (0 until BANDS).map { b =>
       val hs = (0 until ROWS_PER_BAND).map(r =>
         element_at(col("sig"), b * ROWS_PER_BAND + r + 1).as(s"r$r"))
@@ -322,9 +326,10 @@ object Dedup {
     * what makes the signature oracle-checkable (xxhash64 is not). */
   val HAM_MAX = 3
   def q42Simhash(s: SparkSession, d: String): DataFrame = {
-    val sigOf = udf(simhashSig _)
+    // Codegen SimhashSig expression (same rationale as q41's MinhashSig).
     val sig = shingleArrays(s, d)
-      .select(col("doc_id"), sigOf(col("sgs")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimhashSig.simhash_sig(col("sgs")).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("c"),
         expr(s"(simhash >> ${c * 16}) & 65535").as("v"))): _*)).as("ck"))

@@ -110,6 +110,21 @@ class DedupSpec extends AnyFunSuite {
     assert(hashes == sparkSide)
   }
 
+  test("codegen MinhashSig/SimhashSig expressions equal the Scala helpers") {
+    // The q41/q42 hot paths use the codegen expressions; assert they are
+    // bit-identical to the reference Scala functions over real corpus
+    // shingle arrays (including empty-adjacent shapes from short docs).
+    val arr = Dedup.shingleArrays(spark, TestSpark.SF)
+    val viaExpr = arr.select(col("doc_id"),
+        graft.functions.MinhashSig.minhash_sig(col("sgs"), Dedup.NUM_HASHES).as("mh"),
+        graft.functions.SimhashSig.simhash_sig(col("sgs")).as("sh"))
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val viaScala = arr.as[(Long, Seq[String])].collect().toSeq.sortBy(_._1)
+      .map { case (id, sgs) =>
+        (id, Dedup.minhashSig(sgs).toSeq, Dedup.simhashSig(sgs)) }
+    assert(viaExpr == viaScala && viaExpr.nonEmpty)
+  }
+
   test("simhash distance 0 for identical docs, pairs are symmetric-free") {
     Seq((0L, "a b c d e f g h", "en", "s", 0L),
         (1L, "a b c d e f g h", "en", "s", 0L),
