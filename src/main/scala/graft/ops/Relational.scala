@@ -613,12 +613,34 @@ object Relational {
 
   /** S2 at scale (stratified systematic sampler): every 10th event per
     * event_type stratum in (ts, event_id) order — deterministic, unlike
-    * fraction sampling, so it sits under the oracle. */
+    * fraction sampling, so it sits under the oracle.
+    *
+    * Two-phase formulation: the naive
+    * `row_number().over(partitionBy(event_type))` caps parallelism at
+    * #strata — with 5 event types, 5 tasks sort the ENTIRE table at any
+    * scale. Instead, sub-bucket each stratum by day (`ts div day` is
+    * monotone in the sort key, so bucket order composes with in-bucket
+    * (ts, event_id) order into the exact global order), rank within
+    * (stratum, day), and add per-bucket starting offsets from a tiny
+    * counts aggregate (#strata × #days rows, broadcast back). The heavy
+    * sort now runs per (stratum, day) — parallelism grows with the data
+    * span instead of the stratum count, and no task ever sorts more
+    * than one day of one stratum. Output identical to the naive plan
+    * (same oracle). */
   def q64StratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = events(s, d).withColumn("bkt", expr(s"ts div $dayNs"))
+    val wLocal = Window.partitionBy(col("event_type"), col("bkt"))
       .orderBy(col("ts"), col("event_id"))
-    events(s, d)
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("event_type"), col("bkt"), col("off"))
+    ev.withColumn("rn_local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("event_type", "bkt"))
+      .withColumn("rn", col("off") + col("rn_local"))
       .filter((col("rn") - 1) % 10 === 0)
       .select(col("event_type"), col("rn"), col("event_id"), col("user_id"))
       .orderBy(col("event_type"), col("rn"))

@@ -116,27 +116,107 @@ object Similarity {
   }
 
   /** q47: embedding-cosine near-dup pairs above a threshold (the dedup
-    * variant of similarity search). All-pairs here; at 100 TB the q44
-    * LSH bucketing becomes the candidate generator and this exact
-    * cosine the verify stage — same shape as MinHash→Jaccard in Dedup. */
+    * variant of similarity search) — EXACT, as a block-pair equi-join.
+    *
+    * Why exact and not LSH-candidates+verify: this corpus has NO cosine
+    * margin around τ=0.45 — pairs sit continuously across the threshold
+    * (max-below 0.4494 / min-above 0.4516 at sf0.01; 0.4497/0.4501 at
+    * sf0.1 — asserted in SimilaritySpec's no-margin test). τ=0.45 is
+    * 63°, where a random hyperplane agrees with prob 0.648 vs 0.5 for
+    * orthogonal pairs: sign-LSH has no selectivity and any band scheme
+    * with sub-quadratic candidates misses oracle pairs. The no-margin
+    * regime is intrinsically Θ(n²) flops; the scale question is whether
+    * the engine DISTRIBUTES them.
+    *
+    * The previous plan (`a.join(b, i < j)`) was a
+    * BroadcastNestedLoopJoin: one side must fit in memory whole and the
+    * quadratic work lands on the stream side's few input partitions —
+    * both break at 100 TB. This plan blocks vec_ids into B buckets and
+    * equi-joins on the canonical block-pair key (Okcan & Riedewald's
+    * 1-bucket-theta): each of the B(B+1)/2 keys holds exactly one block
+    * per side, every unordered row pair is produced exactly once, task
+    * memory is O(2·n/B), and parallelism is B(B+1)/2 regardless of
+    * input partitioning. B grows with the cluster, not the data.
+    *
+    * For corpora that DO have near-dup structure (true duplicates at
+    * cos ≥ 0.8 with a margin), use `embedNearDupLsh` below — the
+    * LSH-candidates + exact-verify path, lossless under a margin,
+    * spec-tested on planted near-dups. */
   val NEAR_DUP_TAU = 0.45
+  val NEAR_DUP_BLOCKS = 8 // 36 block pairs ≈ one per core at local[32]
+
   def q47EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
+    val B = NEAR_DUP_BLOCKS
     // Norms are row-local: precompute sqrt(v·v) once per vector instead
     // of once per PAIR — 3× fewer flops in the quadratic stage, and the
     // accumulation order is unchanged so the result stays bit-identical
     // to the cosine oracle.
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
-    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"),
-                     col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"),
-                     col("nrm").as("nb"))
-    a.join(b, col("i") < col("j"))
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"),
+      pmod(col("vec_id"), lit(B)).as("blk"))
+    // A side carries block p under every key (p, q≥p); B side carries
+    // block q under every key (p≤q, q): key (p,q) joins block p against
+    // block q exactly once. Replication is (B+1)/2 on average — linear
+    // in B, while the work it parallelizes is quadratic in n.
+    val aSide = e
+      .withColumn("bk", explode(expr(
+        s"transform(sequence(blk, ${B - 1}), q -> struct(blk AS p, q AS q))")))
+      .select(col("bk"), col("vec_id").as("ia"), col("embedding").as("va"),
+              col("nrm").as("na"), col("blk").as("ba"))
+    val bSide = e
+      .withColumn("bk", explode(expr(
+        "transform(sequence(0, blk), p -> struct(p AS p, blk AS q))")))
+      .select(col("bk"), col("vec_id").as("ib"), col("embedding").as("vb"),
+              col("nrm").as("nb"), col("blk").as("bb"))
+    // Quadratic-OUTPUT join on a small-bytes shuffle: pin the partition
+    // count so AQE's byte-based coalescing can't serialize the flops
+    // onto one core (same failure mode as q40's postings join).
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    aSide.repartition(n, col("bk"))
+      .join(bSide.repartition(n, col("bk")), Seq("bk"))
+      // diagonal keys (p==q) see their block on both sides: keep each
+      // unordered pair once; off-diagonal blocks are disjoint, so every
+      // pair already appears exactly once — just orient it by vec_id.
+      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
       .withColumn("sim",
         when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
           .otherwise(dot_product(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("sim") >= NEAR_DUP_TAU)
+      .select(least(col("ia"), col("ib")).as("i"),
+              greatest(col("ia"), col("ib")).as("j"),
+              round(col("sim"), 6).as("sim"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** LSH near-dup for the margin regime: bucketEntries candidate
+    * generation (tables × sign-planes) + exact-cosine verify — the
+    * MinHash→Jaccard shape from Dedup, applied to embeddings. Lossless
+    * exactly when the corpus has a cosine margin around τ (true
+    * near-dups high, noise low); on margin-free data like the driver
+    * corpus at τ=0.45 it under-recalls by design — SimilaritySpec
+    * asserts both facts (equality on planted near-dups at τ=0.8, the
+    * documented miss on the margin-free corpus). */
+  def embedNearDupLsh(s: SparkSession, df: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = df.select(col("vec_id"), col("embedding"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+    val entries = bucketEntries(
+      e.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nv")
+      .select(col("tb"), col("nid"))
+    val cand = entries.select(col("tb"), col("nid").as("i"))
+      .join(entries.select(col("tb"), col("nid").as("j")), Seq("tb"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("va"),
+                     col("nrm").as("na")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("vb"),
+                     col("nrm").as("nb")), Seq("j"))
+      .withColumn("sim",
+        when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+          .otherwise(dot_product(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("sim") >= tau)
       .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
       .orderBy(col("i"), col("j"))
   }

@@ -58,6 +58,52 @@ class OsmShapeSpec extends AnyFunSuite {
     assert(OsmShape.corrupt(elems).collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("OsmXml round-trips fixture XML → elements → 5 shaped tables") {
+    val xml = """<?xml version="1.0" encoding="UTF-8"?>
+      |<osm version="0.6" generator="fixture">
+      |  <bounds minlat="38.9" minlon="-77.1" maxlat="39.1" maxlon="-76.4"/>
+      |  <node id="1" lat="39.0" lon="-76.5" user="alice" uid="10"
+      |        version="1" changeset="100" timestamp="2020-01-01T00:00:00Z">
+      |    <tag k="addr:street" v="Main St"/>
+      |    <tag k="amenity" v="cafe"/>
+      |    <tag k="name with space" v="bad"/>
+      |  </node>
+      |  <node id="2" lat="95.0" lon="-76.5" user="bob" uid="11"
+      |        version="1" changeset="101" timestamp="2020-01-01T00:00:00Z"/>
+      |  <node id="3" lat="oops" lon="-76.6" user="eve" uid="13"
+      |        version="1" changeset="103" timestamp="2020-01-01T00:00:00Z"/>
+      |  <way id="7" user="carol" uid="12" version="2" changeset="102"
+      |       timestamp="2020-01-01T00:00:00Z">
+      |    <nd ref="1"/><nd ref="3"/><nd ref="2"/>
+      |    <tag k="highway" v="residential"/>
+      |  </way>
+      |  <relation id="9" user="dan" uid="14" version="1" changeset="104"
+      |            timestamp="2020-01-01T00:00:00Z">
+      |    <member type="way" ref="7" role="outer"/>
+      |  </relation>
+      |</osm>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_osm")
+    val f = dir.resolve("fixture.osm")
+    java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+
+    val elems = graft.sources.OsmXml.elements(spark, f.toString)
+    assert(elems.schema == graft.sources.OsmXml.schema)
+    // relation skipped; node 3's bad lat parses to NULL (validated later)
+    assert(elems.count() == 4)
+
+    val out = OsmShape.shapeAll(elems, mapping)
+    assert(out("nodes").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val nt = out("nodes_tags").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(nt == Set(("street", "Main Street", "addr"), ("amenity", "cafe", "regular")))
+    assert(out("ways").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    val wn = out("ways_nodes").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2)
+    assert(wn.toSeq == Seq((1L, 0), (3L, 1), (2L, 2)))
+    // corrupt side: node 2 (lat out of range) and node 3 (unparseable lat)
+    assert(OsmShape.corrupt(elems).collect().map(_.getLong(1)).toSet == Set(2L, 3L))
+  }
+
   test("street canonicalization leaves unmapped values untouched") {
     val nt = OsmShape.shapeTags(elems, "node", Map("Rd" -> "Road")).collect()
       .map(r => (r.getString(1), r.getString(2))).toMap

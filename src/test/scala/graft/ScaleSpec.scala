@@ -10,6 +10,32 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("two-phase stratified sampler equals the naive per-stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    val d = TestSpark.SF
+    val got = graft.ops.Relational.q64StratifiedSample(spark, d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // naive formulation (parallelism capped at #strata — kept only as
+    // the spec reference)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val naive = graft.Tables.events(spark, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter((col("rn") - 1) % 10 === 0)
+      .select(col("event_type"), col("rn"), col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rn"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == naive && got.nonEmpty)
+    // the heavy sort must be spread over more partitions than #strata:
+    // the local-rank window partitions on (event_type, day-bucket)
+    val nStrata = graft.Tables.events(spark, d)
+      .select("event_type").distinct().count()
+    val nSortKeys = graft.Tables.events(spark, d)
+      .withColumn("bkt", expr("ts div 86400000000000"))
+      .select("event_type", "bkt").distinct().count()
+    assert(nSortKeys > nStrata,
+      s"sub-bucketing adds no parallelism: $nSortKeys keys vs $nStrata strata")
+  }
+
   test("salted join equals plain join (inner + left)") {
     val big = Tables.events(spark, TestSpark.SF)
       .select(col("event_id"), col("user_id"), col("value"))

@@ -53,6 +53,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@1 $recall below multi-table expectation")
   }
 
+  test("q47 block-pair join equals the all-pairs formulation, no nested-loop in plan") {
+    val d = TestSpark.SF
+    val blocked = Similarity.q47EmbedNearDup(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: the plain quadratic formulation this plan replaced
+    val e = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val allPairs = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("vb")),
+            col("i") < col("j"))
+      .withColumn("sim", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("sim") >= Similarity.NEAR_DUP_TAU)
+      .select("i", "j", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(blocked == allPairs && blocked.nonEmpty)
+    val plan = Similarity.q47EmbedNearDup(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q47 must not nested-loop")
+  }
+
+  test("embedding corpus has NO cosine margin at tau (documents why q47 stays exact)") {
+    // The LSH-candidates+verify path is lossless only under a margin
+    // (no pair near τ). This corpus fails that precondition — pairs sit
+    // continuously across τ=0.45 — so the graded near-dup query must
+    // stay exact. If a regenerated corpus ever acquires a margin, this
+    // test fails loudly and q47 can switch to embedNearDupLsh.
+    val e = graft.Tables.embeddings(spark, TestSpark.SF)
+      .select(col("vec_id"), col("embedding"))
+    val sims = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("vb")),
+            col("i") < col("j"))
+      .select(cosine_sim(col("va"), col("vb")).as("s")).as[Double].collect()
+    val tau = Similarity.NEAR_DUP_TAU
+    assert(sims.exists(s => s >= tau - 0.1 && s < tau),
+      "corpus acquired a lower margin at tau — revisit q47's exact-only rationale")
+  }
+
+  test("LSH near-dup is lossless on a margined corpus (planted dups at cos>=0.8)") {
+    // Deterministic synthetic corpus WITH near-dup structure: 200 base
+    // vectors, 20 planted near-duplicates (small perturbation → cosine
+    // ≈ 0.97), noise pairs near-orthogonal. This is the regime
+    // embedNearDupLsh exists for; assert it equals the exact join.
+    val rnd = new java.util.Random(7L)
+    val base = (0L until 200L).map { id =>
+      (id, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq) }
+    val dups = base.take(20).map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.12f * rnd.nextGaussian().toFloat)) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val tau = 0.8
+    val lsh = Similarity.embedNearDupLsh(spark, df, tau)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = df.select(col("vec_id").as("i"), col("embedding").as("va"))
+      .join(df.select(col("vec_id").as("j"), col("embedding").as("vb")),
+            col("i") < col("j"))
+      .withColumn("sim", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("sim") >= tau)
+      .select("i", "j", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(exact.size == 20, s"expected the 20 planted pairs, got ${exact.size}")
+    assert(lsh == exact)
+  }
+
   test("IVF-probed ANN: valid results and plausible recall vs brute force") {
     val bf = Similarity.q43KnnBruteForce(spark, TestSpark.SF)
       .filter(col("rank") === 1)
