@@ -329,14 +329,48 @@ object Relational {
     * count. Sketches merge associatively → one shuffle of fixed-size
     * state regardless of cardinality; this is the 100 TB formulation of
     * COUNT(DISTINCT). Approximation differs per engine → rows-only
-    * check; relative error vs exact asserted in RegistrySpec. */
+    * check, but the entry carries its own evidence: a rel_err column
+    * plus a raise_error tripwire at 3× the configured rsd — the
+    * CORRECTNESS artifact fails loudly instead of silently recording a
+    * degraded sketch. */
+  val HLL_RSD = 0.05
   def q49ApproxDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"),
-           approx_count_distinct(col("user_id")).as("approx_users"),
+           approx_count_distinct(col("user_id"), HLL_RSD).as("approx_users"),
            count(lit(1)).as("n"))
+      .withColumn("rel_err", round(
+        abs(col("approx_users") - col("exact_users"))
+          / col("exact_users"), 4))
+      .filter(when(col("rel_err") <= 3 * HLL_RSD, lit(true)).otherwise(
+        raise_error(concat(lit("q49 HLL error beyond 3*rsd: "), col("rel_err")))))
       .orderBy(col("event_type"))
+
+  /** A9 at scale (sketch quantiles beside exact q53): percentile_approx
+    * is a mergeable sketch — fixed-size state per group through the
+    * shuffle, the 100 TB formulation of percentiles. Sketch internals
+    * differ per engine → rows-only check, with inline evidence: the
+    * exact percentile beside each approximation and a raise_error
+    * tripwire on the value gap (l_quantity is integer 1..50, so a gap
+    * of 1.0 at accuracy 10k is already generous). */
+  val APPROX_Q_ACC = 10000
+  def q75ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+           expr(s"percentile_approx(l_quantity, 0.5, $APPROX_Q_ACC)")
+             .cast("double").as("p50_approx"),
+           expr("percentile(l_quantity, 0.99)").as("p99_exact"),
+           expr(s"percentile_approx(l_quantity, 0.99, $APPROX_Q_ACC)")
+             .cast("double").as("p99_approx"),
+           count(lit(1)).as("n"))
+      .withColumn("max_gap", round(greatest(
+        abs(col("p50_approx") - col("p50_exact")),
+        abs(col("p99_approx") - col("p99_exact"))), 4))
+      .filter(when(col("max_gap") <= 1.0, lit(true)).otherwise(
+        raise_error(concat(lit("q75 sketch quantile gap > 1.0: "), col("max_gap")))))
+      .orderBy(col("l_returnflag"))
 
   /** Correlated scalar subquery shape (each customer's max-price
     * orders) — expressed as aggregate + self-join, which is exactly what
@@ -730,6 +764,7 @@ object Relational {
     "q52_custom_topk"     -> (q52CustomTopK _),
     "q53_quantiles"       -> (q53Quantiles _),
     "q54_edit_distance"   -> (q54EditDistance _),
+    "q75_approx_quantiles" -> (q75ApproxQuantiles _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),

@@ -109,9 +109,42 @@ object Similarity {
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
       .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val res = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    withRecallEvidence(s, d, res, Q44_RECALL_FLOOR, "q44")
+  }
+
+  /** Recall floors for the self-evidencing no_oracle ANN queries —
+    * measured (sf0.01 / sf0.1: q44 0.664/0.720, q55 0.540/0.552) minus
+    * a safety margin. The queries are deterministic, so these only move
+    * if the corpus or parameters change — and then loudly. (This corpus
+    * has no planted near-dups — top-1 angles are wide, the hard regime
+    * for ANN — so mid recall at 8×4 tables/planes is expected; recall
+    * is a parameter, not a code property: more tables/probes buy more.) */
+  val Q44_RECALL_FLOOR = 0.55
+  val Q55_RECALL_FLOOR = 0.40
+
+  /** Attach inline evidence to an approximate ANN result: a constant
+    * `recall_vs_exact` column (fraction of the exact top-k pairs the
+    * approximate query returned) plus a raise_error tripwire if it ever
+    * drops below the floor. The no_oracle CORRECTNESS entries then
+    * carry their own accuracy proof — the driver's rows-only check
+    * fails loudly instead of silently recording a degraded result.
+    * (The exact baseline inside is the verification cost, not the
+    * serving cost: it is how the floor is evidenced, same as DedupSpec
+    * re-deriving exact Jaccard.) */
+  private def withRecallEvidence(s: SparkSession, d: String, res: DataFrame,
+                                 floor: Double, tag: String): DataFrame = {
+    val exact = q43KnnBruteForce(s, d).select(col("qid"), col("nid"))
+    val rec = exact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(round(col("n_hit") / col("n_exact"), 4).as("recall_vs_exact"))
+    res.crossJoin(broadcast(rec))
+      .filter(when(col("recall_vs_exact") >= floor, lit(true)).otherwise(
+        raise_error(concat(lit(s"$tag recall below floor $floor: "),
+                           col("recall_vs_exact")))))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -273,13 +306,13 @@ object Similarity {
       .withColumn("cells", cellsDesc("qv"))
       .withColumn("probe", explode(slice(col("cells"), 1, N_PROBE)))
       .select(col("qid"), col("qv"), col("probe.c").as("cell"))
-    broadcast(qProbes).join(base, Seq("cell"))
+    val res = broadcast(qProbes).join(base, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
-      .orderBy(col("qid"), col("rank"))
+    withRecallEvidence(s, d, res, Q55_RECALL_FLOOR, "q55")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

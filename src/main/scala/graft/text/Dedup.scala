@@ -112,8 +112,42 @@ object Dedup {
     * beats the prefix-filtered variant (`ppjoinJaccard` below) — the
     * frequent-shingle quadratic term is small at these sizes; at 100 TB
     * with heavy-tailed shingle frequencies the prefix filter wins. */
+  /** When set (to a doc-frequency cutoff), q40 generates candidate
+    * pairs only from shingles with df <= cutoff and verifies them
+    * against the full arrays — the classic stop-shingle prefilter for
+    * heavy-tailed shingle frequencies at scale. Lossless iff every
+    * true near-dup pair shares at least one rare shingle (holds for
+    * real corpora where frequent shingles are boilerplate; measured
+    * lossless on this corpus at df<=50/200/1000 by tools/Q40Profile).
+    * Off by default — and rightly so here: this corpus's ~40-word
+    * vocabulary makes nearly every shingle frequent, so the cutoff
+    * prunes little while adding a df-join + distinct + verify
+    * (measured 5.6 s vs 1.06 s exact at sf0.1; same conclusion as
+    * PPJoin). Q40Profile also shows the exact join's floor IS the
+    * pair aggregation (1.09 s of the 1.06 s total; scan 0.31 s) —
+    * intrinsic to exact all-pairs-over-index, which is why the scale
+    * story is LSH (q41), not a faster exact join. */
+  val STOP_SHINGLE_CONF = "spark.graft.dedup.stopShingleDf"
+
   def q40NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val arr = shingleArrays(s, d)
+    val stopDf = s.conf.getOption(STOP_SHINGLE_CONF).map(_.toInt)
+    if (stopDf.isDefined) {
+      // candidate generation over the rare-shingle inverted index only;
+      // exact verification (full arrays) keeps the output exact whenever
+      // the corpus margin holds.
+      val sh = arr.select(col("doc_id"), explode(col("sgs")).as("sg"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("sg"))
+      val rare = sh.join(
+        sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= stopDf.get).select(col("sg")),
+        Seq("sg"))
+      val cand = rare.select(col("doc_id").as("i"), col("sg"))
+        .join(rare.select(col("doc_id").as("j"), col("sg")), Seq("sg"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      return verifyPairs(cand, arr)
+    }
     // Inverted-index self-join where both sides are the IDENTICAL
     // subtree (explode → repartition by shingle): ReuseExchange
     // shuffles the postings ONCE and reads them twice, and pairs
