@@ -20,14 +20,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
-      text.Dedup.queries ++ sim.Similarity.queries ++
-      multimodal.Multimodal.queries ++ sources.SinkRoundtrip.queries
+      text.Dedup.queries ++ text.DedupCluster.queries ++
+      sim.Similarity.queries ++ multimodal.Multimodal.queries ++
+      sources.SinkRoundtrip.queries ++ sources.FileReport.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
-      text.Dedup.oracles ++ sim.Similarity.oracles ++
-      multimodal.Multimodal.oracles ++ sources.SinkRoundtrip.oracles
+      text.Dedup.oracles ++ text.DedupCluster.oracles ++
+      sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles
 }

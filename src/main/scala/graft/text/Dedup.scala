@@ -77,8 +77,9 @@ object Dedup {
               round(col("jac"), 6).as("jaccard"))
       .orderBy(col("i"), col("j"))
 
-  val ORA_JACCARD_PAIRS = s"""
-    WITH sh AS ($ORA_SHINGLES),
+  /** Shared CTE list (shingles → pair Jaccard) — reused verbatim by the
+    * pair queries (q40/q41) and the clustering oracle (q76). */
+  val ORA_PAIR_CTES = s"""sh AS ($ORA_SHINGLES),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
@@ -89,7 +90,10 @@ object Dedup {
         CAST(common AS DOUBLE) / (si.n_sg + sj.n_sg - common) AS jac
       FROM common
         JOIN sizes si ON si.doc_id = common.i
-        JOIN sizes sj ON sj.doc_id = common.j)
+        JOIN sizes sj ON sj.doc_id = common.j)"""
+
+  val ORA_JACCARD_PAIRS = s"""
+    WITH $ORA_PAIR_CTES
     SELECT i, j, common, ni, nj, ROUND(jac, 6) AS jaccard
     FROM jac WHERE jac >= 0.5 ORDER BY i, j"""
 

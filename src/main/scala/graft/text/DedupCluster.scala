@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Dedup clustering: near-dup PAIRS (q40/q41) are only the similarity
+  * join's output — a real dedup pipeline needs the transitive closure:
+  * one cluster id per document and a deterministic keeper per cluster.
+  *
+  * Connected components run as alternating large-star/small-star
+  * rounds (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14 — public literature): each round is two
+  * shuffles (a per-node min and an edge rewrite), and the edge set
+  * contracts to min-rooted stars in O(log n) rounds regardless of
+  * component diameter — the 100 TB property that plain min-label
+  * propagation (O(diameter) rounds) lacks. The driver only orchestrates
+  * the loop and compares two per-round aggregates (count + xxhash
+  * checksum); no edge data ever reaches the driver.
+  */
+object DedupCluster {
+
+  /** Connected components over an undirected pair list (`i`, `j`).
+    * Returns one row per node that appears in any edge: (node, root)
+    * where root = min node id of the component. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not cache) between rounds: each round references
+    // the previous edge set several times through unions and joins, so
+    // an uncut lineage multiplies ~8× per round and analysis time goes
+    // exponential by iteration 5. Checkpointing materializes the ~O(n)
+    // edge partitions and resets the plan. (On a cluster, reliable
+    // checkpointing to the DFS does the same with fault tolerance.)
+    var edges = pairs
+      .select(least(col("i"), col("j")).as("u"), greatest(col("i"), col("j")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = (-1L, 0L) // (edge count, xxhash checksum)
+    var done = false
+    var iters = 0
+    while (!done && iters < 50) {
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val m = sym.groupBy(col("a")).agg(min(col("b")).as("minb"))
+        .select(col("a"), least(col("a"), col("minb")).as("m"))
+      // large-star: attach each strictly-larger neighbor of a to m(a)
+      val ls = sym.join(m, Seq("a")).filter(col("b") > col("a"))
+        .select(least(col("b"), col("m")).as("u"), greatest(col("b"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the large-star result
+      val sym2 = ls.select(col("u").as("a"), col("v").as("b"))
+        .union(ls.select(col("v").as("a"), col("u").as("b")))
+      val m2 = sym2.groupBy(col("a")).agg(min(col("b")).as("minb"))
+        .select(col("a"), least(col("a"), col("minb")).as("m"))
+      val ss = sym2.join(m2, Seq("a")).filter(col("b") <= col("a"))
+        .select(col("b").as("x"), col("m"))
+        .union(m2.select(col("a").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("m").as("u"), col("x").as("v")) // m = min < x
+        .distinct().localCheckpoint()
+      val Array(cnt, chk) = ss
+        .agg(count(lit(1)),
+             coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      edges = ss
+      done = (cnt, chk) == prev
+      prev = (cnt, chk)
+      iters += 1
+    }
+    // fixpoint: every component is a star rooted at its min node
+    val labels = edges.select(col("v").as("node"), col("u").as("root"))
+      .union(edges.select(col("u").as("node"), col("u").as("root")))
+      .distinct()
+    labels
+  }
+
+  /** q76: dedup clusters over the exact n-gram Jaccard pair graph —
+    * every document labeled with its cluster id (= keeper doc_id) and
+    * the cluster size; singletons are their own keeper. */
+  def q76DedupComponents(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      Dedup.q40NgramJaccard(s, d).select(col("i"), col("j")))
+    val clustered = documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val sizes = clustered.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clustered.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror: recursive transitive closure + min label. Fine at
+    * oracle scale (the pair graph is small); the Spark side exists
+    * precisely because this formulation doesn't scale. */
+  val o76 = s"""
+    WITH RECURSIVE ${Dedup.ORA_PAIR_CTES},
+    pr AS (SELECT i, j FROM jac WHERE jac >= ${Dedup.JACCARD_THRESHOLD}),
+    edges AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+    reach(n, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT e.a, r.r FROM edges e JOIN reach r ON r.n = e.b),
+    lab AS (SELECT n, MIN(r) AS mr FROM reach GROUP BY n),
+    cl AS (
+      SELECT d.doc_id,
+        CAST(COALESCE(LEAST(lab.mr, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN lab ON lab.n = d.doc_id)
+    SELECT doc_id, cluster_id,
+      CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cl ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_dedup_components" -> (q76DedupComponents _))
+
+  val oracles: Map[String, String] = Map(
+    "q76_dedup_components" -> o76)
+}

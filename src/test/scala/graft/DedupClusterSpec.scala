@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.DedupCluster
+
+/** Connected-components correctness: star contraction must match
+  * plain transitive closure on adversarial shapes (long chains are the
+  * case where naive min-propagation needs diameter rounds). */
+class DedupClusterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupCluster.connectedComponents(pairs.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, star, singleton-free mix resolves to min roots") {
+    // chain 1-2-3-4-5 (diameter 4), star 10-{11,12,13}, pair 20-21,
+    // plus a cross link merging chain and star via 5-13
+    val got = components(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (5L, 13L)))
+    val expect = Map(
+      2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L, 13L -> 1L, 1L -> 1L,
+      20L -> 20L, 21L -> 20L)
+    assert(got == expect)
+  }
+
+  test("long chain (64 nodes) converges to one root in bounded rounds") {
+    val chain = (0L until 63L).map(k => (k, k + 1))
+    val got = components(chain)
+    assert(got.keySet == (0L until 64L).toSet)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("edge order and orientation do not matter (determinism)") {
+    val pairs = Seq((3L, 1L), (2L, 3L), (9L, 7L), (8L, 9L))
+    val a = components(pairs)
+    val b = components(pairs.reverse.map { case (x, y) => (y, x) })
+    assert(a == b && a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                              7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("q76 labels every document; clusters agree with q40 pairs") {
+    val d = TestSpark.SF
+    val out = DedupCluster.q76DedupComponents(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(out.length == nDocs)
+    // every q40 pair must land in the same cluster
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val pairs = graft.text.Dedup.q40NgramJaccard(spark, d)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (i, j) =>
+      assert(cluster(i) == cluster(j), s"pair ($i,$j) split across clusters") }
+    // keeper is the min doc_id of its cluster
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._1).min == cid) }
+    // cluster_size column is consistent
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSet == Set(rows.length.toLong)) }
+  }
+
+  test("file report lists parquet tables with positive sizes") {
+    val fr = graft.sources.FileReport.q77FileSizes(spark, TestSpark.SF)
+      .as[(String, Long)].collect()
+    assert(fr.nonEmpty)
+    assert(fr.forall(_._2 > 0))
+    val tables = fr.map(_._1).toSet
+    assert(tables.exists(_.contains("lineitem")))
+  }
+}
