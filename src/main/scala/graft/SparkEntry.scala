@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
+      text.CorpusPipeline.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries
 
@@ -30,6 +31,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
+      text.CorpusPipeline.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles
 }

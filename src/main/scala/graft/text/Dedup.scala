@@ -133,8 +133,14 @@ object Dedup {
     * story is LSH (q41), not a faster exact join. */
   val STOP_SHINGLE_CONF = "spark.graft.dedup.stopShingleDf"
 
-  def q40NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val arr = shingleArrays(s, d)
+  def q40NgramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, shingleArrays(s, d))
+
+  /** The exact inverted-index Jaccard join over any (doc_id, sgs)
+    * DataFrame — q40 runs it on the full corpus; the corpus-curation
+    * pipeline (q78) runs it on the filtered survivor set, which is the
+    * scale-correct order (shingle AFTER the cheap row-local filters). */
+  def jaccardPairs(s: SparkSession, arr: DataFrame): DataFrame = {
     val stopDf = s.conf.getOption(STOP_SHINGLE_CONF).map(_.toInt)
     if (stopDf.isDefined) {
       // candidate generation over the rare-shingle inverted index only;

@@ -65,6 +65,40 @@ class DedupClusterSpec extends AnyFunSuite {
       assert(rows.map(_._3).toSet == Set(rows.length.toLong)) }
   }
 
+  test("corpus pipeline: survivors pass all filters, exactly one keeper per cluster") {
+    val d = TestSpark.SF
+    val kept = graft.text.CorpusPipeline.q78CorpusPipeline(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(kept.nonEmpty)
+    // every kept doc satisfies the lang + quality predicates
+    val qual = graft.text.TextOps.q36QualityScore(spark, d)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val en = graft.Tables.documents(spark, d)
+      .filter(graft.text.TextOps.langGuess(col("text")) === "en")
+      .select("doc_id").as[Long].collect().toSet
+    kept.foreach { case (id, _, q) =>
+      assert(en.contains(id) && q >= graft.text.CorpusPipeline.QUALITY_FLOOR)
+      assert(q == qual(id))
+    }
+    // no two kept docs are near-dups of each other
+    val keptIds = kept.map(_._1).toSet
+    val pairs = graft.text.Dedup.q40NgramJaccard(spark, d)
+      .select("i", "j").as[(Long, Long)].collect()
+    pairs.foreach { case (i, j) =>
+      assert(!(keptIds.contains(i) && keptIds.contains(j)),
+        s"near-dup pair ($i,$j) both kept") }
+    // every surviving-but-dropped doc has a kept representative in its cluster
+    val surviving = en.filter(id => qual.getOrElse(id, 0.0) >=
+      graft.text.CorpusPipeline.QUALITY_FLOOR)
+    val adj = pairs.filter { case (i, j) =>
+      surviving.contains(i) && surviving.contains(j) }
+    val reach = adj.flatMap { case (i, j) => Seq(i -> j, j -> i) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    surviving.diff(keptIds).foreach { dropped =>
+      assert(reach.getOrElse(dropped, Set.empty).nonEmpty,
+        s"doc $dropped dropped without being anyone's near-dup") }
+  }
+
   test("file report lists parquet tables with positive sizes") {
     val fr = graft.sources.FileReport.q77FileSizes(spark, TestSpark.SF)
       .as[(String, Long)].collect()

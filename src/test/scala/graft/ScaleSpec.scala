@@ -68,6 +68,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(h.map(_._2).toSeq == h.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("bucketed tables join exchange-free (no shuffle in SortMergeJoin plan)") {
+    // The 100 TB co-location mechanic: bucketBy on the join key at write
+    // time satisfies the join's ClusteredDistribution at read time — the
+    // repeated fact⋈fact joins (q46-style) run with ZERO exchanges.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.range(10000)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+      df.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("graft_bucket_a")
+      df.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("graft_bucket_b")
+      val j = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), Seq("k"))
+      assert(j.count() == 10000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("partitionBy write → partition pruning at read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.events(spark, TestSpark.SF)
