@@ -44,6 +44,27 @@ class DedupClusterSpec extends AnyFunSuite {
                               7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("matches a union-find reference on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 6) {
+      val n = 30
+      val pairs = Seq.fill(25 + rnd.nextInt(15))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // union-find with union-by-min: every root is its component's min
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inEdges = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = inEdges.map(x => x -> find(x.toInt).toLong).toMap
+      assert(components(pairs) == expected)
+    }
+  }
+
   test("q76 labels every document; clusters agree with q40 pairs") {
     val d = TestSpark.SF
     val out = DedupCluster.q76DedupComponents(spark, d)
