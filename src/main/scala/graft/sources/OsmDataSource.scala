@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** OSM XML as a first-class DataSource V2: `spark.read.format("osm")
+  * .load(path)` (SURVEY §2.1 S1's honest form behind the standard
+  * source API, alongside the RDD-based `OsmXml.elements`).
+  *
+  * Connector anatomy, all public Spark 4 interfaces:
+  *  - `TableProvider` + `DataSourceRegister` → short name "osm";
+  *  - partition planning = one `InputPartition` per file (driver lists
+  *    the directory; OSM ships as many per-region extracts, so
+  *    file granularity is the natural split — a planet-scale single
+  *    file ships as PBF, which is block-splittable, not XML);
+  *  - `SupportsPushDownRequiredColumns` → column pruning reaches the
+  *    source: a `select(id)` never materializes tags/nds arrays;
+  *  - each `PartitionReader` STREAMS its file through the same StAX
+  *    pull parser as `OsmXml.parse` — constant memory per task.
+  */
+class OsmDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osm"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmXml.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new OsmTable(properties.get("path"))
+}
+
+class OsmTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"osm:$path"
+  override def schema(): StructType = OsmXml.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmScanBuilder(Option(path).getOrElse(options.get("path")))
+}
+
+class OsmScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = OsmXml.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new OsmScan(path, required)
+}
+
+class OsmScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
+      else Array(path)
+    files.map(f => OsmInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmReaderFactory(required)
+}
+
+case class OsmInputPartition(file: String) extends InputPartition
+
+class OsmReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OsmPartitionReader(
+      partition.asInstanceOf[OsmInputPartition].file, required)
+}
+
+/** Streams one file; converts only the REQUIRED columns to Catalyst
+  * form (pruned columns cost nothing beyond the parse). */
+class OsmPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val p = new Path(file)
+  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val rows = OsmXml.parse(in)
+  // ordinal in the FULL schema for each required field
+  private val fullOrdinals: Array[Int] =
+    required.fields.map(f => OsmXml.schema.fieldIndex(f.name))
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!rows.hasNext) false
+    else { current = convert(rows.next()); true }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = () // parse() closes the stream at EOF
+
+  private def convert(r: org.apache.spark.sql.Row): InternalRow = {
+    val out = new GenericInternalRow(fullOrdinals.length)
+    var k = 0
+    while (k < fullOrdinals.length) {
+      out.update(k, toCatalyst(r, fullOrdinals(k)))
+      k += 1
+    }
+    out
+  }
+
+  private def toCatalyst(r: org.apache.spark.sql.Row, i: Int): Any = {
+    if (r.isNullAt(i)) return null
+    i match {
+      case 0 | 4 | 6 => UTF8String.fromString(r.getString(i)) // type/user/version
+      case 1 | 5 | 7 => r.getLong(i)                          // id/uid/changeset
+      case 2 | 3     => r.getDouble(i)                        // lat/lon
+      case 8         => // timestamp → micros
+        val ts = r.getAs[java.sql.Timestamp](8)
+        ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      case 9         => // tags: array<struct<k,v>>
+        val tags = r.getSeq[org.apache.spark.sql.Row](9)
+        new GenericArrayData(tags.map { t =>
+          val s = new GenericInternalRow(2)
+          s.update(0, Option(t.getString(0)).map(UTF8String.fromString).orNull)
+          s.update(1, Option(t.getString(1)).map(UTF8String.fromString).orNull)
+          s: Any
+        }.toArray)
+      case 10        => // nds: array<long>; parser may leave null members
+        val nds = r.getSeq[Any](10)
+        new GenericArrayData(nds.toArray): ArrayData
+      case other     => throw new IllegalStateException(s"ordinal $other")
+    }
+  }
+}

@@ -104,6 +104,48 @@ class OsmShapeSpec extends AnyFunSuite {
     assert(OsmShape.corrupt(elems).collect().map(_.getLong(1)).toSet == Set(2L, 3L))
   }
 
+  test("DataSourceV2: format(\"osm\") reads the fixture with column pruning") {
+    val xml = """<?xml version="1.0" encoding="UTF-8"?>
+      |<osm version="0.6">
+      |  <node id="1" lat="39.0" lon="-76.5" user="alice" uid="10"
+      |        version="1" changeset="100" timestamp="2020-01-01T00:00:00Z">
+      |    <tag k="amenity" v="cafe"/>
+      |  </node>
+      |  <way id="7" user="carol" uid="12" version="2" changeset="102"
+      |       timestamp="2020-01-02T03:04:05Z">
+      |    <nd ref="1"/><nd ref="2"/>
+      |  </way>
+      |</osm>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_osm_v2")
+    java.nio.file.Files.write(dir.resolve("a.osm"), xml.getBytes("UTF-8"))
+
+    val df = spark.read.format("osm").load(dir.toString)
+    assert(df.schema == graft.sources.OsmXml.schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "node" && rows(0).getLong(1) == 1L)
+    assert(rows(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("tags")
+      .map(t => (t.getString(0), t.getString(1))).toSeq == Seq(("amenity", "cafe")))
+    assert(rows(1).getString(0) == "way" &&
+      rows(1).getAs[scala.collection.Seq[Long]]("nds").toSeq == Seq(1L, 2L))
+    assert(rows(1).getAs[java.sql.Timestamp]("timestamp") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-01-02T03:04:05Z")))
+
+    // column pruning reaches the source: ReadSchema carries only the
+    // selected columns
+    val pruned = df.select("id", "uid")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("BatchScan[^\\n]*\\[id#\\d+L, uid#\\d+L\\]".r.findFirstIn(scan).isDefined,
+      s"pruning not pushed:\n$scan")
+    assert(pruned.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (7L, 12L)))
+
+    // the V2 path agrees with the RDD-based reader
+    val viaRdd = graft.sources.OsmXml.elements(spark, dir.toString + "/a.osm")
+    assert(df.orderBy("id").collect().toSeq == viaRdd.orderBy("id").collect().toSeq)
+  }
+
   test("street canonicalization leaves unmapped values untouched") {
     val nt = OsmShape.shapeTags(elems, "node", Map("Rd" -> "Road")).collect()
       .map(r => (r.getString(1), r.getString(2))).toMap
