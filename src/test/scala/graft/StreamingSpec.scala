@@ -32,6 +32,46 @@ class RunningTotalProcessor
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("ST1 from storage: file-source stream (parquet dir) equals batch agg") {
+    // The MemoryStream specs prove semantics; this proves the STORAGE
+    // path — readStream over a directory of parquet files (the shape a
+    // 100 TB ingest actually has: files landing in object storage),
+    // with schema declared up front, checkpointed, drained with
+    // Trigger.AvailableNow.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck")
+    val events = graft.Tables.events(spark, TestSpark.SF)
+      .select("event_id", "event_type", "ts_us")
+    // two separate files, as if two ingest batches landed
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    val sdf = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(dir.toString)
+      .groupBy(col("event_type"), window(col("ts_us"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = sdf.writeStream
+      .format("memory").queryName("file_src_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("file_src_agg")
+      .select(col("event_type"), col("window.start").as("ws"), col("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = events
+      .groupBy(col("event_type"), window(col("ts_us"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("ws"), col("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("ST5: flatMapGroupsWithState carries state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
