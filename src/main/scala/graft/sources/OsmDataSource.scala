@@ -50,16 +50,48 @@ class OsmTable(path: String) extends Table with SupportsRead {
 }
 
 class OsmScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+
   private var required: StructType = OsmXml.schema
+  private var types: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new OsmScan(path, required)
+  /** `type = 'node'` / `type IN (...)` is absorbed COMPLETELY: the
+    * StAX parser skips non-matching elements before any Row is built,
+    * so no residual evaluation is needed. Everything else stays with
+    * Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, residual) = filters.partition {
+      case EqualTo("type", _: String) => true
+      case In("type", vs) => vs.forall(_.isInstanceOf[String])
+      case IsNotNull("type") => true // parser never emits a null type
+      case _ => false
+    }
+    if (absorbed.nonEmpty) {
+      val wanted = absorbed.flatMap {
+        case EqualTo("type", v: String) => Seq(Set(v))
+        case In("type", vs) => Seq(vs.map(_.asInstanceOf[String]).toSet)
+        case _ => Seq.empty // IsNotNull constrains nothing
+      }
+      // conjunctive filters: intersect with any previous absorption
+      wanted.foreach(w => types = Some(types.fold(w)(_ intersect w)))
+      pushed = absorbed
+    }
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new OsmScan(path, required, types)
 }
 
-class OsmScan(path: String, required: StructType) extends Scan with Batch {
+class OsmScan(path: String, required: StructType,
+              types: Option[Set[String]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -74,26 +106,28 @@ class OsmScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmReaderFactory(required)
+    new OsmReaderFactory(required, types)
 }
 
 case class OsmInputPartition(file: String) extends InputPartition
 
-class OsmReaderFactory(required: StructType)
+class OsmReaderFactory(required: StructType, types: Option[Set[String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OsmPartitionReader(
-      partition.asInstanceOf[OsmInputPartition].file, required)
+      partition.asInstanceOf[OsmInputPartition].file, required, types)
 }
 
 /** Streams one file; converts only the REQUIRED columns to Catalyst
-  * form (pruned columns cost nothing beyond the parse). */
-class OsmPartitionReader(file: String, required: StructType)
+  * form (pruned columns cost nothing beyond the parse) and only the
+  * PUSHED element types (others never leave the parser). */
+class OsmPartitionReader(file: String, required: StructType,
+                         types: Option[Set[String]])
     extends PartitionReader[InternalRow] {
 
   private val p = new Path(file)
   private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
-  private val rows = OsmXml.parse(in)
+  private val rows = OsmXml.parse(in, types)
   // ordinal in the FULL schema for each required field
   private val fullOrdinals: Array[Int] =
     required.fields.map(f => OsmXml.schema.fieldIndex(f.name))

@@ -55,8 +55,12 @@ object OsmXml {
 
   /** Streaming element iterator over an XML byte stream. Emits one Row
     * per <node>/<way>; other elements (bounds, relation, …) are
-    * skipped. Closes the stream when exhausted. */
-  def parse(in: InputStream): Iterator[Row] = new Iterator[Row] {
+    * skipped. `wantedTypes` is the pushed-down `type` predicate — a
+    * non-matching element's subtree is skipped by the pull parser
+    * without building a Row at all. Closes the stream when
+    * exhausted. */
+  def parse(in: InputStream,
+            wantedTypes: Option[Set[String]] = None): Iterator[Row] = new Iterator[Row] {
     private val factory = XMLInputFactory.newFactory()
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -77,7 +81,9 @@ object OsmXml {
       while (nextRow == null && r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT) {
           val name = r.getLocalName
-          if (name == "node" || name == "way") nextRow = readElement(name)
+          if ((name == "node" || name == "way") &&
+              wantedTypes.forall(_.contains(name)))
+            nextRow = readElement(name)
         }
       }
       if (nextRow == null) { r.close(); in.close() }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.OsmShape
+import org.apache.spark.sql.functions.col
 
 /** E2 pipeline golden test: raw OSM-like elements → 5 shaped tables
   * (FIXTURES.md §B model), with cleaning + validation fused in. */
@@ -144,6 +145,16 @@ class OsmShapeSpec extends AnyFunSuite {
     // the V2 path agrees with the RDD-based reader
     val viaRdd = graft.sources.OsmXml.elements(spark, dir.toString + "/a.osm")
     assert(df.orderBy("id").collect().toSeq == viaRdd.orderBy("id").collect().toSeq)
+
+    // type filter is absorbed by the source (no residual Filter node):
+    // the parser skips non-matching elements before building rows
+    val nodesOnly = df.filter(col("type") === "node")
+    assert(nodesOnly.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    val nPlan = nodesOnly.queryExecution.executedPlan.toString
+    // no Filter OPERATOR may remain ("RuntimeFilters: []" in the scan
+    // line is unrelated)
+    assert("(\\)|-) Filter ".r.findFirstIn(nPlan).isEmpty,
+      s"type filter not absorbed:\n$nPlan")
   }
 
   test("street canonicalization leaves unmapped values untouched") {
