@@ -34,7 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinhashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+        GraftFunctions.intLiteralArg(exprs(1), "minhash_sig", "numHashes"))))
     e.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
@@ -47,6 +47,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Registration on an already-running session (the extensions config
   * only applies at session construction). */
 object GraftFunctions {
+
+  /** Validates a constant integer SQL argument with a message naming
+    * the function — `eval().asInstanceOf[Int]` on a column or a BIGINT
+    * literal would otherwise fail with an opaque cast/unresolved
+    * error. */
+  def intLiteralArg(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $arg must be a constant integer, got non-constant ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a constant integer, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -61,7 +77,8 @@ object GraftFunctions {
       "token_counts", exprs => TokenCounts(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinhashSig(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      exprs => MinhashSig(exprs.head,
+        GraftFunctions.intLiteralArg(exprs(1), "minhash_sig", "numHashes")),
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimhashSig(exprs.head), "scala_udf")

@@ -141,11 +141,15 @@ object Similarity {
     * re-deriving exact Jaccard.) */
   private def withRecallEvidence(s: SparkSession, d: String, res: DataFrame,
                                  floor: Double, tag: String): DataFrame = {
+    // one pass over ONE instance of the exact baseline (it is the
+    // expensive side of the evidence join): a left join marks hits,
+    // count(hit)/count(*) is the recall — no second scan for the
+    // denominator.
     val exact = q43KnnBruteForce(s, d).select(col("qid"), col("nid"))
-    val rec = exact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .select(round(col("n_hit") / col("n_exact"), 4).as("recall_vs_exact"))
+    val rec = exact
+      .join(res.select(col("qid"), col("nid"), lit(1).as("hit")),
+            Seq("qid", "nid"), "left")
+      .agg(round(count(col("hit")) / count(lit(1)), 4).as("recall_vs_exact"))
     res.crossJoin(broadcast(rec))
       .filter(when(col("recall_vs_exact") >= floor, lit(true)).otherwise(
         raise_error(concat(lit(s"$tag recall below floor $floor: "),

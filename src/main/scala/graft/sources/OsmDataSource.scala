@@ -96,37 +96,52 @@ class OsmScan(path: String, required: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (path == null) throw new IllegalArgumentException(
+      "the osm source requires exactly one path: spark.read.format(\"osm\").load(dir)")
+    // the SESSION's hadoop conf (spark.hadoop.*, fs credentials/impls),
+    // not a bare default Configuration — an s3a:// extract dir must
+    // resolve here exactly like it does for the built-in sources
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
-      else Array(path)
-    files.map(f => OsmInputPartition(f): InputPartition)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty) throw new java.io.FileNotFoundException(
+      s"osm source: no files match $path")
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    files.map(f => OsmInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new OsmReaderFactory(required, types)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new OsmReaderFactory(required, types, conf)
+  }
 }
 
 case class OsmInputPartition(file: String) extends InputPartition
 
-class OsmReaderFactory(required: StructType, types: Option[Set[String]])
+class OsmReaderFactory(required: StructType, types: Option[Set[String]],
+                       conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OsmPartitionReader(
-      partition.asInstanceOf[OsmInputPartition].file, required, types)
+      partition.asInstanceOf[OsmInputPartition].file, required, types, conf.value)
 }
 
 /** Streams one file; converts only the REQUIRED columns to Catalyst
   * form (pruned columns cost nothing beyond the parse) and only the
   * PUSHED element types (others never leave the parser). */
 class OsmPartitionReader(file: String, required: StructType,
-                         types: Option[Set[String]])
+                         types: Option[Set[String]],
+                         conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val p = new Path(file)
-  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val in = p.getFileSystem(conf).open(p)
   private val rows = OsmXml.parse(in, types)
   // ordinal in the FULL schema for each required field
   private val fullOrdinals: Array[Int] =
@@ -139,7 +154,10 @@ class OsmPartitionReader(file: String, required: StructType,
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = () // parse() closes the stream at EOF
+  /** parse() closes the stream at EOF, but an early-terminated scan
+    * (limit, task kill) never reaches EOF — close here too so the
+    * handle can't leak; FSDataInputStream.close is idempotent. */
+  override def close(): Unit = in.close()
 
   private def convert(r: org.apache.spark.sql.Row): InternalRow = {
     val out = new GenericInternalRow(fullOrdinals.length)

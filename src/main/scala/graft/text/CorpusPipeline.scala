@@ -25,14 +25,7 @@ object CorpusPipeline {
     * doc_id), with the per-doc quality evidence kept as columns. */
   def q78CorpusPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val survivors = docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_stop",
-        size(expr("filter(toks, t -> t IN ('the','a','of','and'))")).cast("long"))
-      .withColumn("quality", round(
-        (lit(1.0) - col("n_stop").cast("double") / col("n_tok"))
-          * least(col("n_tok"), lit(100)).cast("double") / 100.0, 6))
+    val survivors = TextOps.withQuality(docs)
       .filter(TextOps.langGuess(col("text")) === "en"
         && col("quality") >= QUALITY_FLOOR)
       .select(col("doc_id"), col("text"), col("n_tok"), col("quality"))
@@ -55,20 +48,9 @@ object CorpusPipeline {
     WITH RECURSIVE surv AS (
       SELECT doc_id, text, n_tok, quality FROM (
         SELECT doc_id, text,
-          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-          ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
-                  t -> t IN ('the','a','of','and'))) AS DOUBLE)
-                  / len(string_split(text,' ')))
-            * CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100.0,
-            6) AS quality,
-          CASE
-            WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-            WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
-            WHEN regexp_matches(text, '\\b(el|la|los|las)\\b') THEN 'es'
-            WHEN regexp_matches(text, '\\b(der|die|das|und)\\b') THEN 'de'
-            WHEN regexp_matches(text, '\\b(le|les|des|une)\\b') THEN 'fr'
-            WHEN regexp_matches(text, '\\b(the|a|of|and)\\b') THEN 'en'
-            ELSE 'unknown' END AS lang_pred
+          ${TextOps.ORA_N_TOK} AS n_tok,
+          ${TextOps.ORA_QUALITY} AS quality,
+          ${TextOps.ORA_LANG_CASE} AS lang_pred
         FROM documents)
       WHERE lang_pred = 'en' AND quality >= ${QUALITY_FLOOR}),
     ${Dedup.ORA_PAIR_CTES},

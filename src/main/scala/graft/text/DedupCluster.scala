@@ -65,6 +65,11 @@ object DedupCluster {
       prev = (cnt, chk)
       iters += 1
     }
+    // fail loudly rather than hand back non-fixpoint (wrong) labels —
+    // the star contraction converges in O(log n) rounds, so hitting
+    // the cap means the invariant was broken by an edit.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge after $iters rounds")
     // fixpoint: every component is a star rooted at its min node
     val labels = edges.select(col("v").as("node"), col("u").as("root"))
       .union(edges.select(col("u").as("node"), col("u").as("root")))

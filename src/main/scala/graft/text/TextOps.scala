@@ -52,6 +52,17 @@ object TextOps {
       .when(text.rlike("\\b(the|a|of|and)\\b"), "en")
       .otherwise("unknown")
 
+  /** Oracle mirror of `langGuess` — single definition, reused by o35
+    * and the corpus-pipeline oracle (o78). */
+  val ORA_LANG_CASE = """CASE
+        WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        WHEN regexp_matches(text, '\b(el|la|los|las)\b') THEN 'es'
+        WHEN regexp_matches(text, '\b(der|die|das|und)\b') THEN 'de'
+        WHEN regexp_matches(text, '\b(le|les|des|une)\b') THEN 'fr'
+        WHEN regexp_matches(text, '\b(the|a|of|and)\b') THEN 'en'
+        ELSE 'unknown' END"""
+
   /** q35: predicted-vs-labelled language confusion counts. */
   def q35LangId(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -59,44 +70,44 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
 
-  val o35 = """
-    SELECT lang,
-      CASE
-        WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
-        WHEN regexp_matches(text, '\b(el|la|los|las)\b') THEN 'es'
-        WHEN regexp_matches(text, '\b(der|die|das|und)\b') THEN 'de'
-        WHEN regexp_matches(text, '\b(le|les|des|une)\b') THEN 'fr'
-        WHEN regexp_matches(text, '\b(the|a|of|and)\b') THEN 'en'
-        ELSE 'unknown' END AS predicted,
-      COUNT(*) AS n
+  val o35 = s"""
+    SELECT lang, $ORA_LANG_CASE AS predicted, COUNT(*) AS n
     FROM documents GROUP BY lang, predicted ORDER BY lang, predicted"""
+
+  /** Adds `toks`, `n_tok`, `n_stop`, `quality` columns to a DataFrame
+    * with a `text` column — the one definition of the quality formula
+    * (stopword ratio + length band), shared by q36 and the corpus
+    * pipeline (q78). */
+  def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(expr("filter(toks, t -> t IN ('the','a','of','and'))")).cast("long"))
+      .withColumn("quality",
+        round((lit(1.0) - col("n_stop").cast("double") / col("n_tok"))
+          * least(col("n_tok"), lit(100)).cast("double") / 100.0, 6))
+
+  /** Oracle mirrors of the `withQuality` columns (expressions over a
+    * `text` column), shared by o36 and o78. */
+  val ORA_N_TOK = "CAST(len(string_split(text,' ')) AS BIGINT)"
+  val ORA_N_STOP = """CAST(len(list_filter(string_split(text,' '),
+            t -> t IN ('the','a','of','and'))) AS BIGINT)"""
+  val ORA_QUALITY = """ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+              t -> t IN ('the','a','of','and'))) AS DOUBLE)
+              / len(string_split(text,' ')))
+        * CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100.0,
+        6)"""
 
   /** q36: quality scoring — stopword ratio + length band, integer counts
     * with a fixed-order double formula. */
   def q36QualityScore(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_stop",
-        size(expr("filter(toks, t -> t IN ('the','a','of','and'))")).cast("long"))
-      .select(
-        col("doc_id"), col("n_tok"), col("n_stop"),
-        round((lit(1.0) - col("n_stop").cast("double") / col("n_tok"))
-          * least(col("n_tok"), lit(100)).cast("double") / 100.0, 6)
-          .as("quality"))
+    withQuality(documents(s, d))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"), col("quality"))
       .orderBy(col("doc_id"))
 
-  val o36 = """
-    SELECT doc_id,
-      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-      CAST(len(list_filter(string_split(text,' '),
-            t -> t IN ('the','a','of','and'))) AS BIGINT) AS n_stop,
-      ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
-              t -> t IN ('the','a','of','and'))) AS DOUBLE)
-              / len(string_split(text,' ')))
-        * CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100.0,
-        6) AS quality
+  val o36 = s"""
+    SELECT doc_id, $ORA_N_TOK AS n_tok, $ORA_N_STOP AS n_stop,
+      $ORA_QUALITY AS quality
     FROM documents ORDER BY doc_id"""
 
   /** q37: document fingerprinting — md5 of the normalized text (rolling

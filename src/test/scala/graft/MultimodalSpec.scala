@@ -88,8 +88,6 @@ class MultimodalSpec extends AnyFunSuite {
     val media = files
       .select(element_at(split(col("path"), "/"), -1).as("name"),
               col("length"), col("content").as("media"))
-      .withColumn("doc_id",
-        element_at(split(col("name"), "\\."), 1).substr(1, 1).cast("string"))
     val decoded = Multimodal.decodeStub(
       media.select(dense_rank().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("name")))

@@ -60,7 +60,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "file-source stream did not drain in time")
     val streamed = spark.table("file_src_agg")
       .select(col("event_type"), col("window.start").as("ws"), col("n"))
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
