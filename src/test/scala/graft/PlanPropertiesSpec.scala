@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale-critical physical-plan
+  * properties that bench numbers depend on, asserted as tests so a
+  * regression fails CI instead of only showing up as a slow round.
+  * (Counterpart of docs/PLANS.md, which records the full audit.) */
+class PlanPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // AQE-final plan only materializes on the same QueryExecution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: dimension build side stays broadcast (AQE once picked the fact side)") {
+    val plan = executedPlan(
+      ops.Relational.q03RevenueByNation(spark, TestSpark.SF))
+    assert(plan.contains("BroadcastHashJoin"), s"broadcast pin lost:\n$plan")
+  }
+
+  test("q19: parquet filter pushdown reaches the scan") {
+    val plan = ops.Cleaning.queries("q19_postcode")(spark, TestSpark.SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"no pushed filters in scan:\n$plan")
+  }
+
+  test("q40: postings shuffle keeps its explicit partition count (AQE-coalesce exempt)") {
+    // REPARTITION_BY_NUM must survive into the plan — if the explicit
+    // repartition(N, sg) is ever dropped, AQE coalesces the tiny-bytes
+    // postings shuffle to 1 partition and serializes the quadratic
+    // output stage (measured 4.6s vs 0.9s).
+    val df = text.Dedup.q40NgramJaccard(spark, TestSpark.SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"explicit repartition gone from q40:\n$plan")
+  }
+
+  test("q47: block-pair join is an equi-join, never a nested loop") {
+    val plan = executedPlan(sim.Similarity.q47EmbedNearDup(spark, TestSpark.SF))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q47 degenerated to a nested loop:\n$plan")
+  }
+
+  test("q06: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = ops.Relational.queries("q06_top_brands")(spark, TestSpark.SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k full-sorts:\n$plan")
+  }
+
+  test("q27: per-group top-k keeps the partial WindowGroupLimit below the exchange") {
+    val plan = executedPlan(ops.Windows.queries("q27_window_rank")(spark, TestSpark.SF))
+    assert(plan.contains("WindowGroupLimit"), s"window limit pushdown lost:\n$plan")
+  }
+}
