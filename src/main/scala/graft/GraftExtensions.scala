@@ -25,7 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
-      (exprs: Seq[Expression]) => ShingleSet(exprs.head)))
+      (exprs: Seq[Expression]) =>
+        if (exprs.length > 1)
+          ShingleSet(exprs.head,
+            GraftFunctions.intLiteralArg(exprs(1), "shingle_set", "n"))
+        else ShingleSet(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
@@ -72,7 +76,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "shingle_set", exprs => ShingleSet(exprs.head), "scala_udf")
+      "shingle_set",
+      exprs =>
+        if (exprs.length > 1)
+          ShingleSet(exprs.head,
+            GraftFunctions.intLiteralArg(exprs(1), "shingle_set", "n"))
+        else ShingleSet(exprs.head),
+      "scala_udf")
     reg.createOrReplaceTempFunction(
       "token_counts", exprs => TokenCounts(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(

@@ -17,15 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * per element) and breaks the surrounding WholeStageCodegen span.
   * Measured on the sf0.1 corpus: 4.0 s interpreted vs 0.2 s for this
   * expression — an 18× difference before the dedup math even starts. */
-case class ShingleSet(child: Expression) extends UnaryExpression {
+case class ShingleSet(child: Expression, n: Int = ShingleSet.N)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    ShingleSet.shingles(v.asInstanceOf[UTF8String])
+    ShingleSet.shingles(v.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleSet.shingles($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleSet.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -34,18 +35,21 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
 object ShingleSet {
   final val N = 3
 
-  /** Split on single spaces, emit each distinct 3-token window once,
+  /** Split on single spaces, emit each distinct n-token window once,
     * preserving first-occurrence order (deterministic output).
     * split limit -1 keeps trailing empty tokens — matching Spark SQL's
     * split() and DuckDB's string_split, so oracle parity survives
     * corpora with trailing whitespace. */
-  def shingles(text: UTF8String): ArrayData = {
+  def shingles(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
-    if (toks.length < N) return new GenericArrayData(Array.empty[Any])
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
-    while (i <= toks.length - N) {
-      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      seen.add(sb.toString)
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -55,6 +59,11 @@ object ShingleSet {
     new GenericArrayData(out)
   }
 
+  /** 3-gram default (the dedup-family tokenizer). */
   def shingle_set(c: Column): Column =
     GraftInternal.toColumn(ShingleSet(GraftInternal.toExpression(c)))
+
+  /** n-token windows — longer spans for exact-substring dedup. */
+  def shingle_set(c: Column, n: Int): Column =
+    GraftInternal.toColumn(ShingleSet(GraftInternal.toExpression(c), n))
 }

@@ -410,13 +410,55 @@ object Dedup {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAM_MAX
     ORDER BY i, j"""
 
+  /** q79: exact shared-span detection — the substring-level dedup
+    * modality (public method family: Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): any SPAN-token
+    * window appearing verbatim in two documents links them, regardless
+    * of overall document similarity. Complements set-similarity (q40):
+    * a long quote inside an otherwise-different document is invisible
+    * to Jaccard but decisive here.
+    *
+    * Scale shape: per-doc distinct windows are row-local (generalized
+    * codegen ShingleSet), each span ships as a 60-bit md5-derived LONG
+    * (8 bytes through the shuffle instead of a ~50-char string, and
+    * engine-portable so the oracle is exact), and the inverted index
+    * joins hash-to-hash — same single-exchange pattern as q40. */
+  val SPAN = 8
+  def q79SharedSpans(s: SparkSession, d: String): DataFrame = {
+    val spans = documents(s, d)
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleSet.shingle_set(col("text"), SPAN)).as("span"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(span),1,15),16,10) as bigint)").as("h"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
+    spans.as("a")
+      .join(spans.as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val o79 = s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    spans AS (
+      SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(array_to_string(tk[i:i+${SPAN - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM t, unnest(range(1, len(tk) - ${SPAN - 2})) u(i)
+      WHERE len(tk) >= $SPAN)
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared_spans
+    FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY i, j ORDER BY i, j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_dedup_exact"    -> (q39DedupExact _),
     "q40_ngram_jaccard"  -> (q40NgramJaccard _),
     "q41_minhash_lsh"    -> (q41MinhashLsh _),
-    "q42_simhash"        -> (q42Simhash _))
+    "q42_simhash"        -> (q42Simhash _),
+    "q79_shared_spans"   -> (q79SharedSpans _))
 
   val oracles: Map[String, String] = Map(
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
-    "q41_minhash_lsh" -> o41, "q42_simhash" -> o42)
+    "q41_minhash_lsh" -> o41, "q42_simhash" -> o42,
+    "q79_shared_spans" -> o79)
 }

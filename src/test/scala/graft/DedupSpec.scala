@@ -136,6 +136,23 @@ class DedupSpec extends AnyFunSuite {
     assert(viaExpr == viaScala && viaExpr.nonEmpty)
   }
 
+  test("shared-span dedup links docs by a verbatim 8-token quote, not overall similarity") {
+    // doc 1 contains a verbatim 8-token run from doc 0 inside otherwise
+    // different text — Jaccard over 3-grams is low (2 shared windows of
+    // many), but span dedup must link them; doc 2 shares nothing.
+    val quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    Seq((0L, s"a1 a2 a3 $quote a4 a5 a6 a7 a8 a9", "en", "s", 0L),
+        (1L, s"b1 b2 b3 b4 b5 $quote b6 b7 b8 b9", "en", "s", 0L),
+        (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs3/documents.parquet")
+    val got = Dedup.q79SharedSpans(spark, "/tmp/graft_test_docs3")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 1L, 1L))) // exactly the one quoted span
+    val jac = Dedup.q40NgramJaccard(spark, "/tmp/graft_test_docs3").collect()
+    assert(jac.isEmpty) // set similarity misses the quote relation
+  }
+
   test("simhash distance 0 for identical docs, pairs are symmetric-free") {
     Seq((0L, "a b c d e f g h", "en", "s", 0L),
         (1L, "a b c d e f g h", "en", "s", 0L),
