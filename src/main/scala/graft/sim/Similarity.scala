@@ -28,9 +28,16 @@ object Similarity {
   /** q43: exact brute-force cosine top-k via the codegen'd
     * CosineSimilarity expression. Rounded to 6 dp before ranking so the
     * ordering is reproducible across engines. */
-  def q43KnnBruteForce(s: SparkSession, d: String): DataFrame = {
+  def q43KnnBruteForce(s: SparkSession, d: String): DataFrame =
+    exactTopK(s, d, col("vec_id") < N_QUERIES)
+
+  /** Exact top-k for an arbitrary query subset — q43 is the full query
+    * set; the recall-evidence join reuses this on a 1-in-EVIDENCE_MOD
+    * subsample so the exact flops scale with the audit, not the load. */
+  private def exactTopK(s: SparkSession, d: String,
+                        qPred: org.apache.spark.sql.Column): DataFrame = {
     val e = embeddings(s, d)
-    val q = e.filter(col("vec_id") < N_QUERIES)
+    val q = e.filter(qPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val base = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("qid"))
@@ -120,37 +127,53 @@ object Similarity {
   }
 
   /** Recall floors for the self-evidencing no_oracle ANN queries —
-    * measured (sf0.01 / sf0.1: q44 0.924/0.920 at 16 tables, q55
-    * 0.624/0.640 at 3/16 probes) minus a safety margin. The queries are
-    * deterministic, so these only move if the corpus or parameters
-    * change — and then loudly. (This corpus has no planted near-dups —
-    * top-1 angles are wide, the hard regime for ANN — so recall is
-    * bought with tables/probes: 8 tables measured 0.664/0.720, 16
-    * tables 0.92+ at linear extra cost.) */
+    * asserted on the 1-in-EVIDENCE_MOD audit subsample; measured there
+    * (sf0.01 / sf0.1: q44 0.940/0.920 at 16 tables, q55 0.900/0.840 at
+    * 7/16 probes; full-query-set recall 0.924/0.920 and 0.840/0.820)
+    * minus a safety margin. The queries are deterministic, so these
+    * only move if the corpus or parameters change — and then loudly.
+    * (This corpus has no planted near-dups — top-1 angles are wide,
+    * the hard regime for ANN — so recall is bought with tables/probes;
+    * the curve is in docs/SCALE.md.) */
   val Q44_RECALL_FLOOR = 0.85
-  val Q55_RECALL_FLOOR = 0.50
+  val Q55_RECALL_FLOOR = 0.75
+
+  /** 1-in-N deterministic query subsample the recall evidence is
+    * computed on. The audit cost is the exact baseline over the sampled
+    * queries only — O(n_queries/N × n_base) instead of the full
+    * O(n_queries × n_base) the serving path paid before (at 100 TB the
+    * unsampled evidence join WAS the query). The subsample is by qid
+    * modulus, so the same queries are audited every run and the floor
+    * stays a deterministic tripwire. */
+  val EVIDENCE_MOD = 5
 
   /** Attach inline evidence to an approximate ANN result: a constant
     * `recall_vs_exact` column (fraction of the exact top-k pairs the
-    * approximate query returned) plus a raise_error tripwire if it ever
-    * drops below the floor. The no_oracle CORRECTNESS entries then
-    * carry their own accuracy proof — the driver's rows-only check
-    * fails loudly instead of silently recording a degraded result.
-    * (The exact baseline inside is the verification cost, not the
-    * serving cost: it is how the floor is evidenced, same as DedupSpec
-    * re-deriving exact Jaccard.) */
+    * approximate query returned, over the audited query subsample) plus
+    * a raise_error tripwire if it ever drops below the floor. The
+    * no_oracle CORRECTNESS entries then carry their own accuracy proof —
+    * the driver's rows-only check fails loudly instead of silently
+    * recording a degraded result. */
   private def withRecallEvidence(s: SparkSession, d: String, res: DataFrame,
                                  floor: Double, tag: String): DataFrame = {
-    // one pass over ONE instance of the exact baseline (it is the
-    // expensive side of the evidence join): a left join marks hits,
+    // The approximate plan (bucketed search + window ranking) is
+    // referenced twice below — once by the evidence join, once as the
+    // returned rows. localCheckpoint materializes it once; without it
+    // the full ANN plan executes twice per run.
+    val resC = res.localCheckpoint()
+    // one pass over ONE instance of the sampled exact baseline (it is
+    // the expensive side of the evidence join): a left join marks hits,
     // count(hit)/count(*) is the recall — no second scan for the
     // denominator.
-    val exact = q43KnnBruteForce(s, d).select(col("qid"), col("nid"))
+    val exact = exactTopK(s, d,
+      col("vec_id") < N_QUERIES && col("vec_id") % EVIDENCE_MOD === 0)
+      .select(col("qid"), col("nid"))
     val rec = exact
-      .join(res.select(col("qid"), col("nid"), lit(1).as("hit")),
+      .join(resC.filter(col("qid") % EVIDENCE_MOD === 0)
+              .select(col("qid"), col("nid"), lit(1).as("hit")),
             Seq("qid", "nid"), "left")
       .agg(round(count(col("hit")) / count(lit(1)), 4).as("recall_vs_exact"))
-    res.crossJoin(broadcast(rec))
+    resC.crossJoin(broadcast(rec))
       .filter(when(col("recall_vs_exact") >= floor, lit(true)).otherwise(
         raise_error(concat(lit(s"$tag recall below floor $floor: "),
                            col("recall_vs_exact")))))
@@ -185,11 +208,23 @@ object Similarity {
     * LSH-candidates + exact-verify path, lossless under a margin,
     * spec-tested on planted near-dups. */
   val NEAR_DUP_TAU = 0.45
-  val NEAR_DUP_BLOCKS = 8 // 36 block pairs ≈ one per core at local[32]
+
+  /** Block count for the 1-bucket-theta join, derived from the
+    * session's parallelism so the quadratic flops spread with the
+    * cluster instead of capping at a compile-time constant: solve
+    * B(B+1)/2 ≈ 2 × spark.sql.shuffle.partitions. At local[32] this
+    * gives B=11 (66 block-pairs ≈ 2 waves); on a 1000-executor cluster
+    * with shuffle.partitions sized to cores, B grows as 2√cores and the
+    * per-task memory O(2·n/B) shrinks accordingly. The OUTPUT of q47 is
+    * independent of B — blocking only partitions the pair space. */
+  def nearDupBlocks(s: SparkSession): Int = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(2, math.ceil((math.sqrt(16.0 * p + 1) - 1) / 2).toInt)
+  }
 
   def q47EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    val B = NEAR_DUP_BLOCKS
+    val B = nearDupBlocks(s)
     // Norms are row-local: precompute sqrt(v·v) once per vector instead
     // of once per PAIR — 3× fewer flops in the quadratic stage, and the
     // accumulation order is unchanged so the result stays bit-identical
@@ -275,7 +310,13 @@ object Similarity {
 
   // ---- q55: IVF-style ANN (coarse quantizer + probed cells) ----
   val N_CELLS = 16
-  val N_PROBE = 3 // cells probed per query (recall dial; cost ∝ probes/cells)
+  // Cells probed per query — the recall dial (cost ∝ probes/cells).
+  // Measured curve (full-set recall@5-pairs, sf0.01/sf0.1): 3→0.62/0.64,
+  // 4→0.71/0.69, 5→0.75/0.74, 6→0.81/0.79, 7→0.84/0.82, 8→0.86/0.87.
+  // More Lloyd iterations do NOT help (8 iters measured ≤ 2 iters at
+  // both SFs — the corpus is unclustered Gaussian, so extra iterations
+  // only reshuffle cell boundaries); probes are the honest dial.
+  val N_PROBE = 7
 
   /** q55: IVF-flat ANN — a k-means coarse quantizer (graft.sim.KMeans,
     * Lloyd's iterations as DataFrame ops, fit on a bounded sample)
@@ -295,12 +336,15 @@ object Similarity {
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Double])]]()
 
-  def q55KnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** IVF search without the evidence wrapper — parameterized so the
+    * recall/cost curve is measurable (tools.AnnTune) without editing
+    * the graded constants. */
+  private[graft] def ivfTopK(s: SparkSession, d: String, nProbe: Int,
+                             iters: Int, sample: Int): DataFrame = {
     val e = embeddings(s, d)
     val cents = quantizerCache.computeIfAbsent(
-      s"$d|$N_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
-      _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE),
-        N_CELLS, KMEANS_ITERS))
+      s"$d|$N_CELLS|$iters|$sample",
+      _ => KMeans.fit(e.filter(col("vec_id") < sample), N_CELLS, iters))
     import graft.functions.VectorFunctions.dot_const
     def cellsDesc(v: String) = sort_array(array(cents.map { case (cid, c) =>
       struct((dot_const(col(v), c.map(_ * 2.0)) - lit(c.map(x => x * x).sum)).as("s"),
@@ -313,16 +357,20 @@ object Similarity {
     val qProbes = e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("cells", cellsDesc("qv"))
-      .withColumn("probe", explode(slice(col("cells"), 1, N_PROBE)))
+      .withColumn("probe", explode(slice(col("cells"), 1, nProbe)))
       .select(col("qid"), col("qv"), col("probe.c").as("cell"))
-    val res = broadcast(qProbes).join(base, Seq("cell"))
+    broadcast(qProbes).join(base, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
-    withRecallEvidence(s, d, res, Q55_RECALL_FLOOR, "q55")
   }
+
+  def q55KnnIvf(s: SparkSession, d: String): DataFrame =
+    withRecallEvidence(s, d,
+      ivfTopK(s, d, N_PROBE, KMEANS_ITERS, FIT_SAMPLE),
+      Q55_RECALL_FLOOR, "q55")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
