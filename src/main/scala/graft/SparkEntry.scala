@@ -23,7 +23,8 @@ object SparkEntry {
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
-      sources.SinkRoundtrip.queries ++ sources.FileReport.queries
+      sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
+      sources.OsmCensus.queries ++ sources.PartitionedScan.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
-      sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles
+      sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
+      sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles
 }

@@ -700,9 +700,26 @@ object Relational {
     val bigOrders = orders(s, d).filter(col("o_totalprice") > 400000)
       .select(col("o_orderkey"), col("o_totalprice"))
     val bf = bigOrders.stat.bloomFilter("o_orderkey", 10000, 0.01)
-    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    // Probe through Spark's own codegen BloomFilterMightContain
+    // expression (the one InjectRuntimeFilter plants), not a Scala udf:
+    // the udf boxed every key and broke the WholeStageCodegen span. The
+    // sketch serializes to the exact format the expression's
+    // deserialize/readFrom expects (both are util.sketch.BloomFilter),
+    // and the filter was built over raw longs, so the value side is the
+    // raw key column. The expression isn't in the public function
+    // registry — reached via the same-package GraftInternal shim.
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = org.apache.spark.sql.GraftInternal.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("l_orderkey")))
     lineitem(s, d)
-      .filter(mightContain(col("l_orderkey")))
+      .filter(probe)
       .join(bigOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"))

@@ -108,10 +108,21 @@ class OsmScan(path: String, required: StructType,
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     if (matched.isEmpty) throw new java.io.FileNotFoundException(
       s"osm source: no files match $path")
+    // Hadoop's hiddenFileFilter convention (also applied by the RDD
+    // path's binaryFiles): ignore _SUCCESS markers, dotfiles and other
+    // system files so a stray non-XML artifact can't fail the scan and
+    // the two readers agree on inputs.
+    def visible(p: Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(s => s.isFile && visible(s.getPath)).toSeq
       else Seq(st)
     }.map(_.getPath.toString).sorted
+    if (files.isEmpty) throw new java.io.FileNotFoundException(
+      s"osm source: no visible files under $path")
     files.map(f => OsmInputPartition(f): InputPartition).toArray
   }
 
@@ -189,6 +200,15 @@ class OsmPartitionReader(file: String, required: StructType,
       case 10        => // nds: array<long>; parser may leave null members
         val nds = r.getSeq[Any](10)
         new GenericArrayData(nds.toArray): ArrayData
+      case 11        => // members: array<struct<mtype,ref,role>>
+        val ms = r.getSeq[org.apache.spark.sql.Row](11)
+        new GenericArrayData(ms.map { m =>
+          val s = new GenericInternalRow(3)
+          s.update(0, Option(m.getString(0)).map(UTF8String.fromString).orNull)
+          s.update(1, if (m.isNullAt(1)) null else m.getLong(1))
+          s.update(2, Option(m.getString(2)).map(UTF8String.fromString).orNull)
+          s: Any
+        }.toArray)
       case other     => throw new IllegalStateException(s"ordinal $other")
     }
   }

@@ -43,7 +43,11 @@ object OsmXml {
     StructField("timestamp", TimestampType),
     StructField("tags", ArrayType(StructType(Seq(
       StructField("k", StringType), StructField("v", StringType))))),
-    StructField("nds", ArrayType(LongType))))
+    StructField("nds", ArrayType(LongType)),
+    // ordered <member> children of a <relation> (null for node/way)
+    StructField("members", ArrayType(StructType(Seq(
+      StructField("mtype", StringType), StructField("ref", LongType),
+      StructField("role", StringType)))))))
 
   /** Read one or many `.osm` files (glob/dir supported by binaryFiles)
     * into the elements DataFrame. */
@@ -53,12 +57,47 @@ object OsmXml {
     spark.createDataFrame(rows, schema)
   }
 
+  /** A1 in its raw-XML form (the reference family's `count_tags`): a
+    * census of EVERY element tag name in the document — including the
+    * structure the row model doesn't carry (`osm` root, `bounds`,
+    * nested `tag`/`nd`/`member`) — as (tag, count). Same execution
+    * model as `elements`: one streaming StAX pass per file, constant
+    * memory (the per-file map is bounded by the XML vocabulary, ~10
+    * names), partial counts merged by one tiny reduceByKey. */
+  def countTags(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) => countStartElements(pds.open()).iterator }
+      .reduceByKey(_ + _)
+      .map { case (t, n) => Row(t, n) }
+    spark.createDataFrame(counts, StructType(Seq(
+      StructField("tag", StringType), StructField("count", LongType))))
+  }
+
+  /** Streaming count of start-element names in one XML byte stream. */
+  def countStartElements(in: InputStream): Map[String, Long] = {
+    val factory = XMLInputFactory.newFactory()
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = factory.createXMLStreamReader(in)
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT) {
+          val n = r.getLocalName
+          m.update(n, m.getOrElse(n, 0L) + 1L)
+        }
+      }
+    } finally { r.close(); in.close() }
+    m.toMap
+  }
+
   /** Streaming element iterator over an XML byte stream. Emits one Row
-    * per <node>/<way>; other elements (bounds, relation, …) are
-    * skipped. `wantedTypes` is the pushed-down `type` predicate — a
-    * non-matching element's subtree is skipped by the pull parser
-    * without building a Row at all. Closes the stream when
-    * exhausted. */
+    * per <node>/<way>/<relation>; non-element structure (bounds, the
+    * osm root, …) is skipped — use `countTags` for raw tag-name
+    * censuses over the full document. `wantedTypes` is the pushed-down
+    * `type` predicate — a non-matching element's subtree is skipped by
+    * the pull parser without building a Row at all. Closes the stream
+    * when exhausted. */
   def parse(in: InputStream,
             wantedTypes: Option[Set[String]] = None): Iterator[Row] = new Iterator[Row] {
     private val factory = XMLInputFactory.newFactory()
@@ -81,7 +120,7 @@ object OsmXml {
       while (nextRow == null && r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT) {
           val name = r.getLocalName
-          if ((name == "node" || name == "way") &&
+          if ((name == "node" || name == "way" || name == "relation") &&
               wantedTypes.forall(_.contains(name)))
             nextRow = readElement(name)
         }
@@ -102,6 +141,7 @@ object OsmXml {
       val ts = tsAttr("timestamp")
       val tags = Seq.newBuilder[Row]
       val nds = Seq.newBuilder[Any]
+      val members = Seq.newBuilder[Row]
       var depth = 1
       while (depth > 0 && r.hasNext) {
         r.next() match {
@@ -111,6 +151,9 @@ object OsmXml {
               case "tag" => tags += Row(r.getAttributeValue(null, "k"),
                                         r.getAttributeValue(null, "v"))
               case "nd"  => nds += longAttr("ref")
+              case "member" => members += Row(
+                r.getAttributeValue(null, "type"), longAttr("ref"),
+                r.getAttributeValue(null, "role"))
               case _     => ()
             }
           case XMLStreamConstants.END_ELEMENT => depth -= 1
@@ -118,7 +161,8 @@ object OsmXml {
         }
       }
       Row(name, id, lat, lon, user, uid, version, changeset, ts,
-          tags.result(), if (name == "way") nds.result() else null)
+          tags.result(), if (name == "way") nds.result() else null,
+          if (name == "relation") members.result() else null)
     }
 
     private def longAttr(n: String): Any = {

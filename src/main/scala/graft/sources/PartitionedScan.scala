@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Dynamic partition pruning under the gate: the partitioned-layout
+  * counterpart of q65's bloom runtime filter. The query writes a
+  * Hive-style partitioned copy of `orders` (partitionBy the join
+  * column) plus a tiny priority dimension, then joins the partitioned
+  * fact to the FILTERED dimension — Spark's DynamicPartitionPruning
+  * rule turns the dimension's broadcast into a partition-filter
+  * subquery on the fact scan, so only the matching partition
+  * directories are read at all (`PartitionFilters:
+  * [dynamicpruningexpression(...)]` in the scan — guarded by
+  * PlanPropertiesSpec). At 100 TB this is THE mechanism that makes
+  * fact-dim star joins read 1/k-th of the fact table; static pruning
+  * (a literal predicate on the partition column) is exercised by
+  * ScaleSpec, this query exercises the join-driven runtime form.
+  *
+  * The oracle is the plain join over the unpartitioned table — the
+  * partitioned layout is a physical re-arrangement, so results are
+  * identical row-for-row. */
+object PartitionedScan {
+
+  private val processTag: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid.toString
+
+  def q82DynamicPartitionPruning(s: SparkSession, d: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_dpp_${d.hashCode.toHexString}_$processTag"
+    // one partitioned write per (dataset, process): the layout is the
+    // operator's input, not its work — repeat executions (bench reps)
+    // measure the pruned read, like any table that was ETL'd once
+    val marker = java.nio.file.Paths.get(base, "_graft_ready")
+    if (!java.nio.file.Files.exists(marker)) {
+      orders(s, d)
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(s"$base/orders_part")
+      orders(s, d).select(col("o_orderpriority")).distinct()
+        .write.mode("overwrite").parquet(s"$base/prio_dim")
+      java.nio.file.Files.createFile(marker)
+    }
+    val fact = s.read.parquet(s"$base/orders_part")
+    val dim = s.read.parquet(s"$base/prio_dim")
+      .filter(col("o_orderpriority").startsWith("1"))
+    fact.join(broadcast(dim), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val o82 = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderpriority LIKE '1%'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_dynamic_pruning" -> (q82DynamicPartitionPruning _))
+
+  val oracles: Map[String, String] = Map(
+    "q82_dynamic_pruning" -> o82)
+}

@@ -195,12 +195,16 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** PPJoin-style prefix-filtered exact Jaccard join — LOSSLESS for
-    * threshold τ: shingles globally ordered rarest-first, a document
+  /** q80 / PPJoin-style prefix-filtered exact Jaccard join — LOSSLESS
+    * for threshold τ: shingles globally ordered rarest-first, a document
     * with n shingles indexes only its first n − ⌈τ·n⌉ + 1; any pair
     * with J ≥ τ must collide inside these prefixes. Same output as
-    * q40 (asserted in DedupSpec); the scale path when shingle
-    * frequencies are heavy-tailed. */
+    * q40 (shares its oracle, and DedupSpec asserts the equality
+    * directly); the scale path when shingle frequencies are
+    * heavy-tailed — registered under the gate as q80 so the 100 TB
+    * escape hatch is itself oracle-checked, even though on THIS small
+    * corpus the direct index join is faster (measured 6×; tiny
+    * vocabulary means prefixes prune little). */
   def ppjoinJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val docFreq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
@@ -424,12 +428,32 @@ object Dedup {
     * engine-portable so the oracle is exact), and the inverted index
     * joins hash-to-hash — same single-exchange pattern as q40. */
   val SPAN = 8
+
+  /** Doc-frequency cutoff for span hashes (off by default). A
+    * boilerplate span shared by m documents contributes m²/2 join rows
+    * — the same heavy-tail hazard as q40's frequent shingles, but with
+    * no verify stage to hide behind: dropping a span REMOVES its
+    * contribution from `shared_spans`, so unlike STOP_SHINGLE_CONF
+    * this cutoff is a documented approximation (license headers /
+    * templates are usually exactly what span-dedup wants to ignore
+    * anyway — Lee et al. drop top-frequency spans for the same
+    * reason). Off here keeps the oracle exact; DedupSpec asserts the
+    * gated variant returns a subset with no inflated counts. */
+  val STOP_SPAN_CONF = "spark.graft.dedup.stopSpanDf"
+
   def q79SharedSpans(s: SparkSession, d: String): DataFrame = {
-    val spans = documents(s, d)
+    val raw = documents(s, d)
       .select(col("doc_id"), explode(
         graft.functions.ShingleSet.shingle_set(col("text"), SPAN)).as("span"))
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(span),1,15),16,10) as bigint)").as("h"))
+    val kept = s.conf.getOption(STOP_SPAN_CONF).map(_.toInt) match {
+      case Some(cut) => raw.join(
+        raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cut).select(col("h")), Seq("h"))
+      case None => raw
+    }
+    val spans = kept
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
     spans.as("a")
       .join(spans.as("b"), col("a.h") === col("b.h")
@@ -455,10 +479,14 @@ object Dedup {
     "q40_ngram_jaccard"  -> (q40NgramJaccard _),
     "q41_minhash_lsh"    -> (q41MinhashLsh _),
     "q42_simhash"        -> (q42Simhash _),
-    "q79_shared_spans"   -> (q79SharedSpans _))
+    "q79_shared_spans"   -> (q79SharedSpans _),
+    "q80_ppjoin_jaccard" -> (ppjoinJaccard _))
 
   val oracles: Map[String, String] = Map(
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
     "q41_minhash_lsh" -> o41, "q42_simhash" -> o42,
-    "q79_shared_spans" -> o79)
+    "q79_shared_spans" -> o79,
+    // q80 is the prefix-filtered formulation of the SAME exact join —
+    // identical output to q40, identical oracle.
+    "q80_ppjoin_jaccard" -> ORA_JACCARD_PAIRS)
 }

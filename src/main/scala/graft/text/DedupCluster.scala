@@ -20,6 +20,21 @@ import graft.Tables._
   */
 object DedupCluster {
 
+  /** localCheckpoint that records which RDD blocks it persisted, so the
+    * loop can free the PREVIOUS round's blocks once the new round is
+    * materialized — without this the per-round checkpoints accumulate
+    * in storage for up to the 50-round cap, a memory-pressure risk in
+    * exactly the large-graph regime the O(log n) algorithm targets. */
+  private def checkpointTracked(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint() // eager: materialized on return
+    val created = sc.getPersistentRDDs.view
+      .filterKeys(!before.contains(_)).values.toSeq
+    (out, created)
+  }
+
   /** Connected components over an undirected pair list (`i`, `j`).
     * Returns one row per node that appears in any edge: (node, root)
     * where root = min node id of the component. */
@@ -30,9 +45,9 @@ object DedupCluster {
     // exponential by iteration 5. Checkpointing materializes the ~O(n)
     // edge partitions and resets the plan. (On a cluster, reliable
     // checkpointing to the DFS does the same with fault tolerance.)
-    var edges = pairs
+    var (edges, edgeRdds) = checkpointTracked(pairs
       .select(least(col("i"), col("j")).as("u"), greatest(col("i"), col("j")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     var prev = (-1L, 0L) // (edge count, xxhash checksum)
     var done = false
     var iters = 0
@@ -50,17 +65,22 @@ object DedupCluster {
         .union(ls.select(col("v").as("a"), col("u").as("b")))
       val m2 = sym2.groupBy(col("a")).agg(min(col("b")).as("minb"))
         .select(col("a"), least(col("a"), col("minb")).as("m"))
-      val ss = sym2.join(m2, Seq("a")).filter(col("b") <= col("a"))
-        .select(col("b").as("x"), col("m"))
-        .union(m2.select(col("a").as("x"), col("m")))
-        .filter(col("x") =!= col("m"))
-        .select(col("m").as("u"), col("x").as("v")) // m = min < x
-        .distinct().localCheckpoint()
+      val (ss, ssRdds) = checkpointTracked(
+        sym2.join(m2, Seq("a")).filter(col("b") <= col("a"))
+          .select(col("b").as("x"), col("m"))
+          .union(m2.select(col("a").as("x"), col("m")))
+          .filter(col("x") =!= col("m"))
+          .select(col("m").as("u"), col("x").as("v")) // m = min < x
+          .distinct())
+      // the new round is materialized — the previous round's
+      // checkpointed blocks are unreachable from here on; free them.
+      edgeRdds.foreach(_.unpersist(blocking = false))
       val Array(cnt, chk) = ss
         .agg(count(lit(1)),
              coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       edges = ss
+      edgeRdds = ssRdds
       done = (cnt, chk) == prev
       prev = (cnt, chk)
       iters += 1

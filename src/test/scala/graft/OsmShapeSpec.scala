@@ -89,8 +89,15 @@ class OsmShapeSpec extends AnyFunSuite {
 
     val elems = graft.sources.OsmXml.elements(spark, f.toString)
     assert(elems.schema == graft.sources.OsmXml.schema)
-    // relation skipped; node 3's bad lat parses to NULL (validated later)
-    assert(elems.count() == 4)
+    // 3 nodes + 1 way + 1 relation; node 3's bad lat parses to NULL
+    // (validated later)
+    assert(elems.count() == 5)
+    // relation round-trips with ordered members (type, ref, role)
+    val rel = elems.filter(col("type") === "relation").collect()
+    assert(rel.length == 1 && rel.head.getLong(1) == 9L)
+    assert(rel.head.getAs[scala.collection.Seq[Row]]("members")
+      .map(m => (m.getString(0), m.getLong(1), m.getString(2))).toSeq ==
+      Seq(("way", 7L, "outer")))
 
     val out = OsmShape.shapeAll(elems, mapping)
     assert(out("nodes").collect().map(_.getLong(0)).toSeq == Seq(1L))
@@ -155,6 +162,17 @@ class OsmShapeSpec extends AnyFunSuite {
     // line is unrelated)
     assert("(\\)|-) Filter ".r.findFirstIn(nPlan).isEmpty,
       s"type filter not absorbed:\n$nPlan")
+  }
+
+  test("q81 raw tag census matches golden counts (count_tags parity)") {
+    val got = graft.sources.OsmCensus
+      .q81OsmCountTags(spark, TestSpark.SF)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand-counted from OsmCensus.fixtureXml: every start-element name,
+    // including the structure the row model doesn't carry (osm, bounds)
+    assert(got == Map(
+      "osm" -> 2L, "bounds" -> 1L, "node" -> 3L, "way" -> 1L,
+      "relation" -> 1L, "tag" -> 4L, "nd" -> 2L, "member" -> 2L))
   }
 
   test("street canonicalization leaves unmapped values untouched") {

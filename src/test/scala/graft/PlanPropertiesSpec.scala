@@ -45,6 +45,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"q47 degenerated to a nested loop:\n$plan")
   }
 
+  test("q82: fact scan carries a dynamicpruning partition filter") {
+    val df = sources.PartitionedScan.queries("q82_dynamic_pruning")(spark, TestSpark.SF)
+    val plan = executedPlan(df)
+    assert(plan.contains("dynamicpruning"),
+      s"join-driven partition pruning did not plan:\n${plan.take(3000)}")
+  }
+
+  test("q65: bloom probe is the native might_contain expression, not a Scala udf") {
+    val df = ops.Relational.queries("q65_bloom_join")(spark, TestSpark.SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native bloom probe missing:\n${plan.take(2000)}")
+    assert(!plan.contains("ScalaUDF"), "q65 must not probe through a udf")
+  }
+
   test("q06: top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = ops.Relational.queries("q06_top_brands")(spark, TestSpark.SF)
       .queryExecution.executedPlan.toString
