@@ -21,7 +21,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
-      text.CorpusPipeline.queries ++
+      text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.PartitionedScan.queries
@@ -32,7 +32,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
-      text.CorpusPipeline.oracles ++
+      text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles

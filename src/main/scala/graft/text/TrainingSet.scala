@@ -1,0 +1,199 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Training-set assembly operators — the stage AFTER curation (q78)
+  * in an LLM data pipeline: pack the surviving text into fixed-length
+  * training sequences, weight the source mixture, and decontaminate
+  * against an evaluation set. Each is deterministic and oracle-checked.
+  */
+object TrainingSet {
+
+  // ---- q83: sequence packing (concat-then-chunk) ----
+
+  /** Tokens per training sequence. */
+  val SEQ_BUDGET = 512L
+  /** Documents per cumsum bucket (the two-phase global-prefix-sum
+    * granularity; any value works — results are bucket-independent). */
+  val PACK_BUCKET = 100L
+
+  /** q83: concat-then-chunk sequence packing — documents are laid out
+    * end-to-end in doc_id order and the token stream is cut into
+    * SEQ_BUDGET-sized training sequences; the output maps each chunk
+    * to the documents that contribute to it and with how many tokens
+    * (what an attention-mask builder consumes downstream).
+    *
+    * The global running offset is THE scale hazard here: a naive
+    * `Window.orderBy(doc_id)` cumsum is a single-partition window — one
+    * task sees the whole corpus. Same cure as q64's stratified ranks:
+    * per-bucket cumsums in parallel + a tiny per-bucket offset table
+    * (one row per PACK_BUCKET docs) broadcast back. The bucket key
+    * `doc_id div PACK_BUCKET` is a monotone function of the global
+    * order, so bucket-local prefix + bucket offset == global prefix
+    * exactly (asserted against the naive single-window formulation in
+    * TrainingSetSpec). Chunk assignment is then row-local: a doc
+    * spanning tokens [off, off+n) overlaps chunks off/B .. (off+n-1)/B,
+    * exploded per doc — output size is n_docs + n_chunk_crossings, not
+    * n_tokens. */
+  def q83SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bkt", expr(s"doc_id div $PACK_BUCKET"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    val within = docs
+      .withColumn("cum_end_in", sum(col("n_tok")).over(wIn))
+    // one row per bucket; running offsets over this tiny table are a
+    // single-partition window over n_docs/PACK_BUCKET rows — driver-
+    // scale state, broadcast back to the fact side
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("bkt_off", coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    within.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("off", col("bkt_off") + col("cum_end_in") - col("n_tok"))
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"off div $SEQ_BUDGET"),
+        expr(s"(off + n_tok - 1) div $SEQ_BUDGET"))))
+      .select(col("chunk_id"), col("doc_id"),
+        (least(col("off") + col("n_tok"), (col("chunk_id") + 1) * SEQ_BUDGET)
+          - greatest(col("off"), col("chunk_id") * SEQ_BUDGET)).as("n_tok_in_chunk"))
+      .orderBy(col("chunk_id"), col("doc_id"))
+  }
+
+  val o83 = s"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents WHERE len(string_split(text, ' ')) > 0),
+    c AS (
+      -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which range() rejects
+      SELECT doc_id, n_tok,
+        CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS off
+      FROM d)
+    SELECT chunk_id, doc_id,
+      LEAST(off + n_tok, (chunk_id + 1) * $SEQ_BUDGET)
+        - GREATEST(off, chunk_id * $SEQ_BUDGET) AS n_tok_in_chunk
+    FROM c, unnest(range(off // $SEQ_BUDGET,
+                         (off + n_tok - 1) // $SEQ_BUDGET + 1)) u(chunk_id)
+    ORDER BY chunk_id, doc_id"""
+
+  // ---- q84: mixture weighting (source-proportional sampling) ----
+
+  /** Per-language target sampling rates — the "data mixture" knob.
+    * Expressed as a tiny mapping table broadcast-joined to the corpus
+    * (same pattern as the street-suffix mapping join, P7): changing
+    * the mixture is a table edit, not a code edit. */
+  val MIXTURE: Seq[(String, Double)] =
+    Seq("en" -> 0.9, "de" -> 0.5, "fr" -> 0.5)
+  val MIXTURE_DEFAULT = 0.2
+
+  /** q84: deterministic mixture sampling — each document draws a
+    * uniform u from the first 8 hex chars of md5(doc_id) (engine-
+    * portable, reproducible, and independent of partitioning — the
+    * property `rand()` does NOT have) and survives iff u < its
+    * language's target rate. Output is the per-language audit:
+    * corpus size, kept size, the target rate, and the achieved rate —
+    * the numbers a mixture dashboard shows. */
+  def q84MixtureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = MIXTURE.toDF("lang", "rate")
+    val docs = documents(s, d)
+      .withColumn("u",
+        expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)")
+          / lit(4294967296.0))
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(MIXTURE_DEFAULT)))
+    docs.groupBy(col("lang"), col("rate"))
+      .agg(count(lit(1)).as("n_total"),
+           count(when(col("u") < col("rate"), 1)).as("n_kept"))
+      .withColumn("achieved", round(col("n_kept").cast("double") / col("n_total"), 6))
+      .select(col("lang"), col("n_total"), col("n_kept"), col("rate"),
+              col("achieved"))
+      .orderBy(col("lang"))
+  }
+
+  val o84 = {
+    val cases = MIXTURE.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""
+    WITH d AS (
+      SELECT lang,
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u,
+        CASE lang $cases ELSE $MIXTURE_DEFAULT END AS rate
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_total,
+      CAST(COUNT(CASE WHEN u < rate THEN 1 END) AS BIGINT) AS n_kept,
+      rate, ROUND(CAST(COUNT(CASE WHEN u < rate THEN 1 END) AS DOUBLE)
+                  / COUNT(*), 6) AS achieved
+    FROM d GROUP BY lang, rate ORDER BY lang"""
+  }
+
+  // ---- q85: decontamination (eval-set span overlap removal) ----
+
+  /** Deterministic stand-in eval set: every 97th document plays the
+    * benchmark. In production this is the actual benchmark corpus;
+    * the operator is the same either way. */
+  val EVAL_MOD = 97
+
+  /** q85: decontamination — drop every training document that shares a
+    * verbatim SPAN-token window with the evaluation set (the Lee-et-al
+    * span machinery from q79, pointed at train×eval instead of
+    * train×train). Scale shape: the eval side's span index is tiny
+    * relative to the corpus and broadcasts; the train side streams
+    * row-local spans against it — no all-pairs stage at all. Output:
+    * the surviving training corpus with its contamination audit
+    * (n_docs dropped per lang). */
+  def q85Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val spans = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(
+        graft.functions.ShingleSet.shingle_set(col("text"), Dedup.SPAN)).as("span"))
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substr(md5(span),1,15),16,10) as bigint)").as("h"))
+    val evalSpans = spans.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("h")).distinct()
+    val train = spans.filter(col("doc_id") % EVAL_MOD =!= 0)
+    val contaminated = train
+      .join(broadcast(evalSpans), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    documents(s, d).filter(col("doc_id") % EVAL_MOD =!= 0)
+      .join(contaminated.withColumn("dropped", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+           count(col("dropped")).as("n_contaminated"),
+           min(when(col("dropped").isNull, col("doc_id"))).as("first_clean_id"))
+      .orderBy(col("lang"))
+  }
+
+  val o85 = s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    spans AS (
+      SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(array_to_string(tk[i:i+${Dedup.SPAN - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM t, unnest(range(1, len(tk) - ${Dedup.SPAN - 2})) u(i)
+      WHERE len(tk) >= ${Dedup.SPAN}),
+    ev AS (SELECT DISTINCT h FROM spans WHERE doc_id % $EVAL_MOD = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM spans s JOIN ev ON s.h = ev.h
+      WHERE s.doc_id % $EVAL_MOD <> 0)
+    SELECT d.lang, COUNT(*) AS n_train,
+      CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+      MIN(CASE WHEN c.doc_id IS NULL THEN d.doc_id END) AS first_clean_id
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % $EVAL_MOD <> 0
+    GROUP BY d.lang ORDER BY d.lang"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_sequence_packing" -> (q83SequencePacking _),
+    "q84_mixture_sample"   -> (q84MixtureSample _),
+    "q85_decontaminate"    -> (q85Decontaminate _))
+
+  val oracles: Map[String, String] = Map(
+    "q83_sequence_packing" -> o83,
+    "q84_mixture_sample"   -> o84,
+    "q85_decontaminate"    -> o85)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Dedup, TextOps, TrainingSet}
+
+/** Training-set assembly (q83 packing, q84 mixture, q85 decontamination). */
+class TrainingSetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q83 two-phase packing == naive single-window global cumsum") {
+    // The scale formulation (per-bucket cumsum + broadcast bucket offsets)
+    // must equal the formulation it replaces: one global orderBy window.
+    val docs = graft.Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val naive = docs
+      .withColumn("off",
+        coalesce(sum(col("n_tok")).over(
+          Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"off div ${TrainingSet.SEQ_BUDGET}"),
+        expr(s"(off + n_tok - 1) div ${TrainingSet.SEQ_BUDGET}"))))
+      .select(col("chunk_id"), col("doc_id"),
+        (least(col("off") + col("n_tok"),
+          (col("chunk_id") + 1) * TrainingSet.SEQ_BUDGET)
+          - greatest(col("off"), col("chunk_id") * TrainingSet.SEQ_BUDGET))
+          .as("n_tok_in_chunk"))
+      .as[(Long, Long, Long)].collect().toSet
+    val twoPhase = TrainingSet.q83SequencePacking(spark, TestSpark.SF)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(twoPhase == naive && naive.nonEmpty)
+  }
+
+  test("q83 chunks are exactly SEQ_BUDGET tokens except the last") {
+    val perChunk = TrainingSet.q83SequencePacking(spark, TestSpark.SF)
+      .groupBy("chunk_id").agg(sum("n_tok_in_chunk").as("tok"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(perChunk.nonEmpty)
+    val last = perChunk.last
+    perChunk.dropRight(1).foreach { case (id, tok) =>
+      assert(tok == TrainingSet.SEQ_BUDGET, s"chunk $id has $tok tokens") }
+    assert(last._2 > 0 && last._2 <= TrainingSet.SEQ_BUDGET)
+    // chunk ids are dense from 0
+    assert(perChunk.map(_._1).toSeq == (0L until perChunk.length).toSeq)
+  }
+
+  test("q84 mixture audit: kept <= total and achieved rate near target") {
+    val rows = TrainingSet.q84MixtureSample(spark, TestSpark.SF)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, total, kept, rate, achieved) =>
+      assert(kept <= total, s"$lang kept>total")
+      assert(math.abs(achieved - kept.toDouble / total) < 1e-6)
+      // md5-derived u is uniform; at sf0.001 strata are small, so allow a
+      // generous tolerance — this is a sanity bound, not a statistics test
+      assert(math.abs(achieved - rate) < 0.35, s"$lang achieved=$achieved rate=$rate")
+    }
+  }
+
+  test("q85 drops exactly the docs sharing a span with the eval slice") {
+    // Planted fixture: doc 0 (id % 97 == 0) is eval; doc 1 copies an
+    // 8-token span from it; doc 2 shares nothing.
+    val span = (1 to Dedup.SPAN).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, s"$span tail0 tail1", "en", "s", 0L),
+      (1L, s"lead0 $span", "en", "s", 0L),
+      (2L, (1 to 12).map(i => s"z$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft_ts_docs/documents.parquet")
+    val got = TrainingSet.q85Decontaminate(spark, "/tmp/graft_ts_docs")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(got.toSeq == Seq(("en", 2L, 1L, Some(2L))))
+  }
+}
