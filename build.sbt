@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print a machine-parsed JSON line as their last
+// stdout; sbt's "[success] Total time..." trailer would otherwise follow
+// it and break tail-capture parsing.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see — exclude it from the check.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,10 +36,16 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole line ~2.5 KB for 86 queries so it
+    // survives the driver's ~4 KB stdout tail capture intact (full-precision
+    // doubles pushed it past the window three rounds running).
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
     // Both rounds' BENCH artifacts had "parsed": null — the metric line
     // was buried in sbt [info]-prefixed stdout and truncated by tail
     // capture. Persist the JSON to a file the driver (or a human) can

@@ -54,4 +54,25 @@ object Tables {
 
   /** Oracle-side (DuckDB) equivalent of `ts_us`. */
   val ORA_TS_US = "make_timestamp(epoch_ns(ts)//1000)"
+
+  /** Shuffle-partition count with a hardening fallback: platforms may set
+    * `spark.sql.shuffle.partitions` to a non-numeric value (e.g. "auto"),
+    * where a bare `.toInt` throws; fall back to the context's default
+    * parallelism — the same order of magnitude, and the uses of this value
+    * (repartition counts, block counts) only need "scales with the
+    * cluster", not the exact conf. */
+  def shufflePartitions(s: SparkSession): Int =
+    scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+
+  /** The RDDs a `localCheckpoint` persisted for `df`, derived from the
+    * DataFrame's own plan (the `LogicalRDD` leaves a checkpoint rewrites
+    * the plan to). A global before/after diff of
+    * `sc.getPersistentRDDs` — the previous approach — could capture an
+    * unrelated RDD persisted concurrently by another thread on the shared
+    * context and later unpersist it mid-use; the plan-derived form cannot. */
+  def checkpointedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

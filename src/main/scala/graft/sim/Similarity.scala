@@ -154,6 +154,16 @@ object Similarity {
     * no_oracle CORRECTNESS entries then carry their own accuracy proof —
     * the driver's rows-only check fails loudly instead of silently
     * recording a degraded result. */
+  /** Evidence checkpoints from PREVIOUS invocations, per tag — freed when
+    * the same query is built again (bench reps, repeated verify runs). The
+    * current invocation's blocks must stay persisted because the returned
+    * DataFrame's lineage is truncated at the checkpoint; but once a new
+    * plan for the same tag exists, the old one is no longer served, so its
+    * blocks are released instead of accumulating for the session's life
+    * (DedupCluster got the same tracked-unpersist treatment). */
+  private val evidenceCheckpoints =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.rdd.RDD[_]]]()
+
   private def withRecallEvidence(s: SparkSession, d: String, res: DataFrame,
                                  floor: Double, tag: String): DataFrame = {
     // The approximate plan (bucketed search + window ranking) is
@@ -161,6 +171,8 @@ object Similarity {
     // returned rows. localCheckpoint materializes it once; without it
     // the full ANN plan executes twice per run.
     val resC = res.localCheckpoint()
+    Option(evidenceCheckpoints.put(tag, checkpointedRdds(resC)))
+      .foreach(_.foreach(_.unpersist(blocking = false)))
     // one pass over ONE instance of the sampled exact baseline (it is
     // the expensive side of the evidence join): a left join marks hits,
     // count(hit)/count(*) is the recall — no second scan for the
@@ -218,7 +230,7 @@ object Similarity {
     * per-task memory O(2·n/B) shrinks accordingly. The OUTPUT of q47 is
     * independent of B — blocking only partitions the pair space. */
   def nearDupBlocks(s: SparkSession): Int = {
-    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = shufflePartitions(s) // numeric-conf fallback lives in Tables
     math.max(2, math.ceil((math.sqrt(16.0 * p + 1) - 1) / 2).toInt)
   }
 
@@ -249,7 +261,7 @@ object Similarity {
     // Quadratic-OUTPUT join on a small-bytes shuffle: pin the partition
     // count so AQE's byte-based coalescing can't serialize the flops
     // onto one core (same failure mode as q40's postings join).
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = shufflePartitions(s)
     aSide.repartition(n, col("bk"))
       .join(bSide.repartition(n, col("bk")), Seq("bk"))
       // diagonal keys (p==q) see their block on both sides: keep each

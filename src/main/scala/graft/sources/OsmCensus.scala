@@ -19,9 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object OsmCensus {
 
-  private val processTag: String =
-    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid.toString
-
   /** Two per-region-extract-style files (multi-file: exercises the
     * one-task-per-file partitioning) + a `_SUCCESS` marker that BOTH
     * readers must ignore (Hadoop hiddenFileFilter convention). */
@@ -55,15 +52,17 @@ object OsmCensus {
       |</osm>""".stripMargin)
 
   private[sources] def writeFixture(d: String): String = {
-    val base = System.getProperty("java.io.tmpdir") +
-      s"/graft_osm_census_${d.hashCode.toHexString}_$processTag"
-    val dir = java.nio.file.Paths.get(base)
-    java.nio.file.Files.createDirectories(dir)
-    fixtureXml.zipWithIndex.foreach { case (xml, i) =>
-      java.nio.file.Files.write(dir.resolve(s"extract_$i.osm"),
-        xml.getBytes("UTF-8"))
+    // path-keyed, written once per process, shutdown-cleaned — the same
+    // lifecycle as q82's partitioned layout (TmpWorkspace)
+    val base = TmpWorkspace.dir("osm_census", d)
+    TmpWorkspace.once(base) {
+      val dir = java.nio.file.Paths.get(base)
+      fixtureXml.zipWithIndex.foreach { case (xml, i) =>
+        java.nio.file.Files.write(dir.resolve(s"extract_$i.osm"),
+          xml.getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
     }
-    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
     base
   }
 

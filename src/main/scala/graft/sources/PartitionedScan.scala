@@ -23,23 +23,18 @@ import graft.Tables._
   * identical row-for-row. */
 object PartitionedScan {
 
-  private val processTag: String =
-    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid.toString
-
   def q82DynamicPartitionPruning(s: SparkSession, d: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") +
-      s"/graft_dpp_${d.hashCode.toHexString}_$processTag"
     // one partitioned write per (dataset, process): the layout is the
     // operator's input, not its work — repeat executions (bench reps)
-    // measure the pruned read, like any table that was ETL'd once
-    val marker = java.nio.file.Paths.get(base, "_graft_ready")
-    if (!java.nio.file.Files.exists(marker)) {
+    // measure the pruned read, like any table that was ETL'd once.
+    // Path-keyed + shutdown-cleaned via TmpWorkspace.
+    val base = TmpWorkspace.dir("dpp", d)
+    TmpWorkspace.once(base) {
       orders(s, d)
         .write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(s"$base/orders_part")
       orders(s, d).select(col("o_orderpriority")).distinct()
         .write.mode("overwrite").parquet(s"$base/prio_dim")
-      java.nio.file.Files.createFile(marker)
     }
     val fact = s.read.parquet(s"$base/orders_part")
     val dim = s.read.parquet(s"$base/prio_dim")

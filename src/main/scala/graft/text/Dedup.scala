@@ -147,7 +147,7 @@ object Dedup {
       // exact verification (full arrays) keeps the output exact whenever
       // the corpus margin holds.
       val sh = arr.select(col("doc_id"), explode(col("sgs")).as("sg"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("sg"))
+        .repartition(shufflePartitions(s), col("sg"))
       val rare = sh.join(
         sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= stopDf.get).select(col("sg")),
@@ -177,7 +177,7 @@ object Dedup {
     // this line alone). Classic case of output-heavy operators needing
     // input-size-independent parallelism.
     val sh = arr.select(col("doc_id"), explode(col("sgs")).as("sg"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("sg"))
+      .repartition(shufflePartitions(s), col("sg"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sg") === col("b.sg")
         && col("a.doc_id") < col("b.doc_id"))
@@ -454,7 +454,7 @@ object Dedup {
       case None => raw
     }
     val spans = kept
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
+      .repartition(shufflePartitions(s), col("h"))
     spans.as("a")
       .join(spans.as("b"), col("a.h") === col("b.h")
         && col("a.doc_id") < col("b.doc_id"))

@@ -24,15 +24,14 @@ object DedupCluster {
     * loop can free the PREVIOUS round's blocks once the new round is
     * materialized — without this the per-round checkpoints accumulate
     * in storage for up to the 50-round cap, a memory-pressure risk in
-    * exactly the large-graph regime the O(log n) algorithm targets. */
+    * exactly the large-graph regime the O(log n) algorithm targets.
+    * The persisted RDD is read off the checkpointed DataFrame's own plan
+    * (Tables.checkpointedRdds), so concurrent persists by other threads
+    * on the shared context are never captured by mistake. */
   private def checkpointTracked(df: DataFrame)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint() // eager: materialized on return
-    val created = sc.getPersistentRDDs.view
-      .filterKeys(!before.contains(_)).values.toSeq
-    (out, created)
+    (out, checkpointedRdds(out))
   }
 
   /** Connected components over an undirected pair list (`i`, `j`).
