@@ -4,7 +4,31 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Element access for the vector expressions, dispatched on the array's
+  * ELEMENT TYPE at plan time: the base embeddings column is
+  * `array<float>`, but derived vectors (e.g. the planted-margin fixture,
+  * which must be arithmetically reproducible in the DuckDB oracle) are
+  * `array<double>` — reading a double array through `getFloat` would
+  * reinterpret half a double's bytes. Both paths accumulate in DOUBLE,
+  * sequentially, so oracle parity is unchanged. */
+private[functions] object VecAccess {
+  /** Interpreted getter for one array child. */
+  def get(dt: DataType)(a: ArrayData, i: Int): Double = dt match {
+    case ArrayType(FloatType, _) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => a.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"vector expressions need array<float|double>, got $other")
+  }
+  /** Codegen fragment reading element `i` of array variable `a`. */
+  def gen(dt: DataType, a: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $a.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$a.getDouble($i)"
+    case other => throw new IllegalArgumentException(
+      s"vector expressions need array<float|double>, got $other")
+  }
+}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` columns, with whole-stage codegen (SURVEY.md §2.9
@@ -27,8 +51,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = VecAccess.get(left.dataType)(a, i)
+      val y = VecAccess.get(right.dataType)(b, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -43,8 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x$i = (double) $a.getFloat($i);
-         |  double y$i = (double) $b.getFloat($i);
+         |  double x$i = ${VecAccess.gen(left.dataType, a, i)};
+         |  double y$i = ${VecAccess.gen(right.dataType, b, i)};
          |  $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -70,7 +94,7 @@ case class DotWithConst(child: Expression, weights: Array[Double])
     val a = v.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), weights.length)
     var acc = 0.0; var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * weights(i); i += 1 }
+    while (i < n) { acc += VecAccess.get(child.dataType)(a, i) * weights(i); i += 1 }
     acc
   }
 
@@ -83,7 +107,7 @@ case class DotWithConst(child: Expression, weights: Array[Double])
          |int $n = Math.min($a.numElements(), $w.length);
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * $w[$i];
+         |  $acc += ${VecAccess.gen(child.dataType, a, i)} * $w[$i];
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -111,7 +135,10 @@ case class DotProduct(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      dot += VecAccess.get(left.dataType)(a, i) * VecAccess.get(right.dataType)(b, i)
+      i += 1
+    }
     dot
   }
 
@@ -123,7 +150,8 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dot += ${VecAccess.gen(left.dataType, a, i)}
+         |        * ${VecAccess.gen(right.dataType, b, i)};
          |}
          |${ev.value} = $dot;
        """.stripMargin

@@ -310,6 +310,66 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  // ---- q87: the margin-regime near-dup path, under the oracle gate ----
+  // embedNearDupLsh was previously spec-only because no driver table has
+  // a cosine margin. q87 derives a planted-margin fixture DETERMINISTICALLY
+  // from the embeddings table — with expressions DuckDB can reproduce — so
+  // the lossless-under-margin claim gets a full hash-match oracle row.
+  val MARGIN_TAU = 0.8
+  /** Base slice of the corpus (predicate, not count — at sf0.001 fewer
+    * rows exist and both engines just take them all). */
+  val MARGIN_BASE = 500
+  /** Every DUP_MOD-th base vector gets a planted near-duplicate. */
+  val DUP_MOD = 10
+  /** Id offset for planted rows (far above any real vec_id). */
+  val DUP_OFFSET = 1000000L
+
+  /** The fixture: base vectors (cast to double — the arithmetic below
+    * must be bit-reproducible in the oracle, and float ops are not
+    * expressible there) plus, for every DUP_MOD-th one, a planted
+    * near-dup: the vector scaled by 1.5 with +0.5 on its first
+    * coordinate. Scaling preserves direction; the +0.5 nudge makes the
+    * pair a NEAR-duplicate (cos ≈ 0.9999, not exactly 1) so the LSH
+    * tables genuinely can disagree on individual planes. Real corpus
+    * pairs top out at cos ≈ 0.6 (measured, SimilaritySpec), so the
+    * margin around τ=0.8 is wide on both sides — exactly the regime
+    * where candidates+verify is lossless. 1.5 and 0.5 are binary
+    * fractions: exactly representable, so Spark and DuckDB compute
+    * identical doubles. */
+  private[graft] def marginFixture(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).filter(col("vec_id") < MARGIN_BASE)
+      .select(col("vec_id"),
+        expr("cast(embedding as array<double>)").as("embedding"))
+    val dups = base.filter(col("vec_id") % DUP_MOD === 0)
+      .select((col("vec_id") + DUP_OFFSET).as("vec_id"),
+        expr("""concat(array(embedding[0] * 1.5D + 0.5D),
+                       transform(slice(embedding, 2, size(embedding) - 1),
+                                 x -> x * 1.5D))""").as("embedding"))
+    base.union(dups)
+  }
+
+  def q87MarginNearDup(s: SparkSession, d: String): DataFrame =
+    embedNearDupLsh(s, marginFixture(s, d), MARGIN_TAU)
+
+  /** Oracle = the EXACT pair join over the same fixture: under the
+    * margin the LSH candidates + exact verify must return identical
+    * rows, which is precisely the property this query exists to gate. */
+  val o87 = s"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id < $MARGIN_BASE),
+    dups AS (
+      SELECT vec_id + $DUP_OFFSET AS vec_id,
+        list_value(v[1] * 1.5 + 0.5) || list_transform(v[2:], x -> x * 1.5) AS v
+      FROM e0 WHERE vec_id % $DUP_MOD = 0),
+    f AS (SELECT * FROM e0 UNION ALL SELECT * FROM dups),
+    p AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM f a JOIN f b ON a.vec_id < b.vec_id)
+    SELECT i, j, ROUND(sim, 6) AS sim FROM p
+    WHERE sim >= $MARGIN_TAU ORDER BY i, j"""
+
   val o47 = s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (
@@ -388,9 +448,11 @@ object Similarity {
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
     "q44_knn_lsh_bucketed" -> (q44KnnLshBucketed _),
     "q47_embed_near_dup"  -> (q47EmbedNearDup _),
-    "q55_knn_ivf"         -> (q55KnnIvf _))
+    "q55_knn_ivf"         -> (q55KnnIvf _),
+    "q87_margin_near_dup" -> (q87MarginNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q43_knn_bruteforce" -> o43,
-    "q47_embed_near_dup" -> o47)
+    "q47_embed_near_dup" -> o47,
+    "q87_margin_near_dup" -> o87)
 }

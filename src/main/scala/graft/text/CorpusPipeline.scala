@@ -20,15 +20,16 @@ object CorpusPipeline {
 
   val QUALITY_FLOOR = 0.5
 
-  /** q78: curated corpus — predicted-English documents above the
-    * quality floor, one keeper per near-dup cluster (the cluster's min
-    * doc_id), with the per-doc quality evidence kept as columns. */
-  def q78CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+  /** Curation keeper set with the columns downstream stages consume
+    * (doc_id, text, lang, n_tok, quality) — the shared core of q78 and
+    * the composed train-set build (q86). Unsorted: each caller orders
+    * (or doesn't) per its own contract. */
+  private[graft] def curatedKeepers(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val survivors = TextOps.withQuality(docs)
       .filter(TextOps.langGuess(col("text")) === "en"
         && col("quality") >= QUALITY_FLOOR)
-      .select(col("doc_id"), col("text"), col("n_tok"), col("quality"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_tok"), col("quality"))
     // dedup over survivors only: shingle AFTER the cheap filters
     val arr = survivors
       .select(col("doc_id"),
@@ -40,14 +41,23 @@ object CorpusPipeline {
     survivors
       .join(labels, Seq("doc_id"), "left")
       .filter(coalesce(col("root"), col("doc_id")) === col("doc_id"))
-      .select(col("doc_id"), col("n_tok"), col("quality"))
-      .orderBy(col("doc_id"))
   }
 
-  val o78 = s"""
-    WITH RECURSIVE surv AS (
-      SELECT doc_id, text, n_tok, quality FROM (
-        SELECT doc_id, text,
+  /** q78: curated corpus — predicted-English documents above the
+    * quality floor, one keeper per near-dup cluster (the cluster's min
+    * doc_id), with the per-doc quality evidence kept as columns. */
+  def q78CorpusPipeline(s: SparkSession, d: String): DataFrame =
+    curatedKeepers(s, d)
+      .select(col("doc_id"), col("n_tok"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Shared curation CTEs: survivors (with text/lang kept for composed
+    * downstream stages) → survivor-restricted pairs → CC labels. Callers
+    * open with WITH RECURSIVE; the keeper predicate is
+    * `COALESCE(LEAST(lab.mr, doc_id), doc_id) = doc_id`. */
+  val ORA_CURATE_CTES = s"""surv AS (
+      SELECT doc_id, text, lang, n_tok, quality FROM (
+        SELECT doc_id, text, lang,
           ${TextOps.ORA_N_TOK} AS n_tok,
           ${TextOps.ORA_QUALITY} AS quality,
           ${TextOps.ORA_LANG_CASE} AS lang_pred
@@ -59,12 +69,10 @@ object CorpusPipeline {
       WHERE jac >= ${Dedup.JACCARD_THRESHOLD}
         AND i IN (SELECT doc_id FROM surv)
         AND j IN (SELECT doc_id FROM surv)),
-    edges AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
-    reach(n, r) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT e.a, r.r FROM edges e JOIN reach r ON r.n = e.b),
-    lab AS (SELECT n, MIN(r) AS mr FROM reach GROUP BY n)
+    ${Dedup.ORA_CC_CTES}"""
+
+  val o78 = s"""
+    WITH RECURSIVE $ORA_CURATE_CTES
     SELECT s.doc_id, s.n_tok, s.quality
     FROM surv s LEFT JOIN lab ON lab.n = s.doc_id
     WHERE COALESCE(LEAST(lab.mr, s.doc_id), s.doc_id) = s.doc_id

@@ -97,6 +97,17 @@ object Dedup {
     SELECT i, j, common, ni, nj, ROUND(jac, 6) AS jaccard
     FROM jac WHERE jac >= 0.5 ORDER BY i, j"""
 
+  /** Shared DuckDB connected-components fragment over a `pr(i, j)` pair
+    * CTE: symmetric edges → recursive transitive closure → per-node min
+    * label (`lab(n, mr)`). Callers must open with WITH RECURSIVE.
+    * Reused by o76, o78, and the composed train-set oracle (o86). */
+  val ORA_CC_CTES = """edges AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+    reach(n, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT e.a, r.r FROM edges e JOIN reach r ON r.n = e.b),
+    lab AS (SELECT n, MIN(r) AS mr FROM reach GROUP BY n)"""
+
   /** q39: exact dedup via normalized-text fingerprint hash-groupBy. */
   def q39DedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)

@@ -119,12 +119,7 @@ object DedupCluster {
   val o76 = s"""
     WITH RECURSIVE ${Dedup.ORA_PAIR_CTES},
     pr AS (SELECT i, j FROM jac WHERE jac >= ${Dedup.JACCARD_THRESHOLD}),
-    edges AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
-    reach(n, r) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT e.a, r.r FROM edges e JOIN reach r ON r.n = e.b),
-    lab AS (SELECT n, MIN(r) AS mr FROM reach GROUP BY n),
+    ${Dedup.ORA_CC_CTES},
     cl AS (
       SELECT d.doc_id,
         CAST(COALESCE(LEAST(lab.mr, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id

@@ -38,11 +38,10 @@ object TrainingSet {
     * spanning tokens [off, off+n) overlaps chunks off/B .. (off+n-1)/B,
     * exploded per doc — output size is n_docs + n_chunk_crossings, not
     * n_tokens. */
-  def q83SequencePacking(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .filter(col("n_tok") > 0)
+  /** Packing core over any (doc_id, n_tok) frame — the q83 machinery,
+    * reused verbatim by the composed build (q86). Unsorted. */
+  private[graft] def packSequences(in: DataFrame): DataFrame = {
+    val docs = in.filter(col("n_tok") > 0)
       .withColumn("bkt", expr(s"doc_id div $PACK_BUCKET"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
     val within = docs
@@ -64,8 +63,13 @@ object TrainingSet {
       .select(col("chunk_id"), col("doc_id"),
         (least(col("off") + col("n_tok"), (col("chunk_id") + 1) * SEQ_BUDGET)
           - greatest(col("off"), col("chunk_id") * SEQ_BUDGET)).as("n_tok_in_chunk"))
-      .orderBy(col("chunk_id"), col("doc_id"))
   }
+
+  def q83SequencePacking(s: SparkSession, d: String): DataFrame =
+    packSequences(documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
+      .orderBy(col("chunk_id"), col("doc_id"))
 
   val o83 = s"""
     WITH d AS (
@@ -100,15 +104,22 @@ object TrainingSet {
     * language's target rate. Output is the per-language audit:
     * corpus size, kept size, the target rate, and the achieved rate —
     * the numbers a mixture dashboard shows. */
-  def q84MixtureSample(s: SparkSession, d: String): DataFrame = {
+  /** Adds the deterministic uniform draw `u` and the per-language target
+    * `rate` to any frame with a `lang` column — `u < rate` is the
+    * mixture-sampling predicate, shared by q84's audit and q86's build. */
+  private[graft] def withMixtureDraw(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
     val rates = MIXTURE.toDF("lang", "rate")
-    val docs = documents(s, d)
-      .withColumn("u",
+    df.withColumn("u",
         expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)")
           / lit(4294967296.0))
       .join(broadcast(rates), Seq("lang"), "left")
       .withColumn("rate", coalesce(col("rate"), lit(MIXTURE_DEFAULT)))
+  }
+
+  def q84MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = withMixtureDraw(documents(s, d))
     docs.groupBy(col("lang"), col("rate"))
       .agg(count(lit(1)).as("n_total"),
            count(when(col("u") < col("rate"), 1)).as("n_kept"))
@@ -118,20 +129,21 @@ object TrainingSet {
       .orderBy(col("lang"))
   }
 
-  val o84 = {
-    val cases = MIXTURE.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
-    s"""
+  /** Mixture-rate CASE body — one definition for o84 and o86. */
+  private val ORA_RATE_CASE =
+    MIXTURE.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+
+  val o84 = s"""
     WITH d AS (
       SELECT lang,
         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u,
-        CASE lang $cases ELSE $MIXTURE_DEFAULT END AS rate
+        CASE lang $ORA_RATE_CASE ELSE $MIXTURE_DEFAULT END AS rate
       FROM documents)
     SELECT lang, COUNT(*) AS n_total,
       CAST(COUNT(CASE WHEN u < rate THEN 1 END) AS BIGINT) AS n_kept,
       rate, ROUND(CAST(COUNT(CASE WHEN u < rate THEN 1 END) AS DOUBLE)
                   / COUNT(*), 6) AS achieved
     FROM d GROUP BY lang, rate ORDER BY lang"""
-  }
 
   // ---- q85: decontamination (eval-set span overlap removal) ----
 
@@ -148,18 +160,33 @@ object TrainingSet {
     * row-local spans against it — no all-pairs stage at all. Output:
     * the surviving training corpus with its contamination audit
     * (n_docs dropped per lang). */
-  def q85Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val spans = documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(
+  /** md5-60 span hashes for a (doc_id, text) frame — one row per
+    * (doc, span window). */
+  private def spanHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(
         graft.functions.ShingleSet.shingle_set(col("text"), Dedup.SPAN)).as("span"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         expr("cast(conv(substr(md5(span),1,15),16,10) as bigint)").as("h"))
-    val evalSpans = spans.filter(col("doc_id") % EVAL_MOD === 0)
+
+  /** doc_ids of `train` rows (doc_id, text) sharing a verbatim span with
+    * the deterministic eval set. The eval span index is tiny relative to
+    * any training corpus — broadcast + left-semi probe, no all-pairs
+    * stage; shared by q85's audit and q86's build. */
+  private[graft] def contaminatedDocs(s: SparkSession, d: String,
+                                     train: DataFrame): DataFrame = {
+    val evalSpans = spanHashes(
+      documents(s, d).filter(col("doc_id") % EVAL_MOD === 0)
+        .select(col("doc_id"), col("text")))
       .select(col("h")).distinct()
-    val train = spans.filter(col("doc_id") % EVAL_MOD =!= 0)
-    val contaminated = train
+    spanHashes(train)
       .join(broadcast(evalSpans), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
+  }
+
+  def q85Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val contaminated = contaminatedDocs(s, d,
+      documents(s, d).filter(col("doc_id") % EVAL_MOD =!= 0)
+        .select(col("doc_id"), col("text")))
     documents(s, d).filter(col("doc_id") % EVAL_MOD =!= 0)
       .join(contaminated.withColumn("dropped", lit(1L)), Seq("doc_id"), "left")
       .groupBy(col("lang"))
@@ -169,14 +196,21 @@ object TrainingSet {
       .orderBy(col("lang"))
   }
 
-  val o85 = s"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Shared span-index CTEs: per-doc span hashes over `documents` plus
+    * the eval set's distinct hashes (`ev`). The doc-token CTE is named
+    * `tdoc` (not `t`) so it can coexist with ORA_SHINGLES' internal `t`
+    * column alias in the composed oracle (o86). Reused by o85 and o86. */
+  private val ORA_SPAN_CTES = s"""tdoc AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     spans AS (
       SELECT DISTINCT doc_id,
         ('0x' || substr(md5(array_to_string(tk[i:i+${Dedup.SPAN - 1}], ' ')), 1, 15))::BIGINT AS h
-      FROM t, unnest(range(1, len(tk) - ${Dedup.SPAN - 2})) u(i)
+      FROM tdoc, unnest(range(1, len(tk) - ${Dedup.SPAN - 2})) u(i)
       WHERE len(tk) >= ${Dedup.SPAN}),
-    ev AS (SELECT DISTINCT h FROM spans WHERE doc_id % $EVAL_MOD = 0),
+    ev AS (SELECT DISTINCT h FROM spans WHERE doc_id % $EVAL_MOD = 0)"""
+
+  val o85 = s"""
+    WITH $ORA_SPAN_CTES,
     contaminated AS (
       SELECT DISTINCT s.doc_id FROM spans s JOIN ev ON s.h = ev.h
       WHERE s.doc_id % $EVAL_MOD <> 0)
@@ -187,13 +221,72 @@ object TrainingSet {
     WHERE d.doc_id % $EVAL_MOD <> 0
     GROUP BY d.lang ORDER BY d.lang"""
 
+  // ---- q86: the composed train-set build ----
+
+  /** q86: the full training-set build as ONE declarative plan —
+    * curation keepers (q78 machinery) minus the eval holdout, minus
+    * span-contaminated documents (q85 machinery), mixture-sampled (q84
+    * machinery), packed into SEQ_BUDGET-token sequences (q83 machinery).
+    * Each stage is separately under the oracle; this query gates their
+    * COMPOSITION, where operator boundaries usually leak (intermediate
+    * materialization semantics, filter ordering, column contracts).
+    * TrainingSetSpec additionally asserts the fused plan equals the
+    * stage-by-stage execution with materialization between stages.
+    *
+    * Scale shape: curation's similarity join only shingles quality
+    * survivors; decontamination probes a broadcast eval-span index with
+    * keeper spans only; the mixture draw is row-local; packing is the
+    * two-phase prefix sum. Nothing in the composition adds a shuffle
+    * the stages didn't already have. */
+  def q86TrainsetBuild(s: SparkSession, d: String): DataFrame = {
+    val keep = CorpusPipeline.curatedKeepers(s, d)
+      .filter(col("doc_id") % EVAL_MOD =!= 0) // the eval holdout never trains
+    val cont = contaminatedDocs(s, d, keep.select(col("doc_id"), col("text")))
+    val decon = keep.join(cont, Seq("doc_id"), "left_anti")
+    val mixed = withMixtureDraw(decon).filter(col("u") < col("rate"))
+    packSequences(mixed.select(col("doc_id"), col("n_tok")))
+      .orderBy(col("chunk_id"), col("doc_id"))
+  }
+
+  val o86 = s"""
+    WITH RECURSIVE ${CorpusPipeline.ORA_CURATE_CTES},
+    keep AS (
+      SELECT s.doc_id, s.lang, s.n_tok
+      FROM surv s LEFT JOIN lab ON lab.n = s.doc_id
+      WHERE COALESCE(LEAST(lab.mr, s.doc_id), s.doc_id) = s.doc_id
+        AND s.doc_id % $EVAL_MOD <> 0),
+    $ORA_SPAN_CTES,
+    cont AS (
+      SELECT DISTINCT s.doc_id FROM spans s JOIN ev ON s.h = ev.h
+      WHERE s.doc_id IN (SELECT doc_id FROM keep)),
+    mix AS (
+      SELECT doc_id, n_tok FROM (
+        SELECT k.doc_id, k.n_tok,
+          ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u,
+          CASE k.lang $ORA_RATE_CASE ELSE $MIXTURE_DEFAULT END AS rate
+        FROM keep k LEFT JOIN cont c ON k.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL)
+      WHERE u < rate AND n_tok > 0),
+    cum AS (
+      SELECT doc_id, n_tok,
+        CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS off
+      FROM mix)
+    SELECT chunk_id, doc_id,
+      LEAST(off + n_tok, (chunk_id + 1) * $SEQ_BUDGET)
+        - GREATEST(off, chunk_id * $SEQ_BUDGET) AS n_tok_in_chunk
+    FROM cum, unnest(range(off // $SEQ_BUDGET,
+                           (off + n_tok - 1) // $SEQ_BUDGET + 1)) u(chunk_id)
+    ORDER BY chunk_id, doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
-    "q85_decontaminate"    -> (q85Decontaminate _))
+    "q85_decontaminate"    -> (q85Decontaminate _),
+    "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
     "q83_sequence_packing" -> o83,
     "q84_mixture_sample"   -> o84,
-    "q85_decontaminate"    -> o85)
+    "q85_decontaminate"    -> o85,
+    "q86_trainset_build"   -> o86)
 }

@@ -33,8 +33,15 @@ object PlanAudit {
       val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
       val codegen = "\\[codegen id : \\d+\\]".r.findAllIn(plan)
         .map(identity).toSet.size
+      // runtime-filter markers: join-driven dynamic partition pruning
+      // (q82) and the native bloom probe (q65) must be visible in the
+      // executed plan — flagged here so the doc carries the evidence
+      val dpp = plan.contains("dynamicpruning")
+      val bloom = plan.toLowerCase.contains("might_contain")
+      val extras = (if (dpp) " dpp=true" else "") +
+        (if (bloom) " bloom=true" else "")
       println(f"$name%-24s exchanges=$exchanges%-3d codegenSpans=$codegen%-3d " +
-        f"pushdown=$pushed%-5s bhj=$bhj%-5s smj=$smj%-5s topk=$topk")
+        f"pushdown=$pushed%-5s bhj=$bhj%-5s smj=$smj%-5s topk=$topk$extras")
       if (args.contains("--full")) println(plan)
     }
     spark.stop()

@@ -113,6 +113,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("q87: gated margin fixture — LSH+verify == exact pairs, planted ids only") {
+    // The oracle-gated form of the margin regime: the fixture is derived
+    // from the embeddings table with DuckDB-reproducible arithmetic.
+    // Independent check here: exact all-pairs join over the same fixture.
+    val fix = Similarity.marginFixture(spark, TestSpark.SF).localCheckpoint()
+    val exact = fix.select(col("vec_id").as("i"), col("embedding").as("va"))
+      .join(fix.select(col("vec_id").as("j"), col("embedding").as("vb")),
+            col("i") < col("j"))
+      .withColumn("sim", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("sim") >= Similarity.MARGIN_TAU)
+      .select("i", "j", "sim").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.q87MarginNearDup(spark, TestSpark.SF)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact && lsh.nonEmpty)
+    // exactly the planted pairs: (id, id + DUP_OFFSET). The embeddings
+    // are unit-normalized, so the +0.5 first-coordinate nudge lands the
+    // planted cosine near 0.95 (measured 0.9458 at sf0.001) — well above
+    // τ=0.8 while the corpus noise ceiling is ≈0.6: a real margin on
+    // both sides, which is the regime being gated.
+    lsh.foreach { case (i, j, s) =>
+      assert(j == i + Similarity.DUP_OFFSET && i % Similarity.DUP_MOD == 0
+        && s > 0.9, s"unexpected pair ($i,$j,$s)")
+    }
+  }
+
   test("IVF-probed ANN: valid results and plausible recall vs brute force") {
     val bf = Similarity.q43KnnBruteForce(spark, TestSpark.SF)
       .filter(col("rank") === 1)

@@ -77,4 +77,31 @@ class TrainingSetSpec extends AnyFunSuite {
       .as[(String, Long, Long, Option[Long])].collect()
     assert(got.toSeq == Seq(("en", 2L, 1L, Some(2L))))
   }
+
+  test("q86 fused composition == stage-by-stage with materialization") {
+    import graft.text.CorpusPipeline
+    val d = TestSpark.SF
+    // Stage-by-stage: the same four stages, but each one materialized
+    // (localCheckpoint cuts the lineage) before the next consumes it —
+    // if the fused single-plan form differs, composition leaked.
+    val keep = CorpusPipeline.curatedKeepers(spark, d)
+      .filter(col("doc_id") % TrainingSet.EVAL_MOD =!= 0).localCheckpoint()
+    val cont = TrainingSet.contaminatedDocs(spark, d,
+      keep.select(col("doc_id"), col("text"))).localCheckpoint()
+    val decon = keep.join(cont, Seq("doc_id"), "left_anti").localCheckpoint()
+    val mixed = TrainingSet.withMixtureDraw(decon)
+      .filter(col("u") < col("rate")).localCheckpoint()
+    val staged = TrainingSet.packSequences(
+      mixed.select(col("doc_id"), col("n_tok")))
+      .as[(Long, Long, Long)].collect().toSet
+    val fused = TrainingSet.q86TrainsetBuild(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fused == staged && fused.nonEmpty)
+    // the composed output honors each stage's contract
+    val packedDocs = fused.map(_._2)
+    assert(packedDocs.forall(_ % TrainingSet.EVAL_MOD != 0), "eval doc packed")
+    val keeperIds = CorpusPipeline.q78CorpusPipeline(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(packedDocs.subsetOf(keeperIds), "non-keeper doc packed")
+  }
 }
