@@ -17,19 +17,15 @@ import graft.Tables._
   * and can flip types between runs. */
 object SinkRoundtrip {
 
-  /** Stable within a JVM (repeat executions reuse the directory),
-    * unique across JVMs (no cross-process races). */
-  private val processTag: String =
-    java.lang.management.ManagementFactory.getRuntimeMXBean.getPid.toString
-
   def q62CsvJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dim = nation(s, d)
       .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"), col("r_name"))
-    // path embeds the dataset dir and a per-process suffix so parallel
-    // JVMs (verify vs bench vs tests) never race on overwrite-then-read
-    val base = System.getProperty("java.io.tmpdir") +
-      s"/graft_sink_roundtrip_${d.hashCode.toHexString}_${SinkRoundtrip.processTag}"
+    // TmpWorkspace: path-keyed + pid-suffixed (parallel JVMs never race
+    // on overwrite-then-read) and deleted at JVM exit. Unlike q81/q82
+    // the write happens on EVERY invocation — writing the sinks IS this
+    // operator, not its input layout.
+    val base = TmpWorkspace.dir("sink_roundtrip", d)
     // 25-row dim: one output file per format, not one per core — at real
     // scale the writer parallelism should track data size, not cluster
     // size (the small-files problem in reverse).

@@ -58,6 +58,19 @@ object TmpWorkspace {
     }
   }
 
+  /** A fresh random-suffixed scratch dir — for callers that need a NEW
+    * directory every call (test fixtures, streaming checkpoint dirs,
+    * which must never be reused across different queries) — still
+    * deleted at JVM exit instead of accumulating under tmp. */
+  def fresh(kind: String): Path = {
+    val p = Files.createTempDirectory(s"graft_${kind}_")
+    if (registered.add(p.toString)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(p)))
+    }
+    p
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

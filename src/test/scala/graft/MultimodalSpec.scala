@@ -76,7 +76,11 @@ class MultimodalSpec extends AnyFunSuite {
     // the 100 TB ingest shape: media lands as raw files in object
     // storage; Spark's binaryFile source reads (path, length, content)
     // without decoding — decode happens partition-wise downstream
-    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    // TmpWorkspace-managed: deleted at JVM exit instead of accumulating
+    // one random-suffixed dir per test run
+    val dir = java.nio.file.Paths.get(
+      graft.sources.TmpWorkspace.dir("media_spec", "fixture"))
+    java.nio.file.Files.createDirectories(dir)
     val payloads = Map("a.jpg" -> Array[Byte](-1, -40, 1, 2, 3), // 0xFFD8 jpeg-ish
                        "b.jpg" -> Array[Byte](-1, -40, 9, 8, 7, 6))
     payloads.foreach { case (n, b) =>
@@ -103,7 +107,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("CSV and JSON sinks round-trip a cleaned table (S3/S4)") {
     val df = Seq((1L, "addr:street", "Main St"), (2L, "amenity", "cafe"))
       .toDF("id", "key", "value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val tmp = graft.sources.TmpWorkspace.fresh("sink").toString
     df.write.option("header", "true").mode("overwrite").csv(s"$tmp/csv")
     df.write.mode("overwrite").json(s"$tmp/json")
     val backCsv = spark.read.option("header", "true").csv(s"$tmp/csv")

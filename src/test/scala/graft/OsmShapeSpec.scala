@@ -83,7 +83,7 @@ class OsmShapeSpec extends AnyFunSuite {
       |    <member type="way" ref="7" role="outer"/>
       |  </relation>
       |</osm>""".stripMargin
-    val dir = java.nio.file.Files.createTempDirectory("graft_osm")
+    val dir = graft.sources.TmpWorkspace.fresh("osm")
     val f = dir.resolve("fixture.osm")
     java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
 
@@ -124,7 +124,7 @@ class OsmShapeSpec extends AnyFunSuite {
       |    <nd ref="1"/><nd ref="2"/>
       |  </way>
       |</osm>""".stripMargin
-    val dir = java.nio.file.Files.createTempDirectory("graft_osm_v2")
+    val dir = graft.sources.TmpWorkspace.fresh("osm_v2")
     java.nio.file.Files.write(dir.resolve("a.osm"), xml.getBytes("UTF-8"))
 
     val df = spark.read.format("osm").load(dir.toString)

@@ -95,7 +95,7 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("partitionBy write → partition pruning at read (PartitionFilters)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dir = graft.sources.TmpWorkspace.fresh("part").toString
     Tables.events(spark, TestSpark.SF)
       .select("event_id", "user_id", "event_type", "value")
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)

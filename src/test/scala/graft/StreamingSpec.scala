@@ -39,8 +39,8 @@ class StreamingSpec extends AnyFunSuite {
     // with schema declared up front, checkpointed, drained with
     // Trigger.AvailableNow.
     import org.apache.spark.sql.streaming.Trigger
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck")
+    val dir = graft.sources.TmpWorkspace.fresh("stream_src")
+    val ckpt = graft.sources.TmpWorkspace.fresh("stream_ck")
     val events = graft.Tables.events(spark, TestSpark.SF)
       .select("event_id", "event_type", "ts_us")
     // two separate files, as if two ingest batches landed
@@ -237,7 +237,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sink_stream").toString
+    val tmp = graft.sources.TmpWorkspace.fresh("sink_stream").toString
 
     val input = MemoryStream[Ev]
     val q = input.toDS()
@@ -264,7 +264,7 @@ class StreamingSpec extends AnyFunSuite {
       StructField("value", DoubleType), StructField("props", StringType)))
 
     // streaming file source needs a directory
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val dir = graft.sources.TmpWorkspace.fresh("stream").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.SF}/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
