@@ -75,4 +75,22 @@ object Tables {
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+
+  private val cycledCheckpoints =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.rdd.RDD[_]]]()
+
+  /** localCheckpoint for a plan subtree that is consumed by MULTIPLE
+    * downstream operators in one query (materialize once instead of
+    * recomputing per consumer), with per-tag cycling: the PREVIOUS
+    * invocation's blocks for the same tag are freed when the query is
+    * built again (bench reps, repeated verify), so checkpoints never
+    * accumulate across a session. The current invocation's blocks must
+    * stay persisted — the returned frame's lineage is truncated at the
+    * checkpoint. */
+  def checkpointCycled(tag: String, df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    Option(cycledCheckpoints.put(tag, checkpointedRdds(out)))
+      .foreach(_.foreach(_.unpersist(blocking = false)))
+    out
+  }
 }

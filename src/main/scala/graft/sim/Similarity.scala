@@ -154,25 +154,15 @@ object Similarity {
     * no_oracle CORRECTNESS entries then carry their own accuracy proof —
     * the driver's rows-only check fails loudly instead of silently
     * recording a degraded result. */
-  /** Evidence checkpoints from PREVIOUS invocations, per tag — freed when
-    * the same query is built again (bench reps, repeated verify runs). The
-    * current invocation's blocks must stay persisted because the returned
-    * DataFrame's lineage is truncated at the checkpoint; but once a new
-    * plan for the same tag exists, the old one is no longer served, so its
-    * blocks are released instead of accumulating for the session's life
-    * (DedupCluster got the same tracked-unpersist treatment). */
-  private val evidenceCheckpoints =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.rdd.RDD[_]]]()
-
   private def withRecallEvidence(s: SparkSession, d: String, res: DataFrame,
                                  floor: Double, tag: String): DataFrame = {
     // The approximate plan (bucketed search + window ranking) is
     // referenced twice below — once by the evidence join, once as the
-    // returned rows. localCheckpoint materializes it once; without it
-    // the full ANN plan executes twice per run.
-    val resC = res.localCheckpoint()
-    Option(evidenceCheckpoints.put(tag, checkpointedRdds(resC)))
-      .foreach(_.foreach(_.unpersist(blocking = false)))
+    // returned rows. checkpointCycled materializes it once per
+    // invocation AND frees the previous invocation's blocks (bench
+    // reps, repeated verify runs) so evidence checkpoints never
+    // accumulate across a session.
+    val resC = checkpointCycled(s"ann-evidence-$tag", res)
     // one pass over ONE instance of the sampled exact baseline (it is
     // the expensive side of the evidence join): a left join marks hits,
     // count(hit)/count(*) is the recall — no second scan for the

@@ -50,9 +50,39 @@ object SinkRoundtrip {
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name ORDER BY r_name"""
 
+  /** q89: ORC round-trip — the binary-columnar sink/source counterpart
+    * of q62's text formats (Spark's native ORC writer/reader; schema
+    * travels in the file, so the read-back needs no explicit schema —
+    * the opposite contract from text formats, exercised deliberately).
+    * Decimal survives ORC as decimal: the s_acctbal aggregate uses the
+    * same exact-decimal-then-double discipline as every money sum. */
+  def q89OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dim = supplier(s, d)
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+              col("s_acctbal"))
+    val base = TmpWorkspace.dir("orc_roundtrip", d)
+    dim.coalesce(1).write.mode("overwrite").orc(base + "/orc")
+    s.read.orc(base + "/orc")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           dsum(col("s_acctbal")).as("total_acctbal"),
+           min(col("s_name")).as("first_supplier"))
+      .orderBy(col("n_name"))
+  }
+
+  val o89 = """
+    SELECT n_name, COUNT(*) AS n_suppliers,
+      CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+      MIN(s_name) AS first_supplier
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q62_sink_roundtrip" -> (q62CsvJsonRoundtrip _))
+    "q62_sink_roundtrip" -> (q62CsvJsonRoundtrip _),
+    "q89_orc_roundtrip"  -> (q89OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
-    "q62_sink_roundtrip" -> o62)
+    "q62_sink_roundtrip" -> o62,
+    "q89_orc_roundtrip"  -> o89)
 }

@@ -295,6 +295,74 @@ object TextOps {
     FROM l ORDER BY doc_id"""
   }
 
+  // ---- q88: within-document repetition scoring (Gopher-style rules) ----
+
+  /** Repetition flag thresholds — the published Gopher-family rules
+    * ("duplicate n-gram fraction" / "top n-gram fraction", Rae et al.
+    * 2021, public literature) applied to 2- and 3-grams. */
+  val DUP_2GRAM_MAX = 0.20
+  val TOP_2GRAM_MAX = 0.18
+
+  /** Non-distinct n-gram list for the token array `toks` (ShingleSet is
+    * a SET — dedup is precisely what repetition scoring must NOT do).
+    * HOF runs row-local as explode-prep; the heavy lifting is the
+    * per-(doc, gram) hash aggregation after the explode. */
+  private def grams(n: Int) = expr(
+    s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")
+
+  /** q88: per-document repetition scores — the machine-generated/spam
+    * signal the length/stopword quality score (q36) cannot see: the
+    * fraction of n-gram occurrences that are repeats, and the mass of
+    * the single most frequent n-gram. Scale shape is q63's (TF-IDF):
+    * explode → (doc_id, gram) hash agg with map-side combine → per-doc
+    * agg; all counts integer, fractions computed once in double. */
+  def q88RepetitionScore(s: SparkSession, d: String): DataFrame = {
+    def aggFor(n: Int) = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(grams(n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as(s"total$n"),
+           count(lit(1)).as(s"dist$n"),
+           max(col("c")).as(s"max$n"))
+    aggFor(2).join(aggFor(3), Seq("doc_id"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("dist2").cast("double") / col("total2"), 6)
+          .as("dup_2gram_frac"),
+        round(lit(1.0) - col("dist3").cast("double") / col("total3"), 6)
+          .as("dup_3gram_frac"),
+        round(col("max2").cast("double") / col("total2"), 6)
+          .as("top_2gram_frac"))
+      .withColumn("repetitive",
+        col("dup_2gram_frac") > DUP_2GRAM_MAX
+          || col("top_2gram_frac") > TOP_2GRAM_MAX)
+      .orderBy(col("doc_id"))
+  }
+
+  val o88 = s"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+           FROM tk, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+    g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+           FROM tk, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    a2 AS (SELECT doc_id, SUM(c) AS total2, COUNT(*) AS dist2, MAX(c) AS max2
+           FROM c2 GROUP BY doc_id),
+    a3 AS (SELECT doc_id, SUM(c) AS total3, COUNT(*) AS dist3
+           FROM c3 GROUP BY doc_id),
+    m AS (
+      SELECT a2.doc_id,
+        ROUND(1.0 - CAST(dist2 AS DOUBLE) / total2, 6) AS dup_2gram_frac,
+        ROUND(1.0 - CAST(dist3 AS DOUBLE) / total3, 6) AS dup_3gram_frac,
+        ROUND(CAST(max2 AS DOUBLE) / total2, 6) AS top_2gram_frac
+      FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id)
+    SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_2gram_frac,
+      (dup_2gram_frac > $DUP_2GRAM_MAX OR top_2gram_frac > $TOP_2GRAM_MAX)
+        AS repetitive
+    FROM m ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_cdc_chunks"    -> (q72CdcChunks _),
     "q63_tfidf"         -> (q63Tfidf _),
@@ -304,12 +372,13 @@ object TextOps {
     "q36_quality_score" -> (q36QualityScore _),
     "q37_fingerprint"   -> (q37Fingerprint _),
     "q38_doc_stats"     -> (q38DocStats _),
-    "q48_rolling_fingerprint" -> (q48RollingFingerprint _))
+    "q48_rolling_fingerprint" -> (q48RollingFingerprint _),
+    "q88_repetition_score" -> (q88RepetitionScore _))
 
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
     "q56_regex_tokens" -> o56, "q63_tfidf" -> o63,
-    "q72_cdc_chunks" -> o72)
+    "q72_cdc_chunks" -> o72, "q88_repetition_score" -> o88)
 }

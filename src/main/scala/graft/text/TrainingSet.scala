@@ -239,8 +239,14 @@ object TrainingSet {
     * two-phase prefix sum. Nothing in the composition adds a shuffle
     * the stages didn't already have. */
   def q86TrainsetBuild(s: SparkSession, d: String): DataFrame = {
-    val keep = CorpusPipeline.curatedKeepers(s, d)
-      .filter(col("doc_id") % EVAL_MOD =!= 0) // the eval holdout never trains
+    // The keeper set feeds TWO consumers (the contamination probe's
+    // train side and the survivor join) — materialize it once instead
+    // of running curation's similarity join + CC per consumer. This is
+    // what a real pipeline does with its curated corpus; on a cluster
+    // the same point in the plan is a reliable-checkpoint/table write.
+    val keep = checkpointCycled("q86-keepers",
+      CorpusPipeline.curatedKeepers(s, d)
+        .filter(col("doc_id") % EVAL_MOD =!= 0)) // eval holdout never trains
     val cont = contaminatedDocs(s, d, keep.select(col("doc_id"), col("text")))
     val decon = keep.join(cont, Seq("doc_id"), "left_anti")
     val mixed = withMixtureDraw(decon).filter(col("u") < col("rate"))

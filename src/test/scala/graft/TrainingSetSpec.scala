@@ -78,6 +78,24 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("en", 2L, 1L, Some(2L))))
   }
 
+  test("q88 repetition score flags planted spam, passes clean text") {
+    // doc 1: one 2-gram repeated 5× → dup_2gram_frac 0.8, top 1.0
+    // doc 2: all-distinct tokens → zero duplicate fraction, low top mass
+    Seq(
+      (1L, "spam spam spam spam spam spam", "en", "s", 0L),
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft_rep_docs/documents.parquet")
+    val got = TextOps.q88RepetitionScore(spark, "/tmp/graft_rep_docs")
+      .as[(Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0.8, 0.75, 1.0, true),
+      (2L, 0.0, 0.0, round2(1.0 / 29), false)))
+  }
+  private def round2(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("q86 fused composition == stage-by-stage with materialization") {
     import graft.text.CorpusPipeline
     val d = TestSpark.SF
