@@ -35,6 +35,29 @@ class PropertySpec extends AnyFunSuite {
     assert(seen.nonEmpty)
   }
 
+  test("packSequences equals scala reference packing on randomized inputs") {
+    import graft.text.TrainingSet
+    val gen = Gen.listOfN(200, Gen.choose(0L, 40L))
+    Iterator.continually(gen.sample).flatten.take(5).zipWithIndex.foreach {
+      case (lens, trial) =>
+        // sparse, shuffled-looking doc ids: exercises bucket boundaries
+        val docs = lens.zipWithIndex.map { case (n, i) => (i * 7L + 3, n) }
+        val got = TrainingSet.packSequences(docs.toDF("doc_id", "n_tok"))
+          .as[(Long, Long, Long)].collect().toSet
+        // reference: sequential scala fold over doc_id order
+        val B = TrainingSet.SEQ_BUDGET
+        var off = 0L
+        val want = docs.sortBy(_._1).flatMap { case (id, n) =>
+          val rows = if (n <= 0) Seq.empty else
+            (off / B to (off + n - 1) / B).map { c =>
+              (c, id, math.min(off + n, (c + 1) * B) - math.max(off, c * B)) }
+          off += math.max(n, 0L)
+          rows
+        }.toSet
+        assert(got == want, s"trial $trial")
+    }
+  }
+
   test("q40 output invariants: 0 < J <= 1, common <= min(ni,nj), i < j") {
     val rows = Dedup.q40NgramJaccard(spark, TestSpark.SF)
       .select("i", "j", "common", "ni", "nj", "jaccard")
