@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -51,12 +52,15 @@ class OsmTable(path: String) extends Table with SupportsRead {
 
 class OsmScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 
   private var required: StructType = OsmXml.schema
   private var types: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed = false
+  private var aggGrouped = false
+  private var aggCounts = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -87,15 +91,43 @@ class OsmScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new OsmScan(path, required, types)
+  /** COUNT(*) — optionally grouped by `type` — is answered by a
+    * count-only StAX pass that never materializes a row (no attribute
+    * parsing, no array children, no Catalyst conversion). Partial
+    * pushdown (`supportCompletePushDown` stays false): each file
+    * partition emits its per-type counts and Spark's final aggregate
+    * sums them — correct for any number of per-region extract files.
+    * At 100 TB this is the difference between "count the corpus" being
+    * a metadata-speed pass vs a full decode. Any other aggregate (or
+    * grouping) declines the pushdown and takes the row path. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val groups = aggregation.groupByExpressions
+    val groupedOnType = groups.length == 1 && (groups(0) match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+        n.fieldNames.sameElements(Array("type"))
+      case _ => false
+    })
+    val ok = (groups.isEmpty || groupedOnType) &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) {
+      aggPushed = true
+      aggGrouped = groups.nonEmpty
+      aggCounts = aggregation.aggregateExpressions.length
+    }
+    ok
+  }
+
+  override def build(): Scan =
+    if (aggPushed) new OsmCountScan(path, aggGrouped, aggCounts, types)
+    else new OsmScan(path, required, types)
 }
 
-class OsmScan(path: String, required: StructType,
-              types: Option[Set[String]] = None) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-
-  override def planInputPartitions(): Array[InputPartition] = {
+object OsmScan {
+  /** One InputPartition per visible file — shared by the row scan and
+    * the count-pushdown scan so both read exactly the same inputs. */
+  def listPartitions(path: String): Array[InputPartition] = {
     if (path == null) throw new IllegalArgumentException(
       "the osm source requires exactly one path: spark.read.format(\"osm\").load(dir)")
     // the SESSION's hadoop conf (spark.hadoop.*, fs credentials/impls),
@@ -126,11 +158,75 @@ class OsmScan(path: String, required: StructType,
     files.map(f => OsmInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
+  def serializableConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    new OsmReaderFactory(required, types, conf)
+}
+
+class OsmScan(path: String, required: StructType,
+              types: Option[Set[String]] = None) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    OsmScan.listPartitions(path)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmReaderFactory(required, types, OsmScan.serializableConf())
+}
+
+/** Aggregate-pushdown scan: COUNT(*) (optionally grouped by `type`)
+  * served by `OsmXml.countTypes` — a StAX pass that parses element
+  * names only. Emits PARTIAL counts (one row per present type per
+  * file, or one total row per file ungrouped); Spark's final aggregate
+  * sums partials, so multi-file extracts compose exactly like the row
+  * path. Output column order follows the V2 pushdown contract: group
+  * columns first, then one long per pushed COUNT. */
+class OsmCountScan(path: String, grouped: Boolean, nCounts: Int,
+                   types: Option[Set[String]]) extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def readSchema(): StructType = {
+    val base = if (grouped) new StructType().add("type", StringType, false)
+               else new StructType()
+    (0 until nCounts).foldLeft(base)((s, i) => s.add(s"count_$i", LongType, false))
   }
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    OsmScan.listPartitions(path)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmCountReaderFactory(grouped, nCounts, types, OsmScan.serializableConf())
+  override def description(): String =
+    s"OsmCountScan(grouped=$grouped, pushedTypes=$types)"
+}
+
+class OsmCountReaderFactory(grouped: Boolean, nCounts: Int,
+                            types: Option[Set[String]],
+                            conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = partition.asInstanceOf[OsmInputPartition].file
+      private lazy val rows: Iterator[InternalRow] = {
+        val p = new Path(file)
+        val counts = OsmXml.countTypes(p.getFileSystem(conf.value).open(p), types)
+        def row(prefix: Seq[Any], c: Long): InternalRow = {
+          val out = new GenericInternalRow(prefix.length + nCounts)
+          prefix.zipWithIndex.foreach { case (v, i) => out.update(i, v) }
+          (0 until nCounts).foreach(i => out.update(prefix.length + i, c))
+          out
+        }
+        if (grouped)
+          counts.toSeq.sortBy(_._1).iterator.map { case (t, c) =>
+            row(Seq(UTF8String.fromString(t)), c) }
+        else Iterator.single(row(Seq.empty, counts.values.sum))
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = () // countTypes closes its stream
+    }
 }
 
 case class OsmInputPartition(file: String) extends InputPartition

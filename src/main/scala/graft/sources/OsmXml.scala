@@ -91,6 +91,45 @@ object OsmXml {
     m.toMap
   }
 
+  /** Count-only pass for the aggregate-pushdown path (COUNT over the
+    * `osm` source): per-type row counts WITHOUT building a single Row —
+    * no attribute parsing, no child collection, no string conversion.
+    * Mirrors `parse`'s emission rule exactly: an element counts iff
+    * parse would emit it — top-of-scan node/way/relation matching the
+    * pushed type set, whose subtree is then consumed (so a nested
+    * row-named element inside a MATCHED element never double-counts,
+    * exactly as readElement consumes it; inside a NON-matched element
+    * it scans through, exactly as parse's loop does). */
+  def countTypes(in: InputStream,
+                 wantedTypes: Option[Set[String]] = None): Map[String, Long] = {
+    val factory = XMLInputFactory.newFactory()
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = factory.createXMLStreamReader(in)
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    var skipDepth = 0
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (skipDepth > 0) skipDepth += 1
+            else {
+              val n = r.getLocalName
+              if ((n == "node" || n == "way" || n == "relation") &&
+                  wantedTypes.forall(_.contains(n))) {
+                m.update(n, m.getOrElse(n, 0L) + 1L)
+                skipDepth = 1 // consume the subtree, like readElement
+              }
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            if (skipDepth > 0) skipDepth -= 1
+          case _ => ()
+        }
+      }
+    } finally { r.close(); in.close() }
+    m.toMap
+  }
+
   /** Streaming element iterator over an XML byte stream. Emits one Row
     * per <node>/<way>/<relation>; non-element structure (bounds, the
     * osm root, …) is skipped — use `countTags` for raw tag-name

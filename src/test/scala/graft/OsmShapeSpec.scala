@@ -164,6 +164,46 @@ class OsmShapeSpec extends AnyFunSuite {
       s"type filter not absorbed:\n$nPlan")
   }
 
+  test("DataSourceV2: COUNT aggregate pushdown serves counts without row materialization") {
+    // two files → partial counts per file must sum correctly
+    val xml1 = """<?xml version="1.0"?>
+      |<osm><node id="1" lat="1" lon="2"/><node id="2" lat="1" lon="2"/>
+      |<way id="7"><nd ref="1"/></way></osm>""".stripMargin
+    val xml2 = """<?xml version="1.0"?>
+      |<osm><node id="3" lat="1" lon="2"/>
+      |<relation id="9"><member type="node" ref="3" role=""/></relation></osm>""".stripMargin
+    val dir = graft.sources.TmpWorkspace.fresh("osm_agg")
+    java.nio.file.Files.write(dir.resolve("a.osm"), xml1.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.osm"), xml2.getBytes("UTF-8"))
+    val df = spark.read.format("osm").load(dir.toString)
+
+    // grouped: counts match the row path, and the plan carries the
+    // count-only scan (no Row is ever built by the source)
+    val grouped = df.groupBy("type").count()
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("node" -> 3L, "way" -> 1L, "relation" -> 1L))
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(gPlan.contains("OsmCountScan"), s"aggregate not pushed:\n$gPlan")
+
+    // ungrouped count
+    val total = df.count()
+    assert(total == 5L)
+
+    // pushed type filter composes with the pushed count
+    val nodes = df.filter(col("type") === "node").groupBy("type").count()
+    assert(nodes.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("node" -> 3L))
+    val nPlan = nodes.queryExecution.executedPlan.toString
+    assert(nPlan.contains("OsmCountScan") && nPlan.contains("pushedTypes=Some(Set(node))"),
+      s"filter+aggregate not composed:\n$nPlan")
+
+    // a non-count aggregate declines the pushdown and takes the row path
+    val sums = df.groupBy("type").agg(org.apache.spark.sql.functions.sum("id"))
+    assert(!sums.queryExecution.executedPlan.toString.contains("OsmCountScan"))
+    assert(sums.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("node" -> 6L, "way" -> 7L, "relation" -> 9L))
+  }
+
   test("q81 raw tag census matches golden counts (count_tags parity)") {
     val got = graft.sources.OsmCensus
       .q81OsmCountTags(spark, TestSpark.SF)
