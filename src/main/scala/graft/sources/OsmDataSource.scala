@@ -52,7 +52,8 @@ class OsmTable(path: String) extends Table with SupportsRead {
 
 class OsmScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 
   private var required: StructType = OsmXml.schema
@@ -61,6 +62,16 @@ class OsmScanBuilder(path: String)
   private var aggPushed = false
   private var aggGrouped = false
   private var aggCounts = 0
+  private var limit: Option[Int] = None
+
+  /** LIMIT n: each file's parser stops after n emitted rows — a
+    * per-partition (partial) limit; Spark keeps its global Limit on
+    * top, so this is purely an early-termination optimization (`take a
+    * few rows to look at them` never parses whole extracts). */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false // partial: Spark still applies the global limit
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -121,7 +132,7 @@ class OsmScanBuilder(path: String)
 
   override def build(): Scan =
     if (aggPushed) new OsmCountScan(path, aggGrouped, aggCounts, types)
-    else new OsmScan(path, required, types)
+    else new OsmScan(path, required, types, limit)
 }
 
 object OsmScan {
@@ -164,7 +175,9 @@ object OsmScan {
 }
 
 class OsmScan(path: String, required: StructType,
-              types: Option[Set[String]] = None) extends Scan with Batch {
+              types: Option[Set[String]] = None,
+              limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -172,7 +185,27 @@ class OsmScan(path: String, required: StructType,
     OsmScan.listPartitions(path)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmReaderFactory(required, types, OsmScan.serializableConf())
+    new OsmReaderFactory(required, types, limit, OsmScan.serializableConf())
+
+  /** File-length statistics so Catalyst's size estimate reflects the
+    * actual extract bytes (a small regional dim joins as the broadcast
+    * side instead of defaulting to the conservative unknown-size
+    * estimate). Rows are unknown without parsing — only bytes are
+    * reported. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration
+      OsmScan.listPartitions(path).map { p =>
+        val f = new Path(p.asInstanceOf[OsmInputPartition].file)
+        f.getFileSystem(conf).getFileStatus(f).getLen
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 }
 
 /** Aggregate-pushdown scan: COUNT(*) (optionally grouped by `type`)
@@ -232,11 +265,13 @@ class OsmCountReaderFactory(grouped: Boolean, nCounts: Int,
 case class OsmInputPartition(file: String) extends InputPartition
 
 class OsmReaderFactory(required: StructType, types: Option[Set[String]],
+                       limit: Option[Int],
                        conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OsmPartitionReader(
-      partition.asInstanceOf[OsmInputPartition].file, required, types, conf.value)
+      partition.asInstanceOf[OsmInputPartition].file, required, types,
+      limit, conf.value)
 }
 
 /** Streams one file; converts only the REQUIRED columns to Catalyst
@@ -244,6 +279,7 @@ class OsmReaderFactory(required: StructType, types: Option[Set[String]],
   * PUSHED element types (others never leave the parser). */
 class OsmPartitionReader(file: String, required: StructType,
                          types: Option[Set[String]],
+                         limit: Option[Int],
                          conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -254,10 +290,11 @@ class OsmPartitionReader(file: String, required: StructType,
   private val fullOrdinals: Array[Int] =
     required.fields.map(f => OsmXml.schema.fieldIndex(f.name))
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean =
-    if (!rows.hasNext) false
-    else { current = convert(rows.next()); true }
+    if (limit.exists(emitted >= _) || !rows.hasNext) false
+    else { current = convert(rows.next()); emitted += 1; true }
 
   override def get(): InternalRow = current
 

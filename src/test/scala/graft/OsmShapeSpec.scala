@@ -202,6 +202,17 @@ class OsmShapeSpec extends AnyFunSuite {
     assert(!sums.queryExecution.executedPlan.toString.contains("OsmCountScan"))
     assert(sums.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("node" -> 6L, "way" -> 7L, "relation" -> 9L))
+
+    // reported statistics: Catalyst's size estimate equals the actual
+    // file bytes (not the conservative unknown default), so a small
+    // extract can qualify as a broadcast side
+    val bytes = Seq("a.osm", "b.osm")
+      .map(n => java.nio.file.Files.size(dir.resolve(n))).sum
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes == BigInt(bytes))
+
+    // pushed limit still returns exact results under the global limit
+    assert(df.limit(2).collect().length == 2)
+    assert(df.limit(100).collect().length == 5)
   }
 
   test("q81 raw tag census matches golden counts (count_tags parity)") {
