@@ -257,6 +257,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$tmp/ckpt/offsets").list().nonEmpty) // checkpoint state
   }
 
+  test("streaming corpus curation: quality + lang filters and fingerprint dedup in one stream") {
+    // The LLM-pipeline row-local operators (quality score, language-ID,
+    // md5 fingerprint) are plain Column expressions, so they lift into
+    // Structured Streaming unchanged; exact dedup becomes
+    // dropDuplicates on the fingerprint — the streaming form of q39's
+    // hash-groupBy. Result must equal the batch curation of the same
+    // files.
+    import graft.text.TextOps
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = graft.sources.TmpWorkspace.fresh("stream_docs").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.SF}/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextOps.withQuality(df)
+        .filter(TextOps.langGuess(col("text")) === "en"
+          && col("quality") >= graft.text.CorpusPipeline.QUALITY_FLOOR)
+        .withColumn("fp", md5(lower(col("text"))))
+        .dropDuplicates("fp")
+        .select(col("doc_id"), col("fp"))
+
+    val q = curate(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_curate").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("graft_stream_curate")
+      .as[(Long, String)].collect()
+    val batch = curate(spark.read.schema(schema).parquet(dir))
+      .as[(Long, String)].collect()
+    // dropDuplicates keeps an arbitrary representative per fingerprint:
+    // compare the deduped fingerprint SETS and survivor counts
+    assert(streamed.map(_._2).toSet == batch.map(_._2).toSet)
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+  }
+
   test("streamed tumbling-window counts equal the batch computation") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
