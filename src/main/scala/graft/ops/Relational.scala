@@ -347,6 +347,44 @@ object Relational {
         raise_error(concat(lit("q49 HLL error beyond 3*rsd: "), col("rel_err")))))
       .orderBy(col("event_type"))
 
+  /** A3's INCREMENTAL form: q49's approx_count_distinct yields a number
+    * that cannot be combined later — re-counting a grown corpus means a
+    * full re-scan. q90 builds PERSISTABLE, MERGEABLE DataSketches HLL
+    * sketches per group (`hll_sketch_agg` → binary column) and derives
+    * the global estimate by UNIONING the group sketches
+    * (`hll_union_agg`) — no second pass over the data. At 100 TB this
+    * is how distinct-counts compose across days/sources/tiers: store
+    * the per-partition sketch, union on demand. Output: one row per
+    * event_type plus an ALL row whose estimate comes only from the
+    * sketch union; every row carries exact + rel_err evidence with a
+    * raise_error tripwire (sketch internals differ per engine →
+    * rows-only driver check, same contract as q49/q75). */
+  def q90HllMergeable(s: SparkSession, d: String): DataFrame = {
+    val sketches = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sketch"),
+           countDistinct(col("user_id")).as("exact_users"))
+    // per-group rows: estimate each group's own sketch
+    val perGroup = sketches.select(col("event_type"),
+      expr("hll_sketch_estimate(sketch)").as("approx_users"),
+      col("exact_users"))
+    // ALL row: union the per-group sketches — never rescans events —
+    // checked against the directly-computed global exact count
+    val unioned = sketches.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sketch))").as("approx_users"))
+      .crossJoin(broadcast(events(s, d)
+        .agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("ALL").as("event_type"), col("approx_users"),
+              col("exact_users"))
+    perGroup.union(unioned)
+      .withColumn("rel_err", round(
+        abs(col("approx_users") - col("exact_users"))
+          / col("exact_users"), 4))
+      .filter(when(col("rel_err") <= 3 * HLL_RSD, lit(true)).otherwise(
+        raise_error(concat(lit("q90 sketch error beyond 3*rsd: "), col("rel_err")))))
+      .orderBy(col("event_type"))
+  }
+
   /** A9 at scale (sketch quantiles beside exact q53): percentile_approx
     * is a mergeable sketch — fixed-size state per group through the
     * shuffle, the 100 TB formulation of percentiles. Sketch internals
@@ -782,6 +820,7 @@ object Relational {
     "q53_quantiles"       -> (q53Quantiles _),
     "q54_edit_distance"   -> (q54EditDistance _),
     "q75_approx_quantiles" -> (q75ApproxQuantiles _),
+    "q90_hll_mergeable"   -> (q90HllMergeable _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
