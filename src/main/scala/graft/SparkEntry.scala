@@ -22,6 +22,7 @@ object SparkEntry {
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
+      text.Scrub.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.PartitionedScan.queries
@@ -33,6 +34,7 @@ object SparkEntry {
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++
+      text.Scrub.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles

@@ -1,0 +1,186 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus scrubbing + vocabulary-induction operators for the LLM-data
+  * pipeline (north star): PII redaction, URL/domain auditing, and BPE-style
+  * adjacent-pair counting.
+  *
+  * The synthetic `documents` corpus contains no natural PII or URLs, so the
+  * two scrub queries inject deterministic, doc_id-derived spans into the
+  * text inside the query itself (the q62/q81/q82/q87 fixture-at-query-time
+  * pattern), identically mirrored in the oracle SQL — the redaction /
+  * extraction machinery therefore has real work to do and stays fully
+  * hash-checkable against DuckDB.
+  *
+  * Scale notes (100 TB stance):
+  *  - All three queries are row-local scans followed by one hash
+  *    aggregation (q92/q93) or none at all (q91): no joins, no windows,
+  *    no driver-side state. Regex matching happens inside the scan
+  *    stage under whole-stage codegen.
+  *  - q93's pair generation is a per-row `transform` over the token
+  *    array — the oracle's positional self-join formulation would shuffle
+  *    the full token table twice at 100 TB; the row-local zip shuffles
+  *    only the (pair, partial-count) aggregates. ScrubSpec asserts the
+  *    two formulations agree.
+  *  - The top-k in q93 executes as TakeOrderedAndProject (per-partition
+  *    heap, k rows to the driver), never a global sort.
+  */
+object Scrub {
+
+  // One definition of each regex, shared by the Spark side and the oracle
+  // (patterns are chosen to mean the same thing in Java regex and RE2).
+  val EMAIL_RE = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val IP_RE    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PHONE_RE = """\b\d{3}-\d{4}\b"""
+  val URL_RE   = """https?://([A-Za-z0-9.-]+)"""
+
+  private def s_(c: Column): Column = c.cast("string")
+
+  /** Deterministic PII injection: ~1/3 of docs get an email, 1/4 an IPv4,
+    * 1/5 a phone fragment — all derived from doc_id alone so the fixture
+    * is partitioning-independent and exactly reproducible in SQL. */
+  def piiText(id: Column, text: Column): Column = concat(
+    text,
+    when(id % 3 === 0,
+      concat(lit(" contact u"), s_(id), lit("@mail"), s_(id % 7),
+        lit(".example.com"))).otherwise(lit("")),
+    when(id % 4 === 0,
+      concat(lit(" from 10."), s_(id % 256), lit("."), s_((id * 7) % 256),
+        lit("."), s_(id % 100))).otherwise(lit("")),
+    when(id % 5 === 0,
+      concat(lit(" call 555-"), lpad(s_(id % 10000), 4, "0")))
+      .otherwise(lit("")))
+
+  /** The three-stage redaction chain. Email first (its local part can
+    * contain digits/dots that the later numeric patterns must never see
+    * as fragments), then IPv4, then phone. */
+  def redact(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+        IP_RE, "<IP>"),
+      PHONE_RE, "<PHONE>")
+
+  /** q91: PII detection + redaction over the corpus — per-document match
+    * counts per category and an md5 of the fully-redacted text (the hash
+    * makes the whole redacted string, not just the counts, oracle-checked).
+    * Pure row-local regex work inside the scan stage; zero shuffles. */
+  def q91PiiRedact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), piiText(col("doc_id"), col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EMAIL_RE)).cast("long").as("n_email"),
+        regexp_count(col("t"), lit(IP_RE)).cast("long").as("n_ip"),
+        regexp_count(col("t"), lit(PHONE_RE)).cast("long").as("n_phone"),
+        md5(redact(col("t"))).as("red_md5"))
+      .orderBy(col("doc_id"))
+
+  // Oracle-side mirror of piiText (same arithmetic, same literals).
+  private val ORA_PII_T = """
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id::VARCHAR
+         || '@mail' || (doc_id % 7)::VARCHAR || '.example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR
+         || '.' || ((doc_id * 7) % 256)::VARCHAR
+         || '.' || (doc_id % 100)::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+         || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"""
+
+  val o91 = s"""
+    WITH pii AS (SELECT doc_id, $ORA_PII_T AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '$EMAIL_RE')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t, '$IP_RE')) AS BIGINT) AS n_ip,
+      CAST(len(regexp_extract_all(t, '$PHONE_RE')) AS BIGINT) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '$EMAIL_RE', '<EMAIL>', 'g'),
+            '$IP_RE', '<IP>', 'g'),
+            '$PHONE_RE', '<PHONE>', 'g')) AS red_md5
+    FROM pii ORDER BY doc_id"""
+
+  /** Deterministic URL injection: every doc cites one https URL (60
+    * distinct site domains), even docs add a second http CDN URL. */
+  def urlText(id: Column, text: Column): Column = concat(
+    text,
+    lit(" see https://site"), s_(id % 20), lit(".example"), s_(id % 3),
+    lit(".org/p/"), s_(id),
+    when(id % 2 === 0,
+      concat(lit(" and http://cdn"), s_(id % 5), lit(".example.net/x.js")))
+      .otherwise(lit("")))
+
+  /** q92: URL extraction + per-domain audit (the blocklist/attribution
+    * primitive: which hosts does the corpus cite, how often, from how many
+    * documents). Row-local extract-all + explode, then one hash agg on
+    * domain — the only shuffle, carrying (domain, partials) not text. */
+  def q92UrlDomains(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(
+          urlText(col("doc_id"), col("text")), lit(URL_RE), lit(1)))
+          .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("domain"))
+
+  val o92 = s"""
+    WITH ut AS (
+      SELECT doc_id,
+        text || ' see https://site' || (doc_id % 20)::VARCHAR || '.example'
+          || (doc_id % 3)::VARCHAR || '.org/p/' || doc_id::VARCHAR
+          || CASE WHEN doc_id % 2 = 0 THEN ' and http://cdn'
+               || (doc_id % 5)::VARCHAR || '.example.net/x.js' ELSE '' END
+          AS t
+      FROM documents),
+    hosts AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '$URL_RE', 1)) AS domain
+      FROM ut)
+    SELECT domain, COUNT(*) AS n_urls,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hosts GROUP BY domain ORDER BY domain"""
+
+  /** q93: corpus-wide adjacent-token-pair counts, top 20 — one merge
+    * round of BPE-style vocabulary induction (over 100 TB, tokenizer
+    * training IS this query, iterated). Pairs are generated row-locally
+    * with a `transform` over the token array (0-based subscripts), so
+    * nothing token-level ever crosses the network; the oracle uses the
+    * positional-self-join formulation as an independent derivation.
+    * `ORDER BY cnt DESC, w1, w2 LIMIT 20` is a total order, so the cut
+    * is deterministic even with count ties at rank 20. */
+  def q93BpePairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(20)
+
+  val o93 = """
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(string_split(text, ' ')) AS tok,
+        unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents)
+    SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS cnt
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_pii_redact"  -> (q91PiiRedact _),
+    "q92_url_domains" -> (q92UrlDomains _),
+    "q93_bpe_pairs"   -> (q93BpePairs _))
+
+  val oracles: Map[String, String] = Map(
+    "q91_pii_redact"  -> o91,
+    "q92_url_domains" -> o92,
+    "q93_bpe_pairs"   -> o93)
+}

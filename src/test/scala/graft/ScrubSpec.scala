@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Scrub
+
+/** Scrub surface (q91 PII redaction, q92 URL domains, q93 BPE pairs). */
+class ScrubSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q91 redacted text contains zero residual PII matches") {
+    val residual = Tables.documents(spark, TestSpark.SF)
+      .select(Scrub.redact(
+        Scrub.piiText(col("doc_id"), col("text"))).as("red"))
+      .select(
+        sum(regexp_count(col("red"), lit(Scrub.EMAIL_RE))).as("e"),
+        sum(regexp_count(col("red"), lit(Scrub.IP_RE))).as("i"),
+        sum(regexp_count(col("red"), lit(Scrub.PHONE_RE))).as("p"))
+      .as[(Long, Long, Long)].head()
+    assert(residual == ((0L, 0L, 0L)))
+  }
+
+  test("q91 per-category counts match the injection schedule exactly") {
+    // The corpus itself contains no PII, so the only matches are the
+    // injected ones: one email iff doc_id%3==0, one IP iff %4==0, one
+    // phone iff %5==0. This pins the regexes to the fixture 1:1 (no
+    // accidental cross-category matches, e.g. the phone pattern firing
+    // inside an email's digits).
+    val rows = Scrub.q91PiiRedact(spark, TestSpark.SF)
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, e, i, p) =>
+      assert(e == (if (id % 3 == 0) 1L else 0L), s"email count at $id")
+      assert(i == (if (id % 4 == 0) 1L else 0L), s"ip count at $id")
+      assert(p == (if (id % 5 == 0) 1L else 0L), s"phone count at $id")
+    }
+  }
+
+  test("q92 domain totals account for every injected URL") {
+    val docs = Tables.documents(spark, TestSpark.SF).count()
+    val even = Tables.documents(spark, TestSpark.SF)
+      .filter(col("doc_id") % 2 === 0).count()
+    val agg = Scrub.q92UrlDomains(spark, TestSpark.SF)
+      .agg(sum(col("n_urls")), count(lit(1))).as[(Long, Long)].head()
+    // one https URL per doc + one http URL per even doc; 60 site
+    // domains (doc_id mod lcm(20,3)=60 combos) + 5 cdn domains.
+    assert(agg._1 == docs + even)
+    assert(agg._2 == math.min(60L, docs) + math.min(5L, even))
+  }
+
+  test("q93 row-local pair transform == positional self-join formulation") {
+    // The scale form generates pairs inside each row; the naive form
+    // (mirroring the oracle) posexplodes to (doc_id, pos, tok) and
+    // self-joins on pos+1. Same top-20 under the total order.
+    val toks = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+    val naive = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
+      .as[(String, String, Long)].collect().toSeq
+    val fast = Scrub.q93BpePairs(spark, TestSpark.SF)
+      .as[(String, String, Long)].collect().toSeq
+    assert(fast == naive && fast.size == 20)
+  }
+
+  test("q93 plan: no join, no global sort (TakeOrderedAndProject)") {
+    val physical = Scrub.q93BpePairs(spark, TestSpark.SF)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), "pair generation must be row-local")
+    assert(physical.contains("TakeOrderedAndProject"),
+      "top-k must be a per-partition heap, not a global sort")
+  }
+}
