@@ -22,7 +22,7 @@ object SparkEntry {
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
-      text.Scrub.queries ++
+      text.Scrub.queries ++ text.CorpusStats.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.PartitionedScan.queries
@@ -34,7 +34,7 @@ object SparkEntry {
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++
-      text.Scrub.oracles ++
+      text.Scrub.oracles ++ text.CorpusStats.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles

@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-level statistics for the LLM-data pipeline: cross-source
+  * contamination auditing (q94) and mergeable heavy-hitter sketches
+  * (q95).
+  *
+  * Scale notes (100 TB stance):
+  *  - q94 reuses q79's span machinery: per-document distinct windows are
+  *    row-local (codegen ShingleSet), spans ship as 8-byte md5-60 longs,
+  *    and after the per-source `distinct` each span hash appears at most
+  *    once per source — so the self-join's per-key fan-out is bounded by
+  *    #sources (20), never by corpus size. The span table is hash-
+  *    repartitioned once and both join sides reuse that exchange.
+  *  - q95's Misra–Gries sketch is the frequency counterpart of q90's
+  *    HLL: a bounded-size state that `reduce`s per partition and
+  *    `merge`s associatively, so the full corpus is summarized in one
+  *    pass with k counters per partial — no (word, count) shuffle of the
+  *    whole vocabulary. Guarantee: for true frequency f and estimate e,
+  *    e ≤ f ≤ e + N/(k+1); every word with f > N/(k+1) survives.
+  */
+object CorpusStats {
+
+  /** Misra–Gries frequency sketch as a typed Aggregator (the
+    * `Aggregator[IN,BUF,OUT]` + `udaf` extension point, beside q38's
+    * scalar-stats instance). The buffer is an immutable map for
+    * encoder clarity; a production build would swap in a mutable
+    * open-address map — the algorithm and its merge are the point here.
+    *
+    * Merge of two sketches (Agarwal et al., "Mergeable Summaries"):
+    * sum counters, then subtract the (k+1)-th largest count from all
+    * and drop non-positives — keeps ≤ k counters and preserves the
+    * N/(k+1) error bound regardless of merge order or partitioning. */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(b: Map[String, Long], w: String): Map[String, Long] =
+      b.get(w) match {
+        case Some(c)              => b.updated(w, c + 1)
+        case None if b.size < k   => b.updated(w, 1L)
+        case None => // full: decrement every counter, drop zeros
+          b.flatMap { case (kw, c) =>
+            if (c > 1) Some(kw -> (c - 1)) else None }
+      }
+
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val m = y.foldLeft(x) { case (acc, (w, c)) =>
+        acc.updated(w, acc.getOrElse(w, 0L) + c) }
+      if (m.size <= k) m
+      else {
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        m.flatMap { case (w, c) =>
+          if (c > cut) Some(w -> (c - cut)) else None }
+      }
+    }
+
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Registered capacity: 64 counters > the corpus vocabulary (31), so
+    * the sketch never evicts and its estimates are EXACT — that is what
+    * makes q95 oracle-checkable rather than rows-only. The approximate
+    * regime (capacity < vocabulary) is exercised by CorpusStatsSpec,
+    * which asserts the N/(k+1) bound at k=8. */
+  val MG_CAPACITY = 64
+
+  /** q95: corpus heavy hitters via the Misra–Gries sketch — one partial
+    * sketch per partition, merged associatively to a global one (q90's
+    * HLL pattern, for frequencies). */
+  def q95HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new MisraGries(MG_CAPACITY))
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(mg(col("w")).as("sketch"))
+      .select(explode(col("sketch")))
+      .toDF("word", "est")
+      .orderBy(col("est").desc, col("word"))
+  }
+
+  val o95 = """
+    SELECT tok AS word, COUNT(*) AS est
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY est DESC, word"""
+
+  /** q94: cross-source contamination matrix — for every source pair
+    * with any verbatim SPAN-token overlap, the number of distinct
+    * shared spans and the Jaccard of the two span vocabularies ("how
+    * much does source A duplicate source B" — the provenance-level
+    * complement of q79's per-document links). Zero-overlap pairs are
+    * absent by construction (inner join). */
+  def q94SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val spans = documents(s, d)
+      .select(col("source"), explode(
+        graft.functions.ShingleSet.shingle_set(col("text"), Dedup.SPAN))
+        .as("span"))
+      .select(col("source"),
+        expr("cast(conv(substr(md5(span),1,15),16,10) as bigint)").as("h"))
+      .distinct() // per-source span vocabulary
+      .repartition(shufflePartitions(s), col("h"))
+    val sizes = spans.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    spans.as("a")
+      .join(spans.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.as("sa")), col("src_a") === col("sa.source"))
+      .join(broadcast(sizes.as("sb")), col("src_b") === col("sb.source"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("sa.n") + col("sb.n") - col("n_shared"))).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val o94 = s"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    spans AS (
+      SELECT DISTINCT source,
+        ('0x' || substr(md5(array_to_string(tk[i:i+${Dedup.SPAN - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM t, unnest(range(1, len(tk) - ${Dedup.SPAN - 2})) u(i)
+      WHERE len(tk) >= ${Dedup.SPAN}),
+    sizes AS (SELECT source, COUNT(*) AS n FROM spans GROUP BY source),
+    ov AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM spans a JOIN spans b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT o.src_a, o.src_b, o.n_shared,
+      o.n_shared::DOUBLE / (sa.n + sb.n - o.n_shared) AS jaccard
+    FROM ov o JOIN sizes sa ON sa.source = o.src_a
+              JOIN sizes sb ON sb.source = o.src_b
+    ORDER BY src_a, src_b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_source_overlap" -> (q94SourceOverlap _),
+    "q95_heavy_hitters"  -> (q95HeavyHitters _))
+
+  val oracles: Map[String, String] = Map(
+    "q94_source_overlap" -> o94,
+    "q95_heavy_hitters"  -> o95)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.CorpusStats
+
+/** Corpus statistics (q94 source-overlap matrix, q95 Misra–Gries). */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q94 overlap is bounded by the smaller span vocabulary") {
+    val rows = CorpusStats.q94SourceOverlap(spark, TestSpark.SF)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // recompute per-source vocab sizes independently (doc-level spans)
+    val sizes = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), explode(graft.functions.ShingleSet
+        .shingle_set(col("text"), graft.text.Dedup.SPAN)).as("span"))
+      .select(col("source"), md5(col("span")).as("h")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (a, b, shared, j) =>
+      assert(a < b, "pairs must be canonically ordered")
+      assert(shared >= 1 && shared <= math.min(sizes(a), sizes(b)))
+      val expected = shared.toDouble / (sizes(a) + sizes(b) - shared)
+      assert(math.abs(j - expected) < 1e-12, s"jaccard at ($a,$b)")
+    }
+  }
+
+  test("q95 at registered capacity (no eviction) equals exact counts") {
+    val exact = Tables.documents(spark, TestSpark.SF)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val sketch = CorpusStats.q95HeavyHitters(spark, TestSpark.SF)
+      .as[(String, Long)].collect().toMap
+    assert(sketch == exact && exact.size < CorpusStats.MG_CAPACITY)
+  }
+
+  test("q95 under-capacity sketch honors the N/(k+1) guarantee") {
+    val k = 8
+    val words = Tables.documents(spark, TestSpark.SF)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val n = words.count()
+    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val slack = n / (k + 1)
+    // both parallelisms: merge order must not break the bound
+    Seq(2, 32).foreach { parts =>
+      val mg = udaf(new CorpusStats.MisraGries(k))
+      val est = words.repartition(parts)
+        .agg(mg(col("w")).as("s")).select(explode(col("s")))
+        .as[(String, Long)].collect().toMap
+      assert(est.size <= k)
+      est.foreach { case (w, e) =>
+        assert(e <= exact(w) && exact(w) - e <= slack,
+          s"bound violated for $w at parts=$parts")
+      }
+      exact.foreach { case (w, c) =>
+        if (c > slack)
+          assert(est.contains(w), s"heavy word $w missing at parts=$parts")
+      }
+    }
+  }
+}
