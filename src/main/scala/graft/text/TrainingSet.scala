@@ -71,20 +71,26 @@ object TrainingSet {
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
       .orderBy(col("chunk_id"), col("doc_id"))
 
-  val o83 = s"""
-    WITH d AS (
+  /** Oracle packing CTE chain (whole-corpus variant), shared by o83 and
+    * the shard-export oracle o96. */
+  private val ORA_PACK_CTES = s"""d AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       FROM documents WHERE len(string_split(text, ' ')) > 0),
     c AS (
       -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which range() rejects
       SELECT doc_id, n_tok,
         CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS off
-      FROM d)
-    SELECT chunk_id, doc_id,
-      LEAST(off + n_tok, (chunk_id + 1) * $SEQ_BUDGET)
-        - GREATEST(off, chunk_id * $SEQ_BUDGET) AS n_tok_in_chunk
-    FROM c, unnest(range(off // $SEQ_BUDGET,
-                         (off + n_tok - 1) // $SEQ_BUDGET + 1)) u(chunk_id)
+      FROM d),
+    packed AS (
+      SELECT chunk_id, doc_id,
+        LEAST(off + n_tok, (chunk_id + 1) * $SEQ_BUDGET)
+          - GREATEST(off, chunk_id * $SEQ_BUDGET) AS n_tok_in_chunk
+      FROM c, unnest(range(off // $SEQ_BUDGET,
+                           (off + n_tok - 1) // $SEQ_BUDGET + 1)) u(chunk_id))"""
+
+  val o83 = s"""
+    WITH $ORA_PACK_CTES
+    SELECT chunk_id, doc_id, n_tok_in_chunk FROM packed
     ORDER BY chunk_id, doc_id"""
 
   // ---- q84: mixture weighting (source-proportional sampling) ----
@@ -284,15 +290,57 @@ object TrainingSet {
                            (off + n_tok - 1) // $SEQ_BUDGET + 1)) u(chunk_id)
     ORDER BY chunk_id, doc_id"""
 
+  // ---- q96: shard export (the training-set writer's layout step) ----
+
+  /** Number of output shards. At 100 TB this is thousands; 16 keeps the
+    * result table readable while exercising the same math. */
+  val N_SHARDS = 16
+
+  /** q96: deterministic shard assignment + per-shard manifest for the
+    * packed training set — the export step after q83: every chunk goes
+    * to shard md5(chunk_id) % N_SHARDS, and the manifest reports chunk /
+    * row / token totals per shard (what a writer job would emit next to
+    * `partitionBy("shard_id")` output files; the physical write path
+    * itself is exercised by the q62/q82/q89 sinks). md5-keyed assignment
+    * is partitioning-independent and engine-portable (the q84 draw
+    * pattern), and — unlike `chunk_id % N` — decorrelates shard size
+    * from any ordering in the corpus. */
+  def q96ShardExport(s: SparkSession, d: String): DataFrame =
+    packSequences(documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
+      .withColumn("shard_id", expr(
+        s"cast(conv(substr(md5(cast(chunk_id as string)),1,8),16,10) as bigint) % $N_SHARDS"))
+      .groupBy(col("shard_id"))
+      .agg(countDistinct(col("chunk_id")).as("n_chunks"),
+        count(lit(1)).as("n_rows"),
+        sum(col("n_tok_in_chunk")).as("n_tokens"))
+      .orderBy(col("shard_id"))
+
+  val o96 = s"""
+    WITH $ORA_PACK_CTES,
+    sh AS (
+      SELECT ('0x' || substr(md5(chunk_id::VARCHAR), 1, 8))::BIGINT
+               % $N_SHARDS AS shard_id,
+             chunk_id, n_tok_in_chunk
+      FROM packed)
+    SELECT shard_id,
+      CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+      COUNT(*) AS n_rows,
+      CAST(SUM(n_tok_in_chunk) AS BIGINT) AS n_tokens
+    FROM sh GROUP BY shard_id ORDER BY shard_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
     "q85_decontaminate"    -> (q85Decontaminate _),
+    "q96_shard_export"     -> (q96ShardExport _),
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
     "q83_sequence_packing" -> o83,
     "q84_mixture_sample"   -> o84,
     "q85_decontaminate"    -> o85,
-    "q86_trainset_build"   -> o86)
+    "q86_trainset_build"   -> o86,
+    "q96_shard_export"     -> o96)
 }

@@ -122,4 +122,23 @@ class TrainingSetSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(packedDocs.subsetOf(keeperIds), "non-keeper doc packed")
   }
+
+  test("q96 shard manifest partitions the packed set exactly") {
+    val packed = TrainingSet.q83SequencePacking(spark, TestSpark.SF)
+    val (totChunks, totRows, totToks) = packed
+      .agg(countDistinct(col("chunk_id")), count(lit(1)),
+        sum(col("n_tok_in_chunk")))
+      .as[(Long, Long, Long)].head()
+    val shards = TrainingSet.q96ShardExport(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(shards.forall { case (id, _, _, _) =>
+      id >= 0 && id < TrainingSet.N_SHARDS })
+    // every chunk lands in exactly one shard: totals must reconcile
+    assert(shards.map(_._2).sum == totChunks)
+    assert(shards.map(_._3).sum == totRows)
+    assert(shards.map(_._4).sum == totToks)
+    // md5 keying should spread chunks: no shard takes > 3x its fair share
+    val fair = totChunks.toDouble / TrainingSet.N_SHARDS
+    assert(shards.forall(_._2 <= 3 * fair), "pathological shard skew")
+  }
 }
