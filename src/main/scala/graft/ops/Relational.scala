@@ -410,6 +410,28 @@ object Relational {
         raise_error(concat(lit("q75 sketch quantile gap > 1.0: "), col("max_gap")))))
       .orderBy(col("l_returnflag"))
 
+  /** A8-family gap: fixed-width numeric histogram (the classic OLAP
+    * binning operator — `width_bucket` semantics with a constant width,
+    * so no global min/max pass is needed). One hash aggregation over
+    * (bucket, partials); bucket bounds are integer-derived and the
+    * per-bucket sum is exact decimal — fully deterministic at any
+    * partitioning. At 100 TB this is a single map-side-combined pass. */
+  val HIST_WIDTH = 5000
+  def q97Histogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / HIST_WIDTH).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  val o97 = s"""
+    SELECT CAST(FLOOR(l_extendedprice / $HIST_WIDTH) AS BIGINT) AS bucket,
+      COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem GROUP BY bucket ORDER BY bucket"""
+
   /** Correlated scalar subquery shape (each customer's max-price
     * orders) — expressed as aggregate + self-join, which is exactly what
     * Catalyst decorrelates the subquery into; value comparison is raw
@@ -821,6 +843,7 @@ object Relational {
     "q54_edit_distance"   -> (q54EditDistance _),
     "q75_approx_quantiles" -> (q75ApproxQuantiles _),
     "q90_hll_mergeable"   -> (q90HllMergeable _),
+    "q97_histogram"       -> (q97Histogram _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_top_segments"    -> (q02TopSegments _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
@@ -851,5 +874,6 @@ object Relational {
     "q59_grouping_sets" -> o59, "q60_exists_subquery" -> o60,
     "q61_unpivot" -> o61, "q64_stratified_sample" -> o64,
     "q65_bloom_join" -> o65, "q67_except_all" -> o67,
-    "q68_topk_rewrite" -> o68, "q70_asof_tolerance" -> o70)
+    "q68_topk_rewrite" -> o68, "q70_asof_tolerance" -> o70,
+    "q97_histogram" -> o97)
 }

@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
   * Run: sbt "runMain graft.tools.PlanProbe q40_ngram_jaccard" */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val name = args.headOption.getOrElse {
+      System.err.println(
+        "usage: runMain graft.tools.PlanProbe <query-name> (e.g. q40_ngram_jaccard)")
+      sys.exit(2)
+    }
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
