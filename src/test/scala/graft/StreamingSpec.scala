@@ -298,6 +298,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length && streamed.nonEmpty)
   }
 
+  test("streaming LSH near-dup dedup: stateful band buckets reproduce batch q41") {
+    // The scale-path dedup modality, lifted into Structured Streaming:
+    // shingle → minhash signature → band keys are row-local codegen
+    // expressions (identical Columns to batch q41), and the LSH bucket
+    // index becomes streaming STATE — flatMapGroupsWithState keyed by
+    // band bucket holds the doc ids seen in that bucket so far and
+    // emits candidate pairs (new × seen) as documents arrive. After
+    // exact Jaccard verification, the pair set must equal batch q41's
+    // over the same corpus. The corpus is split into two files with
+    // maxFilesPerTrigger=1, so near-dup pairs spanning the halves are
+    // only found if bucket state survives across micro-batches.
+    import graft.text.Dedup
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val work = graft.sources.TmpWorkspace.fresh("stream_lsh")
+    val dir = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val docs = spark.read.schema(schema)
+      .parquet(s"${TestSpark.SF}/documents.parquet")
+    Seq(0, 1).foreach { half =>
+      val tmp = s"$work/half$half"
+      docs.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$dir/half$half.parquet"))
+    }
+
+    // identical bucket construction to batch q41 (same codegen
+    // signature expression, same band keys), over any (doc_id, text)
+    // frame — batch or stream
+    def bucketed(df: org.apache.spark.sql.DataFrame) = {
+      val sigs = df
+        .select(col("doc_id"),
+          graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
+        .filter(size(col("sgs")) > 0)
+        .select(col("doc_id"), graft.functions.MinhashSig
+          .minhash_sig(col("sgs"), Dedup.NUM_HASHES).as("sig"))
+      val keys = (0 until Dedup.BANDS).map { b =>
+        val hs = (0 until Dedup.ROWS_PER_BAND).map(r =>
+          element_at(col("sig"), b * Dedup.ROWS_PER_BAND + r + 1))
+        concat_ws(":", (lit(b) +: hs): _*)
+      }
+      sigs.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
+    }
+
+    val cand = bucketed(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.map(_._1).toSeq.distinct.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach(o =>
+                out += ((math.min(id, o), math.max(id, o))))
+              seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }.toDF("i", "j")
+
+    val q = cand.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_lsh").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // exact verify of the streamed candidates (same join as batch)
+    val arr = Dedup.shingleArrays(spark, TestSpark.SF)
+    val streamedPairs = spark.table("graft_stream_lsh").distinct()
+      .join(arr.select(col("doc_id").as("i"), col("sgs").as("si")), Seq("i"))
+      .join(arr.select(col("doc_id").as("j"), col("sgs").as("sj")), Seq("j"))
+      .withColumn("common", size(array_intersect(col("si"), col("sj"))))
+      .withColumn("jac", col("common").cast("double")
+        / (size(col("si")) + size(col("sj")) - col("common")))
+      .filter(col("jac") >= Dedup.JACCARD_THRESHOLD)
+      .select(col("i"), col("j")).as[(Long, Long)].collect().toSet
+
+    val batchPairs = Dedup.q41MinhashLsh(spark, TestSpark.SF)
+      .select(col("i"), col("j")).as[(Long, Long)].collect().toSet
+    assert(streamedPairs == batchPairs && batchPairs.nonEmpty)
+    // the halves split even/odd doc ids: a mixed-parity pair can only
+    // be found through bucket state carried across micro-batches
+    if (batchPairs.exists(p => p._1 % 2 != p._2 % 2))
+      assert(streamedPairs.exists(p => p._1 % 2 != p._2 % 2))
+  }
+
   test("streamed tumbling-window counts equal the batch computation") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
