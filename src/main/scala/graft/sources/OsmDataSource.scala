@@ -46,11 +46,20 @@ class OsmTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = OsmXml.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OsmScanBuilder(Option(path).getOrElse(options.get("path")))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // mode=permissive: a malformed file keeps its salvageable prefix
+    // instead of failing the task (failfast default — see OsmXml.parse)
+    val permissive = options.getOrDefault("mode", "failfast").toLowerCase match {
+      case "permissive" => true
+      case "failfast"   => false
+      case other => throw new IllegalArgumentException(
+        s"osm source: unknown mode '$other' (expected permissive|failfast)")
+    }
+    new OsmScanBuilder(Option(path).getOrElse(options.get("path")), permissive)
+  }
 }
 
-class OsmScanBuilder(path: String)
+class OsmScanBuilder(path: String, permissive: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -131,8 +140,8 @@ class OsmScanBuilder(path: String)
   }
 
   override def build(): Scan =
-    if (aggPushed) new OsmCountScan(path, aggGrouped, aggCounts, types)
-    else new OsmScan(path, required, types, limit)
+    if (aggPushed) new OsmCountScan(path, aggGrouped, aggCounts, types, permissive)
+    else new OsmScan(path, required, types, limit, permissive)
 }
 
 object OsmScan {
@@ -176,7 +185,8 @@ object OsmScan {
 
 class OsmScan(path: String, required: StructType,
               types: Option[Set[String]] = None,
-              limit: Option[Int] = None)
+              limit: Option[Int] = None,
+              permissive: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -185,7 +195,8 @@ class OsmScan(path: String, required: StructType,
     OsmScan.listPartitions(path)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmReaderFactory(required, types, limit, OsmScan.serializableConf())
+    new OsmReaderFactory(required, types, limit, permissive,
+      OsmScan.serializableConf())
 
   /** File-length statistics so Catalyst's size estimate reflects the
     * actual extract bytes (a small regional dim joins as the broadcast
@@ -216,7 +227,8 @@ class OsmScan(path: String, required: StructType,
   * path. Output column order follows the V2 pushdown contract: group
   * columns first, then one long per pushed COUNT. */
 class OsmCountScan(path: String, grouped: Boolean, nCounts: Int,
-                   types: Option[Set[String]]) extends Scan with Batch {
+                   types: Option[Set[String]],
+                   permissive: Boolean = false) extends Scan with Batch {
   import org.apache.spark.sql.types.{LongType, StringType}
 
   override def readSchema(): StructType = {
@@ -228,13 +240,15 @@ class OsmCountScan(path: String, grouped: Boolean, nCounts: Int,
   override def planInputPartitions(): Array[InputPartition] =
     OsmScan.listPartitions(path)
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmCountReaderFactory(grouped, nCounts, types, OsmScan.serializableConf())
+    new OsmCountReaderFactory(grouped, nCounts, types, permissive,
+      OsmScan.serializableConf())
   override def description(): String =
     s"OsmCountScan(grouped=$grouped, pushedTypes=$types)"
 }
 
 class OsmCountReaderFactory(grouped: Boolean, nCounts: Int,
                             types: Option[Set[String]],
+                            permissive: Boolean,
                             conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -242,7 +256,8 @@ class OsmCountReaderFactory(grouped: Boolean, nCounts: Int,
       private val file = partition.asInstanceOf[OsmInputPartition].file
       private lazy val rows: Iterator[InternalRow] = {
         val p = new Path(file)
-        val counts = OsmXml.countTypes(p.getFileSystem(conf.value).open(p), types)
+        val counts = OsmXml.countTypes(
+          p.getFileSystem(conf.value).open(p), types, permissive)
         def row(prefix: Seq[Any], c: Long): InternalRow = {
           val out = new GenericInternalRow(prefix.length + nCounts)
           prefix.zipWithIndex.foreach { case (v, i) => out.update(i, v) }
@@ -265,13 +280,13 @@ class OsmCountReaderFactory(grouped: Boolean, nCounts: Int,
 case class OsmInputPartition(file: String) extends InputPartition
 
 class OsmReaderFactory(required: StructType, types: Option[Set[String]],
-                       limit: Option[Int],
+                       limit: Option[Int], permissive: Boolean,
                        conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OsmPartitionReader(
       partition.asInstanceOf[OsmInputPartition].file, required, types,
-      limit, conf.value)
+      limit, permissive, conf.value)
 }
 
 /** Streams one file; converts only the REQUIRED columns to Catalyst
@@ -280,12 +295,13 @@ class OsmReaderFactory(required: StructType, types: Option[Set[String]],
 class OsmPartitionReader(file: String, required: StructType,
                          types: Option[Set[String]],
                          limit: Option[Int],
+                         permissive: Boolean,
                          conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val p = new Path(file)
   private val in = p.getFileSystem(conf).open(p)
-  private val rows = OsmXml.parse(in, types)
+  private val rows = OsmXml.parse(in, types, permissive)
   // ordinal in the FULL schema for each required field
   private val fullOrdinals: Array[Int] =
     required.fields.map(f => OsmXml.schema.fieldIndex(f.name))

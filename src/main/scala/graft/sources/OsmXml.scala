@@ -101,13 +101,15 @@ object OsmXml {
     * exactly as readElement consumes it; inside a NON-matched element
     * it scans through, exactly as parse's loop does). */
   def countTypes(in: InputStream,
-                 wantedTypes: Option[Set[String]] = None): Map[String, Long] = {
+                 wantedTypes: Option[Set[String]] = None,
+                 permissive: Boolean = false): Map[String, Long] = {
     val factory = XMLInputFactory.newFactory()
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     val r = factory.createXMLStreamReader(in)
     val m = scala.collection.mutable.Map.empty[String, Long]
     var skipDepth = 0
+    var pending: String = null
     try {
       while (r.hasNext) {
         r.next() match {
@@ -117,15 +119,26 @@ object OsmXml {
               val n = r.getLocalName
               if ((n == "node" || n == "way" || n == "relation") &&
                   wantedTypes.forall(_.contains(n))) {
-                m.update(n, m.getOrElse(n, 0L) + 1L)
+                pending = n
                 skipDepth = 1 // consume the subtree, like readElement
               }
             }
           case XMLStreamConstants.END_ELEMENT =>
-            if (skipDepth > 0) skipDepth -= 1
+            if (skipDepth > 0) {
+              skipDepth -= 1
+              // count at element COMPLETION, not start: on a truncated
+              // document the permissive counts then agree exactly with
+              // parse()'s salvaged rows (an element in flight at the
+              // corruption point is dropped by both)
+              if (skipDepth == 0) m.update(pending, m.getOrElse(pending, 0L) + 1L)
+            }
           case _ => ()
         }
       }
+    } catch {
+      // permissive keeps the counts of every element completed before
+      // the corruption point — same contract as parse()
+      case e: javax.xml.stream.XMLStreamException if permissive => ()
     } finally { r.close(); in.close() }
     m.toMap
   }
@@ -138,7 +151,8 @@ object OsmXml {
     * the pull parser without building a Row at all. Closes the stream
     * when exhausted. */
   def parse(in: InputStream,
-            wantedTypes: Option[Set[String]] = None): Iterator[Row] = new Iterator[Row] {
+            wantedTypes: Option[Set[String]] = None,
+            permissive: Boolean = false): Iterator[Row] = new Iterator[Row] {
     private val factory = XMLInputFactory.newFactory()
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -154,17 +168,37 @@ object OsmXml {
       out
     }
 
+    /** Permissive mode: a malformed document (truncated extract,
+      * unbalanced tags, bad entity) ends THIS file's iteration at the
+      * corruption point — every complete element before it is kept,
+      * other file partitions are unaffected. Failfast (default) lets
+      * the XMLStreamException fail the task: in an analytics gate a
+      * silently-shortened corpus is the worse failure mode, so
+      * tolerance is opt-in (`option("mode","permissive")`), unlike the
+      * CSV/JSON sources' permissive default. */
     private def advance(): Unit = {
       nextRow = null
-      while (nextRow == null && r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT) {
-          val name = r.getLocalName
-          if ((name == "node" || name == "way" || name == "relation") &&
-              wantedTypes.forall(_.contains(name)))
-            nextRow = readElement(name)
+      try {
+        while (nextRow == null && r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT) {
+            val name = r.getLocalName
+            if ((name == "node" || name == "way" || name == "relation") &&
+                wantedTypes.forall(_.contains(name)))
+              nextRow = readElement(name)
+          }
         }
+      } catch {
+        case e: javax.xml.stream.XMLStreamException =>
+          nextRow = null
+          closeQuietly()
+          if (!permissive) throw e
       }
-      if (nextRow == null) { r.close(); in.close() }
+      if (nextRow == null) closeQuietly()
+    }
+
+    private def closeQuietly(): Unit = {
+      try r.close() catch { case _: Exception => () }
+      try in.close() catch { case _: Exception => () }
     }
 
     /** Reader is ON the element's START_ELEMENT; consume through its

@@ -231,4 +231,44 @@ class OsmShapeSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getString(2))).toMap
     assert(nt("street") == "Main St") // 'St' not in this mapping
   }
+
+  test("osm source modes: failfast throws on truncation, permissive salvages") {
+    val good = """<?xml version="1.0"?>
+      |<osm><node id="1" lat="1" lon="2"/><node id="2" lat="1" lon="2"/></osm>
+      |""".stripMargin
+    // truncated mid-way-element: nodes 10/11 are complete, way 12 is
+    // cut inside its subtree (in an attribute, no closing tags)
+    val corrupt = """<?xml version="1.0"?>
+      |<osm><node id="10" lat="1" lon="2"/><node id="11" lat="1" lon="2"/>
+      |<way id="12"><nd ref="10"/><nd re""".stripMargin
+    val dir = graft.sources.TmpWorkspace.fresh("osm_mode")
+    java.nio.file.Files.write(dir.resolve("a.osm"), good.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.osm"), corrupt.getBytes("UTF-8"))
+
+    // default (failfast): the corrupt partition fails the job, on both
+    // the row path and the count-pushdown path
+    val ff = spark.read.format("osm").load(dir.toString)
+    intercept[org.apache.spark.SparkException] {
+      ff.select("id").collect()
+    }
+    intercept[org.apache.spark.SparkException] { ff.count() }
+
+    // permissive: every complete element before the corruption point
+    // survives; the in-flight way 12 is dropped by BOTH the row path
+    // and the count-only pass (countTypes counts at element completion)
+    val pm = spark.read.format("osm")
+      .option("mode", "permissive").load(dir.toString)
+    val ids = pm.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 10L, 11L))
+    assert(pm.count() == 4L)
+    // pushed type filter still composes with permissive parsing
+    assert(pm.filter(col("type") === "node").count() == 4L)
+    assert(pm.filter(col("type") === "way").count() == 0L)
+
+    // an unknown mode is rejected loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("osm").option("mode", "lenient")
+        .load(dir.toString).count()
+    }
+  }
 }
