@@ -330,7 +330,66 @@ object TrainingSet {
       CAST(SUM(n_tok_in_chunk) AS BIGINT) AS n_tokens
     FROM sh GROUP BY shard_id ORDER BY shard_id"""
 
+  // ---- q98: quality-budgeted data selection ----
+
+  /** Token budget for q98 — small enough that selection is a strict
+    * subset at every SF (corpus ≈ 30k tokens at sf0.001). */
+  val TOKEN_BUDGET = 10000L
+
+  /** q98: "take the best N tokens" — greedily fill a token budget in
+    * descending quality order (ties by doc_id), the data-selection
+    * primitive behind quality-thresholded training mixes: instead of a
+    * fixed quality floor (q78), the floor is wherever the budget runs
+    * out. The last selected document may overflow the budget (greedy
+    * fill semantics: a doc is taken iff tokens consumed BEFORE it are
+    * under budget).
+    *
+    * Scale shape: the naive form is a single-partition global window
+    * over (quality DESC, doc_id). Same cure as q83, generalized to a
+    * value ordering: per-quality-band cumsums in parallel + a tiny
+    * band-offset table broadcast back. `floor(quality*20)` is monotone
+    * in the sort order (higher band ⟺ higher quality), so band-local
+    * prefix + band offset == global prefix exactly. */
+  def q98TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.withQuality(documents(s, d))
+      .select(col("doc_id"), col("quality"), col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bkt", floor(col("quality") * 20).cast("long"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val within = docs.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+    // one row per quality band — driver-scale, broadcast back
+    val wOff = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("bkt_off", coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    within.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_before", col("bkt_off") + col("cum_in") - col("n_tok"))
+      .filter(col("cum_before") < TOKEN_BUDGET)
+      .select(col("doc_id"), col("quality"), col("n_tok"),
+        (col("cum_before") + col("n_tok")).as("cum_tokens"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  val o98 = s"""
+    WITH q AS (
+      SELECT doc_id, ${TextOps.ORA_QUALITY} AS quality,
+        ${TextOps.ORA_N_TOK} AS n_tok
+      FROM documents WHERE len(string_split(text,' ')) > 0),
+    c AS (
+      SELECT doc_id, quality, n_tok,
+        CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id) - n_tok
+          AS BIGINT) AS cum_before
+      FROM q)
+    SELECT doc_id, quality, n_tok,
+      cum_before + n_tok AS cum_tokens
+    FROM c WHERE cum_before < $TOKEN_BUDGET
+    ORDER BY quality DESC, doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_token_budget"     -> (q98TokenBudget _),
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
     "q85_decontaminate"    -> (q85Decontaminate _),
@@ -342,5 +401,6 @@ object TrainingSet {
     "q84_mixture_sample"   -> o84,
     "q85_decontaminate"    -> o85,
     "q86_trainset_build"   -> o86,
-    "q96_shard_export"     -> o96)
+    "q96_shard_export"     -> o96,
+    "q98_token_budget"     -> o98)
 }

@@ -141,4 +141,35 @@ class TrainingSetSpec extends AnyFunSuite {
     val fair = totChunks.toDouble / TrainingSet.N_SHARDS
     assert(shards.forall(_._2 <= 3 * fair), "pathological shard skew")
   }
+
+  test("q98 two-phase budget fill == naive global quality window") {
+    val docs = graft.text.TextOps
+      .withQuality(Tables.documents(spark, TestSpark.SF))
+      .select(col("doc_id"), col("quality"), col("n_tok"))
+      .filter(col("n_tok") > 0)
+    val naive = docs
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(
+          Window.orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < TrainingSet.TOKEN_BUDGET)
+      .select(col("doc_id"), col("quality"), col("n_tok"),
+        (col("cum_before") + col("n_tok")).as("cum_tokens"))
+      .as[(Long, Double, Long, Long)].collect().toSet
+    val twoPhase = TrainingSet.q98TokenBudget(spark, TestSpark.SF)
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(twoPhase == naive && naive.nonEmpty)
+    // greedy-fill contract: selection is a strict subset, every
+    // selected doc starts under budget, and the selected docs are
+    // exactly the top-quality prefix
+    assert(twoPhase.size < docs.count())
+    assert(twoPhase.forall { case (_, _, n, cum) =>
+      cum - n < TrainingSet.TOKEN_BUDGET })
+    val minSelQuality = twoPhase.map(_._2).min
+    val unselectedAbove = docs
+      .filter(col("quality") > minSelQuality)
+      .as[(Long, Double, Long)].collect()
+      .count(r => !twoPhase.exists(_._1 == r._1))
+    assert(unselectedAbove == 0, "a higher-quality doc was skipped")
+  }
 }
