@@ -434,7 +434,66 @@ object Similarity {
       ivfTopK(s, d, N_PROBE, KMEANS_ITERS, FIT_SAMPLE),
       Q55_RECALL_FLOOR, "q55")
 
+  // ---- q100: label-centroid similarity matrix ----
+
+  /** Fixed-point scale for centroid coordinates: floats carry ~7.2
+    * significant decimal digits, so round(x·10⁷) keeps essentially full
+    * input precision while making the centroid SUM exact long
+    * arithmetic — order-independent, hence partitioning-independent
+    * (a raw double sum over floats would drift in the low bits between
+    * 4-cpu and 8-cpu runs and break the determinism sweep). */
+  val CENTROID_SCALE = 1e7
+
+  /** q100: semantic overlap between label groups — the per-label mean
+    * embedding (centroid) and the pairwise cosine matrix of the
+    * centroids. The pipeline use is mixture design / semantic dedup at
+    * the GROUP level: two sources whose centroids sit at cosine ≳ 0.9
+    * are near-duplicate domains even when no individual document pair
+    * crosses a near-dup threshold.
+    *
+    * Scale shape: one map-side-combinable (label, dim) sum — partials
+    * are 10 labels × 64 dims of longs per partition regardless of row
+    * count — then the matrix join runs over |labels| rows (driver-scale
+    * both sides; AQE broadcasts). No per-row state ever shuffles except
+    * the 640-cell partial aggregate. `sort_array(collect_list(struct))`
+    * makes centroid assembly deterministic under any partitioning. */
+  def q100LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    val cent = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("q", round(col("x") * CENTROID_SCALE).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", col("sq").cast("double") / col("n"))
+    val vecs = cent.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        st => st.getField("c")).as("v"))
+    vecs.select(col("label").as("label_a"), col("v").as("va"))
+      .join(vecs.select(col("label").as("label_b"), col("v").as("vb")),
+        col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(cosine_sim(col("va"), col("vb")), 6).as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val o100 = s"""
+    WITH d AS (
+      SELECT label, i - 1 AS pos,
+        CAST(ROUND(embedding[i] * ${CENTROID_SCALE}) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    cent AS (
+      SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS c
+      FROM d GROUP BY label, pos),
+    vecs AS (
+      SELECT label, list(c ORDER BY pos) AS v FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+      ROUND(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        6) AS cosine
+    FROM vecs a JOIN vecs b ON a.label < b.label
+    ORDER BY label_a, label_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_label_centroids" -> (q100LabelCentroids _),
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
     "q44_knn_lsh_bucketed" -> (q44KnnLshBucketed _),
     "q47_embed_near_dup"  -> (q47EmbedNearDup _),
@@ -442,6 +501,7 @@ object Similarity {
     "q87_margin_near_dup" -> (q87MarginNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "q100_label_centroids" -> o100,
     "q43_knn_bruteforce" -> o43,
     "q47_embed_near_dup" -> o47,
     "q87_margin_near_dup" -> o87)

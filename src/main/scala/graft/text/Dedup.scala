@@ -296,12 +296,15 @@ object Dedup {
     * would push miss(0.5) to 0.1% but raises P(candidate | J=0.2) from
     * 12% to 62% — a near-quadratic verify stage; with the margin
     * asserted, 16×3 is the better operating point. */
-  def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val arr = shingleArrays(s, d)
-    // Codegen MinhashSig expression, not udf(minhashSig _): the udf
-    // boxed the whole shingle array per row and broke the
-    // WholeStageCodegen span (measured 2.55 s → 5.94 s regression when
-    // this line was a udf; see SigFunctions.scala).
+  /** Banded MinHash bucket keys `(doc_id, bk)` for any `(doc_id, sgs)`
+    * frame — the shared candidate-generation key for the LSH self-join
+    * (q41) and the incremental probe join (q99).
+    *
+    * Codegen MinhashSig expression, not udf(minhashSig _): the udf
+    * boxed the whole shingle array per row and broke the
+    * WholeStageCodegen span (measured 2.55 s → 5.94 s regression when
+    * this line was a udf; see SigFunctions.scala). */
+  def bandBuckets(arr: DataFrame): DataFrame = {
     val sigs = arr.select(col("doc_id"),
       graft.functions.MinhashSig.minhash_sig(col("sgs"), NUM_HASHES).as("sig"))
     val bandStructs = (0 until BANDS).map { b =>
@@ -309,8 +312,12 @@ object Dedup {
         element_at(col("sig"), b * ROWS_PER_BAND + r + 1).as(s"r$r"))
       struct(lit(b).as("band") +: hs: _*)
     }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+  }
+
+  def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val arr = shingleArrays(s, d)
+    val buckets = bandBuckets(arr)
     val cand = buckets.select(col("doc_id").as("i"), col("bk"))
       .join(buckets.select(col("doc_id").as("j"), col("bk")), Seq("bk"))
       .filter(col("i") < col("j"))
@@ -485,7 +492,91 @@ object Dedup {
     FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY i, j ORDER BY i, j"""
 
+  // ---- q99: incremental ingest dedup (new batch vs indexed base) ----
+
+  /** Deterministic batch split for q99: doc_id % 4 == 0 is the
+    * "incoming" batch (25%), the rest is the already-ingested base. */
+  val INC_MOD = 4L
+
+  /** q99: ingest-time dedup — a new document batch checked against the
+    * already-ingested corpus, the shape every 100 TB pipeline actually
+    * runs (whole-corpus self-dedup is the bootstrap; ingest is the
+    * steady state). Each incoming doc gets a status:
+    *   exact_dup — its normalized-text fingerprint exists in the base;
+    *   near_dup  — some base doc has shingle-Jaccard ≥ 0.5 with it;
+    *   accepted  — neither.
+    * Exact beats near when both hold (an exact copy also has J = 1).
+    *
+    * Scale shape — both probes are ASYMMETRIC index lookups, never a
+    * self-join over base ∪ batch:
+    *  - exact: left-semi join of batch fingerprints against the base
+    *    fingerprint set (at scale a persisted index; the batch side is
+    *    small → AQE broadcasts it).
+    *  - near: MinHash band buckets (same 16×3 keys as q41) probe-joined
+    *    batch → base, then exact-verify on the candidate rows. Base
+    *    buckets are the persisted LSH index at scale — bucket it by bk
+    *    so the probe co-locates, or broadcast the batch's buckets; the
+    *    work is O(batch × collision rate), independent of corpus size.
+    * Output is exact on this corpus for the same margin reason as q41
+    * (every true pair ≥ 0.8, noise ≤ 0.2; DedupSpec asserts it). */
+  def q99IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val inc = docs.filter(col("doc_id") % INC_MOD === 0)
+    val base = docs.filter(col("doc_id") % INC_MOD =!= 0)
+    val exactDup = inc
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .join(base.select(md5(lower(col("text"))).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    val arr = shingleArrays(s, d)
+    val buckets = bandBuckets(arr)
+    val cand = buckets.filter(col("doc_id") % INC_MOD === 0)
+      .select(col("doc_id").as("i"), col("bk"))
+      .join(buckets.filter(col("doc_id") % INC_MOD =!= 0)
+        .select(col("doc_id").as("j"), col("bk")), Seq("bk"))
+      .select(col("i"), col("j")).distinct()
+    val nearDup = verifyPairs(cand, arr).select(col("i").as("doc_id")).distinct()
+    inc.select(col("doc_id"))
+      .join(exactDup.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex") === 1, "exact_dup")
+          .when(col("nd") === 1, "near_dup")
+          .otherwise("accepted").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o99 = s"""
+    WITH sh AS ($ORA_SHINGLES),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM sh GROUP BY doc_id),
+    ex AS (
+      SELECT DISTINCT i.doc_id
+      FROM documents i JOIN documents b
+        ON md5(lower(i.text)) = md5(lower(b.text))
+      WHERE i.doc_id % $INC_MOD = 0 AND b.doc_id % $INC_MOD <> 0),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sg = b.sg
+      WHERE a.doc_id % $INC_MOD = 0 AND b.doc_id % $INC_MOD <> 0
+      GROUP BY i, j),
+    nd AS (
+      SELECT DISTINCT i FROM common
+        JOIN sizes si ON si.doc_id = common.i
+        JOIN sizes sj ON sj.doc_id = common.j
+      WHERE CAST(common AS DOUBLE) / (si.n_sg + sj.n_sg - common)
+        >= $JACCARD_THRESHOLD)
+    SELECT d.doc_id,
+      CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           WHEN nd.i IS NOT NULL THEN 'near_dup'
+           ELSE 'accepted' END AS status
+    FROM documents d
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      LEFT JOIN nd ON nd.i = d.doc_id
+    WHERE d.doc_id % $INC_MOD = 0
+    ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_incremental_dedup" -> (q99IncrementalDedup _),
     "q39_dedup_exact"    -> (q39DedupExact _),
     "q40_ngram_jaccard"  -> (q40NgramJaccard _),
     "q41_minhash_lsh"    -> (q41MinhashLsh _),
@@ -497,6 +588,7 @@ object Dedup {
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
     "q41_minhash_lsh" -> o41, "q42_simhash" -> o42,
     "q79_shared_spans" -> o79,
+    "q99_incremental_dedup" -> o99,
     // q80 is the prefix-filtered formulation of the SAME exact join —
     // identical output to q40, identical oracle.
     "q80_ppjoin_jaccard" -> ORA_JACCARD_PAIRS)

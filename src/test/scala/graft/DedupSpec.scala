@@ -179,4 +179,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists { case (i, j, h) => i == 0 && j == 1 && h == 0 })
     assert(got.forall { case (i, j, _) => i < j })
   }
+
+  test("q99 incremental probe dedup equals the exact self-join formulation") {
+    val got = Dedup.q99IncrementalDedup(spark, TestSpark.SF)
+      .as[(Long, String)].collect().toMap
+    // independent expectation: split q40's EXACT whole-corpus pair join
+    // at the parity boundary + a driver-side fingerprint probe
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val incIds = docs.filter(col("doc_id") % Dedup.INC_MOD === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val fps = docs.select(col("doc_id"), md5(lower(col("text"))))
+      .as[(Long, String)].collect()
+    val baseFps = fps.collect { case (id, f) if !incIds(id) => f }.toSet
+    val exact = fps.collect {
+      case (id, f) if incIds(id) && baseFps(f) => id }.toSet
+    val near = Dedup.q40NgramJaccard(spark, TestSpark.SF)
+      .select("i", "j").as[(Long, Long)].collect()
+      .flatMap { case (i, j) =>
+        Seq(i -> j, j -> i).collect {
+          case (a, b) if incIds(a) && !incIds(b) => a } }.toSet
+    val expected = incIds.map { id =>
+      id -> (if (exact(id)) "exact_dup"
+             else if (near(id)) "near_dup" else "accepted") }.toMap
+    assert(got == expected && got.nonEmpty)
+    // the driver corpus plants near-dups across the parity split but no
+    // exact copies (verified: 0 exact / 8 near / 117 accepted at
+    // sf0.001) — the exact_dup arm is covered by the fixture test below
+    assert(got.values.exists(_ == "near_dup") &&
+      got.values.exists(_ == "accepted"))
+  }
+
+  test("q99 statuses on a fixture: exact beats near, parity split respected") {
+    // ids: 4 inc=exact copy of 1; 8 inc=near-dup of 3; 12 inc=unrelated;
+    // 16 inc=exact copy of 5 AND near-dup of others — exact wins
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, t), (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wX"), (5L, t.toUpperCase),
+      (4L, t), (8L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wY"),
+      (12L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"), (16L, t.toUpperCase))
+      .map { case (id, tx) => (id, tx, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.sources.TmpWorkspace.fresh("q99fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q99IncrementalDedup(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(4L -> "exact_dup", 8L -> "near_dup",
+      12L -> "accepted", 16L -> "exact_dup"))
+  }
 }

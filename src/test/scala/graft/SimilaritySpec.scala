@@ -150,4 +150,35 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = ivf.count { case (q, s) => math.abs(s - bf(q)) < 1e-9 }.toDouble / bf.size
     assert(recall >= 0.15, s"recall@1 $recall implausibly low for ${Similarity.N_PROBE}/${Similarity.N_CELLS} probes")
   }
+
+  test("q100 centroid matrix equals a driver-side naive computation") {
+    val got = Similarity.q100LabelCentroids(spark, TestSpark.SF)
+      .as[(Int, Int, Double)].collect()
+    // naive: collect the (tiny at sf0.001) table, quantize identically,
+    // average per label, cosine in plain Scala
+    val rows = graft.Tables.embeddings(spark, TestSpark.SF)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])].collect()
+    val cents = rows.groupBy(_._1).map { case (lab, rs) =>
+      val dim = rs.head._2.size
+      val sums = new Array[Long](dim)
+      rs.foreach { case (_, v) =>
+        var i = 0
+        while (i < dim) {
+          sums(i) += math.round(v(i) * Similarity.CENTROID_SCALE); i += 1 } }
+      lab -> sums.map(_.toDouble / rs.size)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labs = cents.keys.toSeq.sorted
+    val expected = for { a <- labs; b <- labs if a < b }
+      yield (a, b, math.rint(cos(cents(a), cents(b)) * 1e6) / 1e6)
+    assert(got.length == labs.size * (labs.size - 1) / 2)
+    assert(got.toSet == expected.toSet, "centroid matrix mismatch")
+    assert(got.forall { case (_, _, c) => c >= -1.0 && c <= 1.0 })
+  }
 }
