@@ -181,7 +181,57 @@ object EventWindows {
     SELECT reached, COUNT(*) AS n_users FROM labeled
     GROUP BY reached ORDER BY reached"""
 
+  // ---- q101: CDC latest-state compaction ----
+
+  /** q101: compact an append-only change log to its latest state — one
+    * row per (user_id, event_type) carrying the most recent version's
+    * payload (tie-broken by event_id, so the "latest" is a total
+    * order), plus the version count.
+    *
+    * Scale shape: `max_by(payload, struct(ts, event_id))` is a single
+    * MAP-SIDE-COMBINABLE hash aggregate — each partition's partial
+    * state is one candidate row per key it has seen, so only |keys|
+    * rows per partition ever reach the shuffle, regardless of how many
+    * versions the log holds. The textbook window formulation
+    * (`row_number() over (partition by key order by ts desc) = 1`)
+    * shuffles and sorts EVERY version — at a 100 TB change log with
+    * hot keys that is the difference between a compaction that runs
+    * and one that spills forever. The oracle deliberately uses the
+    * window formulation, so the gate also cross-checks the two. */
+  def q101CdcCompact(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      // µs-truncated ordering key: the oracle engine reads this nanos
+      // column at µs precision, so "latest" must be decided at µs +
+      // event_id on both sides or sub-µs ties would diverge
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(struct(col("event_id"), col("value"), col("props")),
+               struct(col("ts_us"), col("event_id"))).as("last"),
+        max(col("ts_us")).as("last_ts_us"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("last.props").as("last_props"),
+        col("last_ts_us"), col("n_versions"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val o101 = """
+    WITH r AS (
+      SELECT user_id, event_type, event_id, value, props,
+        epoch_us(ts) AS ts_us,
+        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM events)
+    SELECT user_id, event_type, event_id AS last_event_id,
+      value AS last_value, props AS last_props,
+      CAST(ts_us AS BIGINT) AS last_ts_us, n_versions
+    FROM r WHERE rn = 1 ORDER BY user_id, event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_cdc_compact"    -> (q101CdcCompact _),
     "q30_tumbling_window" -> (q30Tumbling _),
     "q31_sliding_window"  -> (q31Sliding _),
     "q32_session_window"  -> (q32Session _),
@@ -192,5 +242,6 @@ object EventWindows {
   val oracles: Map[String, String] = Map(
     "q30_tumbling_window" -> o30, "q31_sliding_window" -> o31,
     "q32_session_window" -> o32, "q33_event_dedup" -> o33,
-    "q73_sessionize" -> o73, "q74_funnel" -> o74)
+    "q73_sessionize" -> o73, "q74_funnel" -> o74,
+    "q101_cdc_compact" -> o101)
 }

@@ -363,7 +363,53 @@ object TextOps {
         AS repetitive
     FROM m ORDER BY doc_id"""
 
+  // ---- q102: sliding context-window chunking ----
+
+  /** Context-window segmentation: 32-token windows every 24 tokens
+    * (8-token overlap), the fixed-stride counterpart of q72's
+    * content-defined chunks — overlap preserves cross-boundary context
+    * for training, CDC preserves dedup stability; pipelines use both. */
+  val CHUNK_W = 32
+  val CHUNK_STRIDE = 24
+
+  /** q102: split every document into overlapping fixed-size token
+    * windows. Entirely row-local — `sequence` generates the window
+    * starts, `posexplode` emits one row per window, `slice` takes the
+    * tokens (clamped at the tail, so the last window may be short) —
+    * no shuffle except the output sort; at scale this is a pure map
+    * stage that pipelines into packing (q83) without a barrier. Window
+    * text ships as an md5 (the repo's no-raw-arrays-in-output rule);
+    * byte-identical to DuckDB's list-slice + join formulation. */
+  def q102WindowChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(1L), col("n"), lit(CHUNK_STRIDE.toLong)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .withColumn("chunk", slice(col("t"), col("start_tok"), lit(CHUNK_W)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok_chunk"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val o102 = s"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents WHERE len(string_split(text, ' ')) > 0)
+    SELECT doc_id,
+      CAST((u.s - 1) // $CHUNK_STRIDE AS BIGINT) AS chunk_idx,
+      u.s AS start_tok,
+      CAST(len(t[u.s : u.s + ${CHUNK_W - 1}]) AS BIGINT) AS n_tok_chunk,
+      md5(array_to_string(t[u.s : u.s + ${CHUNK_W - 1}], ' ')) AS chunk_md5
+    FROM tk, unnest(range(1, n + 1, $CHUNK_STRIDE)) u(s)
+    ORDER BY doc_id, chunk_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_window_chunks" -> (q102WindowChunks _),
     "q72_cdc_chunks"    -> (q72CdcChunks _),
     "q63_tfidf"         -> (q63Tfidf _),
     "q56_regex_tokens"  -> (q56RegexTokens _),
@@ -380,5 +426,6 @@ object TextOps {
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
     "q56_regex_tokens" -> o56, "q63_tfidf" -> o63,
-    "q72_cdc_chunks" -> o72, "q88_repetition_score" -> o88)
+    "q72_cdc_chunks" -> o72, "q88_repetition_score" -> o88,
+    "q102_window_chunks" -> o102)
 }

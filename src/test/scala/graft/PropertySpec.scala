@@ -183,4 +183,33 @@ class PropertySpec extends AnyFunSuite {
       .map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
     assert(graft.ops.OsmShape.shapeNodes(elems).count() == 1)
   }
+
+  test("q102 window chunks equal a naive scala chunker over the corpus") {
+    import graft.text.TextOps.{CHUNK_W, CHUNK_STRIDE}
+    val got = graft.text.TextOps.q102WindowChunks(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val expected = graft.Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.isEmpty) Nil
+        else (1 to t.length by CHUNK_STRIDE).zipWithIndex.map { case (s0, i) =>
+          val chunk = t.slice(s0 - 1, math.min(s0 - 1 + CHUNK_W, t.length))
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(chunk.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, i.toLong, s0.toLong, chunk.length.toLong, md)
+        }
+      }.toSet
+    assert(got == expected && got.nonEmpty)
+    // coverage: strides tile every token; consecutive windows overlap
+    // by W − stride except at the tail
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.forall { case (_, cs) =>
+      cs.toSeq.sortBy(_._2).sliding(2).forall {
+        case Seq(a, b) => b._3 - a._3 == CHUNK_STRIDE
+        case _ => true
+      }
+    })
+  }
 }

@@ -428,4 +428,30 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("q101 max_by compaction equals the window formulation; ties break by event_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val agg = graft.stream.EventWindows.q101CdcCompact(spark, TestSpark.SF)
+      .as[(Long, String, Long, Double, String, Long, Long)].collect().toSet
+    val win = graft.Tables.events(spark, TestSpark.SF)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .withColumn("n_versions", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("props"), col("ts_us"), col("n_versions"))
+      .as[(Long, String, Long, Double, String, Long, Long)].collect().toSet
+    assert(agg == win && agg.nonEmpty)
+    // equal-timestamp fixture: the larger event_id must win
+    val tied = Seq((1L, 100L, 7L, "a", 1.0, "{}"), (2L, 100L, 7L, "a", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("id"))
+      .as[(Long, String, Long)].collect()
+    assert(tied.toSeq == Seq((7L, "a", 2L)))
+  }
 }
