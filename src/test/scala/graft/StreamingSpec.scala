@@ -429,6 +429,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed CDC compaction: latest-per-key state survives micro-batches, equals batch q101") {
+    // q101's steady-state form: the change log arrives as a stream and
+    // the compacted latest-state table is a continuously-updated
+    // streaming aggregate — same max_by column over the same (µs,
+    // event_id) total order, with the per-key candidate row as
+    // operator state. The log is split into two files by event_id
+    // parity (versions of one key interleave across the halves) and
+    // maxFilesPerTrigger=1, so the streamed result only matches batch
+    // q101 if the per-key max state carries across micro-batches.
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val work = graft.sources.TmpWorkspace.fresh("stream_cdc")
+    val dir = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val ev = spark.read.schema(schema).parquet(s"${TestSpark.SF}/events.parquet")
+    Seq(0, 1).foreach { half =>
+      val tmp = s"$work/half$half"
+      ev.filter(col("event_id") % 2 === half).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$dir/half$half.parquet"))
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(struct(col("event_id"), col("value"), col("props")),
+               struct(col("ts_us"), col("event_id"))).as("last"),
+        max(col("ts_us")).as("last_ts_us"),
+        count(lit(1)).as("n_versions"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_cdc_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_cdc_stream")
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id"), col("last.value"), col("last.props"),
+        col("last_ts_us"), col("n_versions"))
+      .as[(Long, String, Long, Double, String, Long, Long)].collect().toSet
+    val batch = graft.stream.EventWindows.q101CdcCompact(spark, TestSpark.SF)
+      .as[(Long, String, Long, Double, String, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("q101 max_by compaction equals the window formulation; ties break by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
