@@ -284,7 +284,89 @@ object Cleaning {
            THEN substr(digits, 2, 10) ELSE digits END AS phone
     FROM dig ORDER BY c_custkey"""
 
+  // ---- q103: IQR outlier detection ----
+
+  /** q103: per-event-type Tukey-fence outliers — rows whose value falls
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their type. The standard
+    * numeric-cleaning pass before training-metric aggregation.
+    *
+    * Scale shape: two-pass train-then-broadcast — the quantile agg
+    * reduces to |types| rows (exact `percentile` here; at 100 TB swap
+    * in `percentile_approx`, whose sketch is mergeable map-side, and
+    * the fence arithmetic is unchanged), which broadcast-join back
+    * against the unshuffled fact scan. The fact table never shuffles;
+    * the only exchange is the |types|-row aggregate and the output
+    * sort. */
+  def q103IqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+           expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .select(col("event_type"), col("lo"), col("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      .orderBy(col("event_id"))
+  }
+
+  val o103 = """
+    WITH b AS (
+      SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type),
+    f AS (
+      SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        q3 + (q3 - q1) * 1.5 AS hi
+      FROM b)
+    SELECT e.event_id, e.event_type, e.value,
+      ROUND(f.lo, 6) AS lo, ROUND(f.hi, 6) AS hi
+    FROM events e JOIN f USING (event_type)
+    WHERE e.value < f.lo OR e.value > f.hi
+    ORDER BY e.event_id"""
+
+  // ---- q104: column profiling report ----
+
+  /** q104: one-pass data-profiling over `orders` — per column: row
+    * count, non-null count, exact distinct count. The PROFILE/ANALYZE
+    * primitive every warehouse exposes, in long form (one row per
+    * column) so it unions across tables.
+    *
+    * Scale shape: a single aggregate; the multiple exact
+    * COUNT(DISTINCT)s plan as one Expand (rows × |cols| map-side, each
+    * tagged with its grouping id) feeding one partial+final agg — one
+    * scan, one shuffle of distinct keys. At 100 TB swap
+    * `approx_count_distinct` (HLL partials, no Expand) — the report
+    * schema is unchanged. */
+  val PROFILE_COLS = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def q104ProfileColumns(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val aggs = count(lit(1)).as("n_rows") +:
+      PROFILE_COLS.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(PROFILE_COLS.map(c =>
+        struct(lit(c).as("column"), col("n_rows"),
+          col(s"nn_$c").as("n_nonnull"),
+          col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+      .select(col("r.column"), col("r.n_rows"), col("r.n_nonnull"),
+        col("r.n_distinct"))
+      .orderBy(col("column"))
+  }
+
+  val o104 = PROFILE_COLS.map(c => s"""
+    SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+      COUNT(DISTINCT $c) AS n_distinct FROM orders""")
+    .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_iqr_outliers"    -> (q103IqrOutliers _),
+    "q104_profile_columns" -> (q104ProfileColumns _),
     "q69_phone_normalize"  -> (q69PhoneNormalize _),
     "q16_tag_classify"     -> (q16TagClassify _),
     "q17_key_split"        -> (q17KeySplit _),
@@ -304,5 +386,6 @@ object Cleaning {
     "q20_time_parts" -> o20, "q21_sampler" -> o21,
     "q22_top_contributors" -> o22, "q23_single_event_users" -> o23,
     "q24_grouped_collect" -> o24, "q25_semi_chain" -> o25,
-    "q26_json_extract" -> o26, "q69_phone_normalize" -> o69)
+    "q26_json_extract" -> o26, "q69_phone_normalize" -> o69,
+    "q103_iqr_outliers" -> o103, "q104_profile_columns" -> o104)
 }
