@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through verbatim: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which is
+// exactly what kept the driver from json-parsing the bench line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The bench/verify mains print a machine-parsed JSON line as their last
 // stdout; sbt's "[success] Total time..." trailer would otherwise follow
 // it and break tail-capture parsing.

@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Snapshot reconciliation + join-semantics corners + one-pass
+  * correlation profiling.
+  *
+  * Reference family context: the OSM wrangling project re-runs its ETL
+  * when the extract is refreshed and eyeballs what changed; q105 is that
+  * "what changed between two loads" question done properly at scale.
+  * q106/q107 close the remaining join-semantics corners (null-aware
+  * NOT IN, correlated LATERAL); q108 is the multi-column statistics
+  * report a profiling pass emits beside q104's null/distinct counts.
+  */
+object Reconcile {
+
+  // ---- q105: Merkle-style bucketed snapshot diff ----
+
+  /** Number of reconciliation buckets. At 100 TB this is the knob that
+    * trades signature-exchange size (B rows per snapshot) against the
+    * fraction of data re-read when a bucket differs (1/B of the table
+    * per changed bucket). */
+  val DIFF_BUCKETS = 64
+
+  /** The "new" snapshot is derived deterministically from `orders` so
+    * both engines can reproduce it: keys ≡0 mod 101 deleted, keys ≡0
+    * mod 97 get price+1.00, and each key ≡0 mod 103 spawns an added row
+    * at key+100000000. Payload is (custkey, status, price DECIMAL(12,2))
+    * — decimal so the string form is identical in Spark and DuckDB. */
+  private def baseSnapshot(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey").as("k"), col("o_custkey"),
+      col("o_orderstatus"), dec2(col("o_totalprice")).as("price"))
+
+  private def newSnapshot(s: SparkSession, d: String): DataFrame = {
+    val base = baseSnapshot(s, d)
+    val kept = base.filter(col("k") % 101 =!= 0)
+      .withColumn("price",
+        when(col("k") % 97 === 0, (col("price") + lit(1.00)).cast(DecimalType(12, 2)))
+          .otherwise(col("price")))
+    val added = base.filter(col("k") % 103 === 0)
+      .withColumn("k", col("k") + lit(100000000L))
+    kept.unionByName(added)
+  }
+
+  /** Row signature: md5-60 of the full payload (k + attributes). 60-bit
+    * collisions over any realistic snapshot are negligible and the
+    * comparison is deterministic either way. */
+  private def withSig(df: DataFrame): DataFrame = df
+    .withColumn("payload", concat_ws("|", col("k"), col("o_custkey"),
+      col("o_orderstatus"), col("price").cast("string")))
+    .withColumn("sig",
+      expr("cast(conv(substr(md5(payload),1,15),16,10) as bigint)"))
+    .withColumn("bucket", col("k") % DIFF_BUCKETS)
+
+  /** Per-bucket snapshot signature: (row count, exact decimal sum of row
+    * sigs). Commutative + associative, so partials combine map-side and
+    * the result is partitioning-independent. */
+  private def bucketSigs(df: DataFrame): DataFrame = df
+    .groupBy(col("bucket"))
+    .agg(count(lit(1)).as("n"),
+         sum(col("sig").cast("decimal(38,0)")).as("bsig"))
+
+  /** The buckets whose (count, signature) differ between snapshots —
+    * the only buckets whose rows need to be re-read. Exposed for the
+    * pruning-effectiveness spec. */
+  private[graft] def changedBuckets(s: SparkSession, d: String): DataFrame = {
+    val b = bucketSigs(withSig(baseSnapshot(s, d)))
+      .withColumnsRenamed(Map("n" -> "bn", "bsig" -> "bs"))
+    val n = bucketSigs(withSig(newSnapshot(s, d)))
+    b.join(n, Seq("bucket"), "full_outer")
+      .filter(!(col("bn") <=> col("n")) || !(col("bs") <=> col("bsig")))
+      .select(col("bucket"))
+  }
+
+  /** q105: diff two snapshots by exchanging B bucket signatures and
+    * re-reading ONLY the buckets that disagree, then classifying keys
+    * as added/removed/modified with a full-outer join inside those
+    * buckets.
+    *
+    * Scale shape: each snapshot is scanned once for the signature pass
+    * (map-side-combined agg → B rows cross the network); the row-level
+    * diff touches 1/B of the data per changed bucket instead of
+    * shuffling both full snapshots into one join. Reconciling two
+    * 100 TB snapshots that differ in 0.1% of keys reads ~2·(changed
+    * buckets/B)·100 TB, not 200 TB of shuffle. The changed-bucket list
+    * is broadcast (≤ B rows by construction).
+    *
+    * The DuckDB oracle computes the direct un-bucketed full-outer diff
+    * — the gate itself proves bucket pruning is lossless. */
+  def q105SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val changed = broadcast(changedBuckets(s, d))
+    val b = withSig(baseSnapshot(s, d)).join(changed, Seq("bucket"))
+      .select(col("k"), col("sig").as("bsig"))
+    val n = withSig(newSnapshot(s, d)).join(changed, Seq("bucket"))
+      .select(col("k"), col("sig").as("nsig"))
+    b.join(n, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("bsig").isNull, "added")
+          .when(col("nsig").isNull, "removed")
+          .when(col("bsig") =!= col("nsig"), "modified"))
+      .filter(col("status").isNotNull)
+      .select(col("k").as("o_orderkey"), col("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val o105 = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders),
+    nw AS (
+      SELECT k, o_custkey, o_orderstatus,
+        CASE WHEN k % 97 = 0 THEN CAST(price + 1.00 AS DECIMAL(12,2))
+             ELSE price END AS price
+      FROM base WHERE k % 101 <> 0
+      UNION ALL
+      SELECT k + 100000000, o_custkey, o_orderstatus, price
+      FROM base WHERE k % 103 = 0)
+    SELECT COALESCE(b.k, n.k) AS o_orderkey,
+      CASE WHEN b.k IS NULL THEN 'added'
+           WHEN n.k IS NULL THEN 'removed'
+           WHEN b.o_custkey <> n.o_custkey
+             OR b.o_orderstatus <> n.o_orderstatus
+             OR b.price <> n.price THEN 'modified' END AS status
+    FROM base b FULL OUTER JOIN nw n ON b.k = n.k
+    WHERE (b.k IS NULL OR n.k IS NULL
+           OR b.o_custkey <> n.o_custkey
+           OR b.o_orderstatus <> n.o_orderstatus
+           OR b.price <> n.price)
+    ORDER BY o_orderkey"""
+
+  // ---- q106: null-aware NOT IN (anti-join semantics corner) ----
+
+  /** q106: `probe NOT IN (subquery)` with NULLs in the probe column —
+    * the three-valued-logic corner where a plain left-anti join gives
+    * the WRONG answer (NULL NOT IN (...) is NULL, so NULL-probe rows
+    * must be dropped, not kept). Spark plans this as a null-aware
+    * anti join (single-column NAAJ broadcast); the left-anti
+    * formulation without the null guard would keep the NULL rows.
+    *
+    * Scale shape: the IN-list is an aggregate of a filtered scan
+    * (small), broadcast; the probe side never shuffles. */
+  def q106NotInNulls(s: SparkSession, d: String): DataFrame = s.sql(s"""
+    WITH probe AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS probe_key,
+        c_mktsegment
+      FROM parquet.`$d/customer.parquet`),
+    lst AS (
+      SELECT o_custkey FROM parquet.`$d/orders.parquet`
+      WHERE o_totalprice > 450000)
+    SELECT c_custkey, c_mktsegment FROM probe
+    WHERE probe_key NOT IN (SELECT o_custkey FROM lst)
+    ORDER BY c_custkey""")
+
+  val o106 = """
+    WITH probe AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS probe_key,
+        c_mktsegment
+      FROM customer),
+    lst AS (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    SELECT c_custkey, c_mktsegment FROM probe
+    WHERE probe_key NOT IN (SELECT o_custkey FROM lst)
+    ORDER BY c_custkey"""
+
+  // ---- q107: correlated LATERAL subquery (per-row top-k probe) ----
+
+  /** q107: for every nation, the top-3 customers by account balance via
+    * a correlated LATERAL subquery — the "per-group probe" join shape
+    * (SQL-standard LATERAL) that generalizes q27's window formulation.
+    * Catalyst decorrelates the LIMIT-bearing correlated subquery into a
+    * ranked join rather than running one probe per driver row.
+    *
+    * Ties broken by c_custkey so the result is total-ordered. */
+  def q107LateralTopk(s: SparkSession, d: String): DataFrame = s.sql(s"""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM parquet.`$d/nation.parquet` n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM parquet.`$d/customer.parquet` c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+
+  val o107 = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey"""
+
+  // ---- q108: one-pass pairwise correlation matrix ----
+
+  /** The numeric lineitem columns profiled pairwise. */
+  val CORR_COLS = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q108: Pearson correlation for every column pair, computed from ONE
+    * aggregate over ONE scan: per column Σx and Σx², per pair Σxy, all
+    * as exact DECIMAL sums (map-side-combinable, order-independent),
+    * then the corr formula evaluated in double on those exact sums.
+    * This is the textbook numeric-profiling pass: at 100 TB the cost is
+    * one table scan + a single-row shuffle regardless of column count,
+    * where calling `corr()` per pair would re-scan the table 6 times.
+    *
+    * Determinism: every network-crossing value is an exact decimal; the
+    * double arithmetic runs on identical inputs in both engines (IEEE
+    * mult/div/sqrt are correctly rounded), and the result is rounded to
+    * 6 dp. */
+  def q108CorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val pairs = for {
+      i <- CORR_COLS.indices; j <- (i + 1) until CORR_COLS.size
+    } yield (CORR_COLS(i), CORR_COLS(j))
+    val aggs = count(lit(1)).as("n") +:
+      (CORR_COLS.flatMap(c => Seq(
+        sum(dec2(col(c))).cast("double").as(s"s_$c"),
+        sum(dec2(col(c)) * dec2(col(c))).cast("double").as(s"ss_$c"))) ++
+       pairs.map { case (a, b) =>
+         sum(dec2(col(a)) * dec2(col(b))).cast("double").as(s"sp_${a}_$b") })
+    val one = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+          col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+          col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"),
+          col(s"sp_${a}_$b").as("sxy"))
+      }: _*)).as("r"))
+      .select(col("r.col_x").as("col_x"), col("r.col_y").as("col_y"),
+        col("r.n").as("n"),
+        round((col("r.n") * col("r.sxy") - col("r.sx") * col("r.sy")) /
+          (sqrt(col("r.n") * col("r.sxx") - col("r.sx") * col("r.sx")) *
+           sqrt(col("r.n") * col("r.syy") - col("r.sy") * col("r.sy"))), 6)
+          .as("corr"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  val o108: String = {
+    def d2(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val pairs = for {
+      i <- CORR_COLS.indices; j <- (i + 1) until CORR_COLS.size
+    } yield (CORR_COLS(i), CORR_COLS(j))
+    val sums = CORR_COLS.flatMap(c => Seq(
+      s"CAST(SUM(${d2(c)}) AS DOUBLE) AS s_$c",
+      s"CAST(SUM(${d2(c)} * ${d2(c)}) AS DOUBLE) AS ss_$c")) ++
+      pairs.map { case (a, b) =>
+        s"CAST(SUM(${d2(a)} * ${d2(b)}) AS DOUBLE) AS sp_${a}_$b" }
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+        ROUND((n * sp_${a}_$b - s_$a * s_$b) /
+          (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)), 6)
+          AS corr FROM s""" }
+    s"""WITH s AS (SELECT COUNT(*) AS n, ${sums.mkString(", ")} FROM lineitem)
+    ${selects.mkString(" UNION ALL ")} ORDER BY col_x, col_y"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_snapshot_diff" -> (q105SnapshotDiff _),
+    "q106_not_in_nulls"  -> (q106NotInNulls _),
+    "q107_lateral_topk"  -> (q107LateralTopk _),
+    "q108_corr_matrix"   -> (q108CorrMatrix _))
+
+  val oracles: Map[String, String] = Map(
+    "q105_snapshot_diff" -> o105, "q106_not_in_nulls" -> o106,
+    "q107_lateral_topk" -> o107, "q108_corr_matrix" -> o108)
+}

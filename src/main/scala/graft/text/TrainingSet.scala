@@ -388,7 +388,51 @@ object TrainingSet {
     FROM c WHERE cum_before < $TOKEN_BUDGET
     ORDER BY quality DESC, doc_id"""
 
+  // ---- q109: weighted priority sampling (Duffield–Lund–Thorup) ----
+
+  /** Sample size for q109. */
+  val PRIORITY_K = 50
+
+  /** q109: weight-proportional sampling via *priority sampling*
+    * (Duffield, Lund & Thorup, JACM 2007): each document gets priority
+    * w/u with u a uniform draw, and the sample is the top-k priorities.
+    * Heavier documents (here: more tokens) are proportionally more
+    * likely to rank high, and the scheme needs no transcendental
+    * functions — the A-Res exponential-key variant (u^(1/w)) is NOT
+    * engine-portable because pow differs across libms, while one
+    * division is IEEE-identical everywhere.
+    *
+    * The draw is q84's md5-derived uniform (+1 so u ∈ (0,1], division
+    * never by zero), so the sample is reproducible and
+    * partitioning-independent.
+    *
+    * Scale shape: weight and draw are row-local inside the scan stage;
+    * the top-k is TakeOrderedAndProject (per-partition heaps, k rows to
+    * the driver) — a weighted sample from 100 TB in one pass with no
+    * global sort. */
+  def q109PrioritySample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"),
+        ((expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)")
+          + lit(1L)) / lit(4294967296.0)).as("u"))
+      .withColumn("priority", col("w") / col("u"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PRIORITY_K)
+      .select(col("doc_id"), col("w"), round(col("priority"), 6).as("priority"))
+
+  val o109 = s"""
+    WITH p AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+          / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, w, ROUND(w / u, 6) AS priority
+    FROM p ORDER BY w / u DESC, doc_id LIMIT $PRIORITY_K"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_priority_sample" -> (q109PrioritySample _),
     "q98_token_budget"     -> (q98TokenBudget _),
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
@@ -402,5 +446,6 @@ object TrainingSet {
     "q85_decontaminate"    -> o85,
     "q86_trainset_build"   -> o86,
     "q96_shard_export"     -> o96,
-    "q98_token_budget"     -> o98)
+    "q98_token_budget"     -> o98,
+    "q109_priority_sample" -> o109)
 }
