@@ -364,7 +364,52 @@ object Cleaning {
       COUNT(DISTINCT $c) AS n_distinct FROM orders""")
     .mkString("", " UNION ALL ", """ ORDER BY "column"""")
 
+  // ---- q111: z-score standardization ----
+
+  /** q111: per-event-type standardization — z = (x − μ)/σ with μ, σ
+    * learned from the data itself, the feature-scaling pass that
+    * precedes distance-based anything (q43/q47 cosine, k-means). Same
+    * train-then-broadcast shape as q103: the moment aggregate reduces
+    * to |types| rows of EXACT decimal sums (Σx, Σx² — map-side
+    * combinable, order-independent where raw double sums would drift),
+    * broadcast back against the unshuffled scan. The z arithmetic then
+    * runs in double on identical inputs in both engines (sample
+    * std, n−1). */
+  def q111Zscore(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sx"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("sxx"))
+      .select(col("event_type"), (col("sx") / col("n")).as("mu"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+      .filter(abs(col("z")) > 2.0)
+      .orderBy(col("event_id"))
+  }
+
+  val o111 = """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))
+               * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, sx / n AS mu,
+        sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+      FROM s)
+    SELECT e.event_id, e.event_type, e.value,
+      ROUND((e.value - m.mu) / m.sigma, 6) AS z
+    FROM events e JOIN m USING (event_type)
+    WHERE abs(ROUND((e.value - m.mu) / m.sigma, 6)) > 2.0
+    ORDER BY e.event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_zscore"          -> (q111Zscore _),
     "q103_iqr_outliers"    -> (q103IqrOutliers _),
     "q104_profile_columns" -> (q104ProfileColumns _),
     "q69_phone_normalize"  -> (q69PhoneNormalize _),
@@ -387,5 +432,6 @@ object Cleaning {
     "q22_top_contributors" -> o22, "q23_single_event_users" -> o23,
     "q24_grouped_collect" -> o24, "q25_semi_chain" -> o25,
     "q26_json_extract" -> o26, "q69_phone_normalize" -> o69,
-    "q103_iqr_outliers" -> o103, "q104_profile_columns" -> o104)
+    "q103_iqr_outliers" -> o103, "q104_profile_columns" -> o104,
+    "q111_zscore" -> o111)
 }

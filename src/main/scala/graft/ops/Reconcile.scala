@@ -258,7 +258,99 @@ object Reconcile {
     ${selects.mkString(" UNION ALL ")} ORDER BY col_x, col_y"""
   }
 
+  // ---- q112: MERGE / upsert apply (the other half of CDC) ----
+
+  /** q112: apply a change set to a snapshot — MERGE semantics routed
+    * through one full-outer join: unmatched-base rows pass through,
+    * `removed` deletes, `modified` updates, `added` inserts. Together
+    * with q105 this closes the CDC loop: diff two snapshots, ship the
+    * (small) change set, reconstruct the new snapshot on the other
+    * side. The oracle derives the target snapshot directly, so the gate
+    * proves merge(base, diff(base, new)) == new cross-engine.
+    *
+    * Scale shape: the join is keyed on the primary key — base co-
+    * partitions with the delta (or the delta broadcasts when small, the
+    * common CDC case); one shuffle, no window, no global sort except
+    * the presentation orderBy. */
+  def q112MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = baseSnapshot(s, d)
+    val nw = newSnapshot(s, d)
+    // The change set, payload-bearing: op + the NEW row for added /
+    // modified keys (removed ships key-only) — what a CDC producer emits.
+    val delta = q105SnapshotDiff(s, d)
+      .select(col("o_orderkey").as("k"), col("status").as("op"))
+      .join(nw.withColumnsRenamed(
+        Map("o_custkey" -> "n_custkey", "o_orderstatus" -> "n_status",
+            "price" -> "n_price")), Seq("k"), "left")
+    base.join(delta, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "removed")
+      .select(col("k").as("o_orderkey"),
+        when(col("op").isNull, col("o_custkey")).otherwise(col("n_custkey"))
+          .as("o_custkey"),
+        when(col("op").isNull, col("o_orderstatus")).otherwise(col("n_status"))
+          .as("o_orderstatus"),
+        when(col("op").isNull, col("price")).otherwise(col("n_price"))
+          .cast("double").as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val o112 = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders),
+    nw AS (
+      SELECT k, o_custkey, o_orderstatus,
+        CASE WHEN k % 97 = 0 THEN CAST(price + 1.00 AS DECIMAL(12,2))
+             ELSE price END AS price
+      FROM base WHERE k % 101 <> 0
+      UNION ALL
+      SELECT k + 100000000, o_custkey, o_orderstatus, price
+      FROM base WHERE k % 103 = 0)
+    SELECT k AS o_orderkey, o_custkey, o_orderstatus,
+      CAST(price AS DOUBLE) AS price
+    FROM nw ORDER BY o_orderkey"""
+
+  // ---- q113: join-key skew diagnostics ----
+
+  /** q113: the pre-flight skew report for a join/aggregation key — the
+    * top-10 heaviest keys with their share of all rows, plus the global
+    * skew ratio (max key count / mean key count). This is the
+    * diagnostic that decides between a plain shuffle join, AQE skew
+    * splitting, or q57's explicit salting.
+    *
+    * Scale shape: per-key counts are one map-side-combined hash agg;
+    * the global stats reduce those counts to ONE row which broadcasts
+    * back (the q44-evidence pattern); the top-10 is
+    * TakeOrderedAndProject. Everything after the first agg moves
+    * |keys| rows, never |rows|. Integer arithmetic throughout. */
+  def q113SkewReport(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val global = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+    counts.crossJoin(broadcast(global))
+      .select(col("l_suppkey"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_keys"),
+        round(col("max_cnt") * col("n_keys").cast("double") / col("n_rows"), 6)
+          .as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+  }
+
+  val o113 = """
+    WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+               GROUP BY l_suppkey),
+    g AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+            MAX(cnt) AS max_cnt FROM c)
+    SELECT l_suppkey, cnt,
+      ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS share, n_keys,
+      ROUND(max_cnt * CAST(n_keys AS DOUBLE) / n_rows, 6) AS skew_ratio
+    FROM c, g ORDER BY cnt DESC, l_suppkey LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_merge_upsert"  -> (q112MergeUpsert _),
+    "q113_skew_report"   -> (q113SkewReport _),
     "q105_snapshot_diff" -> (q105SnapshotDiff _),
     "q106_not_in_nulls"  -> (q106NotInNulls _),
     "q107_lateral_topk"  -> (q107LateralTopk _),
@@ -266,5 +358,6 @@ object Reconcile {
 
   val oracles: Map[String, String] = Map(
     "q105_snapshot_diff" -> o105, "q106_not_in_nulls" -> o106,
-    "q107_lateral_topk" -> o107, "q108_corr_matrix" -> o108)
+    "q107_lateral_topk" -> o107, "q108_corr_matrix" -> o108,
+    "q112_merge_upsert" -> o112, "q113_skew_report" -> o113)
 }

@@ -123,7 +123,76 @@ object Windows {
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)) t
     WHERE c_custkey % 10 = 0 ORDER BY c_mktsegment, c_custkey"""
 
+  // ---- q110: time-series resampling + forward fill ----
+
+  /** Nanoseconds per day — `events.ts` is a raw-nanos long, so the day
+    * bucket is pure integer arithmetic (engine-portable, no timezone
+    * or timestamp-precision traps). */
+  val NS_PER_DAY = 86400L * 1000 * 1000 * 1000
+
+  /** q110: resample each user's event stream onto a daily grid and
+    * forward-fill gaps — the standard time-series regularization pass
+    * (metrics pipelines, feature engineering) that turns an irregular
+    * event log into an equal-spaced series.
+    *
+    * Three stages, each scale-shaped:
+    *  1. per-(user, day) compaction to the LAST observation — a
+    *     map-side-combinable `max_by` keyed on (ts, event_id), q101's
+    *     aggregate shape: only |user×day| rows shuffle, however many
+    *     raw events a hot day holds;
+    *  2. the grid is generated per user from its own [min,max] day
+    *     span — `sequence` + `explode` is a row-local fan-out, no
+    *     driver-side range or cross join;
+    *  3. forward fill is `last(value, ignoreNulls)` over the per-user
+    *     day order — partitions by user (parallel across the entity
+    *     dimension), local sort within, the canonical window shape
+    *     for per-entity series at 100 TB.
+    *
+    * The first grid day of each user is its first observed day, so the
+    * fill never has a leading NULL. `value` is carried, not computed —
+    * no float arithmetic anywhere. */
+  def q110ResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("day", expr(s"ts div $NS_PER_DAY"))
+    val lastObs = ev.groupBy(col("user_id"), col("day"))
+      .agg(expr("max_by(value, struct(ts, event_id))").as("value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastObs, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("value"), ignoreNulls = true).over(w).as("value_filled"),
+        col("value").isNotNull.as("is_observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val o110 = s"""
+    WITH obs AS (
+      SELECT user_id, epoch_ns(ts) // $NS_PER_DAY AS day, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // $NS_PER_DAY
+                           ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      FROM events),
+    last_obs AS (SELECT user_id, day, value FROM obs WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+               FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day
+             FROM bounds),
+    j AS (SELECT g.user_id, g.day, o.value,
+            o.value IS NOT NULL AS is_observed
+          FROM grid g LEFT JOIN last_obs o
+            ON g.user_id = o.user_id AND g.day = o.day)
+    SELECT user_id, day,
+      last_value(value IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+      is_observed
+    FROM j ORDER BY user_id, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_resample_ffill" -> (q110ResampleFfill _),
     "q27_window_rank"    -> (q27WindowRank _),
     "q28_window_lag"     -> (q28WindowLag _),
     "q29_window_running" -> (q29WindowRunning _),
@@ -133,5 +202,5 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "q27_window_rank" -> o27, "q28_window_lag" -> o28,
     "q29_window_running" -> o29, "q58_range_frame" -> o58,
-    "q66_window_dist" -> o66)
+    "q66_window_dist" -> o66, "q110_resample_ffill" -> o110)
 }

@@ -76,6 +76,67 @@ class ReconcileSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 grid is gapless and the fill matches the latest observation") {
+    val out = graft.ops.Windows.q110ResampleFfill(spark, TestSpark.SF)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty && out.forall(r => !r._3.isNaN))
+    // Per user: days form a contiguous range and the first day is observed
+    // (no leading NULL for the fill to trip on).
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val days = rows.map(_._2).sorted
+      assert(days.last - days.head + 1 == days.length, "grid has gaps")
+      assert(rows.minBy(_._2)._4, "first grid day must be observed")
+    }
+    // Forward fill: every unobserved day's value equals the value of the
+    // nearest preceding observed day.
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byDay = rows.sortBy(_._2)
+      byDay.zipWithIndex.foreach { case ((_, _, v, obs), i) =>
+        if (!obs) {
+          val prevObs = byDay.take(i).reverse.find(_._4).get
+          assert(v == prevObs._3, "fill must carry the last observation")
+        }
+      }
+    }
+  }
+
+  test("q111 exact-sum z-scores match Spark's avg/stddev builtins") {
+    val ev = Tables.events(spark, TestSpark.SF)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    val ref = ev.join(stats, Seq("event_type"))
+      .select(col("event_id"),
+        ((col("value") - col("mu")) / col("sigma")).as("z"))
+      .as[(Long, Double)].collect().toMap
+    val ours = graft.ops.Cleaning.q111Zscore(spark, TestSpark.SF)
+      .as[(Long, String, Double, Double)].collect()
+    assert(ours.nonEmpty)
+    ours.foreach { case (id, _, _, z) =>
+      assert(math.abs(z - ref(id)) < 1e-5, s"event $id: $z vs ${ref(id)}")
+    }
+  }
+
+  test("q112 merge(base, diff) reconstructs the target snapshot exactly") {
+    val merged = Reconcile.q112MergeUpsert(spark, TestSpark.SF)
+      .as[(Long, Long, String, Double)].collect().toSet
+    val target = spark.sql(Reconcile.o112
+      .replace("FROM orders", s"FROM parquet.`${TestSpark.SF}/orders.parquet`"))
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(merged == target && target.nonEmpty)
+  }
+
+  test("q113 skew metrics are internally consistent") {
+    val rows = Reconcile.q113SkewReport(spark, TestSpark.SF)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(rows.length == 10)
+    // skew_ratio = max/mean >= 1 by definition; shares descend with cnt
+    // and each is <= the top share.
+    assert(rows.forall(_._5 >= 1.0))
+    val cnts = rows.map(_._2)
+    assert(cnts.sorted.reverse.sameElements(cnts))
+    assert(rows.map(_._3).forall(s => s > 0 && s <= rows.head._3))
+  }
+
   test("q109 sample satisfies the priority-prefix contract") {
     // Top-k by priority: the smallest sampled priority must be >= the
     // largest excluded priority — the sample is a prefix of the global
