@@ -348,7 +348,70 @@ object Reconcile {
       ROUND(max_cnt * CAST(n_keys AS DOUBLE) / n_rows, 6) AS skew_ratio
     FROM c, g ORDER BY cnt DESC, l_suppkey LIMIT 10"""
 
+  // ---- q117: incremental aggregate maintenance (IVM) ----
+
+  /** q117: maintain a per-customer aggregate (order count + spend)
+    * under q105's change set WITHOUT rescanning the base — incremental
+    * view maintenance with retractions: changed keys contribute their
+    * new rows with sign +1 and their old rows with sign −1; the signed
+    * per-customer delta merges into the stale aggregate with one
+    * outer join; customers whose count reaches 0 drop out.
+    *
+    * Scale shape: the base is touched once to build the STALE aggregate
+    * (in production that already exists — it is the view being
+    * maintained); the maintenance work itself is proportional to the
+    * delta (changed keys semi-join + a |changed-customers|-row merge
+    * join), not to the 100 TB base. COUNT and SUM are self-maintainable
+    * (signed, associative); the exact decimal sum makes retraction
+    * lossless where a double sum would accumulate drift under repeated
+    * maintenance. The oracle recomputes the aggregate from the target
+    * snapshot from scratch — the gate proves delta-merge == full
+    * recompute. */
+  def q117DeltaAgg(s: SparkSession, d: String): DataFrame = {
+    val base = baseSnapshot(s, d)
+    val nw = newSnapshot(s, d)
+    val staleAgg = base.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("spend"))
+    val changedKeys = q105SnapshotDiff(s, d)
+      .select(col("o_orderkey").as("k"))
+    val signed = nw.join(broadcast(changedKeys), Seq("k"), "left_semi")
+        .withColumn("sign", lit(1L))
+      .unionByName(
+        base.join(broadcast(changedKeys), Seq("k"), "left_semi")
+          .withColumn("sign", lit(-1L)))
+    val deltaAgg = signed.groupBy(col("o_custkey"))
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("price") * col("sign")).as("dspend"))
+    staleAgg.join(deltaAgg, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("spend"), lit(0).cast("decimal(22,2)"))
+          + coalesce(col("dspend"), lit(0).cast("decimal(22,2)")))
+          .cast("double").as("spend"))
+      .filter(col("n_orders") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
+  val o117 = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders),
+    nw AS (
+      SELECT k, o_custkey, o_orderstatus,
+        CASE WHEN k % 97 = 0 THEN CAST(price + 1.00 AS DECIMAL(12,2))
+             ELSE price END AS price
+      FROM base WHERE k % 101 <> 0
+      UNION ALL
+      SELECT k + 100000000, o_custkey, o_orderstatus, price
+      FROM base WHERE k % 103 = 0)
+    SELECT o_custkey, COUNT(*) AS n_orders,
+      CAST(SUM(price) AS DOUBLE) AS spend
+    FROM nw GROUP BY o_custkey ORDER BY o_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_delta_agg"     -> (q117DeltaAgg _),
     "q112_merge_upsert"  -> (q112MergeUpsert _),
     "q113_skew_report"   -> (q113SkewReport _),
     "q105_snapshot_diff" -> (q105SnapshotDiff _),
@@ -359,5 +422,6 @@ object Reconcile {
   val oracles: Map[String, String] = Map(
     "q105_snapshot_diff" -> o105, "q106_not_in_nulls" -> o106,
     "q107_lateral_topk" -> o107, "q108_corr_matrix" -> o108,
-    "q112_merge_upsert" -> o112, "q113_skew_report" -> o113)
+    "q112_merge_upsert" -> o112, "q113_skew_report" -> o113,
+    "q117_delta_agg" -> o117)
 }

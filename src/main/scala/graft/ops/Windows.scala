@@ -191,8 +191,58 @@ object Windows {
       is_observed
     FROM j ORDER BY user_id, day"""
 
+  // ---- q115: point-in-time feature join (leakage-safe features) ----
+
+  /** q115: for every order, the customer's history STRICTLY BEFORE that
+    * order — prior order count, prior spend, and days since the
+    * previous order. This is the feature-store "point-in-time correct"
+    * join: a model scoring order N may only see features computed from
+    * orders 1..N−1, and the frame `rowsBetween(unboundedPreceding, -1)`
+    * encodes exactly that (an `unboundedFollowing`-style or plain
+    * group-by feature would leak the label row into its own feature).
+    *
+    * Scale shape: one shuffle on the entity key (customer), local sort
+    * by (date, key) within — the same per-entity window shape as q110;
+    * spend travels as exact decimals. Ordering is total (date ties
+    * broken by key), so the features are deterministic. */
+  def q115PitFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        dec2(col("o_totalprice")).as("price"))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("spend_prior",
+        coalesce(sum(col("price")).over(w), lit(0).cast("decimal(12,2)"))
+          .cast("double"))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(wLag))
+          .cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_prior"),
+        col("spend_prior"), col("days_since_prev"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val o115 = """
+    SELECT o_orderkey, o_custkey,
+      COUNT(*) OVER w AS n_prior,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 0)
+           AS DOUBLE) AS spend_prior,
+      CAST(date_diff('day',
+             LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_resample_ffill" -> (q110ResampleFfill _),
+    "q115_pit_features"   -> (q115PitFeatures _),
     "q27_window_rank"    -> (q27WindowRank _),
     "q28_window_lag"     -> (q28WindowLag _),
     "q29_window_running" -> (q29WindowRunning _),
@@ -202,5 +252,6 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "q27_window_rank" -> o27, "q28_window_lag" -> o28,
     "q29_window_running" -> o29, "q58_range_frame" -> o58,
-    "q66_window_dist" -> o66, "q110_resample_ffill" -> o110)
+    "q66_window_dist" -> o66, "q110_resample_ffill" -> o110,
+    "q115_pit_features" -> o115)
 }

@@ -139,11 +139,68 @@ object CorpusStats {
               JOIN sizes sb ON sb.source = o.src_b
     ORDER BY src_a, src_b"""
 
+  // ---- q116: distribution drift between sources (chi-square) ----
+
+  /** q116: pairwise language-distribution drift across corpus sources —
+    * the monitoring primitive that answers "did crawl B's language mix
+    * shift vs crawl A's?". Distance is the symmetric chi-square
+    * χ²(P,Q) = Σ_lang (p−q)²/(p+q) over language shares, chosen over
+    * KL divergence DELIBERATELY: it needs no logarithms (ln is not
+    * bit-identical across libms, division is), so the result
+    * hash-matches cross-engine from integer counts alone.
+    *
+    * Scale shape: the corpus reduces to |sources|×|langs| counts in one
+    * map-side-combined agg; everything pairwise happens on that tiny
+    * table (broadcast self-join). At 100 TB the data pass is one scan
+    * emitting a few hundred partial counters per partition. */
+  def q116SourceDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    // Densify to the full source×lang grid so a language exclusive to
+    // one source contributes its (p−0)²/(p+0) term instead of silently
+    // dropping out of the join.
+    val shares = totals.crossJoin(counts.select(col("lang")).distinct())
+      .join(counts, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        (coalesce(col("cnt"), lit(0L)).cast("double") / col("tot")).as("p"))
+    val a = shares.withColumnsRenamed(Map("source" -> "source_x", "p" -> "pa"))
+    val b = shares.withColumnsRenamed(Map("source" -> "source_y", "p" -> "pb"))
+    a.join(b, Seq("lang"))
+      .filter(col("source_x") < col("source_y"))
+      .filter(col("pa") + col("pb") > 0)
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(round(sum((col("pa") - col("pb")) * (col("pa") - col("pb"))
+        / (col("pa") + col("pb"))), 6).as("chi2"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
+  val o116 = """
+    WITH c AS (SELECT source, lang, COUNT(*) AS cnt FROM documents
+               GROUP BY source, lang),
+    t AS (SELECT source, SUM(cnt) AS tot FROM c GROUP BY source),
+    l AS (SELECT DISTINCT lang FROM c),
+    sh AS (
+      SELECT t.source, l.lang,
+        CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.tot AS p
+      FROM t CROSS JOIN l
+      LEFT JOIN c ON c.source = t.source AND c.lang = l.lang),
+    pr AS (
+      SELECT a.source AS source_x, b.source AS source_y, a.lang,
+        a.p AS pa, b.p AS pb
+      FROM sh a JOIN sh b ON a.lang = b.lang
+      WHERE a.source < b.source AND a.p + b.p > 0)
+    SELECT source_x, source_y,
+      ROUND(SUM((pa - pb) * (pa - pb) / (pa + pb)), 6) AS chi2
+    FROM pr GROUP BY source_x, source_y ORDER BY source_x, source_y"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_source_drift" -> (q116SourceDrift _),
     "q94_source_overlap" -> (q94SourceOverlap _),
     "q95_heavy_hitters"  -> (q95HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "q94_source_overlap" -> o94,
-    "q95_heavy_hitters"  -> o95)
+    "q95_heavy_hitters"  -> o95,
+    "q116_source_drift"  -> o116)
 }

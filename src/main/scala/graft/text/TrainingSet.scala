@@ -431,8 +431,57 @@ object TrainingSet {
     SELECT doc_id, w, ROUND(w / u, 6) AS priority
     FROM p ORDER BY w / u DESC, doc_id LIMIT $PRIORITY_K"""
 
+  // ---- q114: per-group weighted sampling (mixture-balanced) ----
+
+  /** Per-language sample size for q114. */
+  val GROUP_K = 10
+
+  /** q114: q109's priority sampling applied PER LANGUAGE — the
+    * mixture-balanced form: take the k heaviest-priority documents of
+    * every language, so low-resource languages are not crowded out by
+    * the head language the way a global top-k would. This is the
+    * "sample k per stratum, weighted" primitive mixture design uses to
+    * build eval slices.
+    *
+    * Scale shape: one shuffle on the group key; the rank window is the
+    * per-group-top-k idiom that `plans.TopKRewrite` (q68) rewrites
+    * into the partial/final heap plan — k rows per group per
+    * partition, never a full per-group sort at the final. */
+  def q114GroupSample(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"),
+        ((expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)")
+          + lit(1L)) / lit(4294967296.0)).as("u"))
+      .withColumn("priority", col("w") / col("u"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= GROUP_K)
+      .select(col("lang"), col("rk"), col("doc_id"), col("w"),
+        round(col("priority"), 6).as("priority"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val o114 = s"""
+    WITH p AS (
+      SELECT lang, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+          / 4294967296.0 AS u
+      FROM documents),
+    r AS (
+      SELECT lang, doc_id, w, w / u AS priority,
+        ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY w / u DESC, doc_id) AS rk
+      FROM p)
+    SELECT lang, rk, doc_id, w, ROUND(priority, 6) AS priority
+    FROM r WHERE rk <= $GROUP_K ORDER BY lang, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_priority_sample" -> (q109PrioritySample _),
+    "q114_group_sample"    -> (q114GroupSample _),
     "q98_token_budget"     -> (q98TokenBudget _),
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
@@ -447,5 +496,6 @@ object TrainingSet {
     "q86_trainset_build"   -> o86,
     "q96_shard_export"     -> o96,
     "q98_token_budget"     -> o98,
-    "q109_priority_sample" -> o109)
+    "q109_priority_sample" -> o109,
+    "q114_group_sample"    -> o114)
 }

@@ -137,6 +137,85 @@ class ReconcileSpec extends AnyFunSuite {
     assert(rows.map(_._3).forall(s => s > 0 && s <= rows.head._3))
   }
 
+  test("q114 per-group sample is the per-language priority prefix") {
+    val out = graft.text.TrainingSet.q114GroupSample(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("lang"), col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("w"))
+      .withColumn("u",
+        (expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)")
+          + lit(1L)) / lit(4294967296.0))
+      .withColumn("priority", col("w") / col("u"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    val byLang = docs.groupBy(_._1)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val expectK = math.min(graft.text.TrainingSet.GROUP_K, byLang(lang).size)
+      assert(rows.length == expectK, s"$lang: ${rows.length} != $expectK")
+      val sampledIds = rows.map(_._3).toSet
+      val (in, outOf) = byLang(lang).partition(r => sampledIds(r._2))
+      if (outOf.nonEmpty)
+        assert(in.map(_._5).min >= outOf.map(_._5).max,
+          s"$lang sample is not a per-group priority prefix")
+    }
+  }
+
+  test("q115 point-in-time features are leakage-free (== naive recompute)") {
+    val orders = Tables.orders(spark, TestSpark.SF)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    val byCust = orders.groupBy(_._2)
+    val out = graft.ops.Windows.q115PitFeatures(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Double, Option[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (ok, ck, nPrior, spendPrior, _) =>
+      val me = orders.find(_._1 == ok).get
+      // STRICTLY earlier in the (date, key) total order — the label row
+      // must never contribute to its own feature.
+      val prior = byCust(ck).filter(o =>
+        o._3.getTime < me._3.getTime ||
+          (o._3.getTime == me._3.getTime && o._1 < me._1))
+      assert(nPrior == prior.length, s"order $ok n_prior")
+      val expSpend = prior.map(o => BigDecimal(o._4).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(spendPrior - expSpend) < 1e-9, s"order $ok spend")
+    }
+  }
+
+  test("q116 chi-square drift matches a driver-side recompute") {
+    val counts = Tables.documents(spark, TestSpark.SF)
+      .groupBy(col("source"), col("lang")).count()
+      .as[(String, String, Long)].collect()
+    val langs = counts.map(_._2).distinct
+    val bySrc = counts.groupBy(_._1).map { case (s0, rows) =>
+      val tot = rows.map(_._3).sum.toDouble
+      s0 -> langs.map(l =>
+        l -> rows.find(_._2 == l).map(_._3).getOrElse(0L) / tot).toMap
+    }
+    val out = graft.text.CorpusStats.q116SourceDrift(spark, TestSpark.SF)
+      .as[(String, String, Double)].collect()
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(out.length == srcs.combinations(2).size)
+    out.foreach { case (a, b, chi2) =>
+      val exp = langs.map { l =>
+        val (pa, pb) = (bySrc(a)(l), bySrc(b)(l))
+        if (pa + pb > 0) (pa - pb) * (pa - pb) / (pa + pb) else 0.0
+      }.sum
+      assert(math.abs(chi2 - exp) < 1e-6, s"($a,$b): $chi2 vs $exp")
+      assert(chi2 >= 0 && chi2 <= 2.0) // χ² symmetric form is bounded by 2
+    }
+  }
+
+  test("q117 delta-merged aggregate == full recompute over the target") {
+    val ivm = Reconcile.q117DeltaAgg(spark, TestSpark.SF)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = spark.sql(Reconcile.o117
+      .replace("FROM orders", s"FROM parquet.`${TestSpark.SF}/orders.parquet`"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivm == full && full.nonEmpty)
+  }
+
   test("q109 sample satisfies the priority-prefix contract") {
     // Top-k by priority: the smallest sampled priority must be >= the
     // largest excluded priority — the sample is a prefix of the global
