@@ -19,11 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
-      ops.Reconcile.queries ++
+      ops.Reconcile.queries ++ ops.Temporal.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
       text.Scrub.queries ++ text.CorpusStats.queries ++
+      text.CorpusSignals.queries ++
       sim.Similarity.queries ++ multimodal.Multimodal.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.PartitionedScan.queries
@@ -32,11 +33,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
-      ops.Reconcile.oracles ++
+      ops.Reconcile.oracles ++ ops.Temporal.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++
       text.Scrub.oracles ++ text.CorpusStats.oracles ++
+      text.CorpusSignals.oracles ++
       sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles

@@ -408,7 +408,60 @@ object Cleaning {
     WHERE abs(ROUND((e.value - m.mu) / m.sigma, 6)) > 2.0
     ORDER BY e.event_id"""
 
+  // ---- q121: MAD robust outlier detection ----
+
+  /** q121: median-absolute-deviation outliers per event type — rows
+    * where |x − median| > 4.4478·MAD (the 3σ-equivalent under the
+    * 1.4826 normal-consistency factor). The robust counterpart to
+    * q103's Tukey fences and q111's z-scores: a few extreme values
+    * cannot drag the fence, because both the center and the spread are
+    * medians. The 4.4478 multiplier is written as ONE literal in both
+    * engines — `3 * 1.4826` folded at different times could differ in
+    * the last ulp.
+    *
+    * Scale shape: two train-then-broadcast passes over the unshuffled
+    * fact scan — medians reduce to |types| rows (exact `percentile`
+    * here; `percentile_approx`'s mergeable sketch at 100 TB), the
+    * deviation median reuses the same shape on |x − med|, and the
+    * final filter probes a broadcast |types|-row fence table. The fact
+    * table is scanned, never shuffled. */
+  def q121MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val fences = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"),
+           expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .select(col("event_type"),
+        (col("med") - col("mad") * 4.4478).as("lo"),
+        (col("med") + col("mad") * 4.4478).as("hi"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      .orderBy(col("event_id"))
+  }
+
+  val o121 = """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    f AS (
+      SELECT e.event_type, any_value(m.med) AS med,
+        quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN m USING (event_type) GROUP BY e.event_type),
+    b AS (
+      SELECT event_type, med - mad * 4.4478 AS lo, med + mad * 4.4478 AS hi
+      FROM f)
+    SELECT e.event_id, e.event_type, e.value,
+      ROUND(b.lo, 6) AS lo, ROUND(b.hi, 6) AS hi
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value < b.lo OR e.value > b.hi
+    ORDER BY e.event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_mad_outliers"    -> (q121MadOutliers _),
     "q111_zscore"          -> (q111Zscore _),
     "q103_iqr_outliers"    -> (q103IqrOutliers _),
     "q104_profile_columns" -> (q104ProfileColumns _),
@@ -433,5 +486,5 @@ object Cleaning {
     "q24_grouped_collect" -> o24, "q25_semi_chain" -> o25,
     "q26_json_extract" -> o26, "q69_phone_normalize" -> o69,
     "q103_iqr_outliers" -> o103, "q104_profile_columns" -> o104,
-    "q111_zscore" -> o111)
+    "q111_zscore" -> o111, "q121_mad_outliers" -> o121)
 }

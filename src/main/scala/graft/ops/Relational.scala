@@ -825,7 +825,66 @@ object Relational {
     FROM exc FULL OUTER JOIN intr ON exc.l_suppkey = intr.l_suppkey
     ORDER BY l_suppkey"""
 
+  // ---- q122: share-of-total / ratio-to-report ----
+
+  /** q122: each nation's revenue as a share of its region and of the
+    * world — the ratio-to-report analytic behind every "% of total"
+    * dashboard column. Revenue is summed EXACTLY in decimal per
+    * nation; the region and global totals are decimal window sums over
+    * the |nations|-row grouped result; only the final share divisions
+    * run in double (correctly-rounded IEEE on identical exact inputs
+    * in both engines — the q108/q111 determinism stance).
+    *
+    * Scale shape: the fact table aggregates once on the join key and
+    * collapses to |nations| rows BEFORE any window runs — the
+    * unpartitioned global-total window executes over 25 rows, not
+    * 600 M. At 100 TB the only heavy exchanges are the fact-side
+    * aggregate's; both dimension joins broadcast. */
+  def q122ShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    val custDim = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val byNation = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).as("rev_d"))
+    byNation
+      .withColumn("region_d", sum(col("rev_d")).over(Window.partitionBy("r_name")))
+      .withColumn("global_d", sum(col("rev_d")).over(Window.partitionBy()))
+      .select(col("r_name"), col("n_name"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d").cast("double") / col("region_d").cast("double"))
+          .as("share_region"),
+        (col("rev_d").cast("double") / col("global_d").cast("double"))
+          .as("share_global"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val o122 = """
+    WITH byn AS (
+      SELECT r_name, n_name,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev_d
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS revenue,
+      CAST(rev_d AS DOUBLE)
+        / CAST(SUM(rev_d) OVER (PARTITION BY r_name) AS DOUBLE)
+        AS share_region,
+      CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE)
+        AS share_global
+    FROM byn ORDER BY r_name, n_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_share_of_total" -> (q122ShareOfTotal _),
     "q59_grouping_sets"   -> (q59GroupingSets _),
     "q60_exists_subquery" -> (q60ExistsSubquery _),
     "q61_unpivot"         -> (q61Unpivot _),
@@ -875,5 +934,5 @@ object Relational {
     "q61_unpivot" -> o61, "q64_stratified_sample" -> o64,
     "q65_bloom_join" -> o65, "q67_except_all" -> o67,
     "q68_topk_rewrite" -> o68, "q70_asof_tolerance" -> o70,
-    "q97_histogram" -> o97)
+    "q97_histogram" -> o97, "q122_share_of_total" -> o122)
 }

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Temporal shaping operators: gaps-and-islands interval coverage and
+  * slowly-changing-dimension (SCD Type-2) history construction.
+  *
+  * Reference family context: the OSM wrangling project reasons about
+  * contributor activity ("when was this user active, and for how
+  * long?") and about attribute history ("what did this tag look like
+  * over time?") by ad-hoc scripts over timestamps. q118/q119 are those
+  * two questions as engine operators: activity-interval coverage via
+  * gaps-and-islands, and a versioned effective-dated dimension built
+  * from a change stream.
+  */
+object Temporal {
+
+  // ---- q118: gaps-and-islands interval merge ----
+
+  /** Each event covers [ts, ts + COVER_US) of its user's activity; 12 h
+    * in MICROseconds. Sized against the corpus: the median per-user gap
+    * is ~7.7 h (merges) and p90 is ~24 h (splits), so both behaviors
+    * are exercised. Interval arithmetic stays in the int64 microsecond
+    * domain — exact, overflow-free, and the finest resolution BOTH
+    * engines share: DuckDB reads the parquet TIMESTAMP(NANOS) column
+    * as µs TIMESTAMP (nanos truncated), so µs is the cross-engine
+    * parity domain (the ORA_TS_US stance). Spark derives the same
+    * value exactly with integer `ts div 1000`. */
+  val COVER_US = 43_200_000_000L
+
+  /** q118: merge each user's overlapping/adjacent coverage intervals
+    * into islands; report islands, total covered time, longest island.
+    *
+    * Scale shape: ONE exchange. The island boundary is found with the
+    * classic cumulative-max trick — an event starts a new island iff
+    * its start exceeds the running max end of all earlier intervals
+    * (`max(end) OVER (... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`) —
+    * so the whole query is two windows plus two aggregations, ALL
+    * partitioned by `user_id`. The windows sort within the user
+    * partition and both `groupBy`s cluster on key sets containing
+    * `user_id`, so Catalyst reuses the single hash partitioning: no
+    * second shuffle (asserted by TemporalSpec's exchange count). Work
+    * is parallel across the entity dimension — the standard shape for
+    * per-entity series at 100 TB; a hot user bounds a partition at its
+    * own event count, never the table's. */
+  def q118IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val prevEnd = max(col("tus") + COVER_US)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    e.withColumn("new_island",
+        when(prevEnd.isNull || col("tus") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("tus")).as("start_us"),
+           (max(col("tus")) + COVER_US).as("end_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("end_us") - col("start_us")).as("covered_us"),
+           max(col("end_us") - col("start_us")).as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val o118 = s"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id FROM events),
+    m AS (
+      SELECT user_id, tus,
+        CASE WHEN max(tus + $COVER_US) OVER (PARTITION BY user_id
+               ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR tus > max(tus + $COVER_US) OVER (PARTITION BY user_id
+               ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS new_island,
+        event_id FROM e),
+    isl AS (
+      SELECT user_id, tus,
+        SUM(new_island) OVER (PARTITION BY user_id ORDER BY tus, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m),
+    spans AS (
+      SELECT user_id, island, MIN(tus) AS start_us,
+        MAX(tus) + $COVER_US AS end_us
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, count(*) AS n_islands,
+      CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us,
+      MAX(end_us - start_us) AS longest_us
+    FROM spans GROUP BY user_id ORDER BY user_id"""
+
+  // ---- q119: SCD Type-2 dimension build ----
+
+  /** q119: build a versioned effective-dated dimension from the event
+    * stream — per user, the history of `event_type` as
+    * [effective_from, effective_to) rows: consecutive duplicates
+    * compacted, `effective_to` = next version's `effective_from`
+    * (NULL ⇒ current row, flagged `is_current`).
+    *
+    * Scale shape: one exchange on `user_id`; the duplicate-compaction
+    * lag, the version row_number, and the effective_to lead all share
+    * one (partition, order) — a single sort serves all three windows.
+    * Ordering is by the int64 microsecond timestamp (+ event_id
+    * tiebreak) — total, exact-integer, and the parity domain both
+    * engines share (see COVER_US). This is the standard
+    * CDC→dimension materialization: at 100 TB it is one shuffle of the
+    * change stream, never a self-join per version. */
+  def q119Scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val e = events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        col("event_type"), col("ts_us"))
+    e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("effective_from", col("ts_us"))
+      .withColumn("effective_to", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val o119 = s"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type,
+        $ORA_TS_US AS ts_us
+      FROM events),
+    c AS (
+      SELECT *, lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+      FROM e),
+    ch AS (
+      SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id,
+      CAST(row_number() OVER w AS BIGINT) AS version,
+      event_type, ts_us AS effective_from,
+      lead(ts_us) OVER w AS effective_to,
+      lead(ts_us) OVER w IS NULL AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ORDER BY user_id, version"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_interval_merge" -> (q118IntervalMerge _),
+    "q119_scd2_dim"       -> (q119Scd2Dim _))
+
+  val oracles: Map[String, String] = Map(
+    "q118_interval_merge" -> o118, "q119_scd2_dim" -> o119)
+}

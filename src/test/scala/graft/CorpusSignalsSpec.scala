@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.CorpusSignals
+
+/** DF-rarity scoring (q120) and stop-token-filtered co-occurrence
+  * (q123): the corpus-semantic invariants behind the oracle hashes. */
+class CorpusSignalsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q120 rare_ratio isolates exactly the docs carrying a rare token") {
+    val scored = CorpusSignals.q120TokenRarity(spark, TestSpark.SF)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(scored.length ==
+      Tables.documents(spark, TestSpark.SF).count())
+    // Ground truth: docs whose text contains a token with df*10 < nDocs.
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, g) => t -> g.length }
+    val rare = df.filter(_._2 * 10 < n).keySet
+    assert(rare.nonEmpty, "corpus should contain at least one rare token")
+    val expectRare = docs.filter(_._2.exists(rare)).map(_._1).toSet
+    val gotRare = scored.filter(_._4 > 0).map(_._1).toSet
+    assert(gotRare == expectRare && gotRare.nonEmpty)
+    // mean_df is a weighted mean of dfs: strictly within [min df, max df].
+    scored.foreach { case (_, _, meanDf, _) =>
+      assert(meanDf >= df.values.min && meanDf <= df.values.max) }
+  }
+
+  test("q123 excludes stop tokens and respects pair canonicalization") {
+    val pairs = CorpusSignals.q123Cooccur(spark, TestSpark.SF)
+      .as[(String, String, Long)].collect()
+    assert(pairs.nonEmpty && pairs.length <= 20)
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, g) => t -> g.length }
+    val stop = df.filter { case (_, f) => f * 5 >= n * 4 }.keySet
+    pairs.foreach { case (t1, t2, c) =>
+      assert(t1 < t2, "pairs must be canonical t1 < t2")
+      assert(!stop(t1) && !stop(t2), s"stop token leaked: $t1/$t2")
+      // Count matches a direct recount over the raw docs.
+      val direct = docs.count { case (_, ts) =>
+        val s = ts.toSet; s(t1) && s(t2) }
+      assert(c == direct, s"($t1,$t2) count $c != direct $direct")
+    }
+    // Descending by count with (t1, t2) tiebreak.
+    assert(pairs.sliding(2).forall {
+      case Array(a, b) => a._3 > b._3 ||
+        (a._3 == b._3 && (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))
+      case _ => true
+    })
+  }
+}
