@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
-      ops.Reconcile.queries ++ ops.Temporal.queries ++
+      ops.Reconcile.queries ++ ops.Temporal.queries ++ ops.Analytics.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
@@ -33,7 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
-      ops.Reconcile.oracles ++ ops.Temporal.oracles ++
+      ops.Reconcile.oracles ++ ops.Temporal.oracles ++ ops.Analytics.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++

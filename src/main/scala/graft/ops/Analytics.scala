@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Behavioral / statistical analytics: retention cohorts, last-touch
+  * attribution, contingency-table independence testing, and equi-depth
+  * histograms.
+  *
+  * Reference family context: the OSM wrangling project asks "do
+  * contributors stay active?", "what precedes a contribution?", and
+  * "how are values distributed?" with one-off pandas passes; these are
+  * the same four analyses as engine operators with exact-arithmetic
+  * determinism (integer week/µs math, decimal-free IEEE on exact
+  * inputs — the q109/q111 stance).
+  */
+object Analytics {
+
+  /** One week in the int64 microsecond domain (the cross-engine parity
+    * resolution — see Temporal.COVER_US). */
+  val WEEK_US = 604_800_000_000L
+
+  // ---- q124: retention cohorts ----
+
+  /** q124: weekly retention triangle — users bucketed by first-activity
+    * week (epoch-week index, exact integer µs division), counted in
+    * each subsequent week they were active.
+    *
+    * Scale shape: two bounded exchanges. The per-user pass is ONE
+    * user-keyed aggregate carrying `min(week)` and the distinct-week
+    * set (bounded by the timeline length in weeks — ~5 here, a few
+    * hundred at a decade of 100 TB history — never by event volume);
+    * the exploded (cohort, offset) pairs then reduce to a triangle of
+    * |weeks|²/2 rows. No self-join of the fact table against itself —
+    * the textbook cohort formulation joins "first activity" back to
+    * all activity, which at 100 TB is a second full shuffle; carrying
+    * the week set through one aggregate is strictly smaller. */
+  def q124RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val weeks = events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $WEEK_US").as("week"))
+    weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"),
+           collect_set(col("week")).as("active_weeks"))
+      .select(col("user_id"), col("cohort_week"),
+        explode(col("active_weeks")).as("week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val o124 = s"""
+    WITH w AS (
+      SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // $WEEK_US AS week
+      FROM events),
+    c AS (
+      SELECT user_id, MIN(week) OVER (PARTITION BY user_id) AS cohort_week,
+        week
+      FROM w)
+    SELECT cohort_week, week - cohort_week AS week_offset,
+      count(*) AS n_users
+    FROM c GROUP BY cohort_week, week - cohort_week
+    ORDER BY cohort_week, week_offset"""
+
+  // ---- q125: last-touch attribution ----
+
+  /** q125: attribute each `purchase` to the user's most recent earlier
+    * non-purchase event within a 7-day lookback; conversions with no
+    * in-window touch fall into the 'none' bucket.
+    *
+    * Scale shape: one exchange on `user_id`; the touch row is
+    * recovered with two `last(..., ignoreNulls)` windows over the SAME
+    * (partition, order, frame) — both resolve to the same physical
+    * last-matching row, so a single sort serves both and no self-join
+    * of conversions against touches exists anywhere (the textbook
+    * formulation is a range self-join; at 100 TB that's a second
+    * shuffle plus a skew hazard on hot users). */
+  def q125LastTouch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("tus"))
+    val touchType = when(col("event_type") =!= "purchase", col("event_type"))
+    events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        col("event_type"))
+      .withColumn("touch_tus", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(touchType, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(
+        when(col("touch_tus") >= col("tus") - WEEK_US, col("touch_type")),
+        lit("none")).as("touch"))
+      .groupBy(col("touch")).agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("touch"))
+  }
+
+  val o125 = s"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
+      FROM events),
+    t AS (
+      SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase' THEN tus END
+          IGNORE NULLS) OVER w AS touch_tus,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+          IGNORE NULLS) OVER w AS touch_type
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT COALESCE(CASE WHEN touch_tus >= tus - $WEEK_US
+        THEN touch_type END, 'none') AS touch,
+      count(*) AS n_conversions
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY touch"""
+
+  // ---- q126: chi-square contingency table ----
+
+  /** q126: independence test between order priority and order status —
+    * the full contingency table with observed counts, expected counts
+    * under independence, and per-cell χ² contributions.
+    *
+    * Scale shape: the fact scan collapses to |priorities|×|statuses|
+    * rows in one map-side-combined aggregate BEFORE any window runs;
+    * the marginals are window sums of exact int64 counts over that
+    * 15-row result. The only double arithmetic is the final
+    * expected/contribution division on identical exact inputs in both
+    * engines (products stay in int64 — exact). */
+  def q126ChiSquare(s: SparkSession, d: String): DataFrame = {
+    val cells = orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("observed"))
+    cells
+      .withColumn("rt", sum(col("observed")).over(Window.partitionBy("o_orderpriority")))
+      .withColumn("ct", sum(col("observed")).over(Window.partitionBy("o_orderstatus")))
+      .withColumn("n", sum(col("observed")).over(Window.partitionBy()))
+      .withColumn("expected", (col("rt") * col("ct")).cast("double") / col("n"))
+      .withColumn("contrib",
+        (col("observed") - col("expected")) * (col("observed") - col("expected"))
+          / col("expected"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("observed"),
+        round(col("expected"), 6).as("expected"),
+        round(col("contrib"), 6).as("chi2_contrib"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  val o126 = """
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS observed
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT *,
+        SUM(observed) OVER (PARTITION BY o_orderpriority) AS rt,
+        SUM(observed) OVER (PARTITION BY o_orderstatus) AS ct,
+        SUM(observed) OVER () AS n
+      FROM cells),
+    x AS (
+      SELECT *, CAST(rt * ct AS DOUBLE) / n AS expected FROM m)
+    SELECT o_orderpriority, o_orderstatus, observed,
+      ROUND(expected, 6) AS expected,
+      ROUND((observed - expected) * (observed - expected) / expected, 6)
+        AS chi2_contrib
+    FROM x ORDER BY o_orderpriority, o_orderstatus"""
+
+  // ---- q127: equi-depth histogram ----
+
+  /** Bucket count. Boundaries at k/8 quantiles — every fraction is an
+    * exact binary double, so the quantile *positions* are bit-identical
+    * across engines before interpolation even starts. */
+  val DEPTH_BUCKETS = 8
+
+  /** q127: equi-depth histogram of event values — boundaries at the
+    * k/B quantiles, rows assigned by "number of boundaries strictly
+    * below the value" (an exact comparison count, no width arithmetic).
+    * Complements q97's fixed-width histogram: equal-population buckets
+    * are what query optimizers and drift monitors actually want on
+    * skewed data.
+    *
+    * Scale shape: deliberately NOT the `ntile` formulation — ntile
+    * needs one global sort partition (a single reducer at 100 TB).
+    * Here the boundary aggregate reduces the scan to ONE row (exact
+    * `percentile` at this SF; `percentile_approx`'s mergeable sketch at
+    * 100 TB — same plan shape), broadcast back, and bucket assignment
+    * is a row-local array scan feeding a B-row aggregate. No sort of
+    * the fact table anywhere. */
+  def q127EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val fracs = (1 until DEPTH_BUCKETS)
+      .map(k => k.toDouble / DEPTH_BUCKETS).mkString(",")
+    val bounds = events(s, d)
+      .agg(expr(s"percentile(value, array($fracs))").as("bounds"))
+    events(s, d).select(col("value")).crossJoin(broadcast(bounds))
+      .select(col("value"),
+        expr("size(filter(bounds, b -> value > b))").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("bucket"))
+  }
+
+  val o127 = {
+    val fracs = (1 until DEPTH_BUCKETS)
+      .map(k => k.toDouble / DEPTH_BUCKETS).mkString(",")
+    s"""
+    WITH b AS (
+      SELECT quantile_cont(value, [$fracs]) AS bounds FROM events)
+    SELECT CAST(len(list_filter(b.bounds, x -> e.value > x)) AS INT)
+        AS bucket,
+      count(*) AS n, min(e.value) AS min_v, max(e.value) AS max_v
+    FROM events e CROSS JOIN b
+    GROUP BY 1 ORDER BY bucket"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_retention_cohorts" -> (q124RetentionCohorts _),
+    "q125_last_touch"        -> (q125LastTouch _),
+    "q126_chi_square"        -> (q126ChiSquare _),
+    "q127_equidepth_hist"    -> (q127EquidepthHist _))
+
+  val oracles: Map[String, String] = Map(
+    "q124_retention_cohorts" -> o124, "q125_last_touch" -> o125,
+    "q126_chi_square" -> o126, "q127_equidepth_hist" -> o127)
+}
