@@ -209,13 +209,132 @@ object Analytics {
     GROUP BY 1 ORDER BY bucket"""
   }
 
+  // ---- q129: behavioral path trigrams ----
+
+  /** q129: the 10 most common consecutive event-type trigrams per user
+    * timeline — the path-mining primitive behind "what do users do
+    * next" analyses and Markov-chain feature extraction.
+    *
+    * Scale shape: one exchange on `user_id`; both `lead`s share one
+    * (partition, order) sort, trigram formation is row-local, and the
+    * count feeds TakeOrderedAndProject (per-partition heaps, 10 rows
+    * to the driver, no global sort). */
+  def q129PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("s1"), col("s2"), col("s3"))
+      .limit(10)
+  }
+
+  val o129 = """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
+      FROM events),
+    t AS (
+      SELECT event_type AS s1,
+        lead(event_type, 1) OVER w AS s2,
+        lead(event_type, 2) OVER w AS s3
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+    SELECT s1, s2, s3, count(*) AS n
+    FROM t WHERE s3 IS NOT NULL
+    GROUP BY s1, s2, s3
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT 10"""
+
+  // ---- q130: data-quality expectation suite ----
+
+  /** q130: a Deequ-style expectation report — each rule is (checked,
+    * violations, pass) over its table: value ranges, domain membership,
+    * non-null/non-empty, and lineitem→orders referential integrity.
+    * The `customer_acctbal_nonneg` rule genuinely fails on this data
+    * (negative account balances exist), so both report outcomes are
+    * exercised.
+    *
+    * Scale shape: all rules over one table fold into ONE map-side-
+    * combined conditional aggregate (one scan per table, |rules| rows
+    * out — the q104 profiling shape); the FK rule is a left-anti count,
+    * the only rule that joins, and its build side is the key column
+    * only. Adding a rule adds a column to an existing aggregate, not a
+    * scan. */
+  def q130Expectations(s: SparkSession, d: String): DataFrame = {
+    def report(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]) = {
+      val aggs = count(lit(1)).as("n") +:
+        rules.map { case (nm, bad) =>
+          sum(when(bad, 1L).otherwise(0L)).as(s"v_$nm") }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(rules.map { case (nm, _) =>
+          struct(lit(nm).as("rule"), col("n").as("n_checked"),
+            col(s"v_$nm").as("n_violations"))
+        }: _*)).as("r"))
+        .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"))
+    }
+    val o = report(orders(s, d), Seq(
+      "orders_totalprice_positive" -> !(col("o_totalprice") > 0),
+      "orders_status_domain" -> !col("o_orderstatus").isin("O", "F", "P")))
+    val l = report(lineitem(s, d), Seq(
+      "lineitem_quantity_range" ->
+        !(col("l_quantity") >= 1 && col("l_quantity") <= 50)))
+    val c = report(customer(s, d), Seq(
+      "customer_acctbal_nonneg" -> (col("c_acctbal") < 0),
+      "customer_name_present" ->
+        (col("c_name").isNull || length(col("c_name")) === 0)))
+    val orphans = lineitem(s, d).select(col("l_orderkey"))
+      .join(orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val nLine = lineitem(s, d).agg(count(lit(1)).as("n_checked"))
+    val fk = orphans.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(nLine))
+      .select(lit("lineitem_orderkey_fk").as("rule"), col("n_checked"),
+        col("n_violations"))
+    o.unionByName(l).unionByName(c).unionByName(fk)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy(col("rule"))
+  }
+
+  val o130 = """
+    WITH r AS (
+      SELECT 'orders_totalprice_positive' AS rule, count(*) AS n_checked,
+        count(*) FILTER (NOT (o_totalprice > 0)) AS n_violations FROM orders
+      UNION ALL
+      SELECT 'orders_status_domain', count(*),
+        count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) FROM orders
+      UNION ALL
+      SELECT 'lineitem_quantity_range', count(*),
+        count(*) FILTER (NOT (l_quantity >= 1 AND l_quantity <= 50))
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer_acctbal_nonneg', count(*),
+        count(*) FILTER (c_acctbal < 0) FROM customer
+      UNION ALL
+      SELECT 'customer_name_present', count(*),
+        count(*) FILTER (c_name IS NULL OR length(c_name) = 0) FROM customer
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)))
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+    FROM r ORDER BY rule"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_retention_cohorts" -> (q124RetentionCohorts _),
     "q125_last_touch"        -> (q125LastTouch _),
     "q126_chi_square"        -> (q126ChiSquare _),
-    "q127_equidepth_hist"    -> (q127EquidepthHist _))
+    "q127_equidepth_hist"    -> (q127EquidepthHist _),
+    "q129_path_trigrams"     -> (q129PathTrigrams _),
+    "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
     "q124_retention_cohorts" -> o124, "q125_last_touch" -> o125,
-    "q126_chi_square" -> o126, "q127_equidepth_hist" -> o127)
+    "q126_chi_square" -> o126, "q127_equidepth_hist" -> o127,
+    "q129_path_trigrams" -> o129, "q130_expectations" -> o130)
 }

@@ -145,10 +145,73 @@ object Temporal {
     WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
     ORDER BY user_id, version"""
 
+  // ---- q128: as-of dimension probe (union + LOCF, no range join) ----
+
+  /** q128: resolve each `purchase` event against the q119 dimension —
+    * "which version was effective when this purchase happened?" — the
+    * point-in-time lookup every feature pipeline and bitemporal audit
+    * needs.
+    *
+    * Scale shape: NOT a range join. Dimension-change rows and probe
+    * rows union onto one per-user timeline (change rows sort before
+    * probes at equal timestamps via the `kind` column) and the current
+    * version is carried forward with `last(..., ignoreNulls)` — one
+    * shuffle on `user_id`, one sort, linear in |changes|+|probes|. The
+    * range-join formulation explodes each probe against every version
+    * interval and re-filters; at 100 TB that's a second shuffle plus a
+    * per-user quadratic hazard. The DuckDB oracle RUNS the range-join
+    * formulation, so the gate itself proves the two equivalent. */
+  def q128DimAsofProbe(s: SparkSession, d: String): DataFrame = {
+    val dim = q119Scd2Dim(s, d)
+      .select(col("user_id"), unix_micros(col("effective_from")).as("tus"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        col("version"), col("event_type").as("dim_type"))
+    val probes = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("dim_type"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(probes)
+      .withColumn("v", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("t", last(col("dim_type"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(tus)").as("ts_us"),
+        col("t").as("dim_type"), col("v").as("version"))
+      .orderBy(col("event_id"))
+  }
+
+  val o128 = s"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
+      FROM events),
+    c AS (
+      SELECT *, lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+      FROM e),
+    dim AS (
+      SELECT user_id,
+        CAST(row_number() OVER w AS BIGINT) AS version,
+        event_type AS dim_type, tus AS ef_us, lead(tus) OVER w AS et_us
+      FROM (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    probes AS (
+      SELECT user_id, tus, event_id FROM e WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, make_timestamp(p.tus) AS ts_us,
+      d.dim_type, d.version
+    FROM probes p JOIN dim d ON p.user_id = d.user_id
+      AND d.ef_us <= p.tus AND (d.et_us IS NULL OR p.tus < d.et_us)
+    ORDER BY p.event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_interval_merge" -> (q118IntervalMerge _),
-    "q119_scd2_dim"       -> (q119Scd2Dim _))
+    "q119_scd2_dim"       -> (q119Scd2Dim _),
+    "q128_dim_asof_probe" -> (q128DimAsofProbe _))
 
   val oracles: Map[String, String] = Map(
-    "q118_interval_merge" -> o118, "q119_scd2_dim" -> o119)
+    "q118_interval_merge" -> o118, "q119_scd2_dim" -> o119,
+    "q128_dim_asof_probe" -> o128)
 }
