@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -122,10 +123,132 @@ object CorpusSignals {
     ORDER BY n_docs_together DESC, t1, t2
     LIMIT 20"""
 
+  // ---- q131: per-source quality calibration ----
+
+  /** q131: quantile-normalize quality scores WITHIN each source and
+    * keep each source's top decile — raw quality thresholds are not
+    * comparable across sources (a boilerplate-heavy crawl scores
+    * systematically lower than curated text), so curation pipelines
+    * calibrate per source before thresholding. Reuses the one
+    * `withQuality` definition shared with q36/q78.
+    *
+    * Scale shape: one exchange on `source`; `percent_rank` is
+    * rank-based — (rank−1)/(n−1) is an exact IEEE division on
+    * integers, ties share a rank, and the in-partition sort is local.
+    * Work parallels across sources; a giant source bounds its own
+    * partition (salt by quality band if one source dominates). */
+  def q131SourceCalibration(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("quality"))
+    TextOps.withQuality(documents(s, d))
+      .withColumn("pctile", percent_rank().over(w))
+      .filter(col("pctile") >= 0.9)
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(col("pctile"), 6).as("pctile"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o131 = s"""
+    WITH q AS (
+      SELECT doc_id, source, ${TextOps.ORA_QUALITY} AS quality
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, quality,
+        percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pctile
+      FROM q)
+    SELECT doc_id, source, quality, ROUND(pctile, 6) AS pctile
+    FROM p WHERE pctile >= 0.9 ORDER BY doc_id"""
+
+  // ---- q132: token-distribution Gini coefficient ----
+
+  /** q132: inequality of token mass across documents — the Gini
+    * coefficient of per-doc token counts, plus the corpus totals. A
+    * skewed Gini warns that a few giant documents dominate training
+    * token mass.
+    *
+    * Scale shape: the textbook formulation ranks every document in one
+    * global window (single reducer at 100 TB). Here documents collapse
+    * to |distinct token-count| rows first (bounded by max doc length,
+    * not corpus size); a run of c equal-valued docs starting at rank a
+    * contributes v·(c·a + c(c−1)/2) to the rank-weighted sum — exact
+    * int64/decimal arithmetic over the tiny value-level table, windowed
+    * over |values| rows only. Tie order cancels algebraically, so the
+    * value-run formula equals the row-level one; the DuckDB oracle
+    * RUNS the row-level row_number formulation, so the gate proves the
+    * rewrite lossless. */
+  def q132TokenGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n_tok"))
+    val runs = documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+      .withColumn("start_rank",
+        coalesce(sum(col("c")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+    runs
+      .select(
+        sum(col("c")).as("n"),
+        sum(col("n_tok") * col("c")).as("t"),
+        // c·(c−1) is always even, so `div 2` is exact; everything stays
+        // int64 (Column `/` would promote to double).
+        expr("sum(n_tok * (c * start_rank + (c * (c - 1)) div 2))").as("s"))
+      .select(col("n").as("n_docs"), col("t").as("total_tokens"),
+        round(((lit(2.0) * col("s") - (col("n") + 1) * col("t"))
+          / (col("n").cast("double") * col("t"))), 9).as("gini"))
+  }
+
+  val o132 = """
+    WITH x AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    r AS (
+      SELECT n_tok, CAST(row_number() OVER (ORDER BY n_tok) AS BIGINT) AS i
+      FROM x)
+    SELECT count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      ROUND((2.0 * SUM(i * n_tok) - (count(*) + 1) * SUM(n_tok))
+        / (CAST(count(*) AS DOUBLE) * SUM(n_tok)), 9) AS gini
+    FROM r"""
+
+  // ---- q133: shingle novelty scoring ----
+
+  /** q133: per-document novelty — the fraction of a doc's distinct
+    * 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id)
+    * is this doc. Low novelty late in the corpus marks recombined /
+    * templated content even when no single pair crosses a dedup
+    * threshold; it is the document-level view of the q79 span index.
+    *
+    * Scale shape: reuses the row-local codegen shingle arrays (q40's
+    * machinery); the first-occurrence index is a shingle-keyed
+    * aggregate (vocabulary-sized, mergeable min) joined back on the
+    * shingle key; per-doc scoring is then one doc-keyed aggregate.
+    * Exact integer counts, one IEEE division. */
+  def q133ShingleNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(s, d)
+    val firstDoc = sh.groupBy(col("sg")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstDoc, Seq("sg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           (sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .cast("double") / count(lit(1))).as("novel_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o133 = s"""
+    WITH sh AS (${Dedup.ORA_SHINGLES}),
+    f AS (SELECT sg, MIN(doc_id) AS first_doc FROM sh GROUP BY sg)
+    SELECT sh.doc_id, count(*) AS n_shingles,
+      CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        AS DOUBLE) / count(*) AS novel_ratio
+    FROM sh JOIN f USING (sg)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_token_rarity" -> (q120TokenRarity _),
-    "q123_cooccur"      -> (q123Cooccur _))
+    "q123_cooccur"      -> (q123Cooccur _),
+    "q131_source_calibration" -> (q131SourceCalibration _),
+    "q132_token_gini"   -> (q132TokenGini _),
+    "q133_shingle_novelty" -> (q133ShingleNovelty _))
 
   val oracles: Map[String, String] = Map(
-    "q120_token_rarity" -> o120, "q123_cooccur" -> o123)
+    "q120_token_rarity" -> o120, "q123_cooccur" -> o123,
+    "q131_source_calibration" -> o131, "q132_token_gini" -> o132,
+    "q133_shingle_novelty" -> o133)
 }

@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * result. */
 case class Ev(user: Long, n: Long)
 case class RunningCount(user: Long, total: Long)
+case class AEv(user: Long, tus: Long, eid: Long, tpe: String)
 
 /** transformWithState processor: running per-user total in ValueState
   * (Spark 4's arbitrary-state API — the successor to
@@ -502,5 +503,62 @@ class StreamingSpec extends AnyFunSuite {
       .agg(max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("id"))
       .as[(Long, String, Long)].collect()
     assert(tied.toSeq == Seq((7L, "a", 2L)))
+  }
+
+  test("streaming last-touch attribution: per-user touch state carries across micro-batches, equals batch q125") {
+    // q125's steady-state form: events arrive as a stream in event-time
+    // order and each purchase is attributed on arrival from per-user
+    // ValueState-like touch state (flatMapGroupsWithState). The stream
+    // is split at the median timestamp — a user's touch and its
+    // attributed purchase frequently land in DIFFERENT micro-batches,
+    // so the streamed counts only match batch q125 if state persists.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = Tables.events(spark, TestSpark.SF)
+      .selectExpr("user_id", "ts div 1000 as tus", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => AEv(r._1, r._2, r._3, r._4))
+    val cut = all.map(_.tus).sorted.apply(all.length / 2)
+
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val attributions = input.toDS()
+      .map(r => AEv(r._1, r._2, r._3, r._4))
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[(Long, String), (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[AEv], state: GroupState[(Long, String)]) =>
+          var touch = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          evs.toSeq.sortBy(e => (e.tus, e.eid)).foreach { e =>
+            if (e.tpe == "purchase")
+              out += user -> touch.collect {
+                case (tt, ty) if tt >= e.tus - graft.ops.Analytics.WEEK_US => ty
+              }.getOrElse("none")
+            else touch = Some((e.tus, e.tpe))
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+    val q = attributions.writeStream.outputMode("append")
+      .format("memory").queryName("graft_attr_stream").start()
+    try {
+      input.addData(all.filter(_.tus < cut).map(e => (e.user, e.tus, e.eid, e.tpe)).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_.tus >= cut).map(e => (e.user, e.tus, e.eid, e.tpe)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("graft_attr_stream")
+      .groupBy(col("_2").as("touch")).agg(count(lit(1)).as("n_conversions"))
+      .as[(String, Long)].collect().toMap
+    val batch = graft.ops.Analytics.q125LastTouch(spark, TestSpark.SF)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch && streamed.values.sum > 0)
+    // State must actually have been exercised across the split.
+    val crossBatch = all.filter(e => e.tpe == "purchase" && e.tus >= cut)
+    assert(crossBatch.nonEmpty)
   }
 }
