@@ -52,9 +52,57 @@ object PartitionedScan {
     FROM orders WHERE o_orderpriority LIKE '1%'
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** q134: exchange-free fact-fact join via bucketed table layout —
+    * `lineitem` and `orders` are each written once bucketed (and
+    * per-bucket sorted) on the join key into the session catalog, and
+    * every subsequent join on that key is a SortMergeJoin with NO
+    * shuffle on either side: both tables' bucket layout already
+    * satisfies the join's distribution requirement.
+    *
+    * This is THE amortized-shuffle mechanism for 100 TB fact-fact
+    * joins (DPP's q82 counterpart for the non-star case): the ETL pays
+    * the bucketed write once, then recurring joins/aggregations on the
+    * bucket key never exchange the fact tables again. The `merge` hint
+    * pins SortMergeJoin so the demonstration doesn't silently become a
+    * broadcast at this SF (at real scale neither side broadcasts
+    * anyway); PlanPropertiesSpec asserts the executed plan has no
+    * exchange on either join key. The remaining exchanges belong to
+    * the downstream |statuses|-row aggregate and the output sort.
+    *
+    * The oracle runs the plain join over the raw parquet — the
+    * bucketed layout is a physical re-arrangement; results are
+    * identical. */
+  def q134BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val san = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (tl, to) = (s"graft_li_buck$san", s"graft_ord_buck$san")
+    val base = TmpWorkspace.dir("buckets", d)
+    if (!s.catalog.tableExists(tl)) {
+      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/$tl").mode("overwrite").saveAsTable(tl)
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/$to").mode("overwrite").saveAsTable(to)
+    }
+    s.table(tl).hint("merge")
+      .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val o134 = """
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q82_dynamic_pruning" -> (q82DynamicPartitionPruning _))
+    "q82_dynamic_pruning" -> (q82DynamicPartitionPruning _),
+    "q134_bucketed_join"  -> (q134BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
-    "q82_dynamic_pruning" -> o82)
+    "q82_dynamic_pruning" -> o82,
+    "q134_bucketed_join" -> o134)
 }

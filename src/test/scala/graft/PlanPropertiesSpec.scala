@@ -52,6 +52,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"join-driven partition pruning did not plan:\n${plan.take(3000)}")
   }
 
+  test("q134: bucketed join is a SortMergeJoin with no exchange on either join key") {
+    val df = sources.PartitionedScan.queries("q134_bucketed_join")(spark, TestSpark.SF)
+    val plan = executedPlan(df)
+    assert(plan.contains("SortMergeJoin"),
+      s"expected SortMergeJoin over bucketed tables:\n${plan.take(3000)}")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+        && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed layout must satisfy the join distribution (no key exchange):\n${plan.take(3000)}")
+  }
+
   test("q65: bloom probe is the native might_contain expression, not a Scala udf") {
     val df = ops.Relational.queries("q65_bloom_join")(spark, TestSpark.SF)
     val plan = df.queryExecution.executedPlan.toString
