@@ -54,6 +54,12 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(json)
+    // The full line above has grown to ~3.5 KB at 134 queries — the same
+    // order as the driver's ~4 KB stdout tail capture that front-truncated
+    // it in rounds 2-4. Print a short summary line LAST: whatever window
+    // the capture keeps, the final line survives intact and parses. Full
+    // per-query numbers live in the line above and in bench.json.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"n_queries":${results.size},"sf":"$sfDir","reps":$reps,"queries_file":"bench.json"}""")
     System.out.flush()
   }
 }
