@@ -325,7 +325,86 @@ object Analytics {
     SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
     FROM r ORDER BY rule"""
 
+  // ---- q135: Poisson-bootstrap confidence interval ----
+
+  /** Replicate count and the Poisson(1) CDF — one shared literal string
+    * so the Spark expression and the DuckDB oracle parse the IDENTICAL
+    * decimal constants to the identical doubles (the q121
+    * single-literal stance). Weights are truncated at 8
+    * (P(X>8) ≈ 1e-6, identically in both engines — parity is the
+    * point, the bias is negligible and shared). */
+  val BOOT_REPS = 32
+  val POISSON_CDF = "0.36787944117144233,0.7357588823428847," +
+    "0.9196986029286058,0.9810118431238463,0.9963401531726563," +
+    "0.9994058151824183,0.999916758850712,0.9999897508033253"
+
+  /** q135: bootstrap CI for mean lineitem price via the POISSON
+    * bootstrap — the distributed-bootstrap formulation: instead of
+    * resampling n rows with replacement (which needs global
+    * coordination), each (row, replicate) draws an independent
+    * Poisson(1) weight from a deterministic md5 uniform, giving each
+    * replicate a multinomial-approximating resample that never leaves
+    * the row. The uncertainty-quantification primitive behind "is this
+    * corpus metric stable?" questions.
+    *
+    * Scale shape: the B-fold fan-out is a row-local `explode` that
+    * pipelines inside the scan stage — nothing row-level shuffles; the
+    * per-replicate aggregate reduces every partition to ≤B partial
+    * (Σw·x, Σw) pairs (exact decimal × int64 — order-independent), and
+    * the CI is a percentile over B replicate means. Total exchange
+    * traffic: B rows. */
+  def q135BootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val point = li.agg(count(lit(1)).as("n_rows"),
+      davg(col("l_extendedprice")).as("mean_price"))
+    val reps = li
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec2(col("l_extendedprice")).as("price"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("price"),
+        explode(expr(s"sequence(0, ${BOOT_REPS - 1})")).as("b"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(concat(l_orderkey, '-', l_linenumber, '-', b)),1,8),16,10) as bigint) / 4294967296.0"))
+      .withColumn("w", expr(s"size(filter(array($POISSON_CDF), c -> c < u))"))
+      .groupBy(col("b"))
+      .agg((sum(col("w") * col("price")).cast("double")
+        / sum(col("w")).cast("double")).as("rep_mean"))
+    val ci = reps.agg(
+      expr("percentile(rep_mean, 0.025)").as("lo"),
+      expr("percentile(rep_mean, 0.975)").as("hi"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_rows"), lit(BOOT_REPS.toLong).as("n_replicates"),
+        round(col("mean_price"), 6).as("mean_price"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
+  val o135 = s"""
+    WITH reps AS (
+      SELECT b,
+        CAST(SUM(w * price) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rep_mean
+      FROM (
+        SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+          len(list_filter([$POISSON_CDF], c -> c <
+            ('0x' || substr(md5(l_orderkey || '-' || l_linenumber || '-' || b),
+                            1, 8))::BIGINT / 4294967296.0)) AS w,
+          b
+        FROM lineitem, unnest(range(0, $BOOT_REPS)) t(b))
+      GROUP BY b),
+    ci AS (
+      SELECT quantile_cont(rep_mean, 0.025) AS lo,
+        quantile_cont(rep_mean, 0.975) AS hi
+      FROM reps),
+    pt AS (
+      SELECT count(*) AS n_rows,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          / count(*) AS mean_price
+      FROM lineitem)
+    SELECT pt.n_rows, CAST($BOOT_REPS AS BIGINT) AS n_replicates,
+      ROUND(pt.mean_price, 6) AS mean_price,
+      ROUND(ci.lo, 6) AS ci_lo, ROUND(ci.hi, 6) AS ci_hi
+    FROM pt CROSS JOIN ci"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_bootstrap_ci"      -> (q135BootstrapCi _),
     "q124_retention_cohorts" -> (q124RetentionCohorts _),
     "q125_last_touch"        -> (q125LastTouch _),
     "q126_chi_square"        -> (q126ChiSquare _),
@@ -336,5 +415,6 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q124_retention_cohorts" -> o124, "q125_last_touch" -> o125,
     "q126_chi_square" -> o126, "q127_equidepth_hist" -> o127,
-    "q129_path_trigrams" -> o129, "q130_expectations" -> o130)
+    "q129_path_trigrams" -> o129, "q130_expectations" -> o130,
+    "q135_bootstrap_ci" -> o135)
 }

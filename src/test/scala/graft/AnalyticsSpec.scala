@@ -60,6 +60,33 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(exp > 0 && contrib >= 0) }
   }
 
+  test("q135 bootstrap CI brackets the point estimate with sane width") {
+    val (n, reps, mean, lo, hi) = Analytics.q135BootstrapCi(spark, TestSpark.SF)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(n > 0 && reps == Analytics.BOOT_REPS)
+    assert(lo < hi, s"degenerate interval [$lo, $hi]")
+    assert(lo <= mean && mean <= hi,
+      s"point estimate $mean outside CI [$lo, $hi]")
+    // 95% CI of a mean over n iid rows: width should be a few standard
+    // errors, not a constant factor of the mean.
+    assert((hi - lo) / mean < 0.2, s"CI implausibly wide: [$lo, $hi] vs $mean")
+    // Poisson(1) weights: total resample mass within 5% of n per replicate
+    // on average (weak-law sanity of the md5 draw).
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.SF)
+    val wsum = li.select(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(expr(s"sequence(0, ${Analytics.BOOT_REPS - 1})")).as("b"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(concat(l_orderkey, '-', l_linenumber, '-', b)),1,8),16,10) as bigint) / 4294967296.0"))
+      .withColumn("w",
+        expr(s"size(filter(array(${Analytics.POISSON_CDF}), c -> c < u))"))
+      .agg(sum(col("w"))).as[Long].head()
+    val expected = li.count() * Analytics.BOOT_REPS
+    assert(math.abs(wsum - expected).toDouble / expected < 0.05,
+      s"total Poisson mass $wsum vs $expected")
+  }
+
   test("q127 buckets are equi-depth (within interpolation slack) and ordered") {
     val rows = Analytics.q127EquidepthHist(spark, TestSpark.SF)
       .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
