@@ -185,8 +185,15 @@ object Analytics {
   def q127EquidepthHist(s: SparkSession, d: String): DataFrame = {
     val fracs = (1 until DEPTH_BUCKETS)
       .map(k => k.toDouble / DEPTH_BUCKETS).mkString(",")
+    // Boundaries rounded to 6 dp in BOTH engines before the comparison:
+    // the two interpolation implementations can differ in the final ulp
+    // (observed at sf0.001: 51.87 vs 51.86999999999999 with two data
+    // rows exactly on the boundary), and an unrounded boundary then
+    // puts tie rows in different buckets.
     val bounds = events(s, d)
-      .agg(expr(s"percentile(value, array($fracs))").as("bounds"))
+      .agg(expr(
+        s"transform(percentile(value, array($fracs)), b -> round(b, 6))")
+        .as("bounds"))
     events(s, d).select(col("value")).crossJoin(broadcast(bounds))
       .select(col("value"),
         expr("size(filter(bounds, b -> value > b))").as("bucket"))
@@ -201,7 +208,8 @@ object Analytics {
       .map(k => k.toDouble / DEPTH_BUCKETS).mkString(",")
     s"""
     WITH b AS (
-      SELECT quantile_cont(value, [$fracs]) AS bounds FROM events)
+      SELECT list_transform(quantile_cont(value, [$fracs]),
+        b -> round(b, 6)) AS bounds FROM events)
     SELECT CAST(len(list_filter(b.bounds, x -> e.value > x)) AS INT)
         AS bucket,
       count(*) AS n, min(e.value) AS min_v, max(e.value) AS max_v

@@ -299,11 +299,14 @@ object Cleaning {
     * sort. */
   def q103IqrOutliers(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
+    // Fences rounded to 6 dp BEFORE the comparison (q127 lesson): the
+    // two engines' quantile interpolation can differ in the final ulp,
+    // and a data row exactly on an unrounded fence would flip sides.
     val bounds = ev.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.25)").as("q1"),
            expr("percentile(value, 0.75)").as("q3"))
-      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
-      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .withColumn("lo", round(col("q1") - (col("q3") - col("q1")) * 1.5, 6))
+      .withColumn("hi", round(col("q3") + (col("q3") - col("q1")) * 1.5, 6))
       .select(col("event_type"), col("lo"), col("hi"))
     ev.join(broadcast(bounds), Seq("event_type"))
       .filter(col("value") < col("lo") || col("value") > col("hi"))
@@ -318,8 +321,8 @@ object Cleaning {
         quantile_cont(value, 0.75) AS q3
       FROM events GROUP BY event_type),
     f AS (
-      SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
-        q3 + (q3 - q1) * 1.5 AS hi
+      SELECT event_type, ROUND(q1 - (q3 - q1) * 1.5, 6) AS lo,
+        ROUND(q3 + (q3 - q1) * 1.5, 6) AS hi
       FROM b)
     SELECT e.event_id, e.event_type, e.value,
       ROUND(f.lo, 6) AS lo, ROUND(f.hi, 6) AS hi
@@ -433,9 +436,10 @@ object Cleaning {
       .groupBy(col("event_type"))
       .agg(max(col("med")).as("med"),
            expr("percentile(abs(value - med), 0.5)").as("mad"))
+      // Rounded before comparison — the q127 cross-engine tie lesson.
       .select(col("event_type"),
-        (col("med") - col("mad") * 4.4478).as("lo"),
-        (col("med") + col("mad") * 4.4478).as("hi"))
+        round(col("med") - col("mad") * 4.4478, 6).as("lo"),
+        round(col("med") + col("mad") * 4.4478, 6).as("hi"))
     ev.join(broadcast(fences), Seq("event_type"))
       .filter(col("value") < col("lo") || col("value") > col("hi"))
       .select(col("event_id"), col("event_type"), col("value"),
@@ -452,7 +456,8 @@ object Cleaning {
         quantile_cont(abs(e.value - m.med), 0.5) AS mad
       FROM events e JOIN m USING (event_type) GROUP BY e.event_type),
     b AS (
-      SELECT event_type, med - mad * 4.4478 AS lo, med + mad * 4.4478 AS hi
+      SELECT event_type, ROUND(med - mad * 4.4478, 6) AS lo,
+        ROUND(med + mad * 4.4478, 6) AS hi
       FROM f)
     SELECT e.event_id, e.event_type, e.value,
       ROUND(b.lo, 6) AS lo, ROUND(b.hi, 6) AS hi

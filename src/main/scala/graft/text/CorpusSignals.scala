@@ -240,7 +240,86 @@ object CorpusSignals {
     FROM sh JOIN f USING (sg)
     GROUP BY sh.doc_id ORDER BY sh.doc_id"""
 
+  // ---- q136: token-weighted quality quantiles ----
+
+  /** Quantile targets, shared literally by both engines. */
+  val WQ_TARGETS = Seq(0.1, 0.5, 0.9)
+
+  /** q136: the quality level below which 10% / 50% / 90% of the
+    * corpus's TOKEN MASS lies. Curation thresholds are token-weighted
+    * in practice — "drop the worst 10% of tokens" is a different cut
+    * than "drop the worst 10% of documents" whenever quality and
+    * length correlate. Reported per target as the smallest quality
+    * band whose cumulative token mass reaches the target (the exact
+    * lower weighted quantile — no interpolation, integer token
+    * arithmetic against an IEEE target product).
+    *
+    * Scale shape: documents collapse to |quality band| rows (the
+    * q98/q132 value-run stance — `floor(quality·20)` is monotone in
+    * quality), the cumulative sum windows over that tiny table, and
+    * the target probe is a broadcast 3-row cross join. The document
+    * scan is one map-side-combined aggregate; nothing document-level
+    * is ever sorted globally. */
+  def q136WeightedQuantiles(s: SparkSession, d: String): DataFrame = {
+    val bands = TextOps.withQuality(documents(s, d))
+      .filter(col("n_tok") > 0)
+      .withColumn("band", floor(col("quality") * 20).cast("long"))
+      .groupBy(col("band")).agg(sum(col("n_tok")).as("band_tokens"))
+    val w = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bands
+      .withColumn("cum_tokens", sum(col("band_tokens")).over(w))
+      .withColumn("total_tokens",
+        sum(col("band_tokens")).over(Window.partitionBy()))
+    val tdf = s.createDataFrame(
+      WQ_TARGETS.map(Tuple1.apply)).toDF("target")
+    cum.crossJoin(broadcast(tdf))
+      .filter(col("cum_tokens").cast("double")
+        >= col("target") * col("total_tokens").cast("double"))
+      .groupBy(col("target"))
+      .agg(min(col("band")).as("band"),
+           min_by(col("cum_tokens"), col("band")).as("cum_tokens"),
+           min(col("total_tokens")).as("total_tokens"))
+      .select(col("target"), col("band"),
+        (col("band").cast("double") / 20.0).as("quality_floor"),
+        col("cum_tokens"), col("total_tokens"),
+        round(col("cum_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("cum_share"))
+      .orderBy(col("target"))
+  }
+
+  val o136 = {
+    val targetsSql = WQ_TARGETS.mkString("(", "), (", ")")
+    s"""
+    WITH q AS (
+      SELECT ${TextOps.ORA_QUALITY} AS quality, ${TextOps.ORA_N_TOK} AS n_tok
+      FROM documents),
+    bands AS (
+      SELECT CAST(floor(quality * 20) AS BIGINT) AS band,
+        CAST(SUM(n_tok) AS BIGINT) AS band_tokens
+      FROM q WHERE n_tok > 0 GROUP BY 1),
+    cum AS (
+      SELECT band, band_tokens,
+        CAST(SUM(band_tokens) OVER (ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens,
+        CAST(SUM(band_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM bands),
+    t(target) AS (VALUES $targetsSql)
+    SELECT t.target, MIN(c.band) AS band,
+      CAST(MIN(c.band) AS DOUBLE) / 20.0 AS quality_floor,
+      min_by(c.cum_tokens, c.band) AS cum_tokens,
+      MIN(c.total_tokens) AS total_tokens,
+      ROUND(CAST(min_by(c.cum_tokens, c.band) AS DOUBLE)
+        / CAST(MIN(c.total_tokens) AS DOUBLE), 6) AS cum_share
+    FROM cum c CROSS JOIN t
+    WHERE CAST(c.cum_tokens AS DOUBLE)
+      >= t.target * CAST(c.total_tokens AS DOUBLE)
+    GROUP BY t.target ORDER BY t.target"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
     "q120_token_rarity" -> (q120TokenRarity _),
     "q123_cooccur"      -> (q123Cooccur _),
     "q131_source_calibration" -> (q131SourceCalibration _),
@@ -250,5 +329,5 @@ object CorpusSignals {
   val oracles: Map[String, String] = Map(
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,
     "q131_source_calibration" -> o131, "q132_token_gini" -> o132,
-    "q133_shingle_novelty" -> o133)
+    "q133_shingle_novelty" -> o133, "q136_weighted_quantiles" -> o136)
 }

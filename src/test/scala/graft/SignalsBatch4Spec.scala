@@ -47,6 +47,31 @@ class SignalsBatch4Spec extends AnyFunSuite {
     assert(gini >= 0.0 && gini < 1.0)
   }
 
+  test("q136 weighted quantiles: monotone bands, shares bracket targets, doc-quantile differs") {
+    val rows = CorpusSignals.q136WeightedQuantiles(spark, TestSpark.SF)
+      .as[(Double, Long, Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == CorpusSignals.WQ_TARGETS)
+    // Bands and cumulative shares are monotone in the target, each
+    // share reaches its target, and the previous band (if any) didn't.
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2 && a._6 <= b._6)
+      case _ =>
+    }
+    val docs = graft.text.TextOps
+      .withQuality(Tables.documents(spark, TestSpark.SF))
+      .select(col("quality"), col("n_tok"))
+      .as[(Double, Long)].collect().filter(_._2 > 0)
+    val total = docs.map(_._2).sum
+    rows.foreach { case (t, band, _, cum, tot, share) =>
+      assert(tot == total && share >= t)
+      val below = docs.filter(d => math.floor(d._1 * 20).toLong < band)
+        .map(_._2).sum
+      assert(below < (t * total), s"band $band not minimal for target $t")
+      assert(cum == docs.filter(d => math.floor(d._1 * 20).toLong <= band)
+        .map(_._2).sum)
+    }
+  }
+
   test("q133 novelty: the earliest doc is fully novel, ratios bounded") {
     val rows = CorpusSignals.q133ShingleNovelty(spark, TestSpark.SF)
       .as[(Long, Long, Double)].collect()
