@@ -411,7 +411,52 @@ object Analytics {
       ROUND(ci.lo, 6) AS ci_lo, ROUND(ci.hi, 6) AS ci_hi
     FROM pt CROSS JOIN ci"""
 
+  // ---- q137: fulfillment-lag distribution ----
+
+  /** q137: order→ship latency distribution per priority — integer
+    * day lags (`datediff`, exact and engine-portable) summarized as
+    * min / p50 / p95 / max per priority class. The operational-latency
+    * report every fulfillment pipeline runs; on synthetic dates the
+    * lags include negatives — the operator is the distribution, not a
+    * causality check.
+    *
+    * Scale shape: one fact-fact join on the order key (both sides
+    * shuffle at 100 TB — or neither, on the q134 bucketed layout),
+    * then one |priorities|-row aggregate; the lag is row-local integer
+    * arithmetic, and the quantiles interpolate over ints (swap
+    * percentile_approx at scale). Quantile outputs are rounded in both
+    * engines (q127 tie stance — output-only here, rounded anyway for
+    * hash stability). */
+  def q137ShipLag(s: SparkSession, d: String): DataFrame = {
+    val lag = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).as("lag_days"))
+    lag.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+           min(col("lag_days")).as("min_lag"),
+           round(expr("percentile(lag_days, 0.5)"), 6).as("p50_lag"),
+           round(expr("percentile(lag_days, 0.95)"), 6).as("p95_lag"),
+           max(col("lag_days")).as("max_lag"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val o137 = """
+    WITH lag AS (
+      SELECT o_orderpriority,
+        date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+          AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority, count(*) AS n_items,
+      CAST(MIN(lag_days) AS INT) AS min_lag,
+      ROUND(quantile_cont(lag_days, 0.5), 6) AS p50_lag,
+      ROUND(quantile_cont(lag_days, 0.95), 6) AS p95_lag,
+      CAST(MAX(lag_days) AS INT) AS max_lag
+    FROM lag GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_ship_lag"          -> (q137ShipLag _),
     "q135_bootstrap_ci"      -> (q135BootstrapCi _),
     "q124_retention_cohorts" -> (q124RetentionCohorts _),
     "q125_last_touch"        -> (q125LastTouch _),
@@ -424,5 +469,5 @@ object Analytics {
     "q124_retention_cohorts" -> o124, "q125_last_touch" -> o125,
     "q126_chi_square" -> o126, "q127_equidepth_hist" -> o127,
     "q129_path_trigrams" -> o129, "q130_expectations" -> o130,
-    "q135_bootstrap_ci" -> o135)
+    "q135_bootstrap_ci" -> o135, "q137_ship_lag" -> o137)
 }

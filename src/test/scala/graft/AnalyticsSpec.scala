@@ -87,6 +87,19 @@ class AnalyticsSpec extends AnyFunSuite {
       s"total Poisson mass $wsum vs $expected")
   }
 
+  test("q137 lag quantiles are ordered and counts conserve the join") {
+    val rows = Analytics.q137ShipLag(spark, TestSpark.SF)
+      .as[(String, Long, Int, Double, Double, Int)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (_, n, mn, p50, p95, mx) =>
+      assert(n > 0 && mn <= p50 && p50 <= p95 && p95 <= mx) }
+    val joined = Tables.lineitem(spark, TestSpark.SF)
+      .join(Tables.orders(spark, TestSpark.SF),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey")).count()
+    assert(rows.map(_._2).sum == joined)
+  }
+
   test("q127 buckets are equi-depth (within interpolation slack) and ordered") {
     val rows = Analytics.q127EquidepthHist(spark, TestSpark.SF)
       .as[(Int, Long, Double, Double)].collect().sortBy(_._1)

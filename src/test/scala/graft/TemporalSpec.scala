@@ -47,6 +47,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("q118 gaps-and-islands == Spark's native session_window semantics") {
+    // Two independent formulations of the same operator: an island with
+    // 12h coverage is exactly a session with 12h gap — session end =
+    // last event + gap = q118's end_us, session start = first event.
+    // Cross-validating against the engine-native operator pins the
+    // cumulative-max window trick to Spark's own session semantics.
+    import org.apache.spark.sql.functions._
+    val sessions = Tables.events(spark, TestSpark.SF)
+      .groupBy(col("user_id"),
+        session_window(col("ts_us"), "12 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        (unix_micros(col("w.end")) - unix_micros(col("w.start"))).as("len_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("len_us")).as("covered_us"),
+           max(col("len_us")).as("longest_us"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val islands = graft.ops.Temporal.q118IntervalMerge(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(sessions == islands && islands.nonEmpty)
+  }
+
   test("q119 versions are dense, ranges chain, exactly one current row per user") {
     val rows = Temporal.q119Scd2Dim(spark, TestSpark.SF)
       .selectExpr("user_id", "version", "event_type",
