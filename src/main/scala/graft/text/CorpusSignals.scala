@@ -187,11 +187,19 @@ object CorpusSignals {
       .select(
         sum(col("c")).as("n"),
         sum(col("n_tok") * col("c")).as("t"),
-        // c·(c−1) is always even, so `div 2` is exact; everything stays
-        // int64 (Column `/` would promote to double).
-        expr("sum(n_tok * (c * start_rank + (c * (c - 1)) div 2))").as("s"))
+        // c·(c−1) is always even, so `div 2` is exact. The run
+        // contribution is summed in decimal(38,0), NOT int64: at the
+        // 100 TB shape (start_rank ~ n_docs ≈ 1e9, c ≈ 1e9, n_tok ≈
+        // 1e5) the product reaches ~1e26 and int64 would wrap silently;
+        // decimal keeps it exact (≤38 digits covers ~1e32 corpus sums).
+        expr("sum(cast(n_tok as decimal(38,0)) * " +
+          "(cast(c as decimal(38,0)) * start_rank + (c * (c - 1)) div 2))")
+          .as("s"))
+      // 2s − (n+1)t also stays decimal through the subtraction ((n+1)·t
+      // alone exceeds int64 at ~1e22); only the final ratio is IEEE.
       .select(col("n").as("n_docs"), col("t").as("total_tokens"),
-        round(((lit(2.0) * col("s") - (col("n") + 1) * col("t"))
+        round(((lit(2).cast("decimal(38,0)") * col("s")
+            - (col("n") + 1).cast("decimal(38,0)") * col("t")).cast("double")
           / (col("n").cast("double") * col("t"))), 9).as("gini"))
   }
 

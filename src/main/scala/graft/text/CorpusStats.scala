@@ -159,8 +159,10 @@ object CorpusStats {
     val totals = counts.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
     // Densify to the full source×lang grid so a language exclusive to
     // one source contributes its (p−0)²/(p+0) term instead of silently
-    // dropping out of the join.
-    val shares = totals.crossJoin(counts.select(col("lang")).distinct())
+    // dropping out of the join. broadcast() pins the |langs|-row side
+    // as BroadcastNestedLoopJoin by intent (AQE chose it anyway; the
+    // annotation makes the tiny×tiny shape explicit in the plan).
+    val shares = totals.crossJoin(broadcast(counts.select(col("lang")).distinct()))
       .join(counts, Seq("source", "lang"), "left")
       .select(col("source"), col("lang"),
         (coalesce(col("cnt"), lit(0L)).cast("double") / col("tot")).as("p"))

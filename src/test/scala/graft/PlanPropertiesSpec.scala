@@ -79,4 +79,19 @@ class PlanPropertiesSpec extends AnyFunSuite {
     val plan = executedPlan(ops.Windows.queries("q27_window_rank")(spark, TestSpark.SF))
     assert(plan.contains("WindowGroupLimit"), s"window limit pushdown lost:\n$plan")
   }
+
+  test("no graded plan contains a CartesianProduct node") {
+    // Standing tripwire over the WHOLE registry: every intentional
+    // cross join in the codebase is broadcast(tiny), which plans as
+    // BroadcastNestedLoopJoin — a CartesianProduct anywhere means an
+    // un-broadcast all-pairs join slipped in (the canonical 100 TB
+    // scale-killer). Plan-only check (no execution): CartesianProduct
+    // is a static planning decision, so sparkPlan suffices.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, TestSpark.SF).queryExecution.sparkPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct planned in: $offenders")
+  }
 }
