@@ -8,12 +8,17 @@ import graft.Tables._
   * `binary` columns with typed metadata, decode/feature-extract as
   * partition-wise transforms.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`): it derives fake
-  * dimensions from the payload bytes. Everything around it — binary
-  * schema, batch shape, partition-wise execution, metadata struct — is
-  * the real plumbing a codec-backed decoder would drop into (swap
-  * `fakeDecode` for the JNI/FFI call; the Spark plan is unchanged).
+  * The IMAGE decode path is REAL as of round 6: q138/q139 encode
+  * deterministic tiny PNG/BMP images with `javax.imageio` (pure JDK,
+  * no external codecs), decode them back through `ImageIO` readers in
+  * a partition-wise iterator, and gate format/width/height/pixel-
+  * checksum against a DuckDB oracle that recomputes the planted pixel
+  * function arithmetically — a fake decode cannot hash-match it.
+  * Audio/video codecs remain absent from the container, so
+  * `decodeStub`/`fakeDecode` stay as the clearly-marked deterministic
+  * stand-ins for those modalities; everything around them — binary
+  * schema, batch shape, partition-wise execution, metadata struct —
+  * is the same plumbing the real image path exercises.
   */
 object Multimodal {
 
@@ -139,10 +144,180 @@ object Multimodal {
       FROM documents)
     ORDER BY doc_id"""
 
+  // ---- real javax.imageio decode (q138) + resize (q139) ----
+
+  /** Planted pixel function: channel c of pixel (x,y) in doc_id's image
+    * is (doc_id + 3x + 7y + c) mod 256 — chosen because the DuckDB
+    * oracle can re-derive every pixel arithmetically, so the checksum
+    * gate proves the PNG/BMP bytes really round-tripped through the
+    * codec. Dimensions are doc_id-derived: w = 1 + id%16,
+    * h = 1 + (3·id)%16; even ids encode PNG, odd ids BMP (both
+    * lossless for TYPE_INT_RGB, both shipped in the JDK). */
+  def plantedDims(id: Long): (Int, Int) =
+    (1 + (id % 16).toInt, 1 + ((id * 3) % 16).toInt)
+
+  def plantedPixel(id: Long, x: Int, y: Int): Int = {
+    def ch(c: Int): Int = ((id + 3L * x + 7L * y + c) % 256).toInt
+    (ch(0) << 16) | (ch(1) << 8) | ch(2)
+  }
+
+  /** REAL image encode: rasterize the planted pixels and write them
+    * through the JDK's PNG or BMP `ImageWriter`. Pure JVM — this is
+    * what a fixture/ETL step produces; the interesting direction is
+    * the decode below. */
+  def encodeImage(id: Long): Array[Byte] = {
+    val (w, h) = plantedDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, plantedPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val fmt = if (id % 2 == 0) "png" else "bmp"
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: sniff the container format with the registered
+    * `ImageReader`s, parse the payload, and return typed metadata plus
+    * an exact pixel checksum (sum of all channel bytes). This is the
+    * codec-backed replacement for `fakeDecode` the round-1 design left
+    * a slot for. */
+  def decodeImage(payload: Array[Byte]): (String, Int, Int, Long) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageReader recognizes the payload")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val fmt = reader.getFormatName.toLowerCase
+      val img = reader.read(0)
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (fmt, img.getWidth, img.getHeight, sum)
+    } finally iis.close()
+  }
+
+  /** q138: encode → decode round-trip over a binary image column, with
+    * every output column independently recomputed by the oracle from
+    * the planted truth. Partition-wise (`mapPartitions`): codec state
+    * amortizes across rows, no per-row task overhead — the exact
+    * shape a 100 TB image-corpus decode runs (payload column in,
+    * metadata struct out; only metadata shuffles for the final sort).
+    * A stubbed decode cannot pass: `format` comes from the reader's
+    * container sniffing and `pix_sum` from the parsed raster. */
+  def q138ImageDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (fmt, w, h, sum) = decodeImage(encodeImage(id))
+        (id, fmt, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "format", "width", "height", "pix_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val o138 = """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 3) % 16 AS h
+      FROM documents),
+    e AS (SELECT doc_id, w, h, unnest(range(w*h*3)) AS i FROM d)
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+      CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      CAST(SUM((doc_id + 3*((i//3) % w) + 7*(i//(3*w)) + i % 3) % 256)
+        AS BIGINT) AS pix_sum
+    FROM e GROUP BY doc_id, w, h ORDER BY doc_id"""
+
+  /** Resize bound for q139 (longest side after nearest-neighbor
+    * downscale; images already ≤ MAX_SIDE pass through). */
+  val MAX_SIDE = 8
+
+  /** REAL nearest-neighbor resize of a decoded raster: output pixel
+    * (x,y) samples input pixel (x·w/w2, y·h/h2) — integer floor
+    * arithmetic on both engines, so the oracle re-derives the resized
+    * checksum exactly. Deliberately NOT Graphics2D scaling: its
+    * interpolation is renderer-dependent, which would break the
+    * cross-engine gate (and determinism across JVMs). */
+  def resizeNearest(img: java.awt.image.BufferedImage, maxSide: Int)
+      : java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val m = math.max(w, h)
+    val (w2, h2) =
+      if (m <= maxSide) (w, h)
+      else (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
+    val out = new java.awt.image.BufferedImage(
+      w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out.setRGB(x, y, img.getRGB(x * w / w2, y * h / h2))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** q139: decode + resize, checksummed — the second real image
+    * operator (decode is q138's). Same partition-wise shape. */
+  def q139ImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        // ImageIO.read closes the stream it wraps — no manual close
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodeImage(id)))
+        val r = resizeNearest(img, MAX_SIDE)
+        var sum = 0L
+        for (y <- 0 until r.getHeight; x <- 0 until r.getWidth) {
+          val rgb = r.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        }
+        (id, r.getWidth.toLong, r.getHeight.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "pix_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val o139 = s"""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 3) % 16 AS h
+      FROM documents),
+    r AS (
+      SELECT doc_id, w, h,
+        CASE WHEN GREATEST(w, h) <= $MAX_SIDE THEN w
+             ELSE GREATEST(1, w * $MAX_SIDE // GREATEST(w, h)) END AS w2,
+        CASE WHEN GREATEST(w, h) <= $MAX_SIDE THEN h
+             ELSE GREATEST(1, h * $MAX_SIDE // GREATEST(w, h)) END AS h2
+      FROM d),
+    e AS (SELECT doc_id, w, h, w2, h2, unnest(range(w2*h2*3)) AS i FROM r)
+    SELECT doc_id, CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+      CAST(SUM((doc_id + 3*(((i//3) % w2) * w // w2)
+        + 7*((i//(3*w2)) * h // h2) + i % 3) % 256) AS BIGINT) AS pix_sum
+    FROM e GROUP BY doc_id, w2, h2 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
-    "q71_frame_stats"     -> (q71FrameStats _))
+    "q71_frame_stats"     -> (q71FrameStats _),
+    "q138_image_decode"   -> (q138ImageDecode _),
+    "q139_image_resize"   -> (q139ImageResize _))
 
   val oracles: Map[String, String] = Map(
-    "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71)
+    "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71,
+    "q138_image_decode" -> o138, "q139_image_resize" -> o139)
 }

@@ -45,6 +45,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.max(r.width, r.height) <= 64 && r.width >= 1 && r.height >= 1)
   }
 
+  test("real ImageIO decode: PNG/BMP payloads round-trip the planted raster") {
+    // hand-checked truths (match the DuckDB oracle's arithmetic):
+    // id=0 → 1×1 png, pixels (0,1,2) → sum 3
+    // id=1 → 2×4 bmp, sum 336
+    val d0 = Multimodal.decodeImage(Multimodal.encodeImage(0L))
+    assert(d0 == ("png", 1, 1, 3L), s"got $d0")
+    val d1 = Multimodal.decodeImage(Multimodal.encodeImage(1L))
+    assert(d1 == ("bmp", 2, 4, 336L), s"got $d1")
+    // format comes from container sniffing, not the filename: corrupt
+    // payloads must be rejected by the reader lookup
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](1, 2, 3, 4))
+    }
+    // resize: 16×16 → 8×8 nearest-neighbor keeps planted values
+    val big = Multimodal.encodeImage(15L) // w=16, h=14
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    val r = Multimodal.resizeNearest(img, 8)
+    assert(r.getWidth == 8 && r.getHeight == 7) // 16*8/16=8, 14*8/16=7
+    // out(0,0) samples in(0,0); out(1,0) samples in(2,0)
+    // (getRGB returns ARGB — mask off the opaque alpha byte)
+    assert((r.getRGB(0, 0) & 0xffffff) == Multimodal.plantedPixel(15L, 0, 0))
+    assert((r.getRGB(1, 0) & 0xffffff) == Multimodal.plantedPixel(15L, 2, 0))
+  }
+
   test("binary round trip: cast to binary preserves utf-8 bytes") {
     val got = Seq("graft £ ünïcode").toDF("text")
       .withColumn("payload", col("text").cast("binary"))
