@@ -128,15 +128,15 @@ object Similarity {
 
   /** Recall floors for the self-evidencing no_oracle ANN queries —
     * asserted on the 1-in-EVIDENCE_MOD audit subsample; measured there
-    * (sf0.01 / sf0.1: q44 0.940/0.920 at 16 tables, q55 0.900/0.840 at
-    * 7/16 probes; full-query-set recall 0.924/0.920 and 0.840/0.820)
+    * (sf0.01 / sf0.1: q44 0.940/0.920 at 16 tables, q55 0.940/0.920 at
+    * 11/16 probes; full-query-set recall 0.924/0.920 and 0.916/0.932)
     * minus a safety margin. The queries are deterministic, so these
     * only move if the corpus or parameters change — and then loudly.
     * (This corpus has no planted near-dups — top-1 angles are wide,
     * the hard regime for ANN — so recall is bought with tables/probes;
     * the curve is in docs/SCALE.md.) */
   val Q44_RECALL_FLOOR = 0.85
-  val Q55_RECALL_FLOOR = 0.75
+  val Q55_RECALL_FLOOR = 0.85
 
   /** 1-in-N deterministic query subsample the recall evidence is
     * computed on. The audit cost is the exact baseline over the sampled
@@ -373,12 +373,17 @@ object Similarity {
   // ---- q55: IVF-style ANN (coarse quantizer + probed cells) ----
   val N_CELLS = 16
   // Cells probed per query — the recall dial (cost ∝ probes/cells).
-  // Measured curve (full-set recall@5-pairs, sf0.01/sf0.1): 3→0.62/0.64,
-  // 4→0.71/0.69, 5→0.75/0.74, 6→0.81/0.79, 7→0.84/0.82, 8→0.86/0.87.
-  // More Lloyd iterations do NOT help (8 iters measured ≤ 2 iters at
-  // both SFs — the corpus is unclustered Gaussian, so extra iterations
-  // only reshuffle cell boundaries); probes are the honest dial.
-  val N_PROBE = 7
+  // Round-6 measured curve (full-set recall@5-pairs, sf0.01/sf0.1):
+  // 7→0.84/0.82, 8→0.86/0.87, 9→0.88/0.90, 10→0.90/0.92, 11→0.92/0.93,
+  // 12→0.94/0.95; 32-cell variants reach 0.96+ but pay a 2× quantizer
+  // scoring cost for the same scan fraction (full table in SCALE.md).
+  // Wall time is FLAT from probe 8 up (~0.5 s — the probe join is
+  // collision-bound, not probe-bound), so probe 11 buys recall ≥0.9
+  // at both SFs for free. More Lloyd iterations do NOT help (8 iters
+  // measured ≤ 2 iters at both SFs — the corpus is unclustered
+  // Gaussian, so extra iterations only reshuffle cell boundaries);
+  // probes are the honest dial.
+  val N_PROBE = 11
 
   /** q55: IVF-flat ANN — a k-means coarse quantizer (graft.sim.KMeans,
     * Lloyd's iterations as DataFrame ops, fit on a bounded sample)
@@ -402,11 +407,12 @@ object Similarity {
     * recall/cost curve is measurable (tools.AnnTune) without editing
     * the graded constants. */
   private[graft] def ivfTopK(s: SparkSession, d: String, nProbe: Int,
-                             iters: Int, sample: Int): DataFrame = {
+                             iters: Int, sample: Int,
+                             nCells: Int = N_CELLS): DataFrame = {
     val e = embeddings(s, d)
     val cents = quantizerCache.computeIfAbsent(
-      s"$d|$N_CELLS|$iters|$sample",
-      _ => KMeans.fit(e.filter(col("vec_id") < sample), N_CELLS, iters))
+      s"$d|$nCells|$iters|$sample",
+      _ => KMeans.fit(e.filter(col("vec_id") < sample), nCells, iters))
     import graft.functions.VectorFunctions.dot_const
     def cellsDesc(v: String) = sort_array(array(cents.map { case (cid, c) =>
       struct((dot_const(col(v), c.map(_ * 2.0)) - lit(c.map(x => x * x).sum)).as("s"),

@@ -35,14 +35,16 @@ object AnnTune {
       val sub5 = exact.filter(_._1 % 5 == 0)
       println(s"== $d  exact pairs ${exact.size} (audit 1/10 ${sub10.size}, 1/5 ${sub5.size})")
 
-      for (iters <- Seq(2); probe <- Seq(5, 6, 7, 8)) {
+      for ((cells, probe) <- Seq((16, 7), (16, 8), (16, 9), (16, 10), (16, 11), (16, 12),
+                                 (32, 14), (32, 16), (32, 18), (32, 20))) {
+        val iters = 2
         val t0 = System.nanoTime()
-        val got = pairs(Similarity.ivfTopK(spark, d, probe, iters, 1000))
+        val got = pairs(Similarity.ivfTopK(spark, d, probe, iters, 1000, cells))
         val secs = (System.nanoTime() - t0) / 1e9
         val rFull = (exact & got).size.toDouble / exact.size
         val r10 = (sub10 & got).size.toDouble / sub10.size
         val r5 = (sub5 & got).size.toDouble / sub5.size
-        println(f"[ivf] $d iters=$iters probe=$probe  recall=$rFull%.3f sub10=$r10%.3f sub5=$r5%.3f  ${secs}%5.2f s")
+        println(f"[ivf] $d cells=$cells probe=$probe  recall=$rFull%.3f sub10=$r10%.3f sub5=$r5%.3f  ${secs}%5.2f s")
       }
       val lsh = pairs(Similarity.q44KnnLshBucketed(spark, d)
         .select(col("qid"), col("nid"), lit(0).as("z")).drop("z"))
