@@ -20,6 +20,16 @@ object CorpusPipeline {
 
   val QUALITY_FLOOR = 0.5
 
+  /** Candidate-generation strategy for the curation near-dup stage.
+    * Default ON: LSH-banded candidates (q41's machinery) + exact
+    * verify — linear in survivors, the 100 TB path, and output-
+    * identical to the exact inverted-index join under the corpus
+    * margin DedupSpec asserts (the oracle below stays the EXACT pair
+    * join, so the gate re-proves the equality every round). Set to
+    * false to force the exact join (the right call only when the
+    * corpus has near-threshold pairs LSH could miss). */
+  val CURATION_LSH_CONF = "spark.graft.curation.lshCandidates"
+
   /** Curation keeper set with the columns downstream stages consume
     * (doc_id, text, lang, n_tok, quality) — the shared core of q78 and
     * the composed train-set build (q86). Unsorted: each caller orders
@@ -35,7 +45,10 @@ object CorpusPipeline {
       .select(col("doc_id"),
         graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
       .filter(size(col("sgs")) > 0)
-    val pairs = Dedup.jaccardPairs(s, arr).select(col("i"), col("j"))
+    val useLsh = s.conf.getOption(CURATION_LSH_CONF).forall(_.toBoolean)
+    val pairs = (if (useLsh) Dedup.lshVerifiedPairs(s, arr)
+                 else Dedup.jaccardPairs(s, arr))
+      .select(col("i"), col("j"))
     val labels = DedupCluster.connectedComponents(pairs)
       .withColumnRenamed("node", "doc_id")
     survivors

@@ -315,8 +315,13 @@ object Dedup {
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
   }
 
-  def q41MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val arr = shingleArrays(s, d)
+  /** LSH-banded candidates + exact verify over ANY (doc_id, sgs) frame —
+    * q41's machinery factored out so composers (q78/q86's curation
+    * near-dup stage) can run the linear candidate path on their own
+    * survivor sets. Output-identical to `jaccardPairs` whenever the
+    * corpus margin holds (DedupSpec asserts the corpus margin; the
+    * q41-vs-q40 shared oracle proves the equality every round). */
+  def lshVerifiedPairs(s: SparkSession, arr: DataFrame): DataFrame = {
     val buckets = bandBuckets(arr)
     val cand = buckets.select(col("doc_id").as("i"), col("bk"))
       .join(buckets.select(col("doc_id").as("j"), col("bk")), Seq("bk"))
@@ -324,6 +329,9 @@ object Dedup {
       .select(col("i"), col("j")).distinct()
     verifyPairs(cand, arr)
   }
+
+  def q41MinhashLsh(s: SparkSession, d: String): DataFrame =
+    lshVerifiedPairs(s, shingleArrays(s, d))
 
   val o41 = ORA_JACCARD_PAIRS
 

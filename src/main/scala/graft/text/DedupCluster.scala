@@ -47,7 +47,21 @@ object DedupCluster {
     var (edges, edgeRdds) = checkpointTracked(pairs
       .select(least(col("i"), col("j")).as("u"), greatest(col("i"), col("j")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
-    var prev = (-1L, 0L) // (edge count, xxhash checksum)
+    // Fixpoint test is input-vs-output WITHIN a round (not output vs
+    // previous round's output): a graph that is already min-rooted
+    // stars — the common case for margin-separated dedup pairs, where
+    // components are 2–3 docs — converges in ONE round instead of two.
+    // The (count, xxhash) pair is the same set-equality proxy the loop
+    // always used; the input side costs one extra aggregate over the
+    // already-materialized checkpoint.
+    def sig(df: DataFrame): (Long, Long) = {
+      val Array(cnt, chk) = df
+        .agg(count(lit(1)),
+             coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      (cnt, chk)
+    }
+    var prev = sig(edges) // (edge count, xxhash checksum) of round input
     var done = false
     var iters = 0
     while (!done && iters < 50) {
@@ -74,15 +88,14 @@ object DedupCluster {
       // the new round is materialized — the previous round's
       // checkpointed blocks are unreachable from here on; free them.
       edgeRdds.foreach(_.unpersist(blocking = false))
-      val Array(cnt, chk) = ss
-        .agg(count(lit(1)),
-             coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val cur = sig(ss)
       edges = ss
       edgeRdds = ssRdds
-      done = (cnt, chk) == prev
-      prev = (cnt, chk)
+      done = cur == prev
+      prev = cur
       iters += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iters edges=${cur._1} done=$done")
     }
     // fail loudly rather than hand back non-fixpoint (wrong) labels —
     // the star contraction converges in O(log n) rounds, so hitting

@@ -123,6 +123,20 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(packedDocs.subsetOf(keeperIds), "non-keeper doc packed")
   }
 
+  test("q78 curation: LSH candidate path == exact pair-join path") {
+    import graft.text.CorpusPipeline
+    val d = TestSpark.SF
+    def run(): Set[(Long, Long, Double)] =
+      CorpusPipeline.q78CorpusPipeline(spark, d)
+        .as[(Long, Long, Double)].collect().toSet
+    val lsh = run() // conf unset → default ON
+    spark.conf.set(CorpusPipeline.CURATION_LSH_CONF, "false")
+    val exact = try run()
+    finally spark.conf.unset(CorpusPipeline.CURATION_LSH_CONF)
+    assert(lsh == exact && lsh.nonEmpty,
+      s"LSH curation diverged: ${(lsh diff exact).size} extra, ${(exact diff lsh).size} missing")
+  }
+
   test("q96 shard manifest partitions the packed set exactly") {
     val packed = TrainingSet.q83SequencePacking(spark, TestSpark.SF)
     val (totChunks, totRows, totToks) = packed
