@@ -17,6 +17,12 @@ for sf in sf0.001 sf0.01 sf0.1; do
   python3 scripts/check.py "/root/testdata/$sf" "$out" | tail -1
 done
 
+echo "== test-report artifact =="
+python3 scripts/test_report.py "${ROUND:-0}"
+
+echo "== streaming gate (RocksDB, file sink) =="
+sbt -batch "runMain graft.tools.StreamGate ${ROUND:-0}" 2>&1 | tail -1
+
 echo "== bench @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep -F '"metric"' | sed 's/^\[info\] //'

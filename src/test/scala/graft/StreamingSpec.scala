@@ -276,13 +276,10 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${TestSpark.SF}/documents.parquet"),
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
 
+    // the library transform (stream/StreamingCuration) — same Columns
+    // batch or stream; this spec drives it in both modes and compares
     def curate(df: org.apache.spark.sql.DataFrame) =
-      TextOps.withQuality(df)
-        .filter(TextOps.langGuess(col("text")) === "en"
-          && col("quality") >= graft.text.CorpusPipeline.QUALITY_FLOOR)
-        .withColumn("fp", md5(lower(col("text"))))
-        .dropDuplicates("fp")
-        .select(col("doc_id"), col("fp"))
+      graft.stream.StreamingCuration.curate(df)
 
     val q = curate(spark.readStream.schema(schema).parquet(dir))
       .writeStream.outputMode("append")
@@ -311,7 +308,6 @@ class StreamingSpec extends AnyFunSuite {
     // maxFilesPerTrigger=1, so near-dup pairs spanning the halves are
     // only found if bucket state survives across micro-batches.
     import graft.text.Dedup
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -332,43 +328,12 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$dir/half$half.parquet"))
     }
 
-    // identical bucket construction to batch q41 (same codegen
-    // signature expression, same band keys), over any (doc_id, text)
-    // frame — batch or stream
-    def bucketed(df: org.apache.spark.sql.DataFrame) = {
-      val sigs = df
-        .select(col("doc_id"),
-          graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
-        .filter(size(col("sgs")) > 0)
-        .select(col("doc_id"), graft.functions.MinhashSig
-          .minhash_sig(col("sgs"), Dedup.NUM_HASHES).as("sig"))
-      val keys = (0 until Dedup.BANDS).map { b =>
-        val hs = (0 until Dedup.ROWS_PER_BAND).map(r =>
-          element_at(col("sig"), b * Dedup.ROWS_PER_BAND + r + 1))
-        concat_ws(":", (lit(b) +: hs): _*)
-      }
-      sigs.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
-    }
-
-    val cand = bucketed(spark.readStream.schema(schema)
+    // the library's stateful LSH candidate stream (bucket construction
+    // identical to batch q41's band keys; per-bucket doc-id state
+    // carried across micro-batches) — stream/StreamingCuration
+    val cand = graft.stream.StreamingCuration.lshCandidatePairs(
+      spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
-      .as[(Long, String)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[(Long, Long)]
-          rows.map(_._1).toSeq.distinct.foreach { id =>
-            if (!seen.contains(id)) {
-              seen.foreach(o =>
-                out += ((math.min(id, o), math.max(id, o))))
-              seen = seen :+ id
-            }
-          }
-          state.update(seen)
-          out.result().iterator
-      }.toDF("i", "j")
 
     val q = cand.writeStream.outputMode("append")
       .format("memory").queryName("graft_stream_lsh").start()
