@@ -37,6 +37,7 @@ object SparkEntry {
   def benchSetup(spark: SparkSession, sfDir: String): Unit = {
     sources.PartitionedScan.ensurePartitioned(spark, sfDir)
     sources.PartitionedScan.ensureBuckets(spark, sfDir)
+    sources.PartitionedScan.ensureSorted(spark, sfDir)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

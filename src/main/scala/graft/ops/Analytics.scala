@@ -455,7 +455,54 @@ object Analytics {
       CAST(MAX(lag_days) AS INT) AS max_lag
     FROM lag GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---- q141: exact per-group mode with deterministic tie-break ----
+
+  /** q141: modal order priority per order status — the exact MODE
+    * aggregate with a TOTAL tie-break (highest count, then smallest
+    * value), plus the mode's share of the group. Engines disagree on
+    * native `mode()` tie semantics (both Spark and DuckDB document
+    * "arbitrary"), so the operator is built from count + rank where
+    * the tie-break is explicit — the only formulation that can be
+    * oracle-checked, and the only one safe to run twice.
+    *
+    * Scale shape: the corpus collapses to the |status|×|priority|
+    * grid in one map-side-combined aggregate; the rank window runs
+    * over that domain-bounded grid (≤ 15 rows), never over data. */
+  def q141GroupMode(s: SparkSession, d: String): DataFrame = {
+    val grid = orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(desc("cnt"), col("o_orderpriority"))
+    grid
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp_total", sum(col("cnt")).over(
+        Window.partitionBy(col("o_orderstatus"))))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_count"),
+        round(col("cnt").cast("double") / col("grp_total"), 6).as("mode_share"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val o141 = """
+    WITH g AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY cnt DESC, o_orderpriority) AS rn,
+        SUM(cnt) OVER (PARTITION BY o_orderstatus) AS grp_total
+      FROM g)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+      cnt AS mode_count,
+      ROUND(CAST(cnt AS DOUBLE) / grp_total, 6) AS mode_share
+    FROM r WHERE rn = 1 ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_group_mode"        -> (q141GroupMode _),
     "q137_ship_lag"          -> (q137ShipLag _),
     "q135_bootstrap_ci"      -> (q135BootstrapCi _),
     "q124_retention_cohorts" -> (q124RetentionCohorts _),
@@ -466,6 +513,7 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q141_group_mode" -> o141,
     "q124_retention_cohorts" -> o124, "q125_last_touch" -> o125,
     "q126_chi_square" -> o126, "q127_equidepth_hist" -> o127,
     "q129_path_trigrams" -> o129, "q130_expectations" -> o130,

@@ -129,11 +129,58 @@ object PartitionedScan {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---- q143: sort-based data skipping (zone-map pruning) ----
+
+  /** Range-partitioned + sorted copy of lineitem on l_shipdate — the
+    * third physical-layout mechanism after Hive partitioning (q82) and
+    * bucketing (q134): sorting clusters each date range into few
+    * files/row-groups, so parquet min/max statistics (zone maps) let a
+    * date-range scan skip everything else. ETL'd once per (dataset,
+    * process) like the other layouts; part of `SparkEntry.benchSetup`. */
+  def ensureSorted(s: SparkSession, d: String): String = {
+    val base = TmpWorkspace.dir("sorted", d)
+    TmpWorkspace.once(base) {
+      lineitem(s, d)
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$base/lineitem_sorted")
+    }
+    base
+  }
+
+  /** q143: month-window revenue over the sorted layout. The filter
+    * reaches the parquet scan as PushedFilters (PlanPropertiesSpec
+    * asserts it) and, because the layout is shipdate-sorted, row-group
+    * min/max stats prune all but the matching slice — at 100 TB this
+    * is the difference between reading a month and reading six years.
+    * The oracle runs the same predicate over the UNSORTED table: the
+    * layout is a physical re-arrangement, results are identical. */
+  def q143SortedScan(s: SparkSession, d: String): DataFrame = {
+    val base = ensureSorted(s, d)
+    s.read.parquet(s"$base/lineitem_sorted")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val o143 = """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_dynamic_pruning" -> (q82DynamicPartitionPruning _),
-    "q134_bucketed_join"  -> (q134BucketedJoin _))
+    "q134_bucketed_join"  -> (q134BucketedJoin _),
+    "q143_sorted_scan"    -> (q143SortedScan _))
 
   val oracles: Map[String, String] = Map(
     "q82_dynamic_pruning" -> o82,
-    "q134_bucketed_join" -> o134)
+    "q134_bucketed_join" -> o134,
+    "q143_sorted_scan" -> o143)
 }

@@ -326,7 +326,79 @@ object CorpusSignals {
     GROUP BY t.target ORDER BY t.target"""
   }
 
+  // ---- q140: PMI collocation mining ----
+
+  /** Support floor for collocations: bigrams seen fewer times are too
+    * noisy to score (the standard PMI low-count pathology — a 1-count
+    * bigram of two 1-count tokens scores maximal PMI). */
+  val PMI_MIN_COUNT = 5
+
+  /** q140: collocation extraction — adjacent token bigrams ranked by
+    * pointwise mutual information over the bigram event space:
+    * PMI ratio = c(x,y)·N / (c(x,·)·c(·,y)), where the margins are the
+    * bigram table's own row sums. Association strength, not raw
+    * frequency — the q123 co-occurrence miner ranks by count; this
+    * finds pairs that occur together FAR more than their parts predict
+    * (multi-word expressions, templated spans), a standard
+    * vocabulary-induction signal.
+    *
+    * Determinism stance (q109/q121): all counts exact int64; the score
+    * is ONE division of two decimal(38,0)-exact products cast to
+    * double — no float accumulation anywhere, so the value is
+    * bit-identical cross-engine and the final (score, x, y) ordering
+    * is total. log₂ is deliberately NOT applied: ln/log are the one
+    * libm surface two engines may disagree on in the last ulp (the
+    * q116 chi-square lesson), and the ratio orders identically.
+    *
+    * Scale shape: bigram extraction is row-local (transform over the
+    * token array); the pair table is vocabulary²-bounded (further cut
+    * by the support floor — applied BEFORE the margin joins, so only
+    * surviving pairs join); margins are two aggregates OF the pair
+    * table (no second corpus scan); N is a 1-row broadcast. Top-50
+    * plans as TakeOrderedAndProject. */
+  def q140PmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val bi = documents(s, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i+1] AS y))"))
+        .as("b"))
+      .select(col("b.x"), col("b.y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+    val pairCnt = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val leftCnt = pairCnt.groupBy(col("x")).agg(sum(col("cxy")).as("cxl"))
+    val rightCnt = pairCnt.groupBy(col("y")).agg(sum(col("cxy")).as("cyr"))
+    val nBi = pairCnt.agg(sum(col("cxy")).as("n_bi"))
+    pairCnt.filter(col("cxy") >= PMI_MIN_COUNT)
+      .join(leftCnt, Seq("x")).join(rightCnt, Seq("y"))
+      .crossJoin(broadcast(nBi))
+      .select(col("x"), col("y"), col("cxy"),
+        round((col("cxy").cast("decimal(38,0)") * col("n_bi")).cast("double")
+          / (col("cxl").cast("decimal(38,0)") * col("cyr")).cast("double"), 6)
+          .as("pmi_ratio"))
+      .orderBy(desc("pmi_ratio"), col("x"), col("y"))
+      .limit(50)
+  }
+
+  val o140 = s"""
+    WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT t[i] AS x, t[i+1] AS y
+      FROM t, unnest(range(1, len(t))) u(i)
+      WHERE len(t) >= 2 AND t[i] <> '' AND t[i+1] <> ''),
+    pc AS (SELECT x, y, COUNT(*) AS cxy FROM b GROUP BY x, y),
+    lx AS (SELECT x, SUM(cxy) AS cxl FROM pc GROUP BY x),
+    ry AS (SELECT y, SUM(cxy) AS cyr FROM pc GROUP BY y),
+    n AS (SELECT SUM(cxy) AS nbi FROM pc)
+    SELECT pc.x, pc.y, pc.cxy,
+      ROUND(CAST(pc.cxy::HUGEINT * n.nbi AS DOUBLE)
+        / CAST(lx.cxl::HUGEINT * ry.cyr AS DOUBLE), 6) AS pmi_ratio
+    FROM pc JOIN lx ON pc.x = lx.x JOIN ry ON pc.y = ry.y CROSS JOIN n
+    WHERE pc.cxy >= $PMI_MIN_COUNT
+    ORDER BY pmi_ratio DESC, pc.x, pc.y LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_pmi_collocations" -> (q140PmiCollocations _),
     "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
     "q120_token_rarity" -> (q120TokenRarity _),
     "q123_cooccur"      -> (q123Cooccur _),
@@ -335,6 +407,7 @@ object CorpusSignals {
     "q133_shingle_novelty" -> (q133ShingleNovelty _))
 
   val oracles: Map[String, String] = Map(
+    "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,
     "q131_source_calibration" -> o131, "q132_token_gini" -> o132,
     "q133_shingle_novelty" -> o133, "q136_weighted_quantiles" -> o136)

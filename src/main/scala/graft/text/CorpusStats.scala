@@ -92,6 +92,75 @@ object CorpusStats {
     FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
     GROUP BY tok ORDER BY est DESC, word"""
 
+  // ---- q144: count-min sketch as a relational table ----
+
+  /** CMS geometry: DEPTH independent hash rows × WIDTH counters.
+    * Point-estimate error bound: est − true ≤ e/WIDTH · N with
+    * probability 1 − e^−DEPTH; the inline tripwire asserts the
+    * deterministic structural bounds (see below). */
+  val CMS_DEPTH = 4
+  val CMS_WIDTH = 256
+
+  /** q144: count-min sketch point-frequency estimates — the third
+    * mergeable-sketch family after HLL (q90, distinct counts) and
+    * Misra–Gries (q95, top-k): CMS answers point queries ("how often
+    * does THIS token occur") with a fixed-size summary.
+    *
+    * The sketch is a TABLE, not a blob: (row i, cell h_i(tok)) →
+    * summed count, DEPTH×WIDTH rows total, built by one grouped
+    * aggregate over the token stream with h_i = pmod(xxhash64(i, tok),
+    * WIDTH) — a codegen expression, no udf, no Aggregator buffer. That
+    * formulation IS the 100 TB maintenance story: shard sketches merge
+    * by unioning tables and re-summing (counts are associative), and
+    * incremental ingest is the same aggregate over the new batch
+    * unioned in — nothing driver-resident, nothing opaque.
+    *
+    * Probes are relational too: query tokens explode to DEPTH (i, h)
+    * keys, join the sketch, min over rows = estimate. Evidence: CMS
+    * structurally NEVER underestimates (cells sum every colliding
+    * token), and here WIDTH=256 ≥ 8× the corpus vocabulary, so no
+    * collisions occur and estimates are exact — both asserted inline
+    * with raise_error. No DuckDB oracle (xxhash64 is Spark-native) →
+    * rows-only driver check; CorpusStatsSpec covers the collision
+    * regime at WIDTH=8 where only the ≥-bound holds. */
+  def cmsSketch(toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks
+      .select(col("w"), explode(expr(
+        s"transform(sequence(0, ${depth - 1}), i -> " +
+          s"struct(i AS i, pmod(xxhash64(i, w), $width) AS h))")).as("c"))
+      .groupBy(col("c.i"), col("c.h"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def q144CmsPointQueries(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val sketch = cmsSketch(toks, CMS_DEPTH, CMS_WIDTH)
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val probes = exact
+      .select(col("w"), col("true_cnt"), explode(expr(
+        s"transform(sequence(0, ${CMS_DEPTH - 1}), i -> " +
+          s"struct(i AS i, pmod(xxhash64(i, w), $CMS_WIDTH) AS h))")).as("c"))
+      .select(col("w"), col("true_cnt"), col("c.i").as("i"), col("c.h").as("h"))
+    probes
+      .join(sketch, Seq("i", "h"))
+      .groupBy(col("w"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .crossJoin(broadcast(total))
+      // inline tripwire: at WIDTH ≥ 8× vocabulary the sketch is
+      // collision-free, so est == true exactly (the universal CMS
+      // guarantee est ≥ true is subsumed; the collision regime where
+      // only ≥ holds is spec-covered at WIDTH=8).
+      .filter(when(col("est_cnt") === col("true_cnt"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("q144 CMS estimate diverged for token "), col("w"),
+          lit(": est "), col("est_cnt"), lit(" true "), col("true_cnt")))))
+      .select(col("w").as("word"), col("true_cnt"), col("est_cnt"))
+      .orderBy(desc("true_cnt"), col("word"))
+      .limit(20)
+  }
+
   /** q94: cross-source contamination matrix — for every source pair
     * with any verbatim SPAN-token overlap, the number of distinct
     * shared spans and the Jaccard of the two span vocabularies ("how
@@ -199,7 +268,8 @@ object CorpusStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_source_drift" -> (q116SourceDrift _),
     "q94_source_overlap" -> (q94SourceOverlap _),
-    "q95_heavy_hitters"  -> (q95HeavyHitters _))
+    "q95_heavy_hitters"  -> (q95HeavyHitters _),
+    "q144_cms_point_queries" -> (q144CmsPointQueries _))
 
   val oracles: Map[String, String] = Map(
     "q94_source_overlap" -> o94,

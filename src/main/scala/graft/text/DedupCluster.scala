@@ -141,9 +141,64 @@ object DedupCluster {
       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM cl ORDER BY doc_id"""
 
+  /** q142: QUALITY-priority keeper selection per near-dup cluster —
+    * q76 labels clusters and keeps the min doc_id; real curation keeps
+    * the BEST document (highest quality score, doc_id as the total
+    * tie-break) and records it with the cluster size. This is the
+    * keeper policy an LLM training pipeline actually wants: the
+    * representative of a duplicate family should be its cleanest
+    * member, not its earliest id.
+    *
+    * Scale shape: CC labels as in q76 (O(log n) star rounds); quality
+    * is the row-local q36 expression; the keeper argmax is a
+    * cluster-keyed window — bounded by cluster size, which dedup
+    * keeps small by construction (a giant cluster is itself the
+    * signal to quarantine a template family, q88's job). */
+  def q142BestKeeper(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      Dedup.q40NgramJaccard(s, d).select(col("i"), col("j")))
+    val clustered = TextOps.withQuality(documents(s, d))
+      .select(col("doc_id"), col("quality"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(desc("quality"), col("doc_id"))
+    clustered
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_doc"),
+        col("quality").as("keeper_quality"),
+        col("cluster_size").cast("long").as("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val o142 = s"""
+    WITH RECURSIVE ${Dedup.ORA_PAIR_CTES},
+    pr AS (SELECT i, j FROM jac WHERE jac >= ${Dedup.JACCARD_THRESHOLD}),
+    ${Dedup.ORA_CC_CTES},
+    cl AS (
+      SELECT d.doc_id, ${TextOps.ORA_QUALITY} AS quality,
+        CAST(COALESCE(LEAST(lab.mr, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN lab ON lab.n = d.doc_id),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY quality DESC, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS csz
+      FROM cl)
+    SELECT cluster_id, doc_id AS keeper_doc, quality AS keeper_quality,
+      CAST(csz AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1 ORDER BY cluster_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q76_dedup_components" -> (q76DedupComponents _))
+    "q76_dedup_components" -> (q76DedupComponents _),
+    "q142_best_keeper"     -> (q142BestKeeper _))
 
   val oracles: Map[String, String] = Map(
-    "q76_dedup_components" -> o76)
+    "q76_dedup_components" -> o76,
+    "q142_best_keeper" -> o142)
 }

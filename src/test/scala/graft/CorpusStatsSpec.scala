@@ -63,4 +63,37 @@ class CorpusStatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q144 CMS: never underestimates, collides at width 8, partition-invariant") {
+    import graft.text.CorpusStats
+    val toks = Tables.documents(spark, TestSpark.SF)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("t"))
+      .as[(String, Long)].collect().toMap
+    def estimates(width: Int, parts: Int): Map[String, Long] = {
+      val sk = CorpusStats.cmsSketch(toks.repartition(parts), 4, width)
+      toks.distinct()
+        .select(col("w"), explode(expr(
+          s"transform(sequence(0, 3), i -> " +
+            s"struct(i AS i, pmod(xxhash64(i, w), $width) AS h))")).as("c"))
+        .select(col("w"), col("c.i").as("i"), col("c.h").as("h"))
+        .join(sk, Seq("i", "h"))
+        .groupBy(col("w")).agg(min(col("cnt")).as("est"))
+        .as[(String, Long)].collect().toMap
+    }
+    // collision regime: universal lower bound holds, and width 8 with a
+    // ~31-token vocabulary MUST collide somewhere (pigeonhole)
+    val tight = estimates(8, 8)
+    tight.foreach { case (w, e) =>
+      assert(e >= exact(w), s"CMS underestimated $w: $e < ${exact(w)}") }
+    assert(tight.exists { case (w, e) => e > exact(w) },
+      "width-8 sketch reported no collision on a 31-token vocabulary")
+    // estimates are a pure function of the data, not its partitioning
+    assert(estimates(8, 3) == tight)
+    // registered geometry: collision-free, exact
+    val wide = estimates(CorpusStats.CMS_WIDTH, 8)
+    wide.foreach { case (w, e) =>
+      assert(e == exact(w), s"width-${CorpusStats.CMS_WIDTH} diverged on $w") }
+  }
 }

@@ -80,6 +80,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"window limit pushdown lost:\n$plan")
   }
 
+  test("q143: date filter is pushed into the sorted-layout scan") {
+    val plan = sources.PartitionedScan.queries("q143_sorted_scan")(spark, TestSpark.SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)")
+        || plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"no pushed date filter on sorted scan:\n${plan.take(2000)}")
+  }
+
   test("no graded plan contains a CartesianProduct node") {
     // Standing tripwire over the WHOLE registry: every intentional
     // cross join in the codebase is broadcast(tiny), which plans as
