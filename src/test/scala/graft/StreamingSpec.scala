@@ -526,4 +526,71 @@ class StreamingSpec extends AnyFunSuite {
     val crossBatch = all.filter(e => e.tpe == "purchase" && e.tus >= cut)
     assert(crossBatch.nonEmpty)
   }
+
+  test("stream-stream interval join equals the batch range join") {
+    // The last ST surface: two UNBOUNDED streams joined on key +
+    // time-interval condition. Views join to the same user's purchases
+    // that occur within [view, view + 1h] — each side carries a
+    // watermark so the join state is bounded (Spark requires it for
+    // correctness AND for state eviction; at 100 TB the watermark IS
+    // what keeps stream-stream join state finite). Both sides split
+    // into two files by event parity with maxFilesPerTrigger=1, so
+    // cross-micro-batch matches exist only if the buffered side's
+    // state survives the boundary. The batch oracle is the plain
+    // range join over the same parquet.
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val work = graft.sources.TmpWorkspace.fresh("stream_ssj")
+    val dir = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val ev = spark.read.schema(schema).parquet(s"${TestSpark.SF}/events.parquet")
+    Seq(0, 1).foreach { half =>
+      val tmp = s"$work/half$half"
+      ev.filter(col("event_id") % 2 === half).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$dir/half$half.parquet"))
+    }
+    def side(tpe: String, idCol: String, tsCol: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idCol),
+          expr("timestamp_micros(ts div 1000)").as(tsCol))
+        .withWatermark(tsCol, "2 hours")
+    val v = side("view", "view_id", "view_ts").alias("v")
+    val p = side("purchase", "buy_id", "buy_ts").alias("p")
+    val ssj = v.join(p,
+      expr("""v.user_id = p.user_id AND
+              p.buy_ts >= v.view_ts AND
+              p.buy_ts <= v.view_ts + INTERVAL 1 HOUR"""))
+      .select(col("v.user_id").as("user_id"), col("v.view_id"),
+        col("p.buy_id"))
+    val q = ssj.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssj").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_ssj")
+      .as[(Long, Long, Long)].collect().toSet
+    val bv = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts div 1000").as("vt"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("buy_id"),
+        expr("ts div 1000").as("pt"))
+    val batch = bv.join(bp, col("user_id") === col("pu")
+        && col("pt") >= col("vt")
+        && col("pt") <= col("vt") + expr("3600000000"))
+      .select(col("user_id"), col("view_id"), col("buy_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream-stream join diverged: ${streamed.size} vs ${batch.size}")
+    // cross-parity pairs prove buffered state crossed the micro-batch
+    // boundary (views and purchases of one pair landed in different files)
+    assert(streamed.exists { case (_, vId, bId) => vId % 2 != bId % 2 })
+  }
 }
