@@ -501,7 +501,77 @@ object Analytics {
       ROUND(CAST(cnt AS DOUBLE) / grp_total, 6) AS mode_share
     FROM r WHERE rn = 1 ORDER BY o_orderstatus"""
 
+  // ---- q145: per-group linear regression (exact-sum OLS) ----
+
+  /** q145: revenue trend per order priority — ordinary least squares of
+    * daily revenue against time, one (slope, intercept, r²) row per
+    * group. The regression engines ship (`regr_slope`) accumulates
+    * floating sums whose value depends on partition merge order; this
+    * formulation keeps every moment EXACT — x is epoch-day int64, y is
+    * decimal(12,2) money — so slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    * is a ratio of exactly-computed decimals with ONE IEEE division
+    * (the q109/q121 determinism stance; q111's exact-moment variance is
+    * the same idea one degree down). Fully mergeable: the five moments
+    * are plain sums, so partial aggregation and AQE do their usual
+    * work; the per-group window never exists.
+    *
+    * Scale shape: one map-side-combined aggregate to the daily grid
+    * (|priorities|×|days|, domain-bounded), one aggregate of moments
+    * over it, row-local algebra after. Two exchanges total. */
+  def q145GroupRegression(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("x"))
+      .agg(sum(dec2(col("o_totalprice"))).as("y"))
+    val m = daily.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("y") * col("y")).as("syy"))
+    // exact-decimal covariance/variance terms, converted to double ONCE
+    // each; every later op is IEEE on those two/three values (pow is
+    // deliberately absent — num² is num·num, since pow(x, 2) is a libm
+    // call with no cross-engine bit guarantee)
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("o_orderpriority"), col("n"),
+        round(num / den, 6).as("slope"),
+        round((col("sy").cast("double") - num / den * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"),
+        round(num * num / (den * deny), 6).as("r2"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val o145 = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS x,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS y
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx,
+        SUM(x * x) AS sxx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        SUM(y * y) AS syy
+      FROM daily GROUP BY 1),
+    c AS (
+      SELECT o_orderpriority, n, sx, sy,
+        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        CAST(n * syy - sy * sy AS DOUBLE) AS deny
+      FROM m)
+    SELECT o_orderpriority, n,
+      ROUND(num / den, 6) AS slope,
+      ROUND((CAST(sy AS DOUBLE) - num / den * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6) AS intercept,
+      ROUND(num * num / (den * deny), 6) AS r2
+    FROM c ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_group_regression"  -> (q145GroupRegression _),
     "q141_group_mode"        -> (q141GroupMode _),
     "q137_ship_lag"          -> (q137ShipLag _),
     "q135_bootstrap_ci"      -> (q135BootstrapCi _),
@@ -513,6 +583,7 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q145_group_regression" -> o145,
     "q141_group_mode" -> o141,
     "q124_retention_cohorts" -> o124, "q125_last_touch" -> o125,
     "q126_chi_square" -> o126, "q127_equidepth_hist" -> o127,
