@@ -67,6 +67,70 @@ object Similarity {
     SELECT qid, rank, nid, sim FROM ranked
     WHERE rank <= $TOP_K ORDER BY qid, rank"""
 
+  // ---- q146: int8-quantized similarity search ----
+
+  /** q146: exact top-k over INT8-QUANTIZED embeddings — the
+    * memory-bound scale path for vector indexes: per-vector symmetric
+    * quantization q_i = ⌊x_i·127/max|x| + 0.5⌋ shrinks the resident
+    * index 4× (the first thing a 100 TB embedding store does; IVF's
+    * cell lists hold codes, not floats). Scales cancel in cosine, so
+    * scoring is an int64 dot product (exact, mergeable) with one
+    * final IEEE division — which is what makes this FULLY
+    * oracle-checkable, unlike float-dot formulations whose
+    * accumulation order varies: the quantized similarity is
+    * bit-identical cross-engine by construction.
+    *
+    * All row-local work is codegen HOFs (transform/zip_with/
+    * aggregate) — no udf, no mapPartitions; the search itself is the
+    * q43 broadcast-queries shape. SimilaritySpec records the
+    * quantization-loss recall vs the float baseline. */
+  def q146Int8Ann(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .withColumn("ev", expr("cast(embedding as array<double>)"))
+      .withColumn("sc", expr(
+        "aggregate(ev, 0.0D, (m, v) -> greatest(m, abs(v)))"))
+      .withColumn("q8", expr(
+        "transform(ev, x -> cast(floor(x * 127.0D / sc + 0.5D) as bigint))"))
+      .withColumn("nrm", expr(
+        "sqrt(cast(aggregate(zip_with(q8, q8, (a, b) -> a * b), 0L, " +
+          "(acc, x) -> acc + x) as double))"))
+      .select(col("vec_id"), col("q8"), col("nrm"))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("q8").as("qa"), col("nrm").as("na"))
+    val base = e
+      .select(col("vec_id").as("nid"), col("q8").as("qb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
+    broadcast(q).join(base, col("qid") =!= col("nid"))
+      .withColumn("dotq", expr(
+        "aggregate(zip_with(qa, qb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("sim", round(col("dotq").cast("double")
+        / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val o146 = s"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS s FROM v),
+    qz AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 127.0 / s + 0.5)) AS q
+           FROM sc),
+    n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qz),
+    p AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+        ROUND(list_dot_product(a.q, b.q) / (a.nrm * b.nrm), 6) AS sim
+      FROM n a, n b
+      WHERE a.vec_id < $N_QUERIES AND a.vec_id <> b.vec_id),
+    r AS (
+      SELECT qid, nid, sim,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM p)
+    SELECT qid, rank, nid, sim FROM r
+    WHERE rank <= $TOP_K ORDER BY qid, rank"""
+
   // ---- q44: multi-table random-hyperplane LSH ----
   // 16 tables × 4 sign-planes: recall is a dial, not a code property —
   // candidates (and cost) grow linearly in tables while recall@5
@@ -504,11 +568,13 @@ object Similarity {
     "q44_knn_lsh_bucketed" -> (q44KnnLshBucketed _),
     "q47_embed_near_dup"  -> (q47EmbedNearDup _),
     "q55_knn_ivf"         -> (q55KnnIvf _),
-    "q87_margin_near_dup" -> (q87MarginNearDup _))
+    "q87_margin_near_dup" -> (q87MarginNearDup _),
+    "q146_int8_ann"       -> (q146Int8Ann _))
 
   val oracles: Map[String, String] = Map(
     "q100_label_centroids" -> o100,
     "q43_knn_bruteforce" -> o43,
     "q47_embed_near_dup" -> o47,
-    "q87_margin_near_dup" -> o87)
+    "q87_margin_near_dup" -> o87,
+    "q146_int8_ann" -> o146)
 }

@@ -181,4 +181,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSet == expected.toSet, "centroid matrix mismatch")
     assert(got.forall { case (_, _, c) => c >= -1.0 && c <= 1.0 })
   }
+
+  test("q146 int8 quantization: near-unity similarity error, high top-k recall") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    val exact = Similarity.q43KnnBruteForce(spark, TestSpark.SF)
+    val quant = Similarity.q146Int8Ann(spark, TestSpark.SF)
+    val recall = (pairs(exact) & pairs(quant)).size.toDouble / pairs(exact).size
+    // int8 keeps ~2 decimal digits per coordinate: top-k churn comes
+    // only from genuinely near-tied neighbors
+    assert(recall >= 0.8, s"int8 recall degraded to $recall")
+    // per-pair similarity error bound: quantization noise is O(1/127)
+    val err = exact.select(col("qid"), col("nid"), col("sim").as("se"))
+      .join(quant.select(col("qid"), col("nid"), col("sim").as("sq")),
+        Seq("qid", "nid"))
+      .select(max(abs(col("se") - col("sq")))).as[Double].head()
+    assert(err <= 0.05, s"int8 similarity error $err exceeds bound")
+  }
 }
