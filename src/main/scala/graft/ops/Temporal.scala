@@ -212,12 +212,73 @@ object Temporal {
       AND d.ef_us <= p.tus AND (d.et_us IS NULL OR p.tus < d.et_us)
     ORDER BY p.event_id"""
 
+  // ---- q147: time-weighted average (step-function integral) ----
+
+  /** q147: per-user time-weighted mean of the event `value` — each
+    * reading holds until the user's next event (step-function / LOCF
+    * semantics), so TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first). The
+    * temporal-database staple (sensor means, position-weighted P&L,
+    * average concurrency) that a plain AVG silently gets wrong
+    * whenever sampling is irregular.
+    *
+    * Determinism stance: durations are exact int64 µs; `value` is
+    * frozen to decimal(18,6) FIRST (one rounding both engines share),
+    * so every product and the per-user sum are exact decimals —
+    * no float accumulation, partitioning-free — with ONE IEEE
+    * division at the end. Zero-span users (a single event, or all
+    * events in the same microsecond) are excluded rather than
+    * emitting 0/0.
+    *
+    * Scale shape: one user-keyed sort window for the `lead`, then a
+    * user-keyed aggregate on the same partitioning — the q118/q119
+    * single-exchange pattern. */
+  def q147TimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"),
+        expr("cast(round(value, 6) as decimal(18,6))").as("v"))
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("v") * (col("nxt") - col("tus"))).as("wsum"),
+           min(col("tus")).as("t0"), max(col("nxt")).as("t1"),
+           count(lit(1)).as("n_segments"))
+      .filter(col("t1") > col("t0"))
+      .select(col("user_id"),
+        (col("t1") - col("t0")).as("span_us"),
+        col("n_segments"),
+        round(col("wsum").cast("double")
+          / (col("t1") - col("t0")).cast("double"), 6).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  val o147 = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events),
+    x AS (
+      SELECT *, lead(tus) OVER
+        (PARTITION BY user_id ORDER BY tus, event_id) AS nxt
+      FROM e)
+    SELECT user_id,
+      CAST(MAX(nxt) - MIN(tus) AS BIGINT) AS span_us,
+      COUNT(*) AS n_segments,
+      ROUND(CAST(SUM(v * (nxt - tus)) AS DOUBLE)
+        / CAST(MAX(nxt) - MIN(tus) AS DOUBLE), 6) AS twa
+    FROM x WHERE nxt IS NOT NULL
+    GROUP BY user_id HAVING MAX(nxt) > MIN(tus)
+    ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_interval_merge" -> (q118IntervalMerge _),
     "q119_scd2_dim"       -> (q119Scd2Dim _),
-    "q128_dim_asof_probe" -> (q128DimAsofProbe _))
+    "q128_dim_asof_probe" -> (q128DimAsofProbe _),
+    "q147_time_weighted_avg" -> (q147TimeWeightedAvg _))
 
   val oracles: Map[String, String] = Map(
     "q118_interval_merge" -> o118, "q119_scd2_dim" -> o119,
-    "q128_dim_asof_probe" -> o128)
+    "q128_dim_asof_probe" -> o128,
+    "q147_time_weighted_avg" -> o147)
 }

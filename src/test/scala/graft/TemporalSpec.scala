@@ -114,4 +114,45 @@ class TemporalSpec extends AnyFunSuite {
     // share_global <= share_region (region total <= global total).
     rows.foreach(r => assert(r._5 <= r._4 + 1e-12))
   }
+
+  test("q147 TWA == naive per-user replay; diverges from plain AVG on irregular gaps") {
+    import org.apache.spark.sql.functions._
+    val got = Temporal.q147TimeWeightedAvg(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (u, span, n, twa) => u -> ((span, n, twa)) }.toMap
+    // naive replay: sort each user's events, integrate the step function
+    val ev = graft.Tables.events(spark, TestSpark.SF)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val segs = sorted.zip(sorted.tail)
+      if (segs.isEmpty) None
+      else {
+        val span = sorted.last._3 - sorted.head._3
+        if (span <= 0) None
+        else {
+          val wsum = segs.map { case (a, b) =>
+            BigDecimal(a._4).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+              BigDecimal(b._3 - a._3)
+          }.sum
+          Some(u -> ((span, segs.length.toLong,
+            math.rint((wsum / BigDecimal(span)).toDouble * 1e6) / 1e6)))
+        }
+      }
+    }.toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (u, (span, n, twa)) =>
+      val (espan, en, etwa) = expected(u)
+      assert(span == espan && n == en, s"user $u structure mismatch")
+      assert(math.abs(twa - etwa) <= 1e-6, s"user $u twa $twa != $etwa")
+    }
+    // the operator exists because AVG gets irregular sampling wrong:
+    // some user must show a material TWA-vs-AVG gap
+    val avg = ev.groupBy(_._1).map { case (u, r) =>
+      u -> r.map(_._4).sum / r.size }
+    assert(got.exists { case (u, (_, _, twa)) =>
+      avg.get(u).exists(a => math.abs(a - twa) > 0.1) })
+  }
 }
