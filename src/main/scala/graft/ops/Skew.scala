@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities (SURVEY.md §4 / builder scale mandate).
@@ -41,4 +41,72 @@ object Skew {
   def keyHistogram(df: DataFrame, key: Column, topN: Int): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("key")).limit(topN)
+
+  // ---- q149: join-key skew diagnosis report ----
+
+  /** q149: the measurement that DECIDES skew handling — the per-key
+    * frequency distribution of a join key (l_orderkey), reduced to the
+    * numbers an engineer (or an adaptive rule) acts on: key count,
+    * row total, max frequency, exact p50/p99 frequency, and the
+    * skew ratio max/mean. q57's salted join is the cure; this is the
+    * diagnosis that says whether (and how hard) to apply it.
+    *
+    * Scale shape: the corpus collapses to per-key counts (one
+    * map-side-combined agg — key-cardinality-sized, distributed),
+    * then to |distinct frequency| VALUE RUNS (bounded by max group
+    * size, not key count — the q132 rewrite), and the quantile window
+    * runs over those runs only. Exact integer arithmetic throughout;
+    * the p-quantile positions use shared literals so both engines
+    * compute the identical double before ceil (the q121
+    * single-literal stance). */
+  def q149SkewReport(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val runs = counts.groupBy(col("n")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = runs.withColumn("cum", sum(col("c")).over(w))
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total_rows"), max(col("n")).as("max_freq"))
+    def freqQuantile(p: Double, name: String): DataFrame =
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum") >= ceil(lit(p) * col("n_keys")))
+        .agg(min(col("n")).as(name))
+    broadcast(tot)
+      .crossJoin(broadcast(freqQuantile(0.5, "p50_freq")))
+      .crossJoin(broadcast(freqQuantile(0.99, "p99_freq")))
+      .select(col("n_keys"), col("total_rows"), col("max_freq"),
+        col("p50_freq"), col("p99_freq"),
+        round(col("max_freq").cast("double") * col("n_keys")
+          / col("total_rows"), 6).as("skew_ratio"))
+  }
+
+  val o149 = """
+    WITH counts AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+    runs AS (SELECT n, COUNT(*) AS c FROM counts GROUP BY n),
+    cum AS (
+      SELECT n, SUM(c) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW) AS cum
+      FROM runs),
+    tot AS (
+      SELECT COUNT(*) AS n_keys, SUM(n) AS total_rows, MAX(n) AS max_freq
+      FROM counts),
+    p50 AS (
+      SELECT MIN(n) AS p50_freq FROM cum, tot
+      WHERE cum >= ceil(0.5 * n_keys)),
+    p99 AS (
+      SELECT MIN(n) AS p99_freq FROM cum, tot
+      WHERE cum >= ceil(0.99 * n_keys))
+    SELECT n_keys, CAST(total_rows AS BIGINT) AS total_rows, max_freq,
+      p50_freq, p99_freq,
+      ROUND(CAST(max_freq AS DOUBLE) * n_keys / total_rows, 6) AS skew_ratio
+    FROM tot, p50, p99"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_skew_report" -> (q149SkewReport _))
+
+  val oracles: Map[String, String] = Map(
+    "q149_skew_report" -> o149)
 }

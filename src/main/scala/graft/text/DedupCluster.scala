@@ -194,11 +194,70 @@ object DedupCluster {
       CAST(csz AS BIGINT) AS cluster_size
     FROM r WHERE rn = 1 ORDER BY cluster_id"""
 
+  // ---- q148: leakage-free train/val/test split ----
+
+  /** Split fractions: md5-uniform u < 0.8 → train, < 0.9 → val, else
+    * test (the q84 deterministic-draw idiom, keyed on CLUSTER id). */
+  val SPLIT_TRAIN = 0.8
+  val SPLIT_VAL = 0.9
+
+  /** q148: contamination-aware dataset split — every document assigned
+    * to train/val/test by a deterministic md5 draw on its NEAR-DUP
+    * CLUSTER id, so a duplicate family can never straddle splits. The
+    * naive per-doc split leaks: a train doc's near-duplicate lands in
+    * test and the eval measures memorization (the decontamination
+    * failure q85 guards against, prevented at split time instead of
+    * patched after). Singletons are their own cluster — the draw
+    * degrades to per-doc exactly where no leakage is possible.
+    *
+    * Scale shape: CC labels (O(log n) star rounds) + one row-local
+    * hash draw; no window, no shuffle beyond the label join. The
+    * split is reproducible from data alone (md5, not RNG), so
+    * re-running on a grown corpus keeps old clusters' assignments
+    * unless their membership itself changed. */
+  def q148LeakFreeSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      Dedup.q40NgramJaccard(s, d).select(col("i"), col("j")))
+    documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("root"), col("doc_id")))
+      .withColumn("u",
+        expr("cast(conv(substr(md5(cast(cluster_id as string)),1,8),16,10) as bigint)")
+          / lit(4294967296.0))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("u") < SPLIT_TRAIN, "train")
+          .when(col("u") < SPLIT_VAL, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o148 = s"""
+    WITH RECURSIVE ${Dedup.ORA_PAIR_CTES},
+    pr AS (SELECT i, j FROM jac WHERE jac >= ${Dedup.JACCARD_THRESHOLD}),
+    ${Dedup.ORA_CC_CTES},
+    cl AS (
+      SELECT d.doc_id,
+        CAST(COALESCE(LEAST(lab.mr, d.doc_id), d.doc_id) AS BIGINT)
+          AS cluster_id
+      FROM documents d LEFT JOIN lab ON lab.n = d.doc_id),
+    u AS (
+      SELECT doc_id, cluster_id,
+        ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+          / 4294967296.0 AS u
+      FROM cl)
+    SELECT doc_id, cluster_id,
+      CASE WHEN u < $SPLIT_TRAIN THEN 'train'
+           WHEN u < $SPLIT_VAL THEN 'val'
+           ELSE 'test' END AS split
+    FROM u ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_dedup_components" -> (q76DedupComponents _),
-    "q142_best_keeper"     -> (q142BestKeeper _))
+    "q142_best_keeper"     -> (q142BestKeeper _),
+    "q148_leakfree_split"  -> (q148LeakFreeSplit _))
 
   val oracles: Map[String, String] = Map(
     "q76_dedup_components" -> o76,
-    "q142_best_keeper" -> o142)
+    "q142_best_keeper" -> o142,
+    "q148_leakfree_split" -> o148)
 }

@@ -8,6 +8,23 @@ import graft.text.DedupCluster
   * plain transitive closure on adversarial shapes (long chains are the
   * case where naive min-propagation needs diameter rounds). */
 class DedupClusterSpec extends AnyFunSuite {
+
+  test("q148: a near-dup cluster never straddles splits; all splits populated") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.text.DedupCluster
+      .q148LeakFreeSplit(spark, TestSpark.SF)
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty && rows.map(_._3).toSet == Set("train", "val", "test"))
+    // leakage check: one split per cluster, including multi-doc clusters
+    val byCluster = rows.groupBy(_._2).map { case (c, rs) =>
+      (c, rs.map(_._3).toSet.size, rs.length) }
+    assert(byCluster.forall(_._2 == 1), "cluster straddles splits")
+    assert(byCluster.exists(_._3 > 1), "no multi-doc cluster exercised the guarantee")
+    // deterministic draw → rough proportions (md5 uniform, 500 docs)
+    val train = rows.count(_._3 == "train").toDouble / rows.length
+    assert(train > 0.7 && train < 0.9, s"train share $train implausible")
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
