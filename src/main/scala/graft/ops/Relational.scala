@@ -111,6 +111,66 @@ object Relational {
     WHERE r_name = 'ASIA'
     GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
+  // ---- q150: TPC-H Q5 (local supplier volume) ----
+
+  /** q150: the canonical CYCLIC star join — revenue from lineitems
+    * where the supplier is in the CUSTOMER'S nation, per nation, one
+    * order-date year, one region. q03 is the acyclic cousin; Q5's
+    * extra edge (c_nationkey = s_nationkey, reached through two
+    * different dimension paths) is the classic join-order stress test:
+    * the nation equality can only be checked after both paths meet at
+    * the fact row.
+    *
+    * Plan shape: orders pre-filtered by date (pushed to the scan)
+    * join the region-reduced customer set FIRST — the selective
+    * reduction — then the fact joins that reduced set and the supplier
+    * dim, carrying both nationkeys to the equality. All dimension
+    * sides broadcast; the fact never shuffles. At 100 TB the broadcast
+    * of the reduced (orderkey → nationkey) set becomes a shuffled join
+    * on l_orderkey — same plan skeleton, size-driven strategy. */
+  def q150TpchQ5(s: SparkSession, d: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    val asiaNations = nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    lineitem(s, d)
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val o150 = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN supplier ON l_suppkey   = s_suppkey
+        AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
   /** Left-semi join (J1 shape: EXISTS subquery → semi join). */
   def q04SemiJoin(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -884,6 +944,7 @@ object Relational {
     FROM byn ORDER BY r_name, n_name"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_tpch_q5"        -> (q150TpchQ5 _),
     "q122_share_of_total" -> (q122ShareOfTotal _),
     "q59_grouping_sets"   -> (q59GroupingSets _),
     "q60_exists_subquery" -> (q60ExistsSubquery _),
@@ -934,5 +995,6 @@ object Relational {
     "q61_unpivot" -> o61, "q64_stratified_sample" -> o64,
     "q65_bloom_join" -> o65, "q67_except_all" -> o67,
     "q68_topk_rewrite" -> o68, "q70_asof_tolerance" -> o70,
-    "q97_histogram" -> o97, "q122_share_of_total" -> o122)
+    "q97_histogram" -> o97, "q122_share_of_total" -> o122,
+    "q150_tpch_q5" -> o150)
 }
