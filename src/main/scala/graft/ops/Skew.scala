@@ -66,16 +66,21 @@ object Skew {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("n"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = runs.withColumn("cum", sum(col("c")).over(w))
     val tot = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("n")).as("total_rows"), max(col("n")).as("max_freq"))
-    def freqQuantile(p: Double, name: String): DataFrame =
-      cum.crossJoin(broadcast(tot))
-        .filter(col("cum") >= ceil(lit(p) * col("n_keys")))
-        .agg(min(col("n")).as(name))
-    broadcast(tot)
-      .crossJoin(broadcast(freqQuantile(0.5, "p50_freq")))
-      .crossJoin(broadcast(freqQuantile(0.99, "p99_freq")))
+    // both quantiles fold into ONE conditional aggregate over the
+    // cum-run table (per-key counts are scanned exactly twice — runs +
+    // totals — the minimum without materialization; the first draft's
+    // three crossJoined scalar aggs recomputed them four times)
+    runs.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_keys")).as("n_keys"),
+           max(col("total_rows")).as("total_rows"),
+           max(col("max_freq")).as("max_freq"),
+           min(when(col("cum") >= ceil(lit(0.5) * col("n_keys")), col("n")))
+             .as("p50_freq"),
+           min(when(col("cum") >= ceil(lit(0.99) * col("n_keys")), col("n")))
+             .as("p99_freq"))
       .select(col("n_keys"), col("total_rows"), col("max_freq"),
         col("p50_freq"), col("p99_freq"),
         round(col("max_freq").cast("double") * col("n_keys")
