@@ -240,7 +240,58 @@ object Windows {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ORDER BY o_orderkey"""
 
+  // ---- q151: distributed global ranking (two-phase, no global window) ----
+
+  /** Key-range bucket width for q151 (n_chars units): buckets the sort
+    * key's VALUE domain, so the offset table is domain-bounded. */
+  val RANK_BUCKET = 100L
+
+  /** q151: dense global rank over the whole corpus WITHOUT a
+    * single-partition window — THE primitive behind every "give each
+    * row its position in a total order" need (leaderboards, stable
+    * ids, pagination). `row_number() OVER (ORDER BY ...)` moves the
+    * entire dataset through one task; this is the two-phase rewrite
+    * the repo's packing (q83) and budget (q98) operators already use,
+    * surfaced as an operator in its own right:
+    *   1. bucket by the SORT KEY's value range (n_chars div 100) —
+    *      within-bucket rank is a bucket-keyed window (distributed);
+    *   2. bucket row-counts → running offsets over the domain-bounded
+    *      bucket table (broadcast back);
+    *   3. global_rank = bucket offset + within-bucket rank.
+    * Value-derived buckets (not sampled ranges) keep the plan
+    * deterministic and the oracle exact; a skewed key domain wants a
+    * finer width or a composite key — the boundaries never affect the
+    * RESULT, only balance, because rank(x) = |{y : y < x}| + 1 holds
+    * under any partitioning. The oracle IS the naive global
+    * row_number, so the gate proves the rewrite every round. */
+  def q151GlobalRank(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bkt", expr(s"n_chars div $RANK_BUCKET"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    docs
+      .withColumn("r_in", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("off") + col("r_in")).cast("long").as("global_rank"))
+      .orderBy(col("global_rank"))
+  }
+
+  val o151 = """
+    SELECT doc_id, n_chars,
+      CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        AS global_rank
+    FROM documents ORDER BY global_rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_global_rank"    -> (q151GlobalRank _),
     "q110_resample_ffill" -> (q110ResampleFfill _),
     "q115_pit_features"   -> (q115PitFeatures _),
     "q27_window_rank"    -> (q27WindowRank _),
@@ -253,5 +304,5 @@ object Windows {
     "q27_window_rank" -> o27, "q28_window_lag" -> o28,
     "q29_window_running" -> o29, "q58_range_frame" -> o58,
     "q66_window_dist" -> o66, "q110_resample_ffill" -> o110,
-    "q115_pit_features" -> o115)
+    "q115_pit_features" -> o115, "q151_global_rank" -> o151)
 }
