@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
       ops.Reconcile.queries ++ ops.Temporal.queries ++ ops.Analytics.queries ++
-      ops.Skew.queries ++
+      ops.Skew.queries ++ ops.Graph.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
@@ -46,7 +46,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
       ops.Reconcile.oracles ++ ops.Temporal.oracles ++ ops.Analytics.oracles ++
-      ops.Skew.oracles ++
+      ops.Skew.oracles ++ ops.Graph.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++

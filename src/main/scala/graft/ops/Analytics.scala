@@ -570,7 +570,87 @@ object Analytics {
       ROUND(num * num / (den * deny), 6) AS r2
     FROM c ORDER BY o_orderpriority"""
 
+  // ---- q152: strict-sequence conversion funnel ----
+
+  /** q152: three-stage strict-sequence funnel (view → click →
+    * purchase) over the event stream — the canonical product-analytics
+    * operator. "Strict-sequence" means each stage timestamp must come
+    * STRICTLY AFTER the previous stage's FIRST attainment, not merely
+    * exist: t1 = min view, t2 = min click with ts > t1, t3 = min
+    * purchase with ts > t2. A plain per-type min (what a naive GROUP
+    * BY gives) counts users who purchased before ever viewing.
+    *
+    * Scale shape: ONE exchange on user_id. The three stage times are
+    * chained whole-partition window minima (no ordering frame, so no
+    * per-stage sort beyond the partition sort) — each stage's
+    * condition references the previous stage's window result, which
+    * Catalyst stacks as three Window operators over the SAME
+    * partitioning, exchange reused. The per-user collapse
+    * (groupBy user_id) again reuses that partitioning, and only the
+    * final single-row rollup crosses partitions (partial aggs, a few
+    * bytes per task). No self-joins: at 100 TB the events table is
+    * touched exactly once.
+    *
+    * Arithmetic: stage times stay int64 nanoseconds end-to-end;
+    * conversion seconds are floor-divided in the integer domain and
+    * summed exactly; the single IEEE division (avg) happens once on
+    * exact integer inputs — deterministic across engines and
+    * partitionings (the q145/q147 stance). */
+  def q152Funnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events(s, d)
+      .withColumn("t1", min(when(col("event_type") === "view",
+        col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+           max(col("t3")).as("t3"))
+    staged.agg(
+        count(col("t1")).as("users_view"),
+        count(col("t2")).as("users_click"),
+        count(col("t3")).as("users_purchase"),
+        sum(when(col("t3").isNotNull,
+          expr("(t3 - t1) div 1000000000"))).cast("long")
+          .as("conv_sec_total"))
+      .withColumn("avg_conv_sec",
+        round(col("conv_sec_total").cast("double") /
+              col("users_purchase"), 6))
+  }
+
+  val o152 = """
+    WITH v AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t1
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, ANY_VALUE(v.t1) AS t1,
+        MIN(CASE WHEN e.event_type = 'click'
+                  AND epoch_ns(e.ts) > v.t1
+                 THEN epoch_ns(e.ts) END) AS t2
+      FROM events e JOIN v USING (user_id) GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, ANY_VALUE(c.t1) AS t1, ANY_VALUE(c.t2) AS t2,
+        MIN(CASE WHEN e.event_type = 'purchase'
+                  AND epoch_ns(e.ts) > c.t2
+                 THEN epoch_ns(e.ts) END) AS t3
+      FROM events e JOIN c USING (user_id) GROUP BY e.user_id),
+    f AS (
+      SELECT COUNT(t1) AS users_view, COUNT(t2) AS users_click,
+        COUNT(t3) AS users_purchase,
+        CAST(SUM(CASE WHEN t3 IS NOT NULL
+                      THEN (t3 - t1) // 1000000000 END) AS BIGINT)
+          AS conv_sec_total
+      FROM p)
+    SELECT users_view, users_click, users_purchase, conv_sec_total,
+      ROUND(CAST(conv_sec_total AS DOUBLE) / users_purchase, 6)
+        AS avg_conv_sec
+    FROM f"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_funnel"            -> (q152Funnel _),
     "q145_group_regression"  -> (q145GroupRegression _),
     "q141_group_mode"        -> (q141GroupMode _),
     "q137_ship_lag"          -> (q137ShipLag _),
@@ -583,6 +663,7 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q152_funnel" -> o152,
     "q145_group_regression" -> o145,
     "q141_group_mode" -> o141,
     "q124_retention_cohorts" -> o124, "q125_last_touch" -> o125,

@@ -1,0 +1,288 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Graph / market-basket analytics over the part co-purchase graph:
+  * association rules (q156), triangle counting (q157), and PageRank
+  * (q158). The three operator families a recommendation / graph-signal
+  * pipeline runs on transaction data, each expressed as bounded
+  * equi-joins and aggregates — no adjacency matrices, no driver-side
+  * graph object.
+  *
+  * Shared derivation: baskets are the DISTINCT (order, part) rows of
+  * lineitem; the co-purchase edge (p1, p2), p1 < p2, exists when the
+  * two parts share at least `minSup` orders. The basket self-join that
+  * builds pairs is an equi-join on the order key whose fan-out is
+  * bounded by max basket size squared (13² here; order baskets are
+  * bounded by schema in TPC-H-like data). At 100 TB the hazard is a
+  * pathological mega-basket (one key joining against itself); the
+  * mitigation is the q40/q79 stance — a documented basket-size cutoff
+  * before the self-join — plus salting on the order key; both change
+  * nothing on this data (max basket 13) so they are documented, not
+  * gated in.
+  *
+  * Determinism stance: every metric is derived from exact int64 counts
+  * with at most ONE final IEEE division (q145/q152 stance); PageRank
+  * runs entirely in scaled int64 arithmetic (floor division is defined
+  * identically in Spark `div` and DuckDB `//`), so even an iterative
+  * fixpoint sketch is bit-identical across engines and partitionings.
+  */
+object Graph {
+
+  /** Distinct (order o, part p) basket rows — one shuffle, reused by
+    * every consumer via a cycled local checkpoint at the call site. */
+  def baskets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** Co-purchase pair counts: (p1 < p2, pair_orders = co-occurrence
+    * count), kept when pair_orders >= minSup. The apriori-style
+    * support floor runs INSIDE the aggregate (HAVING), so the pair
+    * table handed downstream is already pruned. */
+  def pairCounts(b: DataFrame, minSup: Int): DataFrame = {
+    val a  = b.select(col("o"), col("p").as("p1"))
+    val b2 = b.select(col("o").as("o2"), col("p").as("p2"))
+    a.join(b2, col("o") === col("o2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= minSup)
+  }
+
+  // ---- q156: association rules (support / confidence / lift) ----
+
+  /** Association rules over a basket frame: both directions of every
+    * frequent pair, with support, confidence and lift from exact
+    * integer counts. Item counts (|parts| rows) and the basket count
+    * (1 row) broadcast back onto the pair table — margins are
+    * aggregates OF the already-reduced tables (the q140 stance), never
+    * a second corpus scan. */
+  def assocRules(b: DataFrame, minSup: Int): DataFrame = {
+    val pc = pairCounts(b, minSup)
+    val ic = b.groupBy(col("p")).agg(count(lit(1)).as("ic"))
+    val nb = b.agg(countDistinct(col("o")).as("nb"))
+    val directed = pc
+      .select(col("p1").as("antecedent"), col("p2").as("consequent"),
+              col("pair_orders"))
+      .unionAll(pc.select(col("p2").as("antecedent"),
+                          col("p1").as("consequent"), col("pair_orders")))
+    directed
+      .join(broadcast(ic.select(col("p").as("antecedent"),
+                                col("ic").as("ante_orders"))), "antecedent")
+      .join(broadcast(ic.select(col("p").as("consequent"),
+                                col("ic").as("cons_orders"))), "consequent")
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"), col("pair_orders"),
+        round(col("pair_orders").cast("double") / col("nb"), 6)
+          .as("support"),
+        round(col("pair_orders").cast("double") / col("ante_orders"), 6)
+          .as("confidence"),
+        round((col("pair_orders") * col("nb")).cast("double") /
+              (col("ante_orders") * col("cons_orders")), 6).as("lift"))
+  }
+
+  /** q156: top-20 co-purchase association rules by pair support. The
+    * global top-k is a TakeOrderedAndProject over the (already tiny)
+    * rule table; the total order (pair_orders DESC, antecedent,
+    * consequent) is unique per row, so the LIMIT frontier is
+    * deterministic on both engines.
+    *
+    * Scale shape: one bounded basket self-join + three broadcast
+    * margin joins. Nothing in the plan is proportional to the corpus
+    * except the first distinct — at 100 TB the pair table (pruned by
+    * the support floor inside its aggregate) is the only intermediate
+    * that grows, and it grows with co-occurrence structure, not rows. */
+  def q156AssocRules(s: SparkSession, d: String): DataFrame = {
+    val b = checkpointCycled("q156_baskets", baskets(s, d))
+    assocRules(b, 3)
+      .orderBy(desc("pair_orders"), col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  val o156 = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    n AS (SELECT count(DISTINCT o) nb FROM b),
+    ic AS (SELECT p, count(*) c FROM b GROUP BY 1),
+    pc AS (SELECT a.p p1, b2.p p2, count(*) c FROM b a
+           JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+    r AS (
+      SELECT p1 antecedent, p2 consequent, pc.c pair_orders,
+             i1.c ante_orders, i2.c cons_orders, n.nb
+      FROM pc, n
+      JOIN ic i1 ON i1.p = pc.p1 JOIN ic i2 ON i2.p = pc.p2
+      UNION ALL
+      SELECT p2, p1, pc.c, i2.c, i1.c, n.nb
+      FROM pc, n
+      JOIN ic i1 ON i1.p = pc.p1 JOIN ic i2 ON i2.p = pc.p2)
+    SELECT antecedent, consequent, pair_orders,
+      ROUND(CAST(pair_orders AS DOUBLE) / nb, 6) AS support,
+      ROUND(CAST(pair_orders AS DOUBLE) / ante_orders, 6) AS confidence,
+      ROUND(CAST(pair_orders * nb AS DOUBLE) /
+            (ante_orders * cons_orders), 6) AS lift
+    FROM r
+    ORDER BY pair_orders DESC, antecedent, consequent
+    LIMIT 20"""
+
+  // ---- q157: degree-ordered triangle counting ----
+
+  /** Triangle count + global clustering coefficient for an oriented
+    * (p1 < p2) edge frame, via DEGREE-ORDERED wedge enumeration (the
+    * Suri–Vassilvitskii / Cohen MapReduce algorithm): each edge is
+    * re-oriented from its lower-(degree, id) endpoint to the higher,
+    * wedges are enumerated only at each triangle's LOWEST-ordered
+    * vertex, and the closing edge is probed with one more equi-join.
+    *
+    * Why degree-ordering and not plain id-ordering: the wedge join's
+    * fan-out at a vertex is its OUT-degree squared; orienting toward
+    * higher degree caps every out-degree at O(√m), so total wedge
+    * work is O(m^1.5) regardless of skew — a star hub (the common
+    * shape in co-purchase graphs at 100 TB: one staple part in every
+    * basket) generates ZERO wedges instead of d² of them. The
+    * (degree, id) struct comparison is a total order (ids unique), so
+    * every triangle is counted exactly once and the count is
+    * orientation-invariant — which is what lets the oracle run the
+    * naive a<b<c three-way self-join instead. */
+  def triangleStats(ep: DataFrame): DataFrame = {
+    val deg = ep.select(col("p1").as("v")).unionAll(ep.select(col("p2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val withDeg = ep
+      .join(deg.select(col("v").as("p1"), col("dg").as("d1")), "p1")
+      .join(deg.select(col("v").as("p2"), col("dg").as("d2")), "p2")
+    val k1 = struct(col("d1").as("dg"), col("p1").as("v"))
+    val k2 = struct(col("d2").as("dg"), col("p2").as("v"))
+    val oe = withDeg.select(
+      when(k1 < k2, col("p1")).otherwise(col("p2")).as("src"),
+      when(k1 < k2, k2).otherwise(k1).as("kd"))
+      .withColumn("dst", col("kd.v"))
+    val e1 = oe.select(col("src"), col("kd").as("ka"))
+    val e2 = oe.select(col("src").as("src2"), col("kd").as("kb"))
+    val e3 = oe.select(col("src").as("a3"), col("dst").as("b3"))
+    val tri = e1.join(e2, col("src") === col("src2") && col("ka") < col("kb"))
+      .join(e3, col("a3") === col("ka.v") && col("b3") === col("kb.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val vw = deg.agg(count(lit(1)).as("n_vertices"),
+                     sum(expr("dg * (dg - 1) div 2")).as("wedges"))
+    val ne = ep.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(broadcast(tri)).crossJoin(broadcast(vw))
+      .select(col("n_edges"), col("n_vertices"), col("n_triangles"),
+              col("wedges"),
+              round(lit(3.0) * col("n_triangles") / col("wedges"), 6)
+                .as("clustering_coeff"))
+  }
+
+  /** q157: triangles + clustering coefficient of the co-purchase graph
+    * (pair support >= 2). One row out; the closing-edge probe is the
+    * only join proportional to wedge count. */
+  def q157Triangles(s: SparkSession, d: String): DataFrame = {
+    val b  = checkpointCycled("q157_baskets", baskets(s, d))
+    val ep = checkpointCycled("q157_edges",
+      pairCounts(b, 2).select(col("p1"), col("p2")))
+    triangleStats(ep)
+  }
+
+  val o157 = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    e AS (SELECT a.p p1, b2.p p2 FROM b a
+          JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    tri AS (SELECT e1.p1 a, e1.p2 bb, e2.p2 c
+            FROM e e1 JOIN e e2 ON e2.p1 = e1.p2
+            JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+    deg AS (SELECT v, count(*) d FROM
+              (SELECT p1 v FROM e UNION ALL SELECT p2 FROM e)
+            GROUP BY 1),
+    w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) wedges FROM deg)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM deg) AS n_vertices,
+           (SELECT count(*) FROM tri) AS n_triangles,
+           wedges,
+           ROUND(3.0 * (SELECT count(*) FROM tri) / wedges, 6)
+             AS clustering_coeff
+    FROM w"""
+
+  // ---- q158: exact integer PageRank ----
+
+  /** Scaled-int64 PageRank over an oriented edge frame, `iters` steps:
+    * every vertex starts at 10^12; one step is
+    *   r' = 150_000_000_000 + (17 * Σ_incoming(r div deg)) div 20
+    * i.e. damping 0.85 = 17/20 and teleport 0.15·10^12, ALL in int64
+    * floor arithmetic. Exactness is the point: float PageRank sums in
+    * partition order and diverges across retries/AQE re-plans (the
+    * q100 fixed-point stance); int64 floor division is deterministic
+    * on both engines, so an ITERATIVE operator earns a full
+    * hash-match oracle (3 unrolled CTE iterations in DuckDB).
+    *
+    * Scale shape: the adjacency (src, dst, deg) is materialized once
+    * (cycled checkpoint) and each iteration is one equi-join + one
+    * grouped aggregate — rank mass moves as map-side partial sums. On
+    * a cluster the adjacency would be bucketed by src so the per-step
+    * join never re-exchanges the big side; the rank table (|V| rows)
+    * is the only thing that moves. Vertex set = edge endpoints, and
+    * the graph is symmetric, so there are no dangling vertices by
+    * construction. Int64 headroom: total mass is |V|·10^12; past
+    * ~10^6 vertices the per-vertex init (and teleport constant) must
+    * scale down to keep the TOTAL at ~10^18 — same arithmetic,
+    * smaller constants. */
+  def pageRanks(ep: DataFrame, iters: Int, tag: String): DataFrame = {
+    val e = ep.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(ep.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val adj = checkpointCycled(s"${tag}_adj", e.join(deg, "src"))
+    var r = deg.select(col("src").as("id"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      r = adj.join(r, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(expr("150000000000 + (17 * sum(r div dg)) div 20").as("r"))
+        .select(col("dst").as("id"), col("r"))
+    }
+    r
+  }
+
+  /** q158: top-25 co-purchase parts by 3-iteration exact PageRank. */
+  def q158PageRank(s: SparkSession, d: String): DataFrame = {
+    val b  = checkpointCycled("q158_baskets", baskets(s, d))
+    val ep = checkpointCycled("q158_edges",
+      pairCounts(b, 2).select(col("p1"), col("p2")))
+    pageRanks(ep, 3, "q158")
+      .select(col("id").as("part_id"), col("r").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("part_id"))
+      .limit(25)
+  }
+
+  val o158 = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    ep AS (SELECT a.p p1, b2.p p2 FROM b a
+           JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT p1 src, p2 dst FROM ep UNION ALL SELECT p2, p1 FROM ep),
+    deg AS (SELECT src, count(*) d FROM e GROUP BY 1),
+    r0 AS (SELECT src id, CAST(1000000000000 AS BIGINT) r FROM deg),
+    it1 AS (SELECT e.dst id,
+              CAST(150000000000 + (17 * SUM(r.r // deg.d)) // 20 AS BIGINT) r
+            FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    it2 AS (SELECT e.dst id,
+              CAST(150000000000 + (17 * SUM(r.r // deg.d)) // 20 AS BIGINT) r
+            FROM e JOIN it1 r ON r.id = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    it3 AS (SELECT e.dst id,
+              CAST(150000000000 + (17 * SUM(r.r // deg.d)) // 20 AS BIGINT) r
+            FROM e JOIN it2 r ON r.id = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst)
+    SELECT id AS part_id, r AS rank_scaled FROM it3
+    ORDER BY rank_scaled DESC, part_id
+    LIMIT 25"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_assoc_rules" -> (q156AssocRules _),
+    "q157_triangles"   -> (q157Triangles _),
+    "q158_pagerank"    -> (q158PageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "q156_assoc_rules" -> o156,
+    "q157_triangles"   -> o157,
+    "q158_pagerank"    -> o158)
+}

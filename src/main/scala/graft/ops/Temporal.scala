@@ -271,13 +271,75 @@ object Temporal {
     GROUP BY user_id HAVING MAX(nxt) > MIN(tus)
     ORDER BY user_id"""
 
+  // ---- q154: sweep-line maximum interval concurrency ----
+
+  /** q154: peak concurrent open intervals per year — the sweep-line
+    * ("how many shipments are in transit at once?") operator behind
+    * capacity planning, connection-pool sizing, and overlap billing.
+    * Each lineitem opens a half-open interval
+    * [shipdate, shipdate + quantity days); intervals are turned into
+    * ±1 boundary events ROW-LOCALLY (one scan, explode of a 2-struct
+    * array — not a self-union, which would read the fact twice),
+    * collapsed to one net delta per DISTINCT DATE, and prefix-summed
+    * into the concurrency step function. Concurrency is measured at
+    * end-of-day (all of a day's opens and closes applied), which makes
+    * the per-date collapse semantics-preserving and order-free.
+    *
+    * Scale shape: the only data-sized shuffle is the groupBy(date)
+    * partial-agg collapse. The running sum then runs over the DATE
+    * DOMAIN (~2.5k rows for this corpus, bounded by calendar span, not
+    * corpus size) — an unpartitioned window over a domain-bounded
+    * aggregate, the documented q122/q126 pattern. For a truly
+    * unbounded time domain (microsecond events), swap the window for
+    * q151's two-phase bucket-offset rewrite; the per-date collapse and
+    * event generation are unchanged. */
+  def q154MaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val ev = lineitem(s, d)
+      .select(explode(expr(
+        """array(
+             struct(to_date(l_shipdate) AS t, 1L AS d),
+             struct(date_add(to_date(l_shipdate), cast(l_quantity as int)) AS t,
+                    -1L AS d))""")).as("e"))
+      .select(col("e.t").as("t"), col("e.d").as("d"))
+    val byDate = ev.groupBy(col("t")).agg(sum(col("d")).as("dd"))
+    val run = byDate.withColumn("conc",
+      sum(col("dd")).over(Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("yr", year(col("t")).cast("long"))
+    run
+      .withColumn("peak", max(col("conc")).over(Window.partitionBy(col("yr"))))
+      .filter(col("conc") === col("peak"))
+      .groupBy(col("yr"))
+      .agg(max(col("conc")).as("peak_conc"),
+           date_format(min(col("t")), "yyyy-MM-dd").as("first_peak_date"))
+      .orderBy(col("yr"))
+  }
+
+  val o154 = """
+    WITH iv AS (
+      SELECT CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+      FROM lineitem),
+    ev AS (SELECT s AS t, 1 AS d FROM iv
+           UNION ALL SELECT e, -1 FROM iv),
+    byt AS (SELECT t, SUM(d) AS dd FROM ev GROUP BY t),
+    run AS (SELECT t, SUM(dd) OVER (ORDER BY t) AS conc FROM byt),
+    pk AS (SELECT t, conc, CAST(year(t) AS BIGINT) AS yr,
+             MAX(conc) OVER (PARTITION BY year(t)) AS peak
+           FROM run)
+    SELECT yr, CAST(MAX(conc) AS BIGINT) AS peak_conc,
+      CAST(MIN(t) AS VARCHAR) AS first_peak_date
+    FROM pk WHERE conc = peak GROUP BY yr ORDER BY yr"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_max_concurrency" -> (q154MaxConcurrency _),
     "q118_interval_merge" -> (q118IntervalMerge _),
     "q119_scd2_dim"       -> (q119Scd2Dim _),
     "q128_dim_asof_probe" -> (q128DimAsofProbe _),
     "q147_time_weighted_avg" -> (q147TimeWeightedAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q154_max_concurrency" -> o154,
     "q118_interval_merge" -> o118, "q119_scd2_dim" -> o119,
     "q128_dim_asof_probe" -> o128,
     "q147_time_weighted_avg" -> o147)

@@ -583,7 +583,82 @@ object Dedup {
     WHERE d.doc_id % $INC_MOD = 0
     ORDER BY d.doc_id"""
 
+  // ---- q153: deletion-neighborhood fuzzy join (SymSpell-style) ----
+
+  /** 1-deletion neighborhood of a string column: the string itself
+    * plus every variant with one character removed — |s|+1 rows after
+    * explode. Shared by both sides of q153 so the candidate condition
+    * is a plain equi-join. */
+  private def delVariants(c: String): org.apache.spark.sql.Column =
+    expr(s"""array_union(array($c), transform(sequence(1, length($c)),
+      i -> concat(substring($c, 1, i - 1), substring($c, i + 1))))""")
+
+  /** q153: edit-distance-≤1 fuzzy join via deletion neighborhoods —
+    * entity resolution for misspelled keys (the SymSpell idea recast
+    * relationally). Two strings are within Levenshtein distance 1 iff
+    * their 1-deletion neighborhoods (each including the string itself)
+    * intersect: equality (a=b), insertion (a ∈ del1(b)), deletion
+    * (b ∈ del1(a)), substitution (deleting the differing position from
+    * both sides meets in the middle). So candidate generation is an
+    * EQUI-join on exploded variants — O(n·L) index rows instead of the
+    * O(n²) all-pairs levenshtein scan — and the distance-2 false
+    * positives the intersection clause admits (deletions at DIFFERENT
+    * positions) are removed by one exact `levenshtein` check per
+    * candidate (filter-verify, the q41/q87 pattern).
+    *
+    * Probes are derived from the supplier names themselves: delete the
+    * character at an md5-chosen position (the q84 cross-engine draw
+    * idiom), so the oracle regenerates the identical probe set and the
+    * expected matches (each probe's origin, plus any true ≤1
+    * neighbors) are data-real, not planted.
+    *
+    * Scale shape: variant explosion is row-local (codegen HOFs, no
+    * udf); the only shuffle is the variant equi-join + pair distinct.
+    * A heavy-tail variant (many strings sharing one deletion — think
+    * "aaaa…") bounds like q40's stop-shingles: at corpus scale, cap
+    * per-variant bucket width with a df cutoff; at this name domain
+    * the widest bucket is single digits, so the join stays exact. */
+  def q153FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val probes = sup
+      .withColumn("pos", expr(
+        "1 + pmod(cast(conv(substr(md5(s_name), 1, 8), 16, 10) as bigint), length(s_name))"))
+      .select(expr(
+        "concat(substring(s_name, 1, pos - 1), substring(s_name, pos + 1))")
+        .as("probe"))
+      .distinct()
+    val probeIdx = probes
+      .select(col("probe"), explode(delVariants("probe")).as("variant"))
+    val cleanIdx = sup
+      .select(col("s_suppkey"), col("s_name"),
+              explode(delVariants("s_name")).as("variant"))
+    probeIdx.join(cleanIdx, Seq("variant"))
+      .select(col("probe"), col("s_suppkey"), col("s_name"))
+      .distinct()
+      .filter(levenshtein(col("probe"), col("s_name")) <= 1)
+      .withColumn("dist",
+        levenshtein(col("probe"), col("s_name")).cast("long"))
+      .orderBy(col("probe"), col("s_suppkey"))
+  }
+
+  val o153 = """
+    WITH pr AS (
+      SELECT DISTINCT
+        concat(substr(s_name, 1, pos - 1), substr(s_name, pos + 1))
+          AS probe
+      FROM (
+        SELECT s_name,
+          1 + (('0x' || substr(md5(s_name), 1, 8))::BIGINT
+               % length(s_name)) AS pos
+        FROM supplier))
+    SELECT pr.probe, s.s_suppkey, s.s_name,
+      CAST(levenshtein(pr.probe, s.s_name) AS BIGINT) AS dist
+    FROM pr, supplier s
+    WHERE levenshtein(pr.probe, s.s_name) <= 1
+    ORDER BY pr.probe, s.s_suppkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_fuzzy_join"       -> (q153FuzzyJoin _),
     "q99_incremental_dedup" -> (q99IncrementalDedup _),
     "q39_dedup_exact"    -> (q39DedupExact _),
     "q40_ngram_jaccard"  -> (q40NgramJaccard _),
@@ -593,6 +668,7 @@ object Dedup {
     "q80_ppjoin_jaccard" -> (ppjoinJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "q153_fuzzy_join" -> o153,
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
     "q41_minhash_lsh" -> o41, "q42_simhash" -> o42,
     "q79_shared_spans" -> o79,

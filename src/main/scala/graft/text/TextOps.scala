@@ -408,7 +408,59 @@ object TextOps {
     FROM tk, unnest(range(1, n + 1, $CHUNK_STRIDE)) u(s)
     ORDER BY doc_id, chunk_idx"""
 
+  // ---- q155: conjunctive keyword search, scored top-k ----
+
+  /** Fixed query terms for q155 — mid-frequency corpus words, so the
+    * conjunction is selective but non-empty at every SF. */
+  val SEARCH_TERMS = Seq("vector", "merge", "spark")
+
+  /** q155: conjunctive keyword search with term-frequency scoring —
+    * the retrieval primitive (docs containing ALL query terms, ranked
+    * by total query-term occurrences, deterministic doc_id tie-break).
+    * Scoring is exact integer TF (no log-IDF: ln() has no cross-engine
+    * bit guarantee — the q140 stance; IDF weighting would multiply by
+    * a per-term constant and not change this corpus's conjunction).
+    *
+    * Scale shape: this is the AD-HOC query path — per-term TF counted
+    * ROW-LOCALLY by codegen higher-order functions (size∘filter∘split,
+    * one scan, no explode and therefore no token-sized intermediate),
+    * conjunction as a scan-stage filter, and the global top-k as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver). ZERO full shuffles: the whole query is scan → project →
+    * filter → top-k, embarrassingly parallel at any corpus size. The
+    * inverted-index formulation (explode + term equi-join, the q40
+    * machinery) wins only when the SAME corpus serves many queries —
+    * that trade-off is the q143-layout story, not a per-query plan. */
+  def q155Search(s: SparkSession, d: String): DataFrame = {
+    val tf = SEARCH_TERMS.map(t =>
+      expr(s"cast(size(filter(split(lower(text), ' '), x -> x = '$t')) as bigint)")
+        .as(s"tf_$t"))
+    val score = SEARCH_TERMS.map(t => col(s"tf_$t")).reduce(_ + _)
+    documents(s, d)
+      .select(col("doc_id") +: tf: _*)
+      .filter(SEARCH_TERMS.map(t => col(s"tf_$t") > 0).reduce(_ && _))
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val o155 = """
+    SELECT doc_id, tf_vector, tf_merge, tf_spark,
+      tf_vector + tf_merge + tf_spark AS score
+    FROM (
+      SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x = 'vector')) AS tf_vector,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x = 'merge')) AS tf_merge,
+        len(list_filter(string_split(lower(text), ' '),
+            x -> x = 'spark')) AS tf_spark
+      FROM documents)
+    WHERE tf_vector > 0 AND tf_merge > 0 AND tf_spark > 0
+    ORDER BY score DESC, doc_id LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_search"        -> (q155Search _),
     "q102_window_chunks" -> (q102WindowChunks _),
     "q72_cdc_chunks"    -> (q72CdcChunks _),
     "q63_tfidf"         -> (q63Tfidf _),
@@ -427,5 +479,5 @@ object TextOps {
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
     "q56_regex_tokens" -> o56, "q63_tfidf" -> o63,
     "q72_cdc_chunks" -> o72, "q88_repetition_score" -> o88,
-    "q102_window_chunks" -> o102)
+    "q102_window_chunks" -> o102, "q155_search" -> o155)
 }
