@@ -649,7 +649,52 @@ object Analytics {
         AS avg_conv_sec
     FROM f"""
 
+  // ---- q160: Markov transition matrix over event sequences ----
+
+  /** q160: first-order Markov transition matrix of the per-user event
+    * stream — P(next event type | current event type) with exact
+    * transition counts. The sequence-model summary behind
+    * next-action prediction, anomaly scoring ("this transition has
+    * probability 0"), and clickstream simulators.
+    *
+    * Scale shape: ONE exchange on user_id for the lead() window (the
+    * q152 pattern); the transition pairs then collapse by
+    * (prev, next) with map-side partial counts into a |types|²-bounded
+    * table, and the row-normalizing margin is a window over THAT tiny
+    * table — never a second pass over events. Probabilities are exact
+    * int64 count ratios with one final IEEE division each (the
+    * q145/q152 stance); ordering ties broken by event_id, so the
+    * transition multiset is partition-invariant. */
+  def q160Markov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val o160 = """
+    WITH s AS (
+      SELECT event_type, lead(event_type) OVER
+          (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        AS next_type
+      FROM events),
+    t AS (
+      SELECT event_type AS prev_type, next_type, count(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+      ROUND(CAST(n AS DOUBLE) /
+            SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM t ORDER BY prev_type, next_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_markov"            -> (q160Markov _),
     "q152_funnel"            -> (q152Funnel _),
     "q145_group_regression"  -> (q145GroupRegression _),
     "q141_group_mode"        -> (q141GroupMode _),
@@ -663,6 +708,7 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q160_markov" -> o160,
     "q152_funnel" -> o152,
     "q145_group_regression" -> o145,
     "q141_group_mode" -> o141,

@@ -276,13 +276,85 @@ object Graph {
     ORDER BY rank_scaled DESC, part_id
     LIMIT 25"""
 
+  // ---- q159: layered BFS k-hop reachability ----
+
+  /** Layered breadth-first search from a seed vertex: hop distance of
+    * every vertex within `hops` of the seed. The OTHER iterative-graph
+    * shape beside q158: PageRank's per-step state is the full |V|-row
+    * rank table; BFS's is the (usually much smaller) frontier, and each
+    * step is frontier ⋈ adjacency → distinct → anti-join against the
+    * visited set. Layer k is by construction exactly the vertices at
+    * hop distance k (first discovery = shortest path in an unweighted
+    * graph), so no min-combining is needed — the layered exclusion IS
+    * the min.
+    *
+    * Scale shape: each step's joins are frontier-sized on the probe
+    * side (the adjacency is the checkpointed build side, bucketable on
+    * src at cluster scale per q134); the frontier and visited set are
+    * localCheckpointed per layer — the lineage cut every iterative
+    * dataflow needs, without which the plan tree doubles per hop and
+    * the optimizer re-derives the whole prefix each step. */
+  def bfsLayers(ep: DataFrame, hops: Int, tag: String): DataFrame = {
+    val e = ep.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(ep.select(col("p2").as("src"), col("p1").as("dst")))
+    val adj = checkpointCycled(s"${tag}_adj", e)
+    var layers = checkpointCycled(s"${tag}_l0",
+      ep.agg(min(col("p1")).as("v")).withColumn("dist", lit(0L)))
+    var frontier = layers
+    for (k <- 1 to hops) {
+      val next = adj
+        .join(frontier.select(col("v").as("src")), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(layers.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+      frontier = checkpointCycled(s"${tag}_l$k", next)
+      layers = layers.unionAll(frontier)
+    }
+    layers
+  }
+
+  /** q159: 3-hop BFS from the minimum-id vertex of the co-purchase
+    * graph — (part_id, hop distance) for every reached vertex. */
+  def q159BfsKhop(s: SparkSession, d: String): DataFrame = {
+    val b  = checkpointCycled("q159_baskets", baskets(s, d))
+    val ep = checkpointCycled("q159_edges",
+      pairCounts(b, 2).select(col("p1"), col("p2")))
+    bfsLayers(ep, 3, "q159")
+      .select(col("v").as("part_id"), col("dist"))
+      .orderBy(col("dist"), col("part_id"))
+  }
+
+  val o159 = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    ep AS (SELECT a.p p1, b2.p p2 FROM b a
+           JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT p1 src, p2 dst FROM ep UNION ALL SELECT p2, p1 FROM ep),
+    d0 AS (SELECT min(p1) v, CAST(0 AS BIGINT) dist FROM ep),
+    d1 AS (SELECT DISTINCT e.dst v, CAST(1 AS BIGINT) dist
+           FROM e JOIN d0 ON e.src = d0.v
+           WHERE e.dst NOT IN (SELECT v FROM d0)),
+    d2 AS (SELECT DISTINCT e.dst v, CAST(2 AS BIGINT) dist
+           FROM e JOIN d1 ON e.src = d1.v
+           WHERE e.dst NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM d1)),
+    d3 AS (SELECT DISTINCT e.dst v, CAST(3 AS BIGINT) dist
+           FROM e JOIN d2 ON e.src = d2.v
+           WHERE e.dst NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM d1
+                               UNION ALL SELECT v FROM d2))
+    SELECT v AS part_id, dist FROM
+      (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+       UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+    ORDER BY dist, part_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_assoc_rules" -> (q156AssocRules _),
     "q157_triangles"   -> (q157Triangles _),
-    "q158_pagerank"    -> (q158PageRank _))
+    "q158_pagerank"    -> (q158PageRank _),
+    "q159_bfs_khop"    -> (q159BfsKhop _))
 
   val oracles: Map[String, String] = Map(
     "q156_assoc_rules" -> o156,
     "q157_triangles"   -> o157,
-    "q158_pagerank"    -> o158)
+    "q158_pagerank"    -> o158,
+    "q159_bfs_khop"    -> o159)
 }

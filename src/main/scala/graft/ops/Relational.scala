@@ -943,7 +943,75 @@ object Relational {
         AS share_global
     FROM byn ORDER BY r_name, n_name"""
 
+  // ---- q161: sole-late-supplier (TPC-H Q21 shape, recast) ----
+
+  /** q161: suppliers who were the ONLY late shipper in a
+    * multi-supplier order — TPC-H Q21's double-correlated
+    * EXISTS / NOT EXISTS shape, recast onto this schema ("late" =
+    * shipped more than 60 days after the order date; the reference
+    * schema's receipt/commit dates don't exist here). numwait counts
+    * DISTINCT qualifying orders per supplier.
+    *
+    * Scale shape: the textbook formulation self-joins lineitem twice
+    * (once per correlated subquery) — three scans and three shuffles
+    * of the fact at 100 TB. Here both EXISTS collapse into ONE
+    * order-keyed aggregate over the single lineitem⋈orders join:
+    * n_suppliers, n_late_suppliers, and (via max-of-singleton) the
+    * identity of the sole late supplier are computed together, then
+    * filtered (n_supp > 1 ∧ n_late = 1). The oracle RUNS the
+    * correlated EXISTS/NOT-EXISTS form, so the gate proves the
+    * one-aggregate rewrite equivalent. Supplier names broadcast;
+    * final top-k is TakeOrderedAndProject. */
+  def q161SoleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    // Two-level aggregate instead of two countDistincts: a pair of
+    // distinct aggregates would plan an Expand (×2 rows) over the
+    // fact-sized join output. The (orderkey, suppkey) collapse and the
+    // orderkey collapse BOTH reuse the join's orderkey hash
+    // partitioning (a partitioning on a subset of the grouping keys
+    // satisfies ClusteredDistribution), so neither adds an exchange.
+    val perPair = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late).as("is_late"))
+    val perOrder = perPair
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+           sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+           max(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perOrder
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(25)
+  }
+
+  val o161 = """
+    SELECT s.s_suppkey, s.s_name,
+      CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_name LIMIT 25"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_sole_late_supplier" -> (q161SoleLateSupplier _),
     "q150_tpch_q5"        -> (q150TpchQ5 _),
     "q122_share_of_total" -> (q122ShareOfTotal _),
     "q59_grouping_sets"   -> (q59GroupingSets _),
@@ -996,5 +1064,6 @@ object Relational {
     "q65_bloom_join" -> o65, "q67_except_all" -> o67,
     "q68_topk_rewrite" -> o68, "q70_asof_tolerance" -> o70,
     "q97_histogram" -> o97, "q122_share_of_total" -> o122,
-    "q150_tpch_q5" -> o150)
+    "q150_tpch_q5" -> o150,
+    "q161_sole_late_supplier" -> o161)
 }
