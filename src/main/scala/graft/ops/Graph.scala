@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -370,15 +371,199 @@ object Graph {
        UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
     ORDER BY dist, part_id"""
 
+  // ---- q163: label propagation (community detection) ----
+
+  /** Synchronous label propagation, `iters` rounds: every vertex starts
+    * as its own community; each round a vertex adopts the most frequent
+    * label among its neighbors, ties broken toward the smaller label.
+    * The deterministic, engine-portable variant of LPA (asynchronous
+    * LPA's result depends on visit order — unusable under the
+    * determinism stance; fixed-round synchronous LPA is a pure
+    * dataflow).
+    *
+    * Scale shape per round: one equi-join of the |V|-row label table
+    * against the checkpointed adjacency, a map-side-combinable
+    * (vertex, label) count, and a per-vertex argmax window whose
+    * partitions are bounded by DEGREE (distinct neighbor labels ≤
+    * neighbors), not data size. Label state is |V| rows — the same
+    * footprint as PageRank's rank table; on a cluster the adjacency
+    * is bucketed on src (q134) making each round exchange-free on the
+    * big side. */
+  def labelProp(ep: DataFrame, iters: Int, tag: String): DataFrame = {
+    val e = ep.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(ep.select(col("p2").as("src"), col("p1").as("dst")))
+    val adj = checkpointCycled(s"${tag}_adj", e)
+    var lab = checkpointCycled(s"${tag}_lab0",
+      adj.select(col("src").as("v")).distinct().withColumn("lab", col("v")))
+    val w = Window.partitionBy(col("v")).orderBy(desc("c"), col("lab"))
+    for (k <- 1 to iters) {
+      val counts = adj
+        .join(lab.select(col("v").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      lab = checkpointCycled(s"${tag}_lab$k",
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("v"), col("lab")))
+    }
+    lab
+  }
+
+  /** q163: 2-round label-propagation communities of the co-purchase
+    * graph — (part_id, community) for every vertex. */
+  def q163LabelProp(s: SparkSession, d: String): DataFrame = {
+    val ep = pairs2Shared(s, d).select(col("p1"), col("p2"))
+    labelProp(ep, 2, "q163")
+      .select(col("v").as("part_id"), col("lab").as("community"))
+      .orderBy(col("part_id"))
+  }
+
+  val o163 = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    ep AS (SELECT a.p p1, b2.p p2 FROM b a
+           JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT p1 src, p2 dst FROM ep UNION ALL SELECT p2, p1 FROM ep),
+    l0 AS (SELECT DISTINCT src v, src lab FROM e),
+    c1 AS (SELECT e.dst v, l.lab, count(*) c
+           FROM e JOIN l0 l ON l.v = e.src GROUP BY 1, 2),
+    l1 AS (SELECT v, lab FROM (
+             SELECT v, lab, row_number() OVER
+               (PARTITION BY v ORDER BY c DESC, lab) rn FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.dst v, l.lab, count(*) c
+           FROM e JOIN l1 l ON l.v = e.src GROUP BY 1, 2),
+    l2 AS (SELECT v, lab FROM (
+             SELECT v, lab, row_number() OVER
+               (PARTITION BY v ORDER BY c DESC, lab) rn FROM c2) WHERE rn = 1)
+    SELECT v AS part_id, lab AS community FROM l2 ORDER BY part_id"""
+
+  // ---- q164: weighted shortest paths (k-round Bellman-Ford) ----
+
+  /** k synchronous Bellman-Ford relaxation rounds from a seed vertex
+    * over integer edge weights — after k rounds `dist` holds the exact
+    * shortest-path cost among paths of ≤ k edges (the full shortest
+    * path once k ≥ graph diameter). The weighted generalization of
+    * q159's BFS: BFS's frontier/visited layering IS the min for unit
+    * weights, here the min must be combined explicitly, so the state
+    * is a (vertex, best-so-far) table and each round is
+    *   relax = adj ⋈ dist  →  union previous  →  min per vertex.
+    *
+    * Weights are int64 (1e6 div pair_orders: stronger co-purchase =
+    * cheaper hop), so min-combining is exact and engine-portable — no
+    * float path sums. Per round: one join against the checkpointed
+    * adjacency + one map-side-combinable min agg; only the dist table
+    * (≤ |V| rows) carries between rounds. */
+  def shortestPaths(epw: DataFrame, rounds: Int, tag: String): DataFrame = {
+    val e = epw.select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionAll(epw.select(col("p2").as("src"), col("p1").as("dst"), col("w")))
+    val adj = checkpointCycled(s"${tag}_adj", e)
+    var dist = checkpointCycled(s"${tag}_d0",
+      epw.agg(min(col("p1")).as("v")).withColumn("dist", lit(0L)))
+    for (k <- 1 to rounds) {
+      val relaxed = adj
+        .join(dist.select(col("v").as("src"), col("dist").as("ds")), "src")
+        .select(col("dst").as("v"), (col("ds") + col("w")).as("dist"))
+      dist = checkpointCycled(s"${tag}_d$k",
+        dist.unionAll(relaxed).groupBy(col("v")).agg(min(col("dist")).as("dist")))
+    }
+    dist
+  }
+
+  /** q164: 3-round weighted shortest paths from the minimum-id vertex;
+    * edge cost 1e6 div pair_orders. */
+  def q164ShortestPath(s: SparkSession, d: String): DataFrame = {
+    val epw = pairs2Shared(s, d)
+      .select(col("p1"), col("p2"),
+        expr("1000000 div pair_orders").as("w"))
+    shortestPaths(epw, 3, "q164")
+      .select(col("v").as("part_id"), col("dist").as("path_cost"))
+      .orderBy(col("part_id"))
+  }
+
+  val o164 = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    ep AS (SELECT a.p p1, b2.p p2, count(*) pair_orders FROM b a
+           JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT p1 src, p2 dst, 1000000 // pair_orders w FROM ep
+          UNION ALL SELECT p2, p1, 1000000 // pair_orders FROM ep),
+    d0 AS (SELECT min(p1) v, CAST(0 AS BIGINT) dist FROM ep),
+    d1 AS (SELECT v, min(dist) dist FROM (
+             SELECT v, dist FROM d0
+             UNION ALL
+             SELECT e.dst, d0.dist + e.w FROM e JOIN d0 ON d0.v = e.src) x
+           GROUP BY v),
+    d2 AS (SELECT v, min(dist) dist FROM (
+             SELECT v, dist FROM d1
+             UNION ALL
+             SELECT e.dst, d1.dist + e.w FROM e JOIN d1 ON d1.v = e.src) x
+           GROUP BY v),
+    d3 AS (SELECT v, min(dist) dist FROM (
+             SELECT v, dist FROM d2
+             UNION ALL
+             SELECT e.dst, d2.dist + e.w FROM e JOIN d2 ON d2.v = e.src) x
+           GROUP BY v)
+    SELECT v AS part_id, dist AS path_cost FROM d3 ORDER BY part_id"""
+
+  // ---- q165: frequent 3-itemsets (Apriori level 3) ----
+
+  /** q165: top-20 part triples by co-purchase support — the Apriori
+    * step past q156's pairs. Candidate generation is pair-pruned (the
+    * Apriori monotonicity: a frequent triple's sub-pairs are frequent
+    * at the same floor, so pruning against the shared minSup=2 pair
+    * table changes NOTHING in the result but bounds every join): the
+    * basket self-join is restricted to frequent pairs before the third
+    * item extends it, and both added sub-pairs are semi-checked
+    * against the (broadcast-small) pair table BEFORE the counting
+    * aggregate. Support floors thin out with itemset size — at sf0.1
+    * no triple reaches support 2 (the honest Apriori cliff; the
+    * result is correctly empty, proven at the gate SF where 12
+    * survive). */
+  def q165Itemsets3(s: SparkSession, d: String): DataFrame = {
+    val b = basketsShared(s, d)
+    val pc = broadcast(pairs2Shared(s, d).select(col("p1"), col("p2")))
+    val bp = b.select(col("o"), col("p").as("p1"))
+      .join(b.select(col("o").as("o2"), col("p").as("p2")),
+        col("o") === col("o2") && col("p1") < col("p2"))
+      .select(col("o"), col("p1"), col("p2"))
+      .join(pc, Seq("p1", "p2"), "left_semi")
+    bp
+      .join(b.select(col("o").as("o3"), col("p").as("p3")),
+        col("o") === col("o3") && col("p3") > col("p2"))
+      .select(col("o"), col("p1"), col("p2"), col("p3"))
+      .join(pc.select(col("p1"), col("p2").as("p3")), Seq("p1", "p3"), "left_semi")
+      .join(pc.select(col("p1").as("p2"), col("p2").as("p3")),
+        Seq("p2", "p3"), "left_semi")
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("triple_orders"))
+      .filter(col("triple_orders") >= 2)
+      .orderBy(desc("triple_orders"), col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
+  val o165 = """
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    t AS (SELECT a.p p1, c.p p2, e.p p3, count(*) triple_orders FROM b a
+          JOIN b c ON a.o = c.o AND a.p < c.p
+          JOIN b e ON a.o = e.o AND c.p < e.p
+          GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+    SELECT p1, p2, p3, triple_orders FROM t
+    ORDER BY triple_orders DESC, p1, p2, p3 LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q156_assoc_rules" -> (q156AssocRules _),
-    "q157_triangles"   -> (q157Triangles _),
-    "q158_pagerank"    -> (q158PageRank _),
-    "q159_bfs_khop"    -> (q159BfsKhop _))
+    "q156_assoc_rules"  -> (q156AssocRules _),
+    "q157_triangles"    -> (q157Triangles _),
+    "q158_pagerank"     -> (q158PageRank _),
+    "q159_bfs_khop"     -> (q159BfsKhop _),
+    "q163_label_prop"   -> (q163LabelProp _),
+    "q164_shortest_path" -> (q164ShortestPath _),
+    "q165_itemsets3"    -> (q165Itemsets3 _))
 
   val oracles: Map[String, String] = Map(
     "q156_assoc_rules" -> o156,
     "q157_triangles"   -> o157,
     "q158_pagerank"    -> o158,
-    "q159_bfs_khop"    -> o159)
+    "q159_bfs_khop"    -> o159,
+    "q163_label_prop"  -> o163,
+    "q164_shortest_path" -> o164,
+    "q165_itemsets3"   -> o165)
 }

@@ -109,9 +109,58 @@ object Skew {
       ROUND(CAST(max_freq AS DOUBLE) * n_keys / total_rows, 6) AS skew_ratio
     FROM tot, p50, p99"""
 
+  // ---- q166: join output-size estimation (the pre-flight check) ----
+
+  /** q166: EXACT output cardinality of a join, computed from per-key
+    * histograms WITHOUT running the join — |A ⋈ B| = Σ_k cA(k)·cB(k).
+    * Here for the worst case, the events self-join on user_id (the
+    * sessionization/funnel shape): est = Σ c², the quadratic-blowup
+    * number an engine must know BEFORE committing to a shuffle plan at
+    * 100 TB. q149 diagnoses the key distribution; this prices a
+    * specific join and names the keys that dominate it. The top-5
+    * contributing keys + their share of the total output tell the
+    * planner whether salting one hot key (q57) or AQE skew-split is
+    * the right cure.
+    *
+    * Scale shape: ONE map-side-combinable count per key (the corpus
+    * collapses to key cardinality), a 1-row total broadcast back, and
+    * a TakeOrderedAndProject top-5 — estimation cost is a tiny
+    * fraction of the join it prices, and composes for any equi-join
+    * by histogramming each side. */
+  def q166JoinSizeEst(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("freq"))
+    val tot = counts.agg(sum(col("freq") * col("freq")).as("est_total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts
+      .select(col("user_id"), col("freq"),
+        (col("freq") * col("freq")).as("pairs_contrib"))
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("freq"), col("pairs_contrib"),
+        col("est_total_rows"), col("n_keys"),
+        round(col("pairs_contrib").cast("double") / col("est_total_rows"), 6)
+          .as("share"))
+      .orderBy(desc("pairs_contrib"), col("user_id"))
+      .limit(5)
+  }
+
+  val o166 = """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS freq FROM events GROUP BY user_id),
+    tot AS (
+      SELECT SUM(freq * freq) AS est_total_rows, COUNT(*) AS n_keys
+      FROM counts)
+    SELECT user_id, freq, freq * freq AS pairs_contrib,
+      CAST(est_total_rows AS BIGINT) AS est_total_rows, n_keys,
+      ROUND(CAST(freq * freq AS DOUBLE) / est_total_rows, 6) AS share
+    FROM counts, tot
+    ORDER BY pairs_contrib DESC, user_id LIMIT 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q149_skew_report" -> (q149SkewReport _))
+    "q149_skew_report" -> (q149SkewReport _),
+    "q166_join_size_est" -> (q166JoinSizeEst _))
 
   val oracles: Map[String, String] = Map(
-    "q149_skew_report" -> o149)
+    "q149_skew_report" -> o149,
+    "q166_join_size_est" -> o166)
 }

@@ -24,20 +24,28 @@ import graft.functions.VectorFunctions.dot_const
 object KMeans {
 
   /** Squared-L2 argmin assignment: for unit-free argmin it is enough to
-    * maximize 2·c·x − |c|² over centroids c (|x|² is constant per row). */
-  private def assignExpr(cents: Seq[(Int, Array[Double])], v: String) = {
-    val scored = cents.map { case (cid, c) =>
-      val score = dot_const(col(v), c.map(_ * 2.0)) - lit(c.map(x => x * x).sum)
-      struct(score.as("s"), lit(-cid).as("negc"))
-    }
-    // greatest struct = max score, ties toward lower cell id (higher -cid)
-    -greatest(scored: _*).getField("negc")
+    * maximize 2·c·x − |c|² over centroids c (|x|² is constant per row).
+    * Implemented as array_position(scores, array_max(scores)) rather
+    * than greatest() over (score, cid) structs: the struct comparison
+    * codegen emits one unsplittable method that blows the JVM's 64 KB
+    * limit once several multi-centroid assignments share a projection
+    * (q162 encodes 16 subspaces in one select), while the array scan
+    * splits fine. Ties break toward the lower cell id in both forms
+    * (first occurrence of the max). */
+  def assignCol(cents: Seq[(Int, Array[Double])],
+                v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scores = array(cents.map { case (_, c) =>
+      dot_const(v, c.map(_ * 2.0)) - lit(c.map(x => x * x).sum)
+    }: _*)
+    // 1-based first-max position → index into the cid list.
+    element_at(lit(cents.map(_._1).toArray),
+      array_position(scores, array_max(scores)).cast("int"))
   }
 
   /** One assignment pass: adds a `cell` column. */
   def assign(df: DataFrame, cents: Seq[(Int, Array[Double])],
              vecCol: String = "embedding"): DataFrame =
-    df.withColumn("cell", assignExpr(cents, vecCol).cast("int"))
+    df.withColumn("cell", assignCol(cents, col(vecCol)).cast("int"))
 
   /** Fit k centroids with `iters` Lloyd iterations. Returns
     * (cellId, centroid) pairs; empty cells keep their previous
@@ -49,7 +57,7 @@ object KMeans {
       .orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol)).collect().toSeq
       .zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+        (i, r.getSeq[Number](1).map(_.doubleValue).toArray)
       }
     for (_ <- 1 to iters) {
       val updated = assign(df, cents, vecCol)

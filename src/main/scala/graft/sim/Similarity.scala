@@ -562,6 +562,122 @@ object Similarity {
     FROM vecs a JOIN vecs b ON a.label < b.label
     ORDER BY label_a, label_b"""
 
+  // ---- q162: product-quantization ANN (ADC scan + exact re-rank) ----
+
+  /** PQ geometry: M subspaces of dim/M coordinates, K centroids per
+    * subspace — codes are M small ints (4 bits each at K=16), so the
+    * resident index is M bytes/vector vs 4·dim for floats (32× at
+    * dim=64): THE memory-bound ANN layout for a 100 TB vector store
+    * (IVF bounds what is SCANNED per query; PQ bounds what is STORED —
+    * a production index composes both). */
+  val PQ_M = 16
+  val PQ_K = 16
+  /** ADC candidates re-ranked with exact cosine per query. Recall is a
+    * dial: candidates cost one row-local lookup-sum each, so RERANK
+    * buys recall at re-rank (not scan) cost — the curve is in
+    * docs/SCALE.md. */
+  val PQ_RERANK = 128
+  val Q162_RECALL_FLOOR = 0.85
+
+  /** Codebook cache, same lifecycle stance as `quantizerCache`: a PQ
+    * index trains once and serves many queries; the fit is
+    * deterministic (no RNG), memoization changes no results. Holds
+    * (dim, per-subspace codebooks). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, IndexedSeq[Seq[(Int, Array[Double])]])]()
+
+  /** Unit-normalized double view of the embeddings: PQ's ADC score
+    * approximates the INNER PRODUCT, which on unit vectors IS the
+    * cosine. Zero vectors pass through unscaled (their cosine is
+    * defined as 0 downstream, matching q43's guard). */
+  private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("ev", expr("cast(embedding as array<double>)"))
+      .withColumn("pnrm", expr(
+        "sqrt(aggregate(zip_with(ev, ev, (a, b) -> a * b), 0D, (acc, x) -> acc + x))"))
+      .select(col("vec_id"), when(col("pnrm") === 0.0, col("ev"))
+        .otherwise(expr("transform(ev, x -> x / pnrm)")).as("nv"))
+
+  /** Train the M per-subspace codebooks on a bounded sample (the same
+    * train-then-broadcast stance as the IVF coarse quantizer — only
+    * M·K·(dim/M) centroid doubles ever reach the driver). */
+  private def pqCodebooks(s: SparkSession, d: String)
+      : (Int, IndexedSeq[Seq[(Int, Array[Double])]]) =
+    pqCache.computeIfAbsent(s"$d|$PQ_M|$PQ_K", _ => {
+      val u = unitEmbeddings(s, d)
+      val dim = u.select(size(col("nv"))).head().getInt(0)
+      require(dim % PQ_M == 0, s"dim $dim not divisible by $PQ_M subspaces")
+      val sub = dim / PQ_M
+      val sample = u.filter(col("vec_id") < FIT_SAMPLE)
+      val books = (0 until PQ_M).map { m =>
+        KMeans.fit(sample.select(col("vec_id"),
+          slice(col("nv"), m * sub + 1, sub).as("sv")),
+          PQ_K, KMEANS_ITERS, "sv")
+      }
+      (dim, books)
+    })
+
+  /** PQ search: encode the base once (M argmins per row, all codegen
+    * DotWithConst projections), score every (query, code-row) pair with
+    * the asymmetric-distance lookup table, keep the top `rerank` ADC
+    * candidates per query, then re-rank those exactly.
+    *
+    * Scale shape: the ADC scan touches ONLY the codes table (M
+    * bytes/row) with the 50×(M·K) LUT broadcast — row-local
+    * lookup-sums, no shuffle until the per-query top-candidate window;
+    * the exact re-rank reads full vectors for RERANK rows per query
+    * (a point-lookup gather join, candidate-sized). On a cluster the
+    * codes table is the only thing resident; full vectors stay in cold
+    * storage keyed by vec_id. */
+  private[graft] def pqTopK(s: SparkSession, d: String, rerank: Int): DataFrame = {
+    val (dim, books) = pqCodebooks(s, d)
+    val sub = dim / PQ_M
+    val u = unitEmbeddings(s, d)
+    val codes = u.select(col("vec_id").as("nid"),
+      array((0 until PQ_M).map(m =>
+        KMeans.assignCol(books(m), slice(col("nv"), m * sub + 1, sub))
+          .cast("int")): _*).as("codes"))
+    // Per-query lookup tables, computed driver-side from the (bounded)
+    // query set: lut[m·K + c] = ⟨q_subspace_m, centroid_c of book m⟩.
+    val qRows = u.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id"), col("nv")).collect()
+    val luts = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val lut = new Array[Double](PQ_M * PQ_K)
+      for (m <- 0 until PQ_M; (cid, c) <- books(m)) {
+        var dp = 0.0; var i = 0
+        while (i < sub) { dp += qv(m * sub + i) * c(i); i += 1 }
+        lut(m * PQ_K + cid) = dp
+      }
+      (r.getLong(0), lut.toSeq)
+    }
+    import s.implicits._
+    val qlut = luts.toDF("qid", "lut")
+    val wAdc = Window.partitionBy(col("qid")).orderBy(desc("adc"), col("nid"))
+    val cand = codes.crossJoin(broadcast(qlut))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc", expr(
+        s"aggregate(zip_with(codes, sequence(0, ${PQ_M - 1}), " +
+          s"(c, m) -> element_at(lut, m * $PQ_K + c + 1)), " +
+          "0D, (acc, x) -> acc + x)"))
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= rerank)
+      .select(col("qid"), col("nid"))
+    val e = embeddings(s, d)
+    val wEx = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
+    cand
+      .join(broadcast(e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nvv")), Seq("nid"))
+      .withColumn("sim", round(cosine_sim(col("qv"), col("nvv")), 6))
+      .withColumn("rank", row_number().over(wEx).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  def q162KnnPq(s: SparkSession, d: String): DataFrame =
+    withRecallEvidence(s, d, pqTopK(s, d, PQ_RERANK), Q162_RECALL_FLOOR, "q162")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_label_centroids" -> (q100LabelCentroids _),
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
@@ -569,7 +685,8 @@ object Similarity {
     "q47_embed_near_dup"  -> (q47EmbedNearDup _),
     "q55_knn_ivf"         -> (q55KnnIvf _),
     "q87_margin_near_dup" -> (q87MarginNearDup _),
-    "q146_int8_ann"       -> (q146Int8Ann _))
+    "q146_int8_ann"       -> (q146Int8Ann _),
+    "q162_knn_pq"         -> (q162KnnPq _))
 
   val oracles: Map[String, String] = Map(
     "q100_label_centroids" -> o100,

@@ -104,4 +104,63 @@ class GraphSpec extends AnyFunSuite {
            plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast margin joins:\n$plan")
   }
+
+  test("q163 synchronous LPA == imperative replay (2 rounds, tie → smaller label)") {
+    val nbr = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2) }
+    var lab: Map[Long, Long] = nbr.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 2) {
+      lab = nbr.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).map { case (l, xs) => l -> xs.size }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.labelProp(edges.toSeq.toDF("p1", "p2"), 2, "spec163")
+      .as[(Long, Long)].collect().toMap
+    assert(got == lab && got.nonEmpty)
+  }
+
+  test("q164 k-round relaxation == imperative Bellman-Ford over ≤k-edge paths") {
+    val ep = Graph.pairCounts(Graph.baskets(spark, TestSpark.SF), 2)
+      .select("p1", "p2", "pair_orders").as[(Long, Long, Long)].collect()
+    val e = ep.flatMap { case (a, b, po) =>
+      val w = 1000000L / po; Seq((a, b, w), (b, a, w))
+    }
+    var dist: Map[Long, Long] = Map(ep.map(_._1).min -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = e.flatMap { case (s2, d2, w) =>
+        dist.get(s2).map(ds => d2 -> (ds + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2).min }
+    }
+    val epw = ep.toSeq.toDF("p1", "p2", "pair_orders")
+      .select(col("p1"), col("p2"), expr("1000000 div pair_orders").as("w"))
+    val got = Graph.shortestPaths(epw, 3, "spec164")
+      .as[(Long, Long)].collect().toMap
+    assert(got == dist && got.nonEmpty)
+    // Distances only shrink with more rounds: 2-round dist dominates 3-round.
+    val got2 = Graph.shortestPaths(epw, 2, "spec164b")
+      .as[(Long, Long)].collect().toMap
+    got2.foreach { case (v, d2) => assert(got(v) <= d2) }
+    assert(got2.keySet.subsetOf(got.keySet))
+  }
+
+  test("q165 pair-pruned Apriori triples == brute-force triple enumeration") {
+    val baskets = Graph.baskets(spark, TestSpark.SF)
+      .select("o", "p").as[(Long, Long)].collect()
+    val counts = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+      .withDefaultValue(0L)
+    baskets.groupBy(_._1).values.foreach { xs =>
+      val s = xs.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length; k <- j + 1 until s.length)
+        counts((s(i), s(j), s(k))) += 1
+    }
+    val expected = counts.toSeq.collect { case (t, n) if n >= 2 => (t._1, t._2, t._3, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20)
+    val got = Graph.q165Itemsets3(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected && got.nonEmpty,
+      s"got ${got.size} triples, expected ${expected.size}")
+  }
 }

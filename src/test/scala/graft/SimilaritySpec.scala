@@ -199,4 +199,31 @@ class SimilaritySpec extends AnyFunSuite {
       .select(max(abs(col("se") - col("sq")))).as[Double].head()
     assert(err <= 0.05, s"int8 similarity error $err exceeds bound")
   }
+
+  test("q162 PQ: re-ranked sims are EXACT cosines; recall vs brute force above floor") {
+    import spark.implicits._
+    val exact = Similarity.q43KnnBruteForce(spark, TestSpark.SF)
+    val pq = Similarity.q162KnnPq(spark, TestSpark.SF)
+    // The ADC score is approximate, but every REPORTED sim comes from the
+    // exact re-rank: any (qid, nid) pair q162 reports must carry the same
+    // rounded cosine the brute-force path computes for that pair.
+    val e = graft.Tables.embeddings(spark, TestSpark.SF)
+    val check = pq.select(col("qid"), col("nid"), col("sim"))
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
+      .select(max(abs(col("sim") - round(cosine_sim(col("qv"), col("nv")), 6))))
+      .as[Double].head()
+    assert(check == 0.0, s"re-ranked sim deviates from exact cosine by $check")
+    // recall@topk against the exact pair set (the runtime raise_error floor
+    // guards the audit subsample; this asserts the FULL query set).
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    val recall = (pairs(exact) & pairs(pq)).size.toDouble / pairs(exact).size
+    assert(recall >= Similarity.Q162_RECALL_FLOOR,
+      s"PQ full-set recall $recall below floor ${Similarity.Q162_RECALL_FLOOR}")
+    // every query answered with a full top-k
+    val perQ = pq.groupBy("qid").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    assert(perQ.length == Similarity.N_QUERIES && perQ.forall(_ == Similarity.TOP_K))
+  }
 }

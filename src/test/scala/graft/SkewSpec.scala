@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Skew
+
+/** Join-size estimation (q166): the histogram formula Σ cA(k)·cB(k)
+  * must equal the ACTUAL join output cardinality — the whole point of
+  * the operator is that the cheap per-key aggregate prices the join
+  * exactly, not approximately. */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q166 estimate == actual self-join cardinality, shares sum ≤ 1") {
+    val d = TestSpark.SF
+    val ev = graft.Tables.events(spark, d).select("user_id")
+    val actual = ev.join(ev.withColumnRenamed("user_id", "u2"),
+      col("user_id") === col("u2")).count()
+    val rows = Skew.q166JoinSizeEst(spark, d)
+      .select("user_id", "freq", "pairs_contrib", "est_total_rows", "share")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { case (_, f, pc, est, share) =>
+      assert(pc == f * f)
+      assert(est == actual, s"estimated $est, actual join produced $actual")
+      assert(math.abs(share - math.rint(pc.toDouble / est * 1e6) / 1e6) < 1e-12)
+    }
+    // top-5 shares are a partition of ≤ the whole
+    assert(rows.map(_._5).sum <= 1.0 + 1e-9)
+    // descending by contribution
+    val pcs = rows.map(_._3)
+    assert(pcs.zip(pcs.tail).forall { case (a, b) => a >= b })
+  }
+}
