@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
       ops.Reconcile.queries ++ ops.Temporal.queries ++ ops.Analytics.queries ++
-      ops.Skew.queries ++ ops.Graph.queries ++
+      ops.Skew.queries ++ ops.Graph.queries ++ ops.Spatial.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
@@ -39,6 +39,7 @@ object SparkEntry {
     sources.PartitionedScan.ensurePartitioned(spark, sfDir)
     sources.PartitionedScan.ensureBuckets(spark, sfDir)
     sources.PartitionedScan.ensureSorted(spark, sfDir)
+    sim.Similarity.ensureAnnIndexes(spark, sfDir)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,7 +47,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
       ops.Reconcile.oracles ++ ops.Temporal.oracles ++ ops.Analytics.oracles ++
-      ops.Skew.oracles ++ ops.Graph.oracles ++
+      ops.Skew.oracles ++ ops.Graph.oracles ++ ops.Spatial.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++

@@ -693,7 +693,152 @@ object Analytics {
             SUM(n) OVER (PARTITION BY prev_type), 6) AS p
     FROM t ORDER BY prev_type, next_type"""
 
+  // ---- q172: sequential-pattern support (a-then-b, any gap) ----
+
+  /** q172: support of every ordered event-type pair (a, b) = number of
+    * users with SOME a-event strictly before SOME b-event — the k=2
+    * sequential-pattern mine (PrefixSpan's first level), distinct from
+    * q160's ADJACENT transitions: here the pair may span any gap.
+    *
+    * The scale insight: "∃ a before b" ⟺ first(a) < last(b), so the
+    * per-user event stream collapses to (user, type, min_ts, max_ts) —
+    * ONE map-side-combinable aggregate over events — and the pattern
+    * join runs per user over a |types|²-bounded expansion of that tiny
+    * summary, never over raw events. Timestamps compare as integer
+    * nanos; support counts are exact; lift-style ratio against the
+    * per-type user counts uses one final IEEE division (q160 stance). */
+  def q172SeqPairs(s: SparkSession, d: String): DataFrame = {
+    val spans = events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val support = spans.as("a")
+      .join(spans.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") =!= col("b.event_type") &&
+              col("a.first_ts") < col("b.last_ts"))
+      .groupBy(col("a.event_type").as("t_first"),
+               col("b.event_type").as("t_then"))
+      .agg(count(lit(1)).as("support"))
+    val perType = spans.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    support
+      .join(broadcast(perType.select(col("event_type").as("t_first"),
+        col("n_users").as("users_first"))), Seq("t_first"))
+      .select(col("t_first"), col("t_then"), col("support"),
+        round(col("support").cast("double") / col("users_first"), 6)
+          .as("confidence"))
+      .orderBy(col("t_first"), col("t_then"))
+  }
+
+  val o172 = """
+    WITH spans AS (
+      SELECT user_id, event_type,
+        MIN(epoch_ns(ts)) AS first_ts, MAX(epoch_ns(ts)) AS last_ts
+      FROM events GROUP BY 1, 2),
+    sup AS (
+      SELECT a.event_type AS t_first, b.event_type AS t_then,
+        COUNT(*) AS support
+      FROM spans a JOIN spans b ON a.user_id = b.user_id
+      WHERE a.event_type <> b.event_type AND a.first_ts < b.last_ts
+      GROUP BY 1, 2),
+    pt AS (
+      SELECT event_type, COUNT(*) AS n_users FROM spans GROUP BY 1)
+    SELECT t_first, t_then, support,
+      ROUND(CAST(support AS DOUBLE) / n_users, 6) AS confidence
+    FROM sup JOIN pt ON sup.t_first = pt.event_type
+    ORDER BY t_first, t_then"""
+
+  // ---- q175: information-gain feature ranking ----
+
+  /** q175: rank candidate features by information gain against the
+    * event-type label — IG(f) = H(label) − H(label | f) — the
+    * feature-selection primitive of every tabular training pipeline.
+    * Three candidate features are derived with pure integer arithmetic
+    * from the event stream (weekday and hour from the nanosecond
+    * timestamp, the floor-bucketed metric value), so both engines
+    * re-derive them bit-identically.
+    *
+    * Determinism: the q167 fixed-point stance. Each cell's −ln(p) is
+    * floored ONCE at 1e7 after an identical double divide, weighted by
+    * the exact integer cell count, summed in int64, and floor-divided
+    * by 10·N into micro-nats; H(label) and each H(label|f) are floored
+    * independently and IG is their int64 difference, so no rounded
+    * double ever reaches the output.
+    *
+    * Scale shape: the only pass over raw events is one row-local
+    * 3-feature explode feeding a map-side-combinable (feature, value,
+    * label) count — contingency cells bounded by Σ|domain(f)|·|labels|,
+    * not data size; everything after is arithmetic over those cells.
+    * Adding a feature is one more array element, not another scan. */
+  def q175InfoGain(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"),
+      expr("(ts div 86400000000000 + 4) % 7").as("weekday"),
+      expr("(ts div 3600000000000) % 24").as("hour"),
+      expr("cast(floor(value) as bigint)").as("vbkt"))
+    val f = e.select(col("event_type"), explode(array(
+        struct(lit("weekday").as("feature"), col("weekday").as("v")),
+        struct(lit("hour").as("feature"), col("hour").as("v")),
+        struct(lit("vbkt").as("feature"), col("vbkt").as("v")))).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"),
+        col("event_type"))
+    val nvy = f.groupBy(col("feature"), col("v"), col("event_type"))
+      .agg(count(lit(1)).as("n_vy"))
+    val nv = nvy.groupBy(col("feature"), col("v"))
+      .agg(sum(col("n_vy")).as("n_v"))
+    val nn = e.agg(count(lit(1)).as("n"))
+    val hCond = nvy.join(nv, Seq("feature", "v"))
+      .withColumn("t7",
+        floor(-log(col("n_vy").cast("double") / col("n_v")) * 1e7)
+          .cast("long"))
+      .groupBy(col("feature"))
+      .agg(sum(col("n_vy") * col("t7")).as("s"))
+    val hLabel = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_y"))
+      .crossJoin(broadcast(nn))
+      .agg(sum(col("n_y") *
+        floor(-log(col("n_y").cast("double") / col("n")) * 1e7)
+          .cast("long")).as("sy"))
+    hCond.crossJoin(broadcast(hLabel)).crossJoin(broadcast(nn))
+      .select(col("feature"),
+        expr("sy div (10 * n)").as("h_label_micro"),
+        expr("s div (10 * n)").as("h_cond_micro"),
+        expr("sy div (10 * n) - s div (10 * n)").as("ig_micro"))
+      .orderBy(col("feature"))
+  }
+
+  val o175 = """
+    WITH e AS (
+      SELECT event_type,
+        (epoch_ns(ts) // 86400000000000 + 4) % 7 AS weekday,
+        (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        CAST(FLOOR(value) AS BIGINT) AS vbkt
+      FROM events),
+    f AS (
+      SELECT 'weekday' AS feature, weekday AS v, event_type FROM e
+      UNION ALL SELECT 'hour', hour, event_type FROM e
+      UNION ALL SELECT 'vbkt', vbkt, event_type FROM e),
+    nvy AS (
+      SELECT feature, v, event_type, CAST(COUNT(*) AS BIGINT) AS n_vy
+      FROM f GROUP BY 1, 2, 3),
+    nv AS (SELECT feature, v, SUM(n_vy) AS n_v FROM nvy GROUP BY 1, 2),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    hc AS (
+      SELECT feature, SUM(n_vy *
+        CAST(FLOOR(-ln(CAST(n_vy AS DOUBLE) / n_v) * 1e7) AS BIGINT)) AS s
+      FROM nvy JOIN nv USING (feature, v) GROUP BY 1),
+    hy AS (
+      SELECT SUM(n_y *
+        CAST(FLOOR(-ln(CAST(n_y AS DOUBLE) / n) * 1e7) AS BIGINT)) AS sy
+      FROM (SELECT event_type, COUNT(*) AS n_y FROM e GROUP BY 1)
+      CROSS JOIN nn)
+    SELECT feature,
+      sy // (10 * n) AS h_label_micro,
+      s // (10 * n) AS h_cond_micro,
+      sy // (10 * n) - s // (10 * n) AS ig_micro
+    FROM hc CROSS JOIN hy CROSS JOIN nn ORDER BY feature"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_info_gain"         -> (q175InfoGain _),
+    "q172_seq_pairs"         -> (q172SeqPairs _),
     "q160_markov"            -> (q160Markov _),
     "q152_funnel"            -> (q152Funnel _),
     "q145_group_regression"  -> (q145GroupRegression _),
@@ -708,6 +853,8 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q175_info_gain" -> o175,
+    "q172_seq_pairs" -> o172,
     "q160_markov" -> o160,
     "q152_funnel" -> o152,
     "q145_group_regression" -> o145,

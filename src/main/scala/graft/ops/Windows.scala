@@ -290,7 +290,167 @@ object Windows {
         AS global_rank
     FROM documents ORDER BY global_rank"""
 
+  // ---- q168: rolling exact median over a RANGE frame ----
+
+  /** q168: per-nation daily revenue with the exact rolling median over a
+    * 7-day RANGE window (6 preceding days + current). The window
+    * quantile is EXACT (`percentile`, not approx): the frame holds ≤ 7
+    * rows per (nation, day) regardless of data scale — daily totals are
+    * pre-aggregated first — so exactness costs a bounded per-frame sort,
+    * not a corpus sort. Revenue is summed in cents (decimal → int64) so
+    * the median is k or k+0.5 exactly; both engines interpolate the
+    * even-count middle identically in doubles over exact ints.
+    *
+    * Scale shape: one shuffle to (nation, day) aggregates (map-side
+    * combinable), then a |nations|-way window over day-indexed rows —
+    * the window input is calendar-bounded (rows = nations × days), not
+    * row-count-bounded, so a 100× fact scale-up changes only the first
+    * aggregate. */
+  def q168RollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("day_num"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast("long").as("rev_cents"))
+      .filter(col("day_num") < 120)
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("med7_cents", expr("percentile(rev_cents, 0.5D)").over(w))
+      .select(col("n_name"), col("day_num"), col("rev_cents"),
+        round(col("med7_cents"), 1).as("med7_cents"))
+      .orderBy(col("n_name"), col("day_num"))
+  }
+
+  val o168 = """
+    WITH daily AS (
+      SELECT n_name,
+        CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+          AS day_num,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+          AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2 HAVING day_num < 120)
+    SELECT n_name, day_num, rev_cents,
+      ROUND(median(rev_cents) OVER (PARTITION BY n_name ORDER BY day_num
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 1) AS med7_cents
+    FROM daily ORDER BY n_name, day_num"""
+
+  // ---- q170: running distinct count (first-occurrence decomposition) ----
+
+  /** q170: cumulative distinct users per event type by day. Neither
+    * engine supports COUNT(DISTINCT) OVER a running frame — and at
+    * scale a naive one would hold the full user set per frame — so the
+    * operator DECOMPOSES: distinct-over-time = first occurrence per
+    * (type, user) → daily new-user counts → running sum. State per
+    * group collapses from |users| to one long. The same decomposition
+    * is how the streaming side would do it (dropDuplicates + windowed
+    * count + cumulative sum), so batch and stream agree by
+    * construction. */
+  def q170RunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstDay = events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts_us"))).as("day"))
+    val newPerDay = firstDay.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    newPerDay
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val o170 = """
+    WITH fd AS (
+      SELECT event_type, user_id,
+        MIN(CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE)) AS day
+      FROM events GROUP BY 1, 2),
+    npd AS (
+      SELECT event_type, day, COUNT(*) AS new_users FROM fd GROUP BY 1, 2)
+    SELECT event_type, day, new_users,
+      SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM npd ORDER BY event_type, day"""
+
+  // ---- q173: exact EWMA (dyadic-weight exponential smoothing) ----
+
+  /** q173: exponentially weighted moving average of per-nation daily
+    * revenue, α = 1/2, over the last 10 days present — exponential
+    * smoothing as an EXACT cross-engine operator.
+    *
+    * The float hazard of EWMA is weight generation: α(1−α)^k in
+    * arbitrary α is rounded at every power and the summation order
+    * leaks into the result. With α = 1/2 every weight is the dyadic
+    * 2^−k, so each product rev_cents·2^−k and every partial sum is an
+    * EXACTLY representable double (denominator 2⁹, numerator < 2^53):
+    * the left fold `acc/2 + x` over the ordered frame computes
+    * Σ x_{n−k}·2^−k with zero rounding, on any engine, in any
+    * association order. The single inexact step is the final
+    * numerator/denominator division, one IEEE op, then floor(·1e6)
+    * micro-units — the q167 fixed-point stance, no ROUND(double)
+    * boundary hazard.
+    *
+    * Scale shape: one map-side-combinable shuffle to (nation, day)
+    * daily totals; the EWMA itself is a 10-row ROWS frame over the
+    * calendar-bounded daily table (rows = nations × days, independent
+    * of fact volume) — `collect_list` over the frame is bounded at 10
+    * elements by the frame spec, then folded row-locally by codegen
+    * HOFs. The oracle computes the same weights via a rank self-join
+    * (pow(2, −gap) — also exact), proving the fold ≡ the closed form. */
+  def q173Ewma(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate").cast("date"),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("day_num"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast("long").as("rev_cents"))
+      .filter(col("day_num") >= 0 && col("day_num") < 120)
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day_num"))
+      .rowsBetween(-9, 0)
+    daily
+      .withColumn("xs", collect_list(col("rev_cents")).over(w))
+      .withColumn("ewma_micro", expr("""
+        cast(floor(
+          aggregate(xs, 0D, (acc, x) -> acc / 2D + cast(x as double)) /
+          aggregate(xs, 0D, (acc, x) -> acc / 2D + 1D) * 1e6) as bigint)"""))
+      .select(col("n_name"), col("day_num"), col("rev_cents"),
+        col("ewma_micro"))
+      .orderBy(col("n_name"), col("day_num"))
+  }
+
+  val o173 = """
+    WITH daily AS (
+      SELECT n_name,
+        CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+          AS day_num,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+          AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2 HAVING day_num >= 0 AND day_num < 120),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY day_num)
+        AS rn
+      FROM daily)
+    SELECT a.n_name, a.day_num, a.rev_cents,
+      CAST(FLOOR(SUM(b.rev_cents * pow(2.0, -(a.rn - b.rn))) /
+                 SUM(pow(2.0, -(a.rn - b.rn))) * 1e6) AS BIGINT)
+        AS ewma_micro
+    FROM r a JOIN r b
+      ON a.n_name = b.n_name AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY a.n_name, a.day_num, a.rev_cents
+    ORDER BY a.n_name, a.day_num"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_rolling_median" -> (q168RollingMedian _),
+    "q170_running_distinct" -> (q170RunningDistinct _),
+    "q173_ewma"           -> (q173Ewma _),
     "q151_global_rank"    -> (q151GlobalRank _),
     "q110_resample_ffill" -> (q110ResampleFfill _),
     "q115_pit_features"   -> (q115PitFeatures _),
@@ -301,6 +461,8 @@ object Windows {
     "q66_window_dist"    -> (q66WindowDist _))
 
   val oracles: Map[String, String] = Map(
+    "q168_rolling_median" -> o168, "q170_running_distinct" -> o170,
+    "q173_ewma" -> o173,
     "q27_window_rank" -> o27, "q28_window_lag" -> o28,
     "q29_window_running" -> o29, "q58_range_frame" -> o58,
     "q66_window_dist" -> o66, "q110_resample_ffill" -> o110,

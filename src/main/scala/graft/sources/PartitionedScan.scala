@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -174,13 +175,151 @@ object PartitionedScan {
       AND l_shipdate < TIMESTAMP '1996-04-01'
     GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---- q174: z-order layout vs 1-D sort — zone-map pruning audit ----
+
+  /** Bits per axis (10-bit coords in [0,1024)) and the simulated file
+    * size for the layout model. */
+  val Z_BITS = 10
+  val Z_ROWS_PER_FILE = 64L
+
+  /** The 20-term integer bit-interleave Σ bit_i(x)·4^i + bit_i(y)·2·4^i,
+    * rendered with div/mod arithmetic only so the IDENTICAL formula runs
+    * on both engines (`div` spelled per dialect). */
+  private def zExpr(x: String, y: String, div: String): String =
+    (0 until Z_BITS).map { i =>
+      val p = 1L << i; val q = 1L << (2 * i)
+      s"(($x $div $p) % 2) * $q + (($y $div $p) % 2) * ${2 * q}"
+    }.mkString(" + ")
+
+  /** The fixed box-query workload: an x-slab, a y-slab, and a square.
+    * (id, x1, x2, y1, y2) inclusive bounds. */
+  val Z_BOXES = Seq(
+    (1L, 0L, 127L, 0L, 1023L),   // x-slab: 1-D x-sort prunes, y-sort can't
+    (2L, 0L, 1023L, 0L, 127L),   // y-slab: the 1-D x-sort's blind spot
+    (3L, 448L, 575L, 448L, 575L))// square: z-order's home turf
+
+  /** q174: quantified zone-map pruning under three physical layouts —
+    * insertion order, 1-D lexicographic (x, y) sort, and z-order
+    * (Morton) interleave — for the same box-query workload.
+    *
+    * The operator materializes no files: it SIMULATES the layout by
+    * assigning each point a file id (global rank under the layout's
+    * sort key ÷ rows-per-file), reduces each file to its zone map
+    * (min/max per axis — what parquet footers store), and counts the
+    * files each box query cannot prune. That collapses the layout
+    * question "would a z-order rewrite of this 100 TB table help MY
+    * queries?" to an exact, cheap, all-integer audit over n_files rows
+    * — run it BEFORE paying for the rewrite. At scale the global rank
+    * is the same range-partitioned sort the actual rewrite (q143's
+    * `repartitionByRange` + `sortWithinPartitions`) would pay; the
+    * audit's analysis side only ever sees n_files zone-map rows.
+    *
+    * Expected physics, which the gate now pins as data: the x-sorted
+    * layout prunes the x-slab perfectly and the y-slab not at all
+    * (every file spans all of y); z-order prunes BOTH slabs to ~1/8 of
+    * files and the square to the 4-cell neighborhood — the reason
+    * Delta/Iceberg OPTIMIZE ZORDER exists. Coordinates derive
+    * arithmetically from part keys (the q169 idiom) so the oracle
+    * re-derives every point; the interleave is the same generated
+    * 20-term div/mod formula on both engines. */
+  def q174ZorderSkipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = part(s, d).select(
+      col("p_partkey").as("k"),
+      (col("p_partkey") * 37 % 1024).as("x"),
+      (col("p_partkey") * 91 % 1024).as("y"))
+      .withColumn("z", expr(zExpr("x", "y", "div")))
+    val boxes = broadcast(
+      Z_BOXES.toDF("query_id", "x1", "x2", "y1", "y2"))
+    // Global rank without a single-partition window (the q151 two-phase
+    // pattern): in-bucket row_number + broadcast cumulative offsets over
+    // the |buckets|-bounded bucket census.
+    def layout(name: String, bkt: org.apache.spark.sql.Column,
+               key: Seq[org.apache.spark.sql.Column]) = {
+      val withBkt = pts.withColumn("bkt", bkt)
+      val wIn = Window.partitionBy(col("bkt")).orderBy(key :+ col("k"): _*)
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withBkt.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val zone = withBkt
+        .withColumn("r_in", row_number().over(wIn).cast("long"))
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("file_id",
+          expr(s"(off + r_in - 1) div $Z_ROWS_PER_FILE"))
+        .groupBy(col("file_id"))
+        .agg(min("x").as("minx"), max("x").as("maxx"),
+             min("y").as("miny"), max("y").as("maxy"))
+      zone.join(boxes,
+          col("x1") <= col("maxx") && col("x2") >= col("minx") &&
+          col("y1") <= col("maxy") && col("y2") >= col("miny"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("files_scanned"))
+        .withColumn("layout", lit(name))
+    }
+    val total = pts.agg(
+      ceil(count(lit(1)).cast("double") / Z_ROWS_PER_FILE)
+        .cast("long").as("n_files"))
+    layout("key", expr("k div 1024"), Seq(col("k")))
+      .unionByName(layout("lex", col("x"), Seq(col("x"), col("y"))))
+      .unionByName(layout("zorder", expr("z div 1024"), Seq(col("z"))))
+      .crossJoin(broadcast(total))
+      .select(col("query_id"), col("layout"), col("files_scanned"),
+        col("n_files"))
+      .orderBy(col("query_id"), col("layout"))
+  }
+
+  def o174: String = {
+    val boxes = Z_BOXES.map { case (id, x1, x2, y1, y2) =>
+      s"(CAST($id AS BIGINT), CAST($x1 AS BIGINT), CAST($x2 AS BIGINT), " +
+      s"CAST($y1 AS BIGINT), CAST($y2 AS BIGINT))" }.mkString(", ")
+    // zone maps per layout, then the overlap join — mirror of the Spark
+    // plan, one CTE pair per layout
+    def zone(name: String, key: String) = s"""
+    z_$name AS (
+      SELECT file_id,
+        MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+      FROM (
+        SELECT ((ROW_NUMBER() OVER (ORDER BY $key, k) - 1)
+                 // $Z_ROWS_PER_FILE) AS file_id, x, y
+        FROM pts)
+      GROUP BY file_id),
+    s_$name AS (
+      SELECT query_id, '$name' AS layout, COUNT(*) AS files_scanned
+      FROM z_$name JOIN boxes
+        ON x1 <= maxx AND x2 >= minx AND y1 <= maxy AND y2 >= miny
+      GROUP BY query_id)"""
+    s"""
+    WITH pts AS (
+      SELECT p_partkey AS k, p_partkey * 37 % 1024 AS x,
+             p_partkey * 91 % 1024 AS y,
+             ${zExpr("(p_partkey * 37 % 1024)", "(p_partkey * 91 % 1024)", "//")} AS z
+      FROM part),
+    boxes(query_id, x1, x2, y1, y2) AS (VALUES $boxes),
+    n AS (
+      SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $Z_ROWS_PER_FILE)
+        AS BIGINT) AS n_files FROM pts),
+    ${zone("key", "k")},
+    ${zone("lex", "x, y")},
+    ${zone("zorder", "z")}
+    SELECT query_id, layout, files_scanned, n_files
+    FROM (SELECT * FROM s_key UNION ALL SELECT * FROM s_lex
+          UNION ALL SELECT * FROM s_zorder) u
+    CROSS JOIN n
+    ORDER BY query_id, layout"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_dynamic_pruning" -> (q82DynamicPartitionPruning _),
     "q134_bucketed_join"  -> (q134BucketedJoin _),
-    "q143_sorted_scan"    -> (q143SortedScan _))
+    "q143_sorted_scan"    -> (q143SortedScan _),
+    "q174_zorder_skipping" -> (q174ZorderSkipping _))
 
   val oracles: Map[String, String] = Map(
     "q82_dynamic_pruning" -> o82,
     "q134_bucketed_join" -> o134,
-    "q143_sorted_scan" -> o143)
+    "q143_sorted_scan" -> o143,
+    "q174_zorder_skipping" -> o174)
 }

@@ -397,7 +397,73 @@ object CorpusSignals {
     WHERE pc.cxy >= $PMI_MIN_COUNT
     ORDER BY pmi_ratio DESC, pc.x, pc.y LIMIT 50"""
 
+  // ---- q167: unigram-LM cross-entropy quality filter (CCNet shape) ----
+
+  /** q167: per-document average negative log-likelihood under the
+    * corpus's own unigram LM — the perplexity-style quality filter of
+    * CCNet-class pipelines (score documents by how surprising their
+    * tokens are under a reference LM; the reference here is the corpus
+    * unigram distribution itself, which keeps the oracle closed-form
+    * while exercising the identical dataflow a pretrained-LM scorer
+    * uses).
+    *
+    * Determinism: each token's −ln p(w) is fixed-pointed ONCE as
+    * floor(−ln p · 10⁷) — the identical double multiply-then-floor on
+    * both engines — then weighted by the exact integer term frequency
+    * and summed as int64; the average is integer floor division
+    * (micro-nats). No rounded double ever reaches the output: rational
+    * averages sit exactly ON 6-dp boundaries for ~1 in 250 docs, where
+    * Spark's Round(double) (shortest-string BigDecimal, HALF_UP) and
+    * DuckDB's ROUND (binary multiply) disagree — and ROUND-at-7dp of
+    * the per-term value hit the same trap one level down. floor() after
+    * an identical multiply leaves only a 1-ulp ln() discrepancy landing
+    * exactly on an integer boundary as the divergence window (~1e-8 per
+    * vocabulary term, and fixed-data-stable).
+    * Scale shape: occurrences collapse row-locally to (doc, term, tf)
+    * via the codegen TokenCounts expression (no corpus-wide explode
+    * shuffle); the unigram table is vocabulary-sized and broadcast
+    * back; one groupBy(doc) finishes — q63's TF-IDF topology with a
+    * language model on top. */
+  def q167UnigramNll(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenCounts.token_counts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val uni = tf.groupBy(col("term")).agg(sum(col("tf")).as("cw"))
+    val n = uni.agg(sum(col("cw")).as("n_corpus"))
+    tf.join(broadcast(uni), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("n7",
+        floor(-log(col("cw").cast("double") / col("n_corpus")) * 1e7)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+           sum(col("n7") * col("tf")).as("t7"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("t7 div (10 * n_tok)").as("avg_nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o167 = """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1, 2),
+    uni AS (SELECT term, SUM(tf) AS cw FROM tf GROUP BY 1),
+    n AS (SELECT SUM(cw) AS n_corpus FROM uni),
+    sc AS (
+      SELECT doc_id, tf,
+        CAST(FLOOR(-ln(CAST(cw AS DOUBLE) / n_corpus) * 1e7) AS BIGINT)
+          AS n7
+      FROM tf JOIN uni USING (term) CROSS JOIN n)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+      CAST(SUM(n7 * tf) AS BIGINT) // CAST(10 * SUM(tf) AS BIGINT)
+        AS avg_nll_micro
+    FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_unigram_nll" -> (q167UnigramNll _),
     "q140_pmi_collocations" -> (q140PmiCollocations _),
     "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
     "q120_token_rarity" -> (q120TokenRarity _),
@@ -407,6 +473,7 @@ object CorpusSignals {
     "q133_shingle_novelty" -> (q133ShingleNovelty _))
 
   val oracles: Map[String, String] = Map(
+    "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,
     "q131_source_calibration" -> o131, "q132_token_gini" -> o132,

@@ -479,7 +479,126 @@ object TrainingSet {
     SELECT lang, rk, doc_id, w, ROUND(priority, 6) AS priority
     FROM r WHERE rk <= $GROUP_K ORDER BY lang, rk"""
 
+  // ---- q171: deterministic source interleave (curriculum order) ----
+
+  /** q171: the deterministic round-robin interleave of per-source
+    * document streams — the "mixing order" step of a training-set
+    * build: given per-source ranked streams, emit the globally ordered
+    * sequence src0[0], src1[0], …, srck[0], src0[1], … WITHOUT a global
+    * sort shuffle. Each row's global position is pure arithmetic over
+    * its per-source rank and the source's index (pos = rank·n_sources
+    * + src_idx), so the only shuffles are the per-source ranking
+    * window and the |sources|-row index broadcast; at 100 TB the
+    * interleaved order is consumed by the shard writer as a sort KEY,
+    * never materialized as a single ordered partition.
+    *
+    * (q84/q109/q114 SAMPLE the mixture; this ORDERS it — the two
+    * compose into "sample by weight, then interleave deterministically"
+    * which is how reproducible curricula ship.) */
+  def q171InterleaveMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("rank_in_src", row_number().over(wSrc).cast("long") - 1)
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"),
+        (col("rank_in_src") * col("n_sources") + col("src_idx")).as("pos"))
+      .orderBy(col("pos"))
+      .limit(40)
+  }
+
+  val o171 = """
+    WITH si AS (
+      SELECT source,
+        CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)),
+    n AS (SELECT COUNT(*) AS n_sources FROM si),
+    r AS (
+      SELECT doc_id, source,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+          AS BIGINT) - 1 AS rank_in_src
+      FROM documents)
+    SELECT doc_id, r.source,
+      rank_in_src * n_sources + src_idx AS pos
+    FROM r JOIN si ON r.source = si.source CROSS JOIN n
+    ORDER BY pos LIMIT 40"""
+
+  // ---- q176: n-gram containment decontamination scoring ----
+
+  /** Containment report threshold, in millionths (30% of the eval
+    * doc's shingles appearing in the train doc). */
+  val CONTAIN_MIN_MICRO = 300000L
+
+  /** Eval selector for the containment gate. Deliberately NOT q85's
+    * EVAL_MOD=97: that slice happens to contain no near-duplicate twin
+    * of any train doc at the gated SF, so every containment score sits
+    * under 6% and the gate would pass on an empty result — proving
+    * nothing. mod 7 puts real near-dup pairs (including verbatim
+    * twins, containment = 1.0) across the eval/train boundary, so the
+    * gate exercises the full score range. */
+  val CONTAIN_EVAL_MOD = 7
+
+  /** q176: CONTAINMENT-scored decontamination — for each (eval doc,
+    * train doc) pair, C(e,t) = |S(e) ∩ S(t)| / |S(e)| over 3-gram
+    * shingle sets, reported where C ≥ 30%. This is the asymmetric
+    * metric real decontamination uses (an eval sample fully quoted
+    * inside a long train document has low Jaccard — the q40 metric —
+    * but containment 1.0), and it complements q85's binary verbatim-
+    * span test with a graded score.
+    *
+    * Determinism: the score never touches floating point — it is
+    * reported in millionths via exact int64 `inter·1e6 div |S(e)|`.
+    *
+    * Scale shape: the eval side is minuscule next to the corpus (the
+    * q85 asymmetry), so its shingle inverted index BROADCASTS; train
+    * shingles probe it row-locally and only matching (eval, train)
+    * candidate rows reach the one keyed aggregate. No self-join, no
+    * all-pairs stage; corpus cost is one scan + one bounded-key
+    * aggregate. */
+  def q176Containment(s: SparkSession, d: String): DataFrame = {
+    val arr = Dedup.shingleArrays(s, d)
+    val ev = arr.filter(col("doc_id") % CONTAIN_EVAL_MOD === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sgs")).as("sg"))
+    val evSize = arr.filter(col("doc_id") % CONTAIN_EVAL_MOD === 0)
+      .select(col("doc_id").as("eval_id"),
+        size(col("sgs")).cast("long").as("n_eval"))
+    val tr = arr.filter(col("doc_id") % CONTAIN_EVAL_MOD =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("sgs")).as("sg"))
+    tr.join(broadcast(ev), Seq("sg"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(evSize), Seq("eval_id"))
+      .withColumn("cont_micro", expr("inter * 1000000 div n_eval"))
+      .filter(col("cont_micro") >= CONTAIN_MIN_MICRO)
+      .select(col("eval_id"), col("train_id"), col("inter"),
+        col("n_eval"), col("cont_micro"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  val o176 = s"""
+    WITH sh AS (${Dedup.ORA_SHINGLES}),
+    ev AS (SELECT doc_id AS eval_id, sg FROM sh WHERE doc_id % $CONTAIN_EVAL_MOD = 0),
+    evs AS (
+      SELECT doc_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_eval
+      FROM sh WHERE doc_id % $CONTAIN_EVAL_MOD = 0 GROUP BY 1),
+    tr AS (SELECT doc_id AS train_id, sg FROM sh WHERE doc_id % $CONTAIN_EVAL_MOD <> 0),
+    cand AS (
+      SELECT eval_id, train_id, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tr JOIN ev USING (sg) GROUP BY 1, 2)
+    SELECT eval_id, train_id, inter, n_eval,
+      inter * 1000000 // n_eval AS cont_micro
+    FROM cand JOIN evs USING (eval_id)
+    WHERE inter * 1000000 // n_eval >= $CONTAIN_MIN_MICRO
+    ORDER BY eval_id, train_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_containment"     -> (q176Containment _),
+    "q171_interleave_mix"  -> (q171InterleaveMix _),
     "q109_priority_sample" -> (q109PrioritySample _),
     "q114_group_sample"    -> (q114GroupSample _),
     "q98_token_budget"     -> (q98TokenBudget _),
@@ -490,6 +609,8 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q176_containment"     -> o176,
+    "q171_interleave_mix"  -> o171,
     "q83_sequence_packing" -> o83,
     "q84_mixture_sample"   -> o84,
     "q85_decontaminate"    -> o85,
