@@ -214,11 +214,12 @@ object PartitionedScan {
     * `repartitionByRange` + `sortWithinPartitions`) would pay; the
     * audit's analysis side only ever sees n_files zone-map rows.
     *
-    * Expected physics, which the gate now pins as data: the x-sorted
-    * layout prunes the x-slab perfectly and the y-slab not at all
-    * (every file spans all of y); z-order prunes BOTH slabs to ~1/8 of
-    * files and the square to the 4-cell neighborhood — the reason
-    * Delta/Iceberg OPTIMIZE ZORDER exists. Coordinates derive
+    * Expected physics, which the gate pins as data (sf0.01, 32 files):
+    * the (x,y)-sorted layout prunes the x-slab to 4 files but scans
+    * ALL 32 for the y-slab (every file spans all of y — the 1-D sort's
+    * blind spot); z-order reads ≤10 files for BOTH slabs and the
+    * square — the reason Delta/Iceberg OPTIMIZE ZORDER exists.
+    * Coordinates derive
     * arithmetically from part keys (the q169 idiom) so the oracle
     * re-derives every point; the interleave is the same generated
     * 20-term div/mod formula on both engines. */

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property checks for the round-6 additions beyond registry smoke:
+  * EWMA exactness (q173), z-order pruning physics (q174), entropy
+  * bounds (q175), containment semantics (q176), and the grid ε-join's
+  * candidate completeness (q169). */
+class Batch6Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q173 window fold equals the closed-form EWMA exactly") {
+    // The dyadic-weight claim: the aggregate() fold must equal
+    // Σ x_{n-k}·2^-k / Σ 2^-k recomputed independently in Scala —
+    // EXACT equality, not tolerance, because every term is a dyadic
+    // rational below 2^53.
+    val rows = ops.Windows.q173Ewma(spark, TestSpark.SF)
+      .select("n_name", "day_num", "rev_cents", "ewma_micro")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_._1)
+    byNation.foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 9), i + 1).map(_._3)
+        var num = 0.0; var den = 0.0
+        frame.foreach { x => num = num / 2 + x.toDouble; den = den / 2 + 1 }
+        assert(sorted(i)._4 == math.floor(num / den * 1e6).toLong,
+          s"row $i: got ${sorted(i)._4}")
+      }
+    }
+  }
+
+  test("q174 z-order prunes both slabs; 1-D sort only its own axis") {
+    val r = sources.PartitionedScan.q174ZorderSkipping(spark, TestSpark.SF)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (q, l, f, n) => ((q, l), (f, n)) }.toMap
+    val nFiles = r.values.head._2
+    // x-slab (q1): the (x,y)-lex sort prunes hard; key order cannot.
+    assert(r((1L, "lex"))._1 < r((1L, "key"))._1)
+    // y-slab (q2): lex's blind spot — its files each span (nearly) all
+    // of y. At sf0.001 only 4 files exist and the ragged 8-row last
+    // file can miss the slab by chance, so the tiny-SF assertion is
+    // "z-order is at least as good and beats the full scan"; at sf0.01
+    // (32 files) the oracle-checked result shows lex=32/32 vs zorder=7.
+    assert(r((2L, "zorder"))._1 <= r((2L, "lex"))._1)
+    assert(r((2L, "zorder"))._1 < nFiles)
+    // square (q3): z-order beats the full scan.
+    assert(r((3L, "zorder"))._1 < nFiles)
+  }
+
+  test("q175 conditional entropy never exceeds label entropy (IG >= 0)") {
+    val rows = ops.Analytics.q175InfoGain(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (f, hl, hc, ig) =>
+      // mathematically H(Y|f) <= H(Y); the independent flooring of the
+      // two micro-nat sums admits at most 1 micro-nat of slack
+      assert(hc <= hl + 1, s"$f: H(Y|f)=$hc > H(Y)=$hl")
+      assert(ig == hl - hc)
+      assert(hl > 0)
+    }
+  }
+
+  test("q176 containment: verbatim twins score 1.0 and bounds hold") {
+    val rows = text.TrainingSet.q176Containment(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, t, inter, nEval, cm) =>
+      assert(e % text.TrainingSet.CONTAIN_EVAL_MOD == 0)
+      assert(t % text.TrainingSet.CONTAIN_EVAL_MOD != 0)
+      assert(inter <= nEval && cm <= 1000000L)
+      assert(cm == inter * 1000000L / nEval)
+    }
+    // the sf0.001 corpus plants verbatim near-dup twins across the
+    // mod-7 boundary — full containment must be observed
+    assert(rows.exists(_._5 == 1000000L),
+      "no verbatim twin found: the gate is not exercising containment=1")
+  }
+
+  test("q169 grid ε-join finds exactly the brute-force pair set") {
+    val got = ops.Spatial.q169GridNeighbors(spark, TestSpark.SF)
+      .select("ka", "kb", "dist2").as[(Long, Long, Long)].collect().toSet
+    val pts = Tables.part(spark, TestSpark.SF)
+      .select(col("p_partkey")).as[Long].collect()
+      .map(k => (k, k * 37 % 1000, k * 91 % 1000))
+    val r2 = ops.Spatial.GRID_R * ops.Spatial.GRID_R
+    val brute = (for {
+      (ka, xa, ya) <- pts; (kb, xb, yb) <- pts if ka < kb
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r2
+    } yield (ka, kb, d2)).sortBy(t => (t._3, t._1, t._2)).take(20).toSet
+    assert(got == brute)
+  }
+}
