@@ -465,7 +465,63 @@ object Cleaning {
     WHERE e.value < b.lo OR e.value > b.hi
     ORDER BY e.event_id"""
 
+  // ---- q180: winsorized robust aggregation ----
+
+  /** q180: per-type winsorized mean — values clamped to the exact
+    * [p05, p95] fences before aggregating, the standard robust
+    * alternative to DROPPING outliers (q103 flags them; training
+    * pipelines usually clamp features instead, keeping the row).
+    *
+    * Determinism chain: fences are rounded to 6 dp BEFORE the clamp
+    * (the q103/q127 ulp lesson); each clamped double is frozen to
+    * decimal(18,6) BEFORE summation (the q147 stance — decimal sums
+    * are exact and association-order-free, which double sums across
+    * 1000 executors are NOT), and only the final mean is one IEEE
+    * division surfaced as double.
+    *
+    * Scale shape: exact p05/p95 over raw values costs a per-group
+    * sort; at 100 TB swap the fence computation for the q149-style
+    * value-run quantile (frequency-collapsed) or q75's sketch with a
+    * fence-stability check — the clamp+sum pass is unchanged either
+    * way (one map-side-combinable aggregate). */
+  def q180Winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+           expr("percentile(value, 0.95)").as("p95"))
+      .select(col("event_type"),
+        round(col("p05"), 6).as("lo"), round(col("p95"), 6).as("hi"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+             .as("n_clamped_lo"),
+           sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+             .as("n_clamped_hi"),
+           (sum(col("w")).cast("double") / count(lit(1))).as("wmean"))
+      .orderBy(col("event_type"))
+  }
+
+  val o180 = """
+    WITH f AS (
+      SELECT event_type,
+        ROUND(quantile_cont(value, 0.05), 6) AS lo,
+        ROUND(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clamped_lo,
+      CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clamped_hi,
+      CAST(SUM(CAST(LEAST(GREATEST(e.value, f.lo), f.hi)
+        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS wmean
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_winsorize"       -> (q180Winsorize _),
     "q121_mad_outliers"    -> (q121MadOutliers _),
     "q111_zscore"          -> (q111Zscore _),
     "q103_iqr_outliers"    -> (q103IqrOutliers _),
@@ -484,6 +540,7 @@ object Cleaning {
     "q26_json_extract"     -> (q26JsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q180_winsorize" -> o180,
     "q16_tag_classify" -> o16, "q17_key_split" -> o17,
     "q18_street_normalize" -> o18, "q19_postcode" -> o19,
     "q20_time_parts" -> o20, "q21_sampler" -> o21,

@@ -410,7 +410,71 @@ object Reconcile {
       CAST(SUM(price) AS DOUBLE) AS spend
     FROM nw GROUP BY o_custkey ORDER BY o_custkey"""
 
+  // ---- q179: deletion-propagation audit (right-to-be-forgotten) ----
+
+  /** Deterministic stand-in deletion list: every 89th customer files a
+    * removal request. In production this is the actual request table;
+    * the operator is the same either way. */
+  val FORGET_MOD = 89
+
+  /** q179: cascade-deletion audit — given a customer deletion list,
+    * report per table how many rows the cascade removes (customers →
+    * their orders → those orders' lineitems) and what survives. The
+    * compliance question ("what exactly will this delete touch?") is
+    * answered BEFORE any mutation, as a read-only plan any reviewer can
+    * run.
+    *
+    * Scale shape: the deletion list is minuscule next to the facts, so
+    * it broadcasts and each fact table is ONE scan + broadcast
+    * semi-join probe; the orders→lineitem hop reuses the already-probed
+    * orders keys (keyed sliver, AQE-broadcast), never a second pass
+    * over customers. Nothing shuffles the fact tables at all — the
+    * whole audit is three scans and three tiny aggregates. */
+  def q179ForgetAudit(s: SparkSession, d: String): DataFrame = {
+    val doomedCust = customer(s, d)
+      .filter(col("c_custkey") % FORGET_MOD === 0)
+      .select(col("c_custkey"))
+    val doomedOrders = orders(s, d)
+      .join(broadcast(doomedCust), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select(col("o_orderkey"))
+    def audit(name: String, total: DataFrame, deleted: DataFrame) =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(deleted.agg(count(lit(1)).as("n_deleted"))))
+        .select(lit(name).as("table_name"), col("n_total"),
+          col("n_deleted"), (col("n_total") - col("n_deleted")).as("n_kept"))
+    audit("customer", customer(s, d), doomedCust)
+      .unionByName(audit("orders", orders(s, d), doomedOrders))
+      .unionByName(audit("lineitem", lineitem(s, d),
+        lineitem(s, d).join(broadcast(doomedOrders),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")))
+      .orderBy(col("table_name"))
+  }
+
+  val o179 = s"""
+    WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % $FORGET_MOD = 0),
+    do_ AS (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM dc))
+    SELECT 'customer' AS table_name,
+      (SELECT COUNT(*) FROM customer) AS n_total,
+      (SELECT COUNT(*) FROM dc) AS n_deleted,
+      (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM dc) AS n_kept
+    UNION ALL
+    SELECT 'orders',
+      (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM do_),
+      (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM do_)
+    UNION ALL
+    SELECT 'lineitem',
+      (SELECT COUNT(*) FROM lineitem),
+      (SELECT COUNT(*) FROM lineitem
+       WHERE l_orderkey IN (SELECT o_orderkey FROM do_)),
+      (SELECT COUNT(*) FROM lineitem)
+        - (SELECT COUNT(*) FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+    ORDER BY table_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_forget_audit"  -> (q179ForgetAudit _),
     "q117_delta_agg"     -> (q117DeltaAgg _),
     "q112_merge_upsert"  -> (q112MergeUpsert _),
     "q113_skew_report"   -> (q113SkewReport _),
@@ -420,6 +484,7 @@ object Reconcile {
     "q108_corr_matrix"   -> (q108CorrMatrix _))
 
   val oracles: Map[String, String] = Map(
+    "q179_forget_audit" -> o179,
     "q105_snapshot_diff" -> o105, "q106_not_in_nulls" -> o106,
     "q107_lateral_topk" -> o107, "q108_corr_matrix" -> o108,
     "q112_merge_upsert" -> o112, "q113_skew_report" -> o113,

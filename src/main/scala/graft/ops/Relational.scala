@@ -1010,7 +1010,106 @@ object Relational {
     GROUP BY 1, 2
     ORDER BY numwait DESC, s_name LIMIT 25"""
 
+  // ---- q177: period-over-period (YoY) via conditional aggregation ----
+
+  /** q177: year-over-year monthly revenue per nation (1997 vs 1996).
+    * The textbook formulation self-joins the monthly aggregate to
+    * itself on (nation, month, year−1) — a second shuffle of the
+    * aggregate plus a join. Both periods instead come out of ONE
+    * conditional aggregate (`sum(when(year=…))` pivots the two years
+    * into columns), so the fact table is scanned once, the shuffle is
+    * the single (nation, month) aggregate, and the YoY delta is
+    * row-local arithmetic. Revenue in exact cents; the relative change
+    * is int64 millionths (delta·1e6 div prev — no float). */
+  def q177YoyRevenue(s: SparkSession, d: String): DataFrame = {
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("n_name"), month(col("o_orderdate")).as("mth"))
+      .agg(
+        sum(when(year(col("o_orderdate")) === 1997, cents)
+          .otherwise(0L)).as("rev_cur"),
+        sum(when(year(col("o_orderdate")) === 1996, cents)
+          .otherwise(0L)).as("rev_prev"))
+      .filter(col("rev_prev") > 0)
+      .withColumn("delta_cents", col("rev_cur") - col("rev_prev"))
+      .withColumn("pct_micro",
+        expr("(rev_cur - rev_prev) * 1000000 div rev_prev"))
+      .select(col("n_name"), col("mth").cast("long").as("mth"),
+        col("rev_cur"), col("rev_prev"), col("delta_cents"),
+        col("pct_micro"))
+      .orderBy(col("n_name"), col("mth"))
+  }
+
+  val o177 = """
+    SELECT n_name, CAST(month(o_orderdate) AS BIGINT) AS mth,
+      CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+        THEN CAST(o_totalprice AS DECIMAL(12,2)) * 100 ELSE 0 END)
+        AS BIGINT) AS rev_cur,
+      CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+        THEN CAST(o_totalprice AS DECIMAL(12,2)) * 100 ELSE 0 END)
+        AS BIGINT) AS rev_prev,
+      rev_cur - rev_prev AS delta_cents,
+      (rev_cur - rev_prev) * 1000000 // rev_prev AS pct_micro
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY n_name, mth HAVING rev_prev > 0
+    ORDER BY n_name, mth"""
+
+  // ---- q178: large-volume orders (TPC-H Q18 shape) ----
+
+  /** Q18's quantity floor. */
+  val Q18_MIN_QTY = 250
+
+  /** q178: orders whose total line quantity exceeds Q18_MIN_QTY, with
+    * their customer — TPC-H Q18's "large-volume customer" pattern: an
+    * IN-subquery over a HAVING-filtered aggregate of the biggest table.
+    *
+    * Scale shape: the lineitem aggregate is computed ONCE and its
+    * HAVING-surviving rows (a ~0.1% sliver) carry the quantity sum
+    * directly into the join — no semi-join-then-reaggregate double
+    * scan, which is what engines that decorrelate naively do (the
+    * oracle RUNS the IN + re-aggregate form, proving the single-pass
+    * rewrite). Orders then join that sliver (AQE broadcasts it), and
+    * customer names broadcast onto the result. Quantity is decimal-
+    * exact integer units. */
+  def q178BigOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast("long").as("total_qty"))
+      .filter(col("total_qty") > Q18_MIN_QTY)
+    orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("price_cents"),
+        col("total_qty"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val o178 = s"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        AS price_cents,
+      (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+       FROM lineitem WHERE l_orderkey = o_orderkey) AS total_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > $Q18_MIN_QTY)
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_yoy_revenue" -> (q177YoyRevenue _),
+    "q178_big_orders"  -> (q178BigOrders _),
     "q161_sole_late_supplier" -> (q161SoleLateSupplier _),
     "q150_tpch_q5"        -> (q150TpchQ5 _),
     "q122_share_of_total" -> (q122ShareOfTotal _),
@@ -1050,6 +1149,7 @@ object Relational {
     "q46_order_lines"     -> (q46OrderLines _))
 
   val oracles: Map[String, String] = Map(
+    "q177_yoy_revenue" -> o177, "q178_big_orders" -> o178,
     "q01_pricing_summary" -> o01, "q02_top_segments" -> o02,
     "q03_revenue_by_nation" -> o03, "q04_semi_join" -> o04,
     "q05_anti_join" -> o05, "q06_top_brands" -> o06,
