@@ -311,13 +311,65 @@ object Multimodal {
         + 7*((i//(3*w2)) * h // h2) + i % 3) % 256) AS BIGINT) AS pix_sum
     FROM e GROUP BY doc_id, w2, h2 ORDER BY doc_id"""
 
+  // ---- q181: PCM audio windowed energy over a binary payload ----
+
+  /** Samples per planted clip, samples per analysis window. */
+  val PCM_N = 256
+  val PCM_WIN = 64
+
+  /** q181: windowed audio energy — 16-bit PCM samples planted into a
+    * REAL binary payload (big-endian, via hex round-trip), then parsed
+    * BACK out of the bytes and reduced to per-window sum-of-squares
+    * energy and peak amplitude, all in exact int64.
+    *
+    * The gate closes the audio half of the multimodal plumbing story:
+    * the oracle never sees the binary — it recomputes each window's
+    * energy from the closed-form sample function — so a hash match
+    * proves the byte-level encode → slice → decode pipeline
+    * (`unhex`/`substr(binary)`/`hex`/`conv`) round-trips every sample
+    * exactly. A real codec swaps in at the parse step; window framing,
+    * HOF reduction, and schema are unchanged.
+    *
+    * Scale shape: everything is row-local codegen HOF arithmetic over
+    * the payload column (no explode of samples into rows — the windows
+    * array stays inside the row until the final 4-per-clip explode);
+    * distributable like any per-row transform. */
+  def q181AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    val sample = (i: String) => s"(doc_id * 31 + $i * $i * 17) % 65536"
+    documents(s, d).select(col("doc_id")).filter(col("doc_id") < 40)
+      .withColumn("payload", expr(
+        s"unhex(concat_ws('', transform(sequence(0, ${PCM_N - 1}), " +
+          s"i -> lpad(hex(${sample("i")}), 4, '0'))))"))
+      .withColumn("win", explode(sequence(lit(0), lit(PCM_N / PCM_WIN - 1))))
+      .withColumn("samples", expr(
+        s"transform(sequence(0, ${PCM_WIN - 1}), j -> " +
+          s"cast(conv(hex(substring(payload, 2 * (win * $PCM_WIN + j) + 1, 2)), " +
+          "16, 10) as bigint))"))
+      .select(col("doc_id"), col("win").cast("long").as("win"),
+        expr("aggregate(samples, 0L, (acc, x) -> acc + x * x)").as("energy"),
+        expr("array_max(samples)").as("peak"))
+      .orderBy(col("doc_id"), col("win"))
+  }
+
+  val o181 = s"""
+    SELECT doc_id, i // $PCM_WIN AS win,
+      CAST(SUM(sv * sv) AS BIGINT) AS energy, MAX(sv) AS peak
+    FROM (
+      SELECT doc_id, i,
+        (doc_id * 31 + i * i * 17) % 65536 AS sv
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 40),
+           unnest(range(0, $PCM_N)) u(i))
+    GROUP BY doc_id, win ORDER BY doc_id, win"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
     "q71_frame_stats"     -> (q71FrameStats _),
     "q138_image_decode"   -> (q138ImageDecode _),
-    "q139_image_resize"   -> (q139ImageResize _))
+    "q139_image_resize"   -> (q139ImageResize _),
+    "q181_audio_energy"   -> (q181AudioEnergy _))
 
   val oracles: Map[String, String] = Map(
     "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71,
-    "q138_image_decode" -> o138, "q139_image_resize" -> o139)
+    "q138_image_decode" -> o138, "q139_image_resize" -> o139,
+    "q181_audio_energy" -> o181)
 }
