@@ -21,6 +21,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
       ops.Reconcile.queries ++ ops.Temporal.queries ++ ops.Analytics.queries ++
       ops.Skew.queries ++ ops.Graph.queries ++ ops.Spatial.queries ++
+      ops.TpchShapes.queries ++ ops.StatShapes.queries ++
+      text.ChunkPlan.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
@@ -48,6 +50,8 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
       ops.Reconcile.oracles ++ ops.Temporal.oracles ++ ops.Analytics.oracles ++
       ops.Skew.oracles ++ ops.Graph.oracles ++ ops.Spatial.oracles ++
+      ops.TpchShapes.oracles ++ ops.StatShapes.oracles ++
+      text.ChunkPlan.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++
