@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Distributed statistics shapes (q189, q192, q193): closed-form OLS
+  * regression, MAD-based robust outlier detection, and a Benford
+  * first-digit audit.
+  *
+  * All three follow the house exactness stance: moments are accumulated
+  * as exact integers/decimals (order-independent, stable under AQE
+  * re-plans), and any ratio is either one final IEEE division of exact
+  * operands or int64-millionth integral division — so the oracle can
+  * hash-match bit-for-bit. */
+object StatShapes {
+
+  // ---- q189: per-group OLS trend (closed-form normal equations) ----
+
+  val OLS_EPOCH = "1995-01-01"
+
+  /** q189: least-squares slope and intercept of daily revenue (cents)
+    * against the day index, per nation — the `regr_slope` class of
+    * analytics, computed from the closed form
+    * β = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²).
+    *
+    * Scale shape: two keyed aggregates — fact rows collapse to (nation,
+    * day) once (map-side combine does most of it), then |nations|·|days|
+    * points collapse to 5 moments per nation; the slope is row-local
+    * arithmetic on those moments. No window, no sort, no second fact
+    * scan — this is how a regression over 100 TB of facts must look.
+    * Moment products are computed in DECIMAL(38,0): n·Σxy·10⁶ overflows
+    * int64 already at sf0.1 scale factors, and Spark long overflow wraps
+    * silently (the DuckDB mirror gets the same headroom from HUGEINT). */
+  def q189OlsTrend(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val daily = orders(s, d)
+      .join(broadcast(customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate"), lit(OLS_EPOCH)).as("x"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("y"))
+    daily
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"),
+        sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"))
+      .select(col("n_name"), col("n").cast("long").as("n_days"),
+        expr("cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) as bigint)")
+          .as("slope_micro"),
+        expr("cast((sy * sxx - sx * sxy) * 1000000 div (n * sxx - sx * sx) as bigint)")
+          .as("icept_micro"))
+      .orderBy(col("n_name"))
+  }
+
+  val o189 = s"""
+    WITH daily AS (
+      SELECT n_name, date_diff('day', TIMESTAMP '$OLS_EPOCH', o_orderdate) AS x,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    mom AS (
+      SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT n_name, CAST(n AS BIGINT) AS n_days,
+      CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        AS slope_micro,
+      CAST((sy * sxx - sx * sxy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        AS icept_micro
+    FROM mom ORDER BY n_name"""
+
+  // ---- q192: MAD-based robust outliers ----
+
+  /** Outlier fence: dev > MAD_K · MAD (the classic k=3). */
+  val MAD_K = 3
+
+  /** q192: per order priority, how many order totals sit more than
+    * 3 MADs from the median — the robust-statistics outlier gate a
+    * quality pipeline runs where stddev-based fences would be dragged
+    * by the very outliers they hunt.
+    *
+    * Exactness: medians of integer cents are half-integers, so both
+    * median comparisons are scaled into integer space — `dev2 =
+    * |2·c − med2|` (med2 = 2·median is integral), `mad4 = 2·median(dev2)
+    * = 4·MAD`, and the fence `dev > 3·MAD` becomes `2·dev2 > 3·mad4`.
+    * Every compared value is an exactly-representable integer in both
+    * engines; nothing rides on float rounding.
+    *
+    * Scale shape: two grouped exact-percentile aggregates (each a
+    * single-pass per-group accumulator) with a broadcast join-back of
+    * the |priorities|-row median/MAD tables between them; the outlier
+    * count is conditional aggregation, so groups with zero outliers
+    * still appear. The deviation slice is read twice (MAD fit + final
+    * count) — at cluster scale that intermediate would be persisted
+    * once; here it is a cheap recompute. */
+  def q192MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val base = orders(s, d).select(col("o_orderpriority"), cents.as("c"))
+    val med = base.groupBy(col("o_orderpriority").as("mp"))
+      .agg((expr("percentile(c, 0.5)") * 2).cast("long").as("med2"))
+    val dev = base.join(broadcast(med), col("o_orderpriority") === col("mp"))
+      .withColumn("dev2", abs(col("c") * 2 - col("med2")))
+    val mad = dev.groupBy(col("o_orderpriority").as("gp"))
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), col("o_orderpriority") === col("gp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("med2")).as("med2"),
+        min(col("mad4")).as("mad4"),
+        sum(when(col("dev2") * 2 > lit(MAD_K) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val o192 = s"""
+    WITH base AS (
+      SELECT o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders),
+    med AS (
+      SELECT o_orderpriority AS mp,
+        CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+      FROM base GROUP BY 1),
+    dev AS (
+      SELECT o_orderpriority, med2, abs(c * 2 - med2) AS dev2
+      FROM base JOIN med ON o_orderpriority = mp),
+    mad AS (
+      SELECT o_orderpriority AS gp,
+        CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      FROM dev GROUP BY 1)
+    SELECT o_orderpriority, count(*) AS n, min(med2) AS med2,
+      min(mad4) AS mad4,
+      SUM(CASE WHEN dev2 * 2 > $MAD_K * mad4 THEN 1 ELSE 0 END)
+        AS n_outliers
+    FROM dev JOIN mad ON o_orderpriority = gp
+    GROUP BY 1 ORDER BY o_orderpriority"""
+
+  // ---- q193: Benford first-digit audit ----
+
+  /** Benford expected shares in millionths: round(log10(1+1/d)·1e6).
+    * Frozen as literals — log10 is irrational, and recomputing it on
+    * each engine would reintroduce the float-parity problem. */
+  val BENFORD_MICRO: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** q193: first-significant-digit distribution of order totals vs the
+    * Benford expectation — the fraud/synthetic-data audit. Emits per
+    * digit: observed count, observed share (int64 millionths), the
+    * frozen Benford share, and the signed deviation.
+    *
+    * Scale shape: one 9-group aggregate (first digit via string head —
+    * identical semantics on both engines for positive integers), total
+    * re-derived by a 1-row broadcast; everything downstream of the
+    * aggregate is row-local int arithmetic on 9 rows. */
+  def q193BenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val digits = orders(s, d)
+      .select(cents.as("c")).filter(col("c") > 0)
+      .groupBy(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    val benford = BENFORD_MICRO.foldLeft(lit(null).cast("long")) {
+      case (acc, (dg, micro)) => when(col("digit") === dg, micro).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(total))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        expr("cast(n * 1000000 div total as bigint)").as("share_micro"),
+        benford.as("benford_micro"))
+      .withColumn("dev_micro", col("share_micro") - col("benford_micro"))
+      .orderBy(col("digit"))
+  }
+
+  val o193 = {
+    val caseArms = BENFORD_MICRO
+      .map { case (dg, m) => s"WHEN $dg THEN CAST($m AS BIGINT)" }
+      .mkString(" ")
+    s"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+        count(*) AS n
+      FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              AS c FROM orders) WHERE c > 0 GROUP BY 1)
+    SELECT digit, n, share_micro, benford_micro,
+      share_micro - benford_micro AS dev_micro
+    FROM (
+      SELECT CAST(digit AS BIGINT) AS digit, n,
+        CAST(n * 1000000 // (SELECT sum(n) FROM digits) AS BIGINT)
+          AS share_micro,
+        CASE digit $caseArms END AS benford_micro
+      FROM digits)
+    ORDER BY digit"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_ols_trend"    -> (q189OlsTrend _),
+    "q192_mad_outliers" -> (q192MadOutliers _),
+    "q193_benford"      -> (q193BenfordAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "q189_ols_trend"    -> o189,
+    "q192_mad_outliers" -> o192,
+    "q193_benford"      -> o193)
+}

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+
+/** Corpus planning primitives (q190, q191): exact largest-remainder
+  * quota apportionment across sources, and the overlapping sliding-
+  * window chunk plan a pretraining/RAG tokenizer stage executes.
+  *
+  * Both are pure integer arithmetic end-to-end — apportionment and
+  * chunk boundaries are exactly the kind of computation that must not
+  * drift between the planning engine and the executing tokenizer. */
+object ChunkPlan {
+
+  // ---- q190: largest-remainder quota apportionment ----
+
+  /** Global sampling budget (documents) to split across sources. */
+  val QUOTA_BUDGET = 10000L
+
+  /** q190: apportion a global sample budget across sources proportional
+    * to their character mass, by largest remainder (Hamilton method):
+    * floor quotas first, then the leftover units go to the largest
+    * fractional remainders (ties broken by source name). Guarantees
+    * Σquota = budget exactly — the property float-proportional rounding
+    * violates, and the reason mixture samplers drift off their spec.
+    *
+    * Scale shape: the corpus collapses to one row per source (map-side
+    * combined sum), the global mass is a 1-row broadcast, and the
+    * remainder ranking is a window over |sources| rows — domain-bounded,
+    * like the house's other post-aggregate windows (never over data-
+    * sized input). Weights are multiplied as DECIMAL(38,0): w·budget
+    * overflows int64 once Σchars crosses ~1e15 (true at 100 TB). */
+  def q190QuotaAlloc(s: SparkSession, d: String): DataFrame = {
+    val mass = documents(s, d).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("w"))
+    val tot = mass.agg(sum(col("w")).as("tw"))
+    val ranked = mass.crossJoin(broadcast(tot))
+      .select(col("source"), col("w"),
+        expr(s"cast((cast(w as decimal(38,0)) * $QUOTA_BUDGET) div tw as bigint)")
+          .as("floor_q"),
+        expr(s"cast((cast(w as decimal(38,0)) * $QUOTA_BUDGET) % tw as bigint)")
+          .as("rem"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("rem"), col("source"))))
+    val short = ranked.agg((lit(QUOTA_BUDGET) - sum(col("floor_q")))
+      .as("extra"))
+    ranked.crossJoin(broadcast(short))
+      .select(col("source"), col("w"),
+        (col("floor_q") +
+          when(col("rk") <= col("extra"), 1L).otherwise(0L)).as("quota"))
+      .orderBy(col("source"))
+  }
+
+  val o190 = s"""
+    WITH mass AS (
+      SELECT source, SUM(n_chars) AS w FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT source, w,
+        CAST(w * $QUOTA_BUDGET // (SELECT SUM(w) FROM mass) AS BIGINT)
+          AS floor_q,
+        CAST(w * $QUOTA_BUDGET % (SELECT SUM(w) FROM mass) AS BIGINT)
+          AS rem,
+        row_number() OVER (ORDER BY
+          w * $QUOTA_BUDGET % (SELECT SUM(w) FROM mass) DESC, source) AS rk
+      FROM mass)
+    SELECT source, CAST(w AS BIGINT) AS w,
+      floor_q + CASE WHEN rk <= $QUOTA_BUDGET -
+        (SELECT SUM(floor_q) FROM ranked) THEN 1 ELSE 0 END AS quota
+    FROM ranked ORDER BY source"""
+
+  // ---- q191: overlapping sliding-window chunk plan ----
+
+  /** Chunk size and stride in tokens (overlap = CHUNK_C − CHUNK_S). */
+  val CHUNK_C = 32
+  val CHUNK_S = 24
+
+  /** q191: the chunk plan a tokenizer stage executes — for each
+    * document, every overlapping [start_tok, end_tok) window of size
+    * CHUNK_C at stride CHUNK_S, the last chunk clamped to the document
+    * end; short documents yield exactly one chunk. Chunk count is the
+    * closed form 1 + ⌈max(0, n_tok − C) / S⌉, evaluated with integer
+    * ceiling ((x + S − 1) div S) so plan and oracle agree exactly.
+    *
+    * Scale shape: row-local throughout — token count from one split,
+    * the explode via `sequence()` is generate-side (no shuffle, no
+    * window); output size is Θ(corpus tokens / stride), the same order
+    * as the tokenizer's own output. A 100 TB corpus chunks in one
+    * embarrassingly-parallel map stage. */
+  def q191ChunkPlan(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("n_chunks",
+        lit(1L) + (greatest(col("n_tok") - CHUNK_C, lit(0L)) +
+          (CHUNK_S - 1)).cast("long").divide(CHUNK_S).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"), col("chunk_idx"),
+        (col("chunk_idx") * CHUNK_S).as("start_tok"),
+        least(col("chunk_idx") * CHUNK_S + CHUNK_C, col("n_tok"))
+          .as("end_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val o191 = s"""
+    SELECT doc_id, n_tok, n_chunks, chunk_idx,
+      chunk_idx * $CHUNK_S AS start_tok,
+      least(chunk_idx * $CHUNK_S + $CHUNK_C, n_tok) AS end_tok
+    FROM (
+      SELECT doc_id, n_tok, n_chunks,
+        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          1 + (greatest(n_tok - $CHUNK_C, 0) + ${CHUNK_S - 1}) // $CHUNK_S
+            AS n_chunks
+        FROM documents))
+    ORDER BY doc_id, chunk_idx"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_quota_alloc" -> (q190QuotaAlloc _),
+    "q191_chunk_plan"  -> (q191ChunkPlan _))
+
+  val oracles: Map[String, String] = Map(
+    "q190_quota_alloc" -> o190,
+    "q191_chunk_plan"  -> o191)
+}
