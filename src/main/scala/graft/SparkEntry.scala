@@ -22,7 +22,8 @@ object SparkEntry {
       ops.Reconcile.queries ++ ops.Temporal.queries ++ ops.Analytics.queries ++
       ops.Skew.queries ++ ops.Graph.queries ++ ops.Spatial.queries ++
       ops.TpchShapes.queries ++ ops.StatShapes.queries ++
-      text.ChunkPlan.queries ++
+      text.ChunkPlan.queries ++ text.Cooccur.queries ++
+      sources.SchemaEvolution.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
       text.Dedup.queries ++ text.DedupCluster.queries ++
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
@@ -51,7 +52,8 @@ object SparkEntry {
       ops.Reconcile.oracles ++ ops.Temporal.oracles ++ ops.Analytics.oracles ++
       ops.Skew.oracles ++ ops.Graph.oracles ++ ops.Spatial.oracles ++
       ops.TpchShapes.oracles ++ ops.StatShapes.oracles ++
-      text.ChunkPlan.oracles ++
+      text.ChunkPlan.oracles ++ text.Cooccur.oracles ++
+      sources.SchemaEvolution.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
       text.Dedup.oracles ++ text.DedupCluster.oracles ++
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++

@@ -26,6 +26,12 @@ object StatShapes {
     * analytics, computed from the closed form
     * β = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²).
     *
+    * Sibling of q145 (per-priority OLS with round(·,6) doubles): this is
+    * the fully-integer form — slope/intercept emitted as exact int64
+    * millionths with zero float ops anywhere, the variant a pipeline
+    * uses when downstream equality/joins on the fitted params must be
+    * engine- and partitioning-independent.
+    *
     * Scale shape: two keyed aggregates — fact rows collapse to (nation,
     * day) once (map-side combine does most of it), then |nations|·|days|
     * points collapse to 5 moments per nation; the slope is row-local
@@ -202,13 +208,66 @@ object StatShapes {
     ORDER BY digit"""
   }
 
+  // ---- q194: distributed weighted median ----
+
+  /** q194: weighted median line price per return flag, weighted by
+    * quantity units — "the price at which half the VOLUME trades", the
+    * statistic plain median misstates whenever weight correlates with
+    * value. Lower weighted median: the smallest price v with
+    * 2·W(≤v) ≥ W_total. No built-in computes this; it composes from
+    * primitives.
+    *
+    * Scale shape: the textbook distributed weighted median — facts
+    * collapse to one row per DISTINCT (group, value) with summed weight
+    * first (map-side combined), so the prefix-scan window runs over
+    * |distinct prices| per group, not |rows|; the per-group total is a
+    * |groups|-row broadcast. All weights are exact integer units; the
+    * `2·cw ≥ tw` threshold never touches a float. */
+  def q194WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("v"))
+      .agg(sum(dec2(col("l_quantity")).cast("long")).as("w"))
+    val cum = vals.withColumn("cw", sum(col("w")).over(
+      Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+    val tot = vals.groupBy(col("l_returnflag").as("tf"))
+      .agg(sum(col("w")).as("tw"))
+    cum.join(broadcast(tot), col("l_returnflag") === col("tf"))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("tw")).as("total_units"),
+        min(col("v")).as("wmedian_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val o194 = """
+    WITH vals AS (
+      SELECT l_returnflag,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, v,
+        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw
+      FROM vals),
+    tot AS (
+      SELECT l_returnflag AS tf, CAST(SUM(w) AS BIGINT) AS tw
+      FROM vals GROUP BY 1)
+    SELECT l_returnflag, min(tw) AS total_units, min(v) AS wmedian_cents
+    FROM cum JOIN tot ON l_returnflag = tf
+    WHERE cw * 2 >= tw
+    GROUP BY 1 ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q189_ols_trend"    -> (q189OlsTrend _),
-    "q192_mad_outliers" -> (q192MadOutliers _),
-    "q193_benford"      -> (q193BenfordAudit _))
+    "q189_ols_trend"       -> (q189OlsTrend _),
+    "q192_mad_outliers"    -> (q192MadOutliers _),
+    "q193_benford"         -> (q193BenfordAudit _),
+    "q194_weighted_median" -> (q194WeightedMedian _))
 
   val oracles: Map[String, String] = Map(
-    "q189_ols_trend"    -> o189,
-    "q192_mad_outliers" -> o192,
-    "q193_benford"      -> o193)
+    "q189_ols_trend"       -> o189,
+    "q192_mad_outliers"    -> o192,
+    "q193_benford"         -> o193,
+    "q194_weighted_median" -> o194)
 }

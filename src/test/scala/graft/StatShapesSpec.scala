@@ -86,6 +86,56 @@ class StatShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 weighted median satisfies its defining inequality exactly") {
+    val got = ops.StatShapes.q194WeightedMedian(spark, TestSpark.SF)
+      .select("l_returnflag", "total_units", "wmedian_cents")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val raw = Tables.lineitem(spark, TestSpark.SF)
+      .select(col("l_returnflag"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast("long").as("v"),
+        Tables.dec2(col("l_quantity")).cast("long").as("w"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (flag, tw, m) =>
+      val g = raw.filter(_._1 == flag)
+      assert(g.map(_._3).sum == tw)
+      val wLe = g.filter(_._2 <= m).map(_._3).sum  // W(≤ m)
+      val wLt = g.filter(_._2 < m).map(_._3).sum   // W(< m)
+      assert(2 * wLe >= tw, s"$flag: median too small")
+      assert(2 * wLt < tw, s"$flag: a smaller value already qualifies")
+    }
+  }
+
+  test("q195 the <absent> bucket is exactly the pre-evolution generation") {
+    val rows = sources.SchemaEvolution.q195SchemaEvolution(spark, TestSpark.SF)
+      .select("priority", "n_orders").as[(String, Long)].collect().toMap
+    val o = Tables.orders(spark, TestSpark.SF)
+    val n95 = o.filter(year(col("o_orderdate")) === 1995).count()
+    val n96 = o.filter(year(col("o_orderdate")) === 1996).count()
+    assert(rows("<absent>") == n95, "null-fill leaked outside the v1 slice")
+    assert(rows.filterNot(_._1 == "<absent>").values.sum == n96)
+  }
+
+  test("q196 lift recomputes from raw postings; pairs ordered and supported") {
+    val got = text.Cooccur.q196CooccurLift(spark, TestSpark.SF)
+      .select("t1", "t2", "n_pair", "df1", "df2", "lift_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val n = docs.length
+    val postings = docs.map { case (id, t) => id -> t.split(" ").toSet }
+    got.foreach { case (t1, t2, np, df1, df2, lift) =>
+      assert(t1 < t2 && np >= text.Cooccur.MIN_SUPPORT)
+      assert(df1 == postings.count(_._2.contains(t1)).toLong)
+      assert(df2 == postings.count(_._2.contains(t2)).toLong)
+      assert(np == postings.count(p => p._2.contains(t1) && p._2.contains(t2)))
+      assert(lift ==
+        (BigInt(np) * n * 1000000 / (BigInt(df1) * df2)).toLong)
+    }
+    assert(got.map(_._6).toSeq == got.map(_._6).sortBy(-_).toSeq)
+  }
+
   test("q193 covers all 9 digits, shares sum to ~1e6, Benford consts frozen") {
     val rows = ops.StatShapes.q193BenfordAudit(spark, TestSpark.SF)
       .select("digit", "share_micro", "benford_micro", "dev_micro")
