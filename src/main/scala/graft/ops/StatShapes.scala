@@ -210,6 +210,9 @@ object StatShapes {
 
   // ---- q194: distributed weighted median ----
 
+  /** Coarse-histogram bucket width for q194's phase 1 (cents). */
+  val WMED_BUCKET = 65536L
+
   /** q194: weighted median line price per return flag, weighted by
     * quantity units — "the price at which half the VOLUME trades", the
     * statistic plain median misstates whenever weight correlates with
@@ -217,24 +220,46 @@ object StatShapes {
     * 2·W(≤v) ≥ W_total. No built-in computes this; it composes from
     * primitives.
     *
-    * Scale shape: the textbook distributed weighted median — facts
-    * collapse to one row per DISTINCT (group, value) with summed weight
-    * first (map-side combined), so the prefix-scan window runs over
-    * |distinct prices| per group, not |rows|; the per-group total is a
-    * |groups|-row broadcast. All weights are exact integer units; the
-    * `2·cw ≥ tw` threshold never touches a float. */
+    * Scale shape — the two-phase bucket-histogram median, NOT a
+    * per-group sort: a naive `Window.partitionBy(flag).orderBy(price)`
+    * prefix scan has only |groups|=3 partitions, each serializing the
+    * group's (nearly all distinct) prices through one task — a
+    * scale-killer at 100 TB. Instead phase 1 collapses facts to a
+    * coarse (group, price div 2¹⁶) histogram (~150 buckets — the
+    * prefix-scan window is domain-bounded) and locates the bucket
+    * containing the median plus the cumulative weight below it; phase 2
+    * rescans ONLY rows in that bucket (predicate broadcast, pushdown-
+    * friendly) and prefix-scans within it (≤ 2¹⁶ distinct values).
+    * Both windows are domain-bounded; the fact table is never sorted.
+    * Two scans instead of one sort is the right trade — same shape as
+    * q127's equi-depth histogram. All-integer thresholds throughout. */
   def q194WeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vals = lineitem(s, d)
-      .groupBy(col("l_returnflag"),
-        (dec2(col("l_extendedprice")) * 100).cast("long").as("v"))
-      .agg(sum(dec2(col("l_quantity")).cast("long")).as("w"))
-    val cum = vals.withColumn("cw", sum(col("w")).over(
-      Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
-    val tot = vals.groupBy(col("l_returnflag").as("tf"))
-      .agg(sum(col("w")).as("tw"))
-    cum.join(broadcast(tot), col("l_returnflag") === col("tf"))
-      .filter(col("cw") * 2 >= col("tw"))
+    val base = lineitem(s, d).select(col("l_returnflag"),
+      (dec2(col("l_extendedprice")) * 100).cast("long").as("v"),
+      dec2(col("l_quantity")).cast("long").as("w"))
+    val buckets = base
+      .groupBy(col("l_returnflag"), expr(s"v div $WMED_BUCKET").as("bkt"))
+      .agg(sum(col("w")).as("bw"))
+    val bcum = buckets.withColumn("cum", sum(col("bw")).over(
+      Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))))
+    val tot = buckets.groupBy(col("l_returnflag").as("tf"))
+      .agg(sum(col("bw")).as("tw"))
+    val target = bcum.join(broadcast(tot), col("l_returnflag") === col("tf"))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag").as("gf"))
+      .agg(min(struct(col("bkt"), (col("cum") - col("bw")).as("below"),
+        col("tw"))).as("m"))
+      .select(col("gf"), col("m.bkt").as("tbkt"), col("m.below").as("below"),
+        col("m.tw").as("tw"))
+    base
+      .join(broadcast(target), col("l_returnflag") === col("gf") &&
+        expr(s"v div $WMED_BUCKET") === col("tbkt"))
+      .groupBy(col("l_returnflag"), col("v"), col("below"), col("tw"))
+      .agg(sum(col("w")).as("wv"))
+      .withColumn("cw", sum(col("wv")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+      .filter((col("below") + col("cw")) * 2 >= col("tw"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("tw")).as("total_units"),
         min(col("v")).as("wmedian_cents"))
