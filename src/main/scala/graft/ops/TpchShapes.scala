@@ -396,7 +396,149 @@ object TpchShapes {
                           AND o_orderdate >= TIMESTAMP '$Q22_CUTOFF'))
     GROUP BY 1 ORDER BY name_bucket"""
 
+  // ---- q197: small-quantity-order revenue (TPC-H Q17 shape) ----
+
+  val Q17_BRAND = "Brand#3"
+
+  /** q197: revenue from lines of one brand whose quantity is below 20%
+    * of that part's average line quantity — Q17's correlated-average
+    * threshold.
+    *
+    * The correlated `< 0.2·avg` is decorrelated into one per-part
+    * (Σqty, n) aggregate joined back, and the threshold is evaluated as
+    * `5·qty·n < Σqty` — all-integer (an 0.2·avg float threshold could
+    * flip a boundary line between engines; the oracle RUNS the
+    * correlated form, in the same integer algebra, proving both the
+    * decorrelation and the arithmetic agree). Scale shape: the brand
+    * filter broadcasts into BOTH the aggregate build and the probe, so
+    * the per-part stats are computed only for the ~1/25 brand slice;
+    * one fact shuffle for the aggregate, and the (part → stats) sliver
+    * broadcasts back onto the probe. */
+  def q197SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val units = dec2(col("l_quantity")).cast("long")
+    val brandParts = part(s, d).filter(col("p_brand") === Q17_BRAND)
+      .select(col("p_partkey"))
+    val stats = lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("sk"))
+      .agg(sum(units).as("sq"), count(lit(1)).as("nq"))
+    lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(stats), col("l_partkey") === col("sk"))
+      .filter(units * 5 * col("nq") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"), sum(revC4).cast("long").as("rev_c4"))
+  }
+
+  val o197 = s"""
+    SELECT COUNT(*) AS n_lines,
+      CAST(COALESCE(SUM($ORA_REV_C4), 0) AS BIGINT) AS rev_c4
+    FROM lineitem l JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = '$Q17_BRAND'
+      AND CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) * 5 *
+          (SELECT COUNT(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey) <
+          (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+
+  // ---- q198: disjunctive predicate join (TPC-H Q19 shape) ----
+
+  /** (brand, max p_size, qty lo, qty hi) arms of the OR. */
+  val Q19_ARMS = Seq(("Brand#11", 5, 1L, 11L), ("Brand#22", 10, 10L, 20L),
+    ("Brand#3", 15, 20L, 30L))
+
+  /** q198: revenue matching an OR-of-ANDs predicate that spans both
+    * sides of the part join — Q19's shape, the classic test of whether
+    * an engine degrades to evaluate-nothing-until-joined.
+    *
+    * Catalyst does not infer the implied union predicates from a
+    * disjunction, so they are stated explicitly: brand ∈ {arms} and
+    * size ≤ max(arm sizes) prune the part scan, qty ≤ max(arm his)
+    * prunes the fact scan (both visible as PushedFilters), the
+    * surviving part sliver broadcasts, and the full disjunction then
+    * evaluates row-locally post-join. Same answer, but the join moves
+    * the ~arm-selectivity slice instead of whole tables. */
+  def q198DisjunctiveJoin(s: SparkSession, d: String): DataFrame = {
+    val units = dec2(col("l_quantity")).cast("long")
+    val brands = Q19_ARMS.map(_._1)
+    val maxSize = Q19_ARMS.map(_._2).max
+    val maxQty = Q19_ARMS.map(_._4).max
+    val parts = part(s, d)
+      .filter(col("p_brand").isin(brands: _*) && col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val arm = Q19_ARMS.map { case (b, sz, lo, hi) =>
+      col("p_brand") === b && col("p_size") <= sz &&
+        units >= lo && units <= hi
+    }.reduce(_ || _)
+    lineitem(s, d)
+      .filter(units <= maxQty)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(arm)
+      .agg(count(lit(1)).as("n_lines"), sum(revC4).cast("long").as("rev_c4"))
+  }
+
+  val o198 = {
+    val arms = Q19_ARMS.map { case (b, sz, lo, hi) =>
+      s"""(p_brand = '$b' AND p_size <= $sz
+         AND CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT)
+           BETWEEN $lo AND $hi)"""
+    }.mkString(" OR ")
+    s"""
+    SELECT COUNT(*) AS n_lines,
+      CAST(COALESCE(SUM($ORA_REV_C4), 0) AS BIGINT) AS rev_c4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE $arms"""
+  }
+
+  // ---- q199: deterministic grouped string aggregation ----
+
+  /** q199: per market segment, the top-3 nations by customer count as
+    * one "nation:count" CSV cell — the LISTAGG/string_agg export shape.
+    *
+    * `collect_list` order is partitioning-dependent, so the house rule
+    * applies doubly here: the list is built from (rank, string) structs
+    * and `sort_array`-ed BEFORE `concat_ws`, making the cell
+    * byte-identical across partitionings (the determinism sweep would
+    * catch anything less); the oracle's `string_agg(… ORDER BY)` is the
+    * same contract. Scale shape: two keyed aggregates + a top-k window
+    * over the (segment × nation) aggregate — domain-bounded; the csv
+    * cell concatenates ≤ 3 elements per group. */
+  def q199TopNationsCsv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(desc("cnt"), col("n_name"))))
+      .filter(col("rk") <= 3)
+      .groupBy(col("c_mktsegment"))
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list(struct(col("rk"),
+          concat_ws(":", col("n_name"), col("cnt")).as("cell")))),
+        x => x.getField("cell"))).as("top_nations"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val o199 = """
+    WITH counts AS (
+      SELECT c_mktsegment, n_name, count(*) AS cnt
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_mktsegment, n_name, cnt, row_number() OVER (
+        PARTITION BY c_mktsegment ORDER BY cnt DESC, n_name) AS rk
+      FROM counts)
+    SELECT c_mktsegment,
+      string_agg(n_name || ':' || cnt, ',' ORDER BY rk) AS top_nations
+    FROM ranked WHERE rk <= 3
+    GROUP BY 1 ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_small_qty_revenue" -> (q197SmallQtyRevenue _),
+    "q198_disjunctive_join"  -> (q198DisjunctiveJoin _),
+    "q199_top_nations_csv"   -> (q199TopNationsCsv _),
     "q182_min_cost_supplier" -> (q182MinCostSupplier _),
     "q183_trade_volume"      -> (q183TradeVolume _),
     "q184_market_share"      -> (q184MarketShare _),
@@ -406,6 +548,9 @@ object TpchShapes {
     "q188_dormant_rich"      -> (q188DormantRich _))
 
   val oracles: Map[String, String] = Map(
+    "q197_small_qty_revenue" -> o197,
+    "q198_disjunctive_join"  -> o198,
+    "q199_top_nations_csv"   -> o199,
     "q182_min_cost_supplier" -> o182,
     "q183_trade_volume"      -> o183,
     "q184_market_share"      -> o184,

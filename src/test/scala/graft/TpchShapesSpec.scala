@@ -66,6 +66,57 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(winners.map(_._1).toSet == revs.filter(_._2 == mx).map(_._1).toSet)
   }
 
+  test("q197 integer threshold equals the rational 0.2·avg test per line") {
+    val Array((nLines, rev)) = ops.TpchShapes
+      .q197SmallQtyRevenue(spark, TestSpark.SF)
+      .as[(Long, Long)].collect()
+    val brandKeys = Tables.part(spark, TestSpark.SF)
+      .filter(col("p_brand") === ops.TpchShapes.Q17_BRAND)
+      .select("p_partkey").as[Long].collect().toSet
+    val lines = Tables.lineitem(spark, TestSpark.SF)
+      .select(col("l_partkey"),
+        Tables.dec2(col("l_quantity")).cast("long").as("u"))
+      .as[(Long, Long)].collect().filter(r => brandKeys(r._1))
+    val byPart = lines.groupBy(_._1)
+      .map { case (k, g) => k -> (g.map(_._2).sum, g.length) }
+    // integer form (5·q·n < Σ) ⟺ rational form (q < Σ/(5n)) — and the
+    // query's count matches the naive per-line evaluation
+    val expect = lines.count { case (k, u) =>
+      val (sq, nq) = byPart(k)
+      assert((5 * u * nq < sq) == (BigDecimal(u) < BigDecimal(sq) / (5 * nq)))
+      5 * u * nq < sq
+    }
+    assert(nLines == expect, s"$nLines vs $expect (rev=$rev)")
+  }
+
+  test("q198 manual implied-predicate pushdown loses no rows") {
+    val Array((n1, r1)) = ops.TpchShapes.q198DisjunctiveJoin(spark, TestSpark.SF)
+      .as[(Long, Long)].collect()
+    // naive formulation: full join, disjunction evaluated afterwards
+    val units = Tables.dec2(col("l_quantity")).cast("long")
+    val arm = ops.TpchShapes.Q19_ARMS.map { case (b, sz, lo, hi) =>
+      col("p_brand") === b && col("p_size") <= sz &&
+        units >= lo && units <= hi
+    }.reduce(_ || _)
+    val naive = Tables.lineitem(spark, TestSpark.SF)
+      .join(Tables.part(spark, TestSpark.SF),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arm).count()
+    assert(n1 == naive, s"pushdown dropped rows: $n1 vs $naive (rev=$r1)")
+  }
+
+  test("q199 csv cells are rank-ordered with non-increasing counts") {
+    val rows = ops.TpchShapes.q199TopNationsCsv(spark, TestSpark.SF)
+      .as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, csv) =>
+      val cells = csv.split(",").map(_.split(":"))
+      assert(cells.length <= 3 && cells.forall(_.length == 2))
+      val cnts = cells.map(_(1).toLong).toSeq
+      assert(cnts == cnts.sortBy(-_), s"not rank-ordered: $csv")
+    }
+  }
+
   test("q188 integer threshold matches the exact rational mean test") {
     val custs = Tables.customer(spark, TestSpark.SF)
       .select(col("c_custkey"),
