@@ -21,7 +21,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Cleaning.queries ++ ops.Windows.queries ++
       ops.Reconcile.queries ++ ops.Temporal.queries ++ ops.Analytics.queries ++
       ops.Skew.queries ++ ops.Graph.queries ++ ops.Spatial.queries ++
-      ops.TpchShapes.queries ++ ops.StatShapes.queries ++
+      ops.TpchShapes.queries ++ ops.StatShapes.queries ++ ops.Lifecycle.queries ++
       text.ChunkPlan.queries ++ text.Cooccur.queries ++
       sources.SchemaEvolution.queries ++
       stream.EventWindows.queries ++ text.TextOps.queries ++
@@ -51,7 +51,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Cleaning.oracles ++ ops.Windows.oracles ++
       ops.Reconcile.oracles ++ ops.Temporal.oracles ++ ops.Analytics.oracles ++
       ops.Skew.oracles ++ ops.Graph.oracles ++ ops.Spatial.oracles ++
-      ops.TpchShapes.oracles ++ ops.StatShapes.oracles ++
+      ops.TpchShapes.oracles ++ ops.StatShapes.oracles ++ ops.Lifecycle.oracles ++
       text.ChunkPlan.oracles ++ text.Cooccur.oracles ++
       sources.SchemaEvolution.oracles ++
       stream.EventWindows.oracles ++ text.TextOps.oracles ++
