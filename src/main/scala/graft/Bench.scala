@@ -39,23 +39,33 @@ object Bench {
     sorted.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = sorted.map { case (name, fn) =>
+    // Keep min (the graded steady-state number) AND median per query:
+    // min-vs-median spread is the host-contention fingerprint, so a
+    // future regression can be adjudicated from the committed artifact
+    // alone (median >> min ⇒ noisy reps, not a code change) without a
+    // separate idle-probe session.
+    val allTimes = sorted.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }.toMap
+      }.sorted
+      name -> times
+    }
+    val results = allTimes.map { case (n, ts) => n -> ts.min }.toMap
+    val medians = allTimes.map { case (n, ts) => n -> ts(ts.size / 2) }.toMap
     // 3-decimal rounding keeps per-query entries ~25 bytes each so the
     // chunked attestation lines below stay far under the tail window.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val entries = results.toSeq.sortBy(_._1)
+    def fmt(m: Map[String, Double]): Seq[String] = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val entries = fmt(results)
     val qs = entries.mkString("{", ",", "}")
+    val medEntries = fmt(medians)
+    val meds = medEntries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$meds,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
     // Persist the full per-query JSON to a file the driver (or a human)
     // can always read; its sha256 goes on the final stdout line so the
     // committed file is tamper-evident (driver-attested) even though the
@@ -71,8 +81,10 @@ object Bench {
     // self-describing JSON fragment ~300 bytes. The LAST few lines of
     // stdout always survive tail capture, so at minimum the final chunks
     // plus the summary line parse; the sha256 covers whatever scrolled off.
-    entries.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
-      println(s"""{"metric":"chunk","i":$i,"queries":${chunk.mkString("{", ",", "}")}}""")
+    entries.zip(medEntries).grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      val mins = chunk.map(_._1).mkString("{", ",", "}")
+      val meds = chunk.map(_._2).mkString("{", ",", "}")
+      println(s"""{"metric":"chunk","i":$i,"queries":$mins,"medians":$meds}""")
     }
     // Final line: compact summary, shape deliberately DISTINCT from the
     // full report (no "queries" key at all) so a consumer can never

@@ -43,6 +43,7 @@ object SparkEntry {
     sources.PartitionedScan.ensureBuckets(spark, sfDir)
     sources.PartitionedScan.ensureSorted(spark, sfDir)
     sim.Similarity.ensureAnnIndexes(spark, sfDir)
+    text.DedupCluster.ensureClusterLabels(spark, sfDir)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

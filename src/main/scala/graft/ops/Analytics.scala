@@ -822,18 +822,20 @@ object Analytics {
     nv AS (SELECT feature, v, SUM(n_vy) AS n_v FROM nvy GROUP BY 1, 2),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
     hc AS (
-      SELECT feature, SUM(n_vy *
-        CAST(FLOOR(-ln(CAST(n_vy AS DOUBLE) / n_v) * 1e7) AS BIGINT)) AS s
+      SELECT feature, CAST(SUM(n_vy *
+        CAST(FLOOR(-ln(CAST(n_vy AS DOUBLE) / n_v) * 1e7) AS BIGINT))
+        AS BIGINT) AS s
       FROM nvy JOIN nv USING (feature, v) GROUP BY 1),
     hy AS (
-      SELECT SUM(n_y *
-        CAST(FLOOR(-ln(CAST(n_y AS DOUBLE) / n) * 1e7) AS BIGINT)) AS sy
+      SELECT CAST(SUM(n_y *
+        CAST(FLOOR(-ln(CAST(n_y AS DOUBLE) / n) * 1e7) AS BIGINT))
+        AS BIGINT) AS sy
       FROM (SELECT event_type, COUNT(*) AS n_y FROM e GROUP BY 1)
       CROSS JOIN nn)
     SELECT feature,
-      sy // (10 * n) AS h_label_micro,
-      s // (10 * n) AS h_cond_micro,
-      sy // (10 * n) - s // (10 * n) AS ig_micro
+      CAST(sy // (10 * n) AS BIGINT) AS h_label_micro,
+      CAST(s // (10 * n) AS BIGINT) AS h_cond_micro,
+      CAST(sy // (10 * n) - s // (10 * n) AS BIGINT) AS ig_micro
     FROM hc CROSS JOIN hy CROSS JOIN nn ORDER BY feature"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,7 +44,8 @@ object Lifecycle {
       FROM orders GROUP BY 1),
     daily AS (
       SELECT day, count(*) AS n_new FROM first_day GROUP BY 1)
-    SELECT day, n_new, SUM(n_new) OVER (ORDER BY day) AS cum_customers
+    SELECT day, n_new,
+      CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_customers
     FROM daily ORDER BY day"""
 
   // ---- q201: calendar gap fill (densification) ----

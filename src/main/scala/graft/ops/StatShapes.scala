@@ -52,10 +52,10 @@ object StatShapes {
     daily
       .groupBy(col("n_name"))
       .agg(count(lit(1)).cast(d38).as("n"),
-        sum(col("x")).cast(d38).as("sx"),
-        sum(col("y")).cast(d38).as("sy"),
-        sum(col("x") * col("y")).cast(d38).as("sxy"),
-        sum(col("x") * col("x")).cast(d38).as("sxx"))
+        sum(col("x").cast(d38)).cast(d38).as("sx"),
+        sum(col("y").cast(d38)).cast(d38).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).cast(d38).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).cast(d38).as("sxx"))
       .select(col("n_name"), col("n").cast("long").as("n_days"),
         expr("cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) as bigint)")
           .as("slope_micro"),
@@ -145,8 +145,8 @@ object StatShapes {
       FROM dev GROUP BY 1)
     SELECT o_orderpriority, count(*) AS n, min(med2) AS med2,
       min(mad4) AS mad4,
-      SUM(CASE WHEN dev2 * 2 > $MAD_K * mad4 THEN 1 ELSE 0 END)
-        AS n_outliers
+      CAST(SUM(CASE WHEN dev2 * 2 > $MAD_K * mad4 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_outliers
     FROM dev JOIN mad ON o_orderpriority = gp
     GROUP BY 1 ORDER BY o_orderpriority"""
 

@@ -372,8 +372,9 @@ object Windows {
     npd AS (
       SELECT event_type, day, COUNT(*) AS new_users FROM fd GROUP BY 1, 2)
     SELECT event_type, day, new_users,
-      SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_users
     FROM npd ORDER BY event_type, day"""
 
   // ---- q173: exact EWMA (dyadic-weight exponential smoothing) ----

@@ -94,8 +94,8 @@ object ChunkPlan {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("n_chunks",
-        lit(1L) + (greatest(col("n_tok") - CHUNK_C, lit(0L)) +
-          (CHUNK_S - 1)).cast("long").divide(CHUNK_S).cast("long"))
+        expr(s"1L + (greatest(n_tok - ${CHUNK_C}L, 0L) + ${CHUNK_S - 1}L)" +
+          s" div ${CHUNK_S}L"))
       .select(col("doc_id"), col("n_tok"), col("n_chunks"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .select(col("doc_id"), col("n_tok"), col("n_chunks"), col("chunk_idx"),

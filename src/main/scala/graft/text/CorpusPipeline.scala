@@ -49,7 +49,7 @@ object CorpusPipeline {
     val pairs = (if (useLsh) Dedup.lshVerifiedPairs(s, arr)
                  else Dedup.jaccardPairs(s, arr))
       .select(col("i"), col("j"))
-    val labels = DedupCluster.connectedComponents(pairs)
+    val labels = DedupCluster.connectedComponents(pairs, tag = "cc-curation")
       .withColumnRenamed("node", "doc_id")
     survivors
       .join(labels, Seq("doc_id"), "left")
