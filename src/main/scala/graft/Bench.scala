@@ -44,16 +44,34 @@ object Bench {
     // future regression can be adjudicated from the committed artifact
     // alone (median >> min ⇒ noisy reps, not a code change) without a
     // separate idle-probe session.
+    // A failed rep must SURFACE, not time out at 0.05 s: a query that
+    // throws (analysis error, missing table) would otherwise contribute a
+    // fail-fast "timing" that makes a broken engine look faster than a
+    // working one. Failures are counted per query, failed queries are
+    // excluded from the graded total, and an "errors" map goes in the JSON.
     val allTimes = sorted.map { case (name, fn) =>
+      var failures = 0
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failures += 1
+          val msg = String.valueOf(e.getMessage).linesIterator.next()
+          System.err.println(s"[bench] $name failed: $msg")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times
+      (name, times, failures)
     }
-    val results = allTimes.map { case (n, ts) => n -> ts.min }.toMap
-    val medians = allTimes.map { case (n, ts) => n -> ts(ts.size / 2) }.toMap
+    val errors = allTimes.collect { case (n, _, f) if f > 0 => n -> f }.toMap
+    val ok = allTimes.filter(_._3 == 0)
+    val results = ok.map { case (n, ts, _) => n -> ts.min }.toMap
+    // Upper median for odd sizes; mean of the two middle reps for even
+    // sizes (ts(size/2) alone would report the max at reps=2).
+    val medians = ok.map { case (n, ts, _) =>
+      n -> (if (ts.size % 2 == 1) ts(ts.size / 2)
+            else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0)
+    }.toMap
     // 3-decimal rounding keeps per-query entries ~25 bytes each so the
     // chunked attestation lines below stay far under the tail window.
     def r3(v: Double): String = BigDecimal(v)
@@ -65,7 +83,9 @@ object Bench {
     val medEntries = fmt(medians)
     val meds = medEntries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$meds,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$meds,"errors":$errJson,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
     // Persist the full per-query JSON to a file the driver (or a human)
     // can always read; its sha256 goes on the final stdout line so the
     // committed file is tamper-evident (driver-attested) even though the
@@ -90,7 +110,7 @@ object Bench {
     // full report (no "queries" key at all) so a consumer can never
     // mistake it for a full run that recorded zero queries. Whatever
     // window the tail capture keeps, this last line survives and parses.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps,"timing":"min-of-reps","queries_file":"bench.json","queries_sha256":"$sha"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","reps":$reps,"timing":"min-of-reps","queries_file":"bench.json","queries_sha256":"$sha"}""")
     System.out.flush()
   }
 }

@@ -31,15 +31,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a raw
-    * nanosecond LongType under `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench/tests). We expose both the raw nanos (`ts`,
-    * exact integer arithmetic — no double rounding at 1.7e18 magnitude)
-    * and a µs-truncated TimestampType `ts_us` for window functions.
-    * Oracle parity: DuckDB side uses make_timestamp(epoch_ns(ts)//1000).
+  /** Data-contract-robust events reader. Upstream writers have produced
+    * `events.ts` as BOTH parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across testdata generations; a 100 TB lake has the same heterogeneity
+    * across partitions written by different pipeline versions, so the
+    * reader branches on the PHYSICAL schema rather than hard-coding one
+    * encoding. Either way the exposed column surface is identical:
+    *  - `ts`    BIGINT epoch-nanos (exact integer arithmetic — no double
+    *            rounding at 1.7e18 magnitude),
+    *  - `ts_us` µs-precision TimestampType for window/session functions.
+    * NANOS path: Spark scans the column as a raw nanos LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/
+    * tests — required for that encoding to be readable at all).
+    * MICROS path: the scan yields a timestamp type (NTZ or LTZ); with the
+    * session timezone pinned to UTC the LTZ cast is micros-identity, so
+    * `unix_micros * 1000` reproduces the exact same epoch-nanos values.
+    * Oracle parity: DuckDB's `epoch_ns(ts)` accepts both TIMESTAMP_NS and
+    * TIMESTAMP, so every oracle expression is encoding-independent.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    withEventTime(t(s, d, "events"))
+
+  /** Normalize a raw events frame — batch OR streaming (the branch reads
+    * only the static schema, so it composes with `readStream`) — to the
+    * canonical column surface described above. */
+  def withEventTime(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw
+          .withColumn("ts_us", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
 
   /** Exact decimal cast for 2-dp money/quantity columns. Precision 12 keeps
     * products of three factors within DECIMAL(38,_) so Spark never rounds. */

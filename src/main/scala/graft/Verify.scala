@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS) — read as raw nanos long
-      // (Tables.events converts); without this flag the scan errors.
+      // events.ts encoding varies across testdata generations (NANOS vs
+      // MICROS); this flag makes the NANOS encoding readable (as a raw
+      // long) — Tables.events branches on the scanned schema either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -49,6 +49,13 @@ object CorpusPipeline {
     val pairs = (if (useLsh) Dedup.lshVerifiedPairs(s, arr)
                  else Dedup.jaccardPairs(s, arr))
       .select(col("i"), col("j"))
+    // TAG-REUSE CONTRACT: connectedComponents(tag = "cc-curation") cycles
+    // the PREVIOUS same-tag invocation's localCheckpoint blocks, and the
+    // returned frame's lineage is truncated at that checkpoint — so a
+    // result from an earlier call must NOT be held across a later call
+    // (it would fail at execution once its blocks are freed). Every
+    // caller of curatedKeepers builds-then-immediately-executes, which
+    // satisfies the contract; keep it that way.
     val labels = DedupCluster.connectedComponents(pairs, tag = "cc-curation")
       .withColumnRenamed("node", "doc_id")
     survivors

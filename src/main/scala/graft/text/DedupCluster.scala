@@ -140,8 +140,12 @@ object DedupCluster {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def clusterLabels(s: SparkSession, d: String): DataFrame =
+    // Keyed on applicationId, not object identity: identity hashes can
+    // collide or recur after a session is GC'd, which could serve a
+    // cached DataFrame bound to a dead session. applicationId is unique
+    // per SparkContext lifetime.
     labelCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d",
+      s"${s.sparkContext.applicationId}|$d",
       key => connectedComponents(
         Dedup.q40NgramJaccard(s, d).select(col("i"), col("j")),
         tag = s"cc-labels|$key"))

@@ -360,10 +360,10 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streamed tumbling-window counts equal the batch computation") {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // Schema comes from the file itself (NOT hard-coded): events.ts has
+    // been both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata
+    // generations; Tables.withEventTime normalizes either encoding.
+    val schema = spark.read.parquet(s"${TestSpark.SF}/events.parquet").schema
 
     // streaming file source needs a directory
     val dir = graft.sources.TmpWorkspace.fresh("stream").toString
@@ -371,9 +371,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${TestSpark.SF}/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
 
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir)
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.withEventTime(
+        spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts_us", "10 minutes")
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -405,14 +404,11 @@ class StreamingSpec extends AnyFunSuite {
     // maxFilesPerTrigger=1, so the streamed result only matches batch
     // q101 if the per-key max state carries across micro-batches.
     import spark.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val work = graft.sources.TmpWorkspace.fresh("stream_cdc")
     val dir = s"$work/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val ev = spark.read.schema(schema).parquet(s"${TestSpark.SF}/events.parquet")
+    // file's own schema; withEventTime below normalizes NANOS vs MICROS
+    val ev = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
     Seq(0, 1).foreach { half =>
       val tmp = s"$work/half$half"
       ev.filter(col("event_id") % 2 === half).coalesce(1)
@@ -422,8 +418,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.copy(part,
         java.nio.file.Paths.get(s"$dir/half$half.parquet"))
     }
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.Tables.withEventTime(spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
       .withColumn("ts_us", expr("ts div 1000"))
       .groupBy(col("user_id"), col("event_type"))
       .agg(
@@ -539,14 +535,11 @@ class StreamingSpec extends AnyFunSuite {
     // state survives the boundary. The batch oracle is the plain
     // range join over the same parquet.
     import spark.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val work = graft.sources.TmpWorkspace.fresh("stream_ssj")
     val dir = s"$work/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val ev = spark.read.schema(schema).parquet(s"${TestSpark.SF}/events.parquet")
+    // file's own schema; withEventTime below normalizes NANOS vs MICROS
+    val ev = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
     Seq(0, 1).foreach { half =>
       val tmp = s"$work/half$half"
       ev.filter(col("event_id") % 2 === half).coalesce(1)
@@ -557,11 +550,11 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$dir/half$half.parquet"))
     }
     def side(tpe: String, idCol: String, tsCol: String) =
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
+      graft.Tables.withEventTime(spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
         .filter(col("event_type") === tpe)
         .select(col("user_id"), col("event_id").as(idCol),
-          expr("timestamp_micros(ts div 1000)").as(tsCol))
+          col("ts_us").as(tsCol))
         .withWatermark(tsCol, "2 hours")
     val v = side("view", "view_id", "view_ts").alias("v")
     val p = side("purchase", "buy_id", "buy_ts").alias("p")
@@ -576,10 +569,11 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("graft_ssj")
       .as[(Long, Long, Long)].collect().toSet
-    val bv = ev.filter(col("event_type") === "view")
+    val evN = graft.Tables.withEventTime(ev)
+    val bv = evN.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         expr("ts div 1000").as("vt"))
-    val bp = ev.filter(col("event_type") === "purchase")
+    val bp = evN.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("event_id").as("buy_id"),
         expr("ts div 1000").as("pt"))
     val batch = bv.join(bp, col("user_id") === col("pu")
