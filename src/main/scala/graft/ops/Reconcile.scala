@@ -372,8 +372,13 @@ object Reconcile {
     val nw = newSnapshot(s, d)
     val staleAgg = base.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("spend"))
-    val changedKeys = q105SnapshotDiff(s, d)
-      .select(col("o_orderkey").as("k"))
+    // Materialize the changed-key list ONCE: it feeds two semi-joins, and
+    // without the checkpoint each consumer re-evaluates q105's whole
+    // bucket-diff subtree (the r6/r7 plan audits counted 28 exchanges
+    // here). The list is changed-rows-sized (a few % of the snapshot) —
+    // exactly what a delta-maintenance job would persist between steps.
+    val changedKeys = checkpointCycled("q117-changed",
+      q105SnapshotDiff(s, d).select(col("o_orderkey").as("k")))
     val signed = nw.join(broadcast(changedKeys), Seq("k"), "left_semi")
         .withColumn("sign", lit(1L))
       .unionByName(

@@ -41,4 +41,38 @@ class SchemaReadSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("malformed") ||
       ex.getCause != null)
   }
+
+  // --- events data contract: both historical ts encodings normalize to
+  // the same surface (round 7 lost 43 queries to a silent NANOS→MICROS
+  // testdata switch; Tables.withEventTime must keep both working) ---
+
+  test("withEventTime: raw-nanos LONG ts → canonical (ts nanos, ts_us timestamp)") {
+    val nanos = 1704067200123456789L // 2024-01-01 00:00:00.123456789 UTC
+    val df = Tables.withEventTime(Seq((1L, nanos)).toDF("event_id", "ts"))
+    val r = df.select(col("ts"), unix_micros(col("ts_us"))).head()
+    assert(df.schema("ts").dataType == LongType)
+    assert(df.schema("ts_us").dataType == TimestampType)
+    assert(r.getLong(0) == nanos)
+    assert(r.getLong(1) == nanos / 1000) // µs truncation, not rounding
+  }
+
+  test("withEventTime: timestamp ts → identical canonical surface") {
+    val micros = 1704067200123456L
+    val df = Tables.withEventTime(
+      Seq((1L, micros)).toDF("event_id", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts")))
+    val r = df.select(col("ts"), unix_micros(col("ts_us"))).head()
+    assert(df.schema("ts").dataType == LongType) // normalized back to nanos
+    assert(df.schema("ts_us").dataType == TimestampType)
+    assert(r.getLong(0) == micros * 1000)
+    assert(r.getLong(1) == micros)
+  }
+
+  test("events loader on the real file matches the canonical surface") {
+    val df = Tables.events(spark, TestSpark.SF)
+    assert(df.schema("ts").dataType == LongType)
+    assert(df.schema("ts_us").dataType == TimestampType)
+    val r = df.select(col("ts"), unix_micros(col("ts_us"))).head()
+    assert(r.getLong(0) / 1000 == r.getLong(1))
+  }
 }
