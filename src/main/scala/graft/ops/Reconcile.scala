@@ -91,7 +91,11 @@ object Reconcile {
     * The DuckDB oracle computes the direct un-bucketed full-outer diff
     * — the gate itself proves bucket pruning is lossless. */
   def q105SnapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val changed = broadcast(changedBuckets(s, d))
+    // ≤ B rows by construction, consumed by BOTH bucket-prune joins —
+    // materialize once (the q117 pattern) so the census subtree (two
+    // full signature scans + full-outer) isn't evaluated per consumer.
+    val changed = broadcast(
+      checkpointCycled("q105-changed", changedBuckets(s, d)))
     val b = withSig(baseSnapshot(s, d)).join(changed, Seq("bucket"))
       .select(col("k"), col("sig").as("bsig"))
     val n = withSig(newSnapshot(s, d)).join(changed, Seq("bucket"))
