@@ -596,7 +596,91 @@ object TrainingSet {
     WHERE inter * 1000000 // n_eval >= $CONTAIN_MIN_MICRO
     ORDER BY eval_id, train_id"""
 
+  // ---- q203: contamination severity (longest verbatim span) ----
+
+  /** q203: contamination-severity audit — for every (train doc, eval
+    * doc) pair that shares at least one verbatim SPAN-token window,
+    * the LONGEST contiguous shared token run and the number of
+    * matching windows. q85 answers "is this document contaminated?"
+    * (set membership, drop it); this answers "how badly?" — the
+    * number a contamination report ranks by, and the difference
+    * between an 8-token idiom and a wholesale-quoted benchmark item.
+    *
+    * Overlapping SPAN-grams that match at consecutive train positions
+    * on one (train, eval, pos-epos) diagonal form a contiguous shared
+    * run of (run_windows + SPAN − 1) tokens; runs are recovered with
+    * the standard gaps-and-islands grouping (pos − row_number per
+    * diagonal), so only MATCHING windows — contamination-sized, not
+    * corpus-sized — ever reach a window function or shuffle. The eval
+    * side's positional gram index broadcasts (an eval benchmark is
+    * tiny next to a training corpus); the train side streams its
+    * grams row-locally against it, the q85 shape plus positions. */
+  /** q203's stand-in eval split. q85's 1/97 split leaves zero
+    * straddling duplicate pairs at the driver's verify SF (an empty —
+    * vacuous — gate); 1/7 exercises the operator at every SF while
+    * keeping the eval side the strictly smaller broadcast side. */
+  val SPAN_EVAL_MOD = 7
+
+  /** Core over any (doc_id, text) frame — exposed for the spec's
+    * constructed-overlap case. */
+  private[graft] def contamSpans(docs: DataFrame): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= Dedup.SPAN)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - ${Dedup.SPAN}),
+            i -> cast(conv(substr(md5(array_join(
+                   slice(tk, i + 1, ${Dedup.SPAN}), ' ')), 1, 15),
+                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+    val ev = grams(docs.filter(col("doc_id") % SPAN_EVAL_MOD === 0))
+      .withColumnsRenamed(Map("doc_id" -> "eval_id", "pos" -> "epos"))
+    val m = grams(docs.filter(col("doc_id") % SPAN_EVAL_MOD =!= 0))
+      .join(broadcast(ev), Seq("h"))
+      .select(col("doc_id"), col("eval_id"),
+        col("pos"), (col("pos") - col("epos")).as("diag"))
+    val wDiag = Window.partitionBy(col("doc_id"), col("eval_id"), col("diag"))
+      .orderBy(col("pos"))
+    m.withColumn("grp", col("pos") - row_number().over(wDiag))
+      .groupBy(col("doc_id"), col("eval_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg((max(col("run")) + lit(Dedup.SPAN - 1)).as("max_span_tokens"),
+        sum(col("run")).as("n_windows"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  def q203ContamSpans(s: SparkSession, d: String): DataFrame =
+    contamSpans(documents(s, d).select(col("doc_id"), col("text")))
+
+  val o203 = s"""
+    WITH tdoc AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+        ('0x' || substr(md5(array_to_string(tk[i:i+${Dedup.SPAN - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM tdoc, unnest(range(1, len(tk) - ${Dedup.SPAN - 2})) u(i)
+      WHERE len(tk) >= ${Dedup.SPAN}),
+    m AS (
+      SELECT tr.doc_id, ev.doc_id AS eval_id, tr.pos,
+        tr.pos - ev.pos AS diag
+      FROM g tr JOIN g ev USING (h)
+      WHERE tr.doc_id % $SPAN_EVAL_MOD <> 0 AND ev.doc_id % $SPAN_EVAL_MOD = 0),
+    isl AS (
+      SELECT doc_id, eval_id, diag, pos,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id, eval_id, diag
+                                 ORDER BY pos) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_id, eval_id, diag, grp, COUNT(*) AS run
+      FROM isl GROUP BY doc_id, eval_id, diag, grp)
+    SELECT doc_id, eval_id,
+      MAX(run) + ${Dedup.SPAN - 1} AS max_span_tokens,
+      CAST(SUM(run) AS BIGINT) AS n_windows
+    FROM runs GROUP BY doc_id, eval_id
+    ORDER BY doc_id, eval_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_contam_spans"    -> (q203ContamSpans _),
     "q176_containment"     -> (q176Containment _),
     "q171_interleave_mix"  -> (q171InterleaveMix _),
     "q109_priority_sample" -> (q109PrioritySample _),
@@ -609,6 +693,7 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q203_contam_spans"    -> o203,
     "q176_containment"     -> o176,
     "q171_interleave_mix"  -> o171,
     "q83_sequence_packing" -> o83,

@@ -186,4 +186,37 @@ class TrainingSetSpec extends AnyFunSuite {
       .count(r => !twoPhase.exists(_._1 == r._1))
     assert(unselectedAbove == 0, "a higher-quality doc was skipped")
   }
+
+  test("q203 contamination spans: constructed overlap measures exactly") {
+    import graft.text.TrainingSet
+    // eval doc 7 (7 % SPAN_EVAL_MOD == 0) carries a 12-token passage;
+    // train doc 1 quotes those 12 tokens verbatim inside other text;
+    // train doc 2 shares nothing. 12 shared tokens = 5 overlapping
+    // 8-grams in one contiguous run → max_span_tokens = 12, n_windows = 5.
+    val quote = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (7L, s"evalpad $quote evalend"),
+      (1L, s"aa bb cc $quote zz yy xx ww"),
+      (2L, "totally different words with no overlap here at all")
+    ).toDF("doc_id", "text")
+    val out = TrainingSet.contamSpans(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 7L, 12L, 5L)), s"got $out")
+  }
+
+  test("q203 pairs are consistent with q85-style span membership") {
+    // Every (train, eval) pair q203 reports must share >= 1 verbatim
+    // SPAN-token window, i.e. max_span >= SPAN and n_windows >= 1;
+    // and the real-file run is nonempty at the verify SF (a 0-row
+    // result would make the oracle gate vacuous).
+    val rows = graft.text.TrainingSet
+      .q203ContamSpans(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (d, e, span, win) =>
+      d % graft.text.TrainingSet.SPAN_EVAL_MOD != 0 &&
+      e % graft.text.TrainingSet.SPAN_EVAL_MOD == 0 &&
+      span >= graft.text.Dedup.SPAN && win >= 1
+    })
+  }
 }
