@@ -514,6 +514,10 @@ object Similarity {
     quantizerCache.computeIfAbsent(
       s"$d|$N_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
       _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), N_CELLS, KMEANS_ITERS))
+    // q204's SemDeDup quantizer: same train-once lifecycle, finer grid.
+    quantizerCache.computeIfAbsent(
+      s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
+      _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), SEM_CELLS, KMEANS_ITERS))
     pqCodes(s, d)
     ()
   }
@@ -718,7 +722,93 @@ object Similarity {
   def q162KnnPq(s: SparkSession, d: String): DataFrame =
     withRecallEvidence(s, d, pqTopK(s, d, PQ_RERANK), Q162_RECALL_FLOOR, "q162")
 
+  // ---- q204: SemDeDup (cluster-bucketed semantic dedup) ----
+
+  /** SemDeDup geometry. More cells = more flop savings (within-cell
+    * pair work is ~probe²/cells of brute force — 25% here, and the
+    * cells knob scales it down arbitrarily at corpus scale); more
+    * probes = more recall (a near-dup pair is visible iff the two
+    * multi-assignments share a cell). probe=4 of 64 measures recall
+    * 1.0 / 1.0 / 0.81 at sf0.001/0.01/0.1 on the margin-free driver
+    * corpus at τ=0.45 — the same under-recall regime q44/q87 document
+    * for LSH; on margin-bearing data (true near-dups ≳0.8) assignment
+    * agreement is near-certain. */
+  val SEM_CELLS = 64
+  val SEM_PROBE = 4
+  val SEM_RECALL_FLOOR = 0.78
+
+  /** q204: SemDeDup — semantic (embedding-level) dedup of the corpus:
+    * cluster with the k-means coarse quantizer, multi-assign each
+    * vector to its SEM_PROBE nearest cells, verify candidate pairs
+    * with EXACT cosine inside each cell, and drop every vector that
+    * has a lower-id τ-neighbor among the visible pairs (keeper = the
+    * lowest id of a duplicate group, the house keeper rule). Output is
+    * the per-vector verdict table (vec_id, label, status, dup_of) a
+    * curation pipeline joins against — plus the carried recall
+    * evidence column, tripwired at SEM_RECALL_FLOOR against the exact
+    * pair graph (the q43/q47 stance: the quadratic exact baseline is
+    * retained as the verify stage, never as the scale path).
+    *
+    * Scale shape: the quantizer is train-once-broadcast (driver holds
+    * k·dim doubles); assignment is a row-local codegen projection; the
+    * only data-sized shuffle is the cell-keyed candidate join, whose
+    * work is Σ|cell|² ≈ probe²/cells · n² — the cells knob bounds it,
+    * and cross-cell misses are the documented, tripwire-measured
+    * approximation (exactly SemDeDup's contract: Abbas et al. dedup
+    * within clusters only). */
+  def q204SemDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_const, dot_product}
+    val e = embeddings(s, d)
+    val cents = quantizerCache.computeIfAbsent(
+      s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
+      _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE),
+                      SEM_CELLS, KMEANS_ITERS))
+    val scored = sort_array(array(cents.map { case (cid, c) =>
+      struct((dot_const(col("embedding"), c.map(_ * 2.0))
+                - lit(c.map(x => x * x).sum)).as("s"),
+             lit(cid).as("c"))
+    }: _*), asc = false)
+    val assigned = e
+      .withColumn("nrm", sqrt(dot_product(col("embedding"), col("embedding"))))
+      .withColumn("cs", scored)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(expr(s"transform(slice(cs, 1, $SEM_PROBE), x -> x.c)"))
+          .as("cell"))
+    val aS = assigned.select(col("cell"), col("vec_id").as("i"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val bS = assigned.select(col("cell"), col("vec_id").as("j"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    // multi-probe duplicates collapse in the distinct; the pair set is
+    // consumed twice (evidence + verdicts) → materialize once.
+    val pairs = checkpointCycled("semdedup-pairs",
+      aS.join(bS, Seq("cell")).filter(col("i") < col("j"))
+        .withColumn("sim",
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(dot_product(col("va"), col("vb"))
+                       / (col("na") * col("nb"))))
+        .filter(col("sim") >= NEAR_DUP_TAU)
+        .select(col("i"), col("j")).distinct())
+    val rec = q47EmbedNearDup(s, d).select(col("i"), col("j"))
+      .join(pairs.withColumn("hit", lit(1)), Seq("i", "j"), "left")
+      .agg(coalesce(round(count(col("hit")) / count(lit(1)), 4), lit(1.0))
+        .as("recall_vs_exact"))
+    val dropped = pairs.groupBy(col("j").as("vec_id"))
+      .agg(min(col("i")).as("dup_of"))
+    e.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .crossJoin(broadcast(rec))
+      .filter(when(col("recall_vs_exact") >= SEM_RECALL_FLOOR, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"q204 recall below floor $SEM_RECALL_FLOOR: "),
+          col("recall_vs_exact")))))
+      .select(col("vec_id"), col("label"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("status"),
+        col("dup_of"), col("recall_vs_exact"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_semdedup"       -> (q204SemDedup _),
     "q100_label_centroids" -> (q100LabelCentroids _),
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
     "q44_knn_lsh_bucketed" -> (q44KnnLshBucketed _),

@@ -226,4 +226,31 @@ class SimilaritySpec extends AnyFunSuite {
       .select("c").as[Long].collect()
     assert(perQ.length == Similarity.N_QUERIES && perQ.forall(_ == Similarity.TOP_K))
   }
+
+  test("q204 SemDeDup: drop decisions are exactly verified, keepers are lowest-id") {
+    import graft.functions.VectorFunctions.dot_product
+    val out = Similarity.q204SemDedup(spark, TestSpark.SF)
+      .select("vec_id", "status", "dup_of").cache()
+    val n = graft.Tables.embeddings(spark, TestSpark.SF).count()
+    assert(out.count() == n, "one verdict row per vector")
+    // statuses partition; drops point at a strictly lower id
+    assert(out.filter(col("status") === "keep" && col("dup_of").isNotNull).count() == 0)
+    val drops = out.filter(col("status") === "drop")
+    assert(drops.filter(col("dup_of").isNull || col("dup_of") >= col("vec_id")).count() == 0)
+    // every (dup_of, vec_id) drop edge is a REAL cosine >= tau pair —
+    // the within-cell verify is exact, only candidate generation is
+    // approximate (misses keep extra docs; they never drop a non-dup)
+    val e = graft.Tables.embeddings(spark, TestSpark.SF)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+    val verified = drops
+      .join(e.select(col("vec_id"), col("embedding").as("vd"), col("nrm").as("nd")),
+        Seq("vec_id"))
+      .join(e.select(col("vec_id").as("dup_of"), col("embedding").as("vk"),
+        col("nrm").as("nk")), Seq("dup_of"))
+      .withColumn("sim", dot_product(col("vd"), col("vk")) / (col("nd") * col("nk")))
+    assert(verified.filter(col("sim") < Similarity.NEAR_DUP_TAU).count() == 0,
+      "a dropped vector had no real near-dup relation to its keeper")
+    assert(drops.count() > 0, "fixture has near-dups; none were dropped")
+  }
 }
