@@ -247,6 +247,64 @@ object TextOps {
       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
     FROM ranked WHERE rank <= $TFIDF_TOP_K ORDER BY doc_id, rank"""
 
+  // ---- q205: unigram surprisal (LM-proxy quality score) ----
+
+  /** Fixed-point scale for per-term surprisal contributions: each
+    * (doc, term) row contributes round(tf·ln(T/cf)·10⁶) as an exact
+    * LONG, so the per-doc SUM is integer arithmetic — partition-order-
+    * free (a raw double sum would drift in the low bits between 4-cpu
+    * and 8-cpu runs). Rounding happens at the ROW level, the q63
+    * precedent for engine-parity of ln. */
+  val SURPRISAL_SCALE = 1e6
+
+  /** q205: per-document unigram surprisal — the average negative log
+    * probability of the document's tokens under the corpus's own
+    * unigram distribution (the CCNet-style LM quality-filter proxy:
+    * gibberish and boilerplate score high, fluent in-domain text
+    * scores low; pipelines threshold or bucket on this).
+    *
+    * Scale shape: TF is row-local (codegen TokenCounts — no
+    * (doc, term) shuffle); the corpus unigram table is ONE term-keyed
+    * aggregate whose result broadcasts back (with a tokenizer-bounded
+    * vocab this is always broadcastable; over raw space-split tokens
+    * a heavy tail would fall back to a shuffled join — same caveat as
+    * q63); the corpus total enters as a broadcast single-row
+    * aggregate, not a driver collect. The only remaining corpus-sized
+    * shuffle is the per-doc collapse. */
+  def q205UnigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TokenCounts.token_counts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("tot"))
+    tf.join(broadcast(cf), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q", round(col("tf") * log(col("tot").cast("double")
+          / col("cf")) * SURPRISAL_SCALE).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sq").cast("double") / SURPRISAL_SCALE / col("n_tok"), 6)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o205 = s"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+    t AS (SELECT CAST(SUM(cf) AS BIGINT) AS tot FROM cf),
+    q AS (
+      SELECT doc_id, tf,
+        CAST(ROUND(tf * ln(CAST(tot AS DOUBLE) / cf) * ${SURPRISAL_SCALE}) AS BIGINT) AS q
+      FROM tf JOIN cf USING (term) CROSS JOIN t)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+      ROUND(CAST(SUM(q) AS DOUBLE) / ${SURPRISAL_SCALE} / SUM(tf), 6) AS avg_surprisal
+    FROM q GROUP BY doc_id ORDER BY doc_id"""
+
   /** q72: content-defined chunking — the rolling hash applied to its
     * real job (see graft.functions.CdcChunks). The output joins every
     * chunk length into a string, so the oracle (which recomputes each
@@ -460,6 +518,7 @@ object TextOps {
     ORDER BY score DESC, doc_id LIMIT 20"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_unigram_surprisal" -> (q205UnigramSurprisal _),
     "q155_search"        -> (q155Search _),
     "q102_window_chunks" -> (q102WindowChunks _),
     "q72_cdc_chunks"    -> (q72CdcChunks _),
@@ -479,5 +538,6 @@ object TextOps {
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
     "q56_regex_tokens" -> o56, "q63_tfidf" -> o63,
     "q72_cdc_chunks" -> o72, "q88_repetition_score" -> o88,
-    "q102_window_chunks" -> o102, "q155_search" -> o155)
+    "q102_window_chunks" -> o102, "q155_search" -> o155,
+    "q205_unigram_surprisal" -> o205)
 }
