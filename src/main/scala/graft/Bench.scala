@@ -56,7 +56,10 @@ object Bench {
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           failures += 1
-          val msg = String.valueOf(e.getMessage).linesIterator.next()
+          // e.toString is never empty (class name at minimum), so the
+          // error-surfacing path can't itself throw on a blank message.
+          val msg = e.toString.linesIterator.nextOption()
+            .getOrElse(e.getClass.getName)
           System.err.println(s"[bench] $name failed: $msg")
         }
         (System.nanoTime() - t0) / 1e9

@@ -59,7 +59,20 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // NTZ→LTZ cast is wall-clock-preserving, so it is micros-identity
+        // ONLY under a UTC session. Fail loudly rather than silently
+        // shifting every epoch-nano in an ad-hoc non-UTC session.
+        require(
+          raw.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "withEventTime on TIMESTAMP_NTZ events requires " +
+            "spark.sql.session.timeZone=UTC (NTZ->LTZ cast shifts otherwise)")
+        raw
+          .withColumn("ts_us", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case _ =>
+        // timestamp-typed (LTZ) micros: unix_micros reads the instant
+        // directly — timezone-independent.
         raw
           .withColumn("ts_us", col("ts").cast(TimestampType))
           .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))

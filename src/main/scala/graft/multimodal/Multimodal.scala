@@ -311,6 +311,112 @@ object Multimodal {
         + 7*((i//(3*w2)) * h // h2) + i % 3) % 256) AS BIGINT) AS pix_sum
     FROM e GROUP BY doc_id, w2, h2 ORDER BY doc_id"""
 
+  // ---- q206: perceptual image near-dup (dHash + chunk pigeonhole) ----
+
+  /** dHash geometry: an 8×8 grayscale sample grid, 7 horizontal
+    * adjacent-pixel comparisons per row → a 56-bit signature (the
+    * classic 9×8/64-bit dHash, trimmed one column so the hash fits a
+    * SIGNED BIGINT identically in Spark and DuckDB — the q42 60-bit
+    * SimHash precedent). Sampling is integer-floor nearest-neighbor
+    * (px = gx·w/8), the q139 resize arithmetic, so the DuckDB oracle
+    * re-derives every bit from the planted pixel function. */
+  val DHASH_GRID = 8
+  val IMG_HAM_MAX = 3
+
+  /** 56-bit difference hash of a decoded raster: gray = (r+g+b)/3
+    * integer mean; bit (gy·7+gx) set iff gray(gx+1,gy) > gray(gx,gy)
+    * on the 8×8 sample grid. Row-local, O(64) per image regardless of
+    * resolution. */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def gray(gx: Int, py: Int): Int = {
+      val rgb = img.getRGB(gx * w / DHASH_GRID, py)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < DHASH_GRID) {
+      val py = gy * h / DHASH_GRID
+      var gx = 0
+      while (gx < DHASH_GRID - 1) {
+        if (gray(gx + 1, py) > gray(gx, py)) hash |= 1L << (gy * 7 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** q206: perceptual image near-duplicate pairs — the multimodal
+    * column's dedup operator (text has q39-q42/q80; embeddings have
+    * q47/q87/q204; the decoded rasters had none). dHash signatures are
+    * computed from the REAL codec path (encode → ImageIO decode →
+    * raster, exactly q138's plumbing — a stubbed decode cannot pass
+    * because the oracle recomputes every bit from the planted pixel
+    * truth), then Hamming-≤$IMG_HAM_MAX pairs come from the q42
+    * machinery: 16-bit chunk pigeonhole (4 chunks cover 56 bits; ≤3
+    * differing bits leave ≥1 chunk identical — lossless), exact
+    * bit_count verify on the candidates.
+    *
+    * Scale shape: the signature is a row-local O(1)-per-image map (no
+    * raster ever shuffles — 8 bytes/image leave the scan); candidates
+    * are an equi-join on (chunk_idx, chunk_value). Perceptually-flat
+    * corpora (screenshots, borders) skew the chunk buckets the same
+    * way q42's text corpus does — the documented mitigation is the
+    * same: more/wider chunks raise selectivity while staying lossless
+    * for the matching Hamming budget. */
+  def q206ImageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodeImage(id)))
+        (id, dHash(img))
+      }).toDF("doc_id", "dh")
+    val chunks = sig.select(col("doc_id"), col("dh"), explode(array(
+      (0 until 4).map(c => struct(lit(c).as("c"),
+        expr(s"(dh >> ${c * 16}) & 65535").as("v"))): _*)).as("ck"))
+    chunks.select(col("doc_id").as("i"), col("dh").as("si"), col("ck"))
+      .join(chunks.select(col("doc_id").as("j"), col("dh").as("sj"),
+                          col("ck")), Seq("ck"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+              expr("bit_count(si ^ sj)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= IMG_HAM_MAX)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val o206 = s"""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 3) % 16 AS h
+      FROM documents),
+    pos AS (
+      SELECT doc_id, w, h, b, b % 7 AS gx, b // 7 AS gy
+      FROM dims, unnest(range(56)) t(b)),
+    px AS (
+      SELECT doc_id, b,
+        (gx * w) // $DHASH_GRID AS x1, ((gx + 1) * w) // $DHASH_GRID AS x2,
+        (gy * h) // $DHASH_GRID AS py
+      FROM pos),
+    gr AS (
+      SELECT doc_id, b,
+        ((doc_id + 3*x1 + 7*py) % 256 + (doc_id + 3*x1 + 7*py + 1) % 256
+          + (doc_id + 3*x1 + 7*py + 2) % 256) // 3 AS g1,
+        ((doc_id + 3*x2 + 7*py) % 256 + (doc_id + 3*x2 + 7*py + 1) % 256
+          + (doc_id + 3*x2 + 7*py + 2) % 256) // 3 AS g2
+      FROM px),
+    sig AS (
+      SELECT doc_id,
+        CAST(COALESCE(SUM(CASE WHEN g2 > g1 THEN 1::BIGINT << b END), 0)
+          AS BIGINT) AS dh
+      FROM gr GROUP BY doc_id)
+    SELECT a.doc_id AS i, b.doc_id AS j,
+      CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= $IMG_HAM_MAX
+    ORDER BY i, j"""
+
   // ---- q181: PCM audio windowed energy over a binary payload ----
 
   /** Samples per planted clip, samples per analysis window. */
@@ -366,10 +472,11 @@ object Multimodal {
     "q71_frame_stats"     -> (q71FrameStats _),
     "q138_image_decode"   -> (q138ImageDecode _),
     "q139_image_resize"   -> (q139ImageResize _),
-    "q181_audio_energy"   -> (q181AudioEnergy _))
+    "q181_audio_energy"   -> (q181AudioEnergy _),
+    "q206_image_near_dup" -> (q206ImageNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71,
     "q138_image_decode" -> o138, "q139_image_resize" -> o139,
-    "q181_audio_energy" -> o181)
+    "q181_audio_energy" -> o181, "q206_image_near_dup" -> o206)
 }

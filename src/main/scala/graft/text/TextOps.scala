@@ -265,10 +265,13 @@ object TextOps {
     *
     * Scale shape: TF is row-local (codegen TokenCounts — no
     * (doc, term) shuffle); the corpus unigram table is ONE term-keyed
-    * aggregate whose result broadcasts back (with a tokenizer-bounded
-    * vocab this is always broadcastable; over raw space-split tokens
-    * a heavy tail would fall back to a shuffled join — same caveat as
-    * q63); the corpus total enters as a broadcast single-row
+    * aggregate whose result broadcasts back. NOTE: the explicit
+    * broadcast(cf) hint PINS the broadcast regardless of size — right
+    * for a tokenizer-bounded vocab (≤ a few 100k terms), but over raw
+    * space-split tokens of an unbounded corpus the hint must be
+    * dropped (let autoBroadcastJoinThreshold decide, falling back to a
+    * shuffled join) or the driver OOMs building the broadcast — same
+    * caveat as q63); the corpus total enters as a broadcast single-row
     * aggregate, not a driver collect. The only remaining corpus-sized
     * shuffle is the per-doc collapse. */
   def q205UnigramSurprisal(s: SparkSession, d: String): DataFrame = {

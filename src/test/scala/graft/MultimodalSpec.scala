@@ -69,6 +69,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert((r.getRGB(1, 0) & 0xffffff) == Multimodal.plantedPixel(15L, 2, 0))
   }
 
+  test("q206 dHash: planted duplicates collide, perturbations stay near, " +
+       "inversions go far") {
+    def raster(w: Int, h: Int, f: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      img
+    }
+    def gradient(x: Int, y: Int) = { val v = (3 * x + 7 * y) % 256
+      (v << 16) | (v << 8) | v }
+    val a = raster(16, 16, gradient)
+    // same gradient, one sampled cell brightened: ≤ 2 comparison bits
+    // (the cell's left and right neighbors) can flip
+    val b = raster(16, 16, (x, y) =>
+      if (x == 4 && y == 0) 0xffffff else gradient(x, y))
+    // inverted gradient: every comparison reverses
+    val c = raster(16, 16, (x, y) => { val v = 255 - (3 * x + 7 * y) % 256
+      (v << 16) | (v << 8) | v })
+    val (ha, hb, hc) = (Multimodal.dHash(a), Multimodal.dHash(b),
+                        Multimodal.dHash(c))
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 2)
+    assert(java.lang.Long.bitCount(ha ^ hc) > 40)
+    // ids congruent mod 256 plant IDENTICAL images (pixel and dims both
+    // period-256 in id) → exact dHash collision
+    def hashOf(id: Long) = Multimodal.dHash(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeImage(id))))
+    assert(hashOf(0L) == hashOf(256L))
+    assert(hashOf(17L) == hashOf(273L))
+  }
+
+  test("q206 pigeonhole candidates are lossless vs brute force at Hamming <= 3") {
+    val res = Multimodal.q206ImageNearDup(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // well-formed: ordered orientation, threshold respected
+    assert(res.forall { case (i, j, hm) =>
+      i < j && hm >= 0 && hm <= Multimodal.IMG_HAM_MAX })
+    // planted exact duplicates (mod-256 ids) must appear at hamming 0
+    assert(res.contains((0L, 256L, 0L)))
+    // brute-force mirror over the full doc set, computed driver-side
+    val ids = graft.Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id")).as[Long].collect().sorted
+    def hashOf(id: Long) = Multimodal.dHash(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeImage(id))))
+    val sigs = ids.map(id => id -> hashOf(id)).toMap
+    val brute = for {
+      ii <- ids.indices.iterator; jj <- (ii + 1) until ids.length
+      hm = java.lang.Long.bitCount(sigs(ids(ii)) ^ sigs(ids(jj)))
+      if hm <= Multimodal.IMG_HAM_MAX
+    } yield (ids(ii), ids(jj), hm.toLong)
+    assert(res.toSet == brute.toSet)
+  }
+
   test("binary round trip: cast to binary preserves utf-8 bytes") {
     val got = Seq("graft £ ünïcode").toDF("text")
       .withColumn("payload", col("text").cast("binary"))

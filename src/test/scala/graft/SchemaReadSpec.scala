@@ -68,6 +68,23 @@ class SchemaReadSpec extends AnyFunSuite {
     assert(r.getLong(1) == micros)
   }
 
+  test("withEventTime: TIMESTAMP_NTZ ts → identical canonical surface") {
+    // The likelier writer output of a parquet regen (round-7 lesson):
+    // a TIMESTAMP_NTZ column reaches withEventTime as TimestampNTZType,
+    // a distinct branch from the LTZ case above. Under the UTC session
+    // pin the NTZ→LTZ cast is micros-identity.
+    val micros = 1704067200123456L
+    val df = Tables.withEventTime(
+      Seq((1L, micros)).toDF("event_id", "us")
+        .select(col("event_id"),
+          timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    val r = df.select(col("ts"), unix_micros(col("ts_us"))).head()
+    assert(df.schema("ts").dataType == LongType) // normalized back to nanos
+    assert(df.schema("ts_us").dataType == TimestampType)
+    assert(r.getLong(0) == micros * 1000)
+    assert(r.getLong(1) == micros)
+  }
+
   test("events loader on the real file matches the canonical surface") {
     val df = Tables.events(spark, TestSpark.SF)
     assert(df.schema("ts").dataType == LongType)
