@@ -174,13 +174,120 @@ object Scrub {
     FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20"""
 
+  // ---- q207: iterative BPE vocabulary induction (k merge rounds) ----
+
+  /** Merge rounds for q207 — enough that later rounds merge SYMBOLS
+    * PRODUCED by earlier rounds (the property that makes BPE a
+    * vocabulary inducer rather than a bigram count), while keeping the
+    * unrolled oracle readable. */
+  val BPE_ROUNDS = 6
+
+  /** Row-local greedy merge application: a sequential fold over the
+    * token array (`aggregate` higher-order function — codegen, no UDF)
+    * that rebuilds the sequence merging every LEFTMOST, NON-OVERLAPPING
+    * (w1, w2) occurrence into the joined symbol "w1 w2". Leftmost
+    * semantics fall out of the fold order: after a merge the
+    * accumulator's last element is the merged symbol (which can never
+    * equal w1 — w1 is a strict prefix of it), so an overlapping match
+    * cannot fire, and "a a a" under merge (a,a) yields ["a a", "a"].
+    * w1/w2 are OUTER column references resolved from the crossJoined
+    * 1-row argmax — no literal splicing, no per-round codegen cache
+    * misses beyond the k plans themselves. */
+  private val BPE_MERGE_EXPR = """
+    aggregate(toks, cast(array() as array<string>), (acc, t) ->
+      CASE WHEN size(acc) = 0 THEN array(t)
+           WHEN element_at(acc, -1) = w1 AND t = w2
+             THEN concat(slice(acc, 1, size(acc) - 1),
+                         array(concat(w1, ' ', w2)))
+           ELSE concat(acc, array(t)) END)"""
+
+  /** q207: BPE tokenizer TRAINING — q93 (one merge round) iterated to a
+    * k-round vocabulary induction loop: count adjacent symbol pairs,
+    * pick the global argmax (ties broken lexically — a total order, so
+    * every round is deterministic), apply the merge corpus-wide, recount
+    * over the REWRITTEN sequences, repeat. Output is the learned merge
+    * table: (round, w1, w2, cnt), the artifact a tokenizer ships.
+    *
+    * Scale shape (this IS how distributed BPE trainers run): each round
+    * is one map-side pair expansion + one count shuffle + a 1-ROW argmax
+    * broadcast back; merge application is a row-local fold (sequences
+    * never shuffle). The corpus is re-materialized once per round
+    * (checkpointCycled — truncates lineage so round k doesn't recompute
+    * rounds 1..k-1 per consumer; blocks from the previous invocation are
+    * freed). k passes over the data is the algorithm's intrinsic cost;
+    * production trainers batch non-interacting merges per pass, an
+    * optimization that changes the learned vocabulary and so stays out
+    * of the graded query. Oracle: k unrolled CTE rounds (the
+    * q158/q163/q164 iterative-fixpoint precedent) with DuckDB's
+    * list_reduce replaying the same greedy fold. */
+  def q207BpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(documents(s, d).select(split(col("text"), " ").as("toks")),
+             BPE_ROUNDS)
+
+  /** The training loop over an arbitrary `toks ARRAY<STRING>` frame —
+    * package-visible so specs can drive it on planted corpora (nested
+    * merges, tie-breaks) that the driver table may not exhibit. */
+  private[graft] def bpeTrain(docs0: DataFrame, rounds: Int): DataFrame = {
+    var docs = docs0
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val docsC = graft.Tables.checkpointCycled(s"bpe-docs-$r", docs)
+      val top1 = graft.Tables.checkpointCycled(s"bpe-top-$r",
+        docsC.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 2)," +
+              " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2"))
+          .limit(1))
+      val row = top1.select(lit(r.toLong).as("round"),
+        col("w1"), col("w2"), col("cnt"))
+      out = if (out == null) row else out.unionAll(row)
+      docs = docsC.crossJoin(broadcast(top1))
+        .select(expr(BPE_MERGE_EXPR).as("toks"))
+    }
+    out.orderBy(col("round"))
+  }
+
+  /** Unrolled-round oracle, generated by the same k the query runs.
+    * DuckDB's list_reduce accumulator must be a scalar, so the fold
+    * carries the sequence as a chr(1)-joined string (chr(1) appears in
+    * no token — tokens are space-split) and splits it back per round. */
+  val o207: String = {
+    val sb = new StringBuilder(
+      "WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)")
+    for (r <- 1 to BPE_ROUNDS) {
+      sb.append(s""",
+    p$r AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM d${r - 1}, unnest(range(1, len(toks))) u(i)),
+    t$r AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM p$r
+            GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+    d$r AS (SELECT doc_id, string_split(list_reduce(toks, (acc, t) ->
+        CASE WHEN string_split(acc, chr(1))[-1] = w1 AND t = w2
+          THEN CASE WHEN len(string_split(acc, chr(1))) = 1
+                 THEN w1 || ' ' || w2
+               ELSE array_to_string(string_split(acc, chr(1))[1:-2], chr(1))
+                    || chr(1) || w1 || ' ' || w2 END
+          ELSE acc || chr(1) || t END), chr(1)) AS toks
+      FROM d${r - 1}, t$r)""")
+    }
+    sb.append("\n    " + (1 to BPE_ROUNDS).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, w1, w2, cnt FROM t$r")
+      .mkString(" UNION ALL "))
+    sb.append(" ORDER BY round")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_pii_redact"  -> (q91PiiRedact _),
     "q92_url_domains" -> (q92UrlDomains _),
-    "q93_bpe_pairs"   -> (q93BpePairs _))
+    "q93_bpe_pairs"   -> (q93BpePairs _),
+    "q207_bpe_train"  -> (q207BpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "q91_pii_redact"  -> o91,
     "q92_url_domains" -> o92,
-    "q93_bpe_pairs"   -> o93)
+    "q93_bpe_pairs"   -> o93,
+    "q207_bpe_train"  -> o207)
 }

@@ -77,4 +77,27 @@ class ScrubSpec extends AnyFunSuite {
     assert(physical.contains("TakeOrderedAndProject"),
       "top-k must be a per-partition heap, not a global sort")
   }
+
+  test("q207 BPE training: nested merges, lexical tie-break, greedy overlap") {
+    import spark.implicits._
+    // (a,b) and (b,c) both count 3 → lexical tie-break picks (a,b);
+    // round 2 must then merge the SYMBOL "a b" with c — vocabulary
+    // induction, not bigram counting.
+    val corpus = Seq("a b c a b c", "a b c").toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    val m = Scrub.bpeTrain(corpus, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == (1L, "a", "b", 3L))
+    assert(m(1) == (2L, "a b", "c", 3L))
+    // greedy leftmost non-overlap: "a a a a a" under (a,a) merges twice
+    // (positions 0-1, 2-3), leaving ["a a","a a","a"] — round 2 sees
+    // ("a a","a a") and ("a a","a") both once; lexical tie-break on w2
+    // picks ("a a","a").
+    val run = Seq("a a a a a").toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    val m2 = Scrub.bpeTrain(run, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2(0) == (1L, "a", "a", 4L))
+    assert(m2(1) == (2L, "a a", "a", 1L))
+  }
 }
