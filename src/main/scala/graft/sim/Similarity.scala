@@ -485,20 +485,14 @@ object Similarity {
     val cents = quantizerCache.computeIfAbsent(
       s"$d|$nCells|$iters|$sample",
       _ => KMeans.fit(e.filter(col("vec_id") < sample), nCells, iters))
-    import graft.functions.VectorFunctions.dot_const
-    def cellsDesc(v: String) = sort_array(array(cents.map { case (cid, c) =>
-      struct((dot_const(col(v), c.map(_ * 2.0)) - lit(c.map(x => x * x).sum)).as("s"),
-             lit(cid).as("c"))
-    }: _*), asc = false)
-
+    import graft.functions.VectorFunctions.top_cells
     val base = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("cell", element_at(cellsDesc("nv"), 1).getField("c"))
+      .withColumn("cell", top_cells(col("nv"), cents, 1)(0))
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
     val qProbes = e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("cells", cellsDesc("qv"))
-      .withColumn("probe", explode(slice(col("cells"), 1, nProbe)))
-      .select(col("qid"), col("qv"), col("probe.c").as("cell"))
+      .withColumn("cell", explode(top_cells(col("qv"), cents, nProbe)))
+      .select(col("qid"), col("qv"), col("cell"))
     broadcast(qProbes).join(base, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
@@ -778,23 +772,21 @@ object Similarity {
     * approximation (exactly SemDeDup's contract: Abbas et al. dedup
     * within clusters only). */
   def q204SemDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dot_const, dot_product}
+    import graft.functions.VectorFunctions.{dot_product, top_cells}
     val e = embeddings(s, d)
     val cents = quantizerCache.computeIfAbsent(
       s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
       _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE),
                       SEM_CELLS, KMEANS_ITERS))
-    val scored = sort_array(array(cents.map { case (cid, c) =>
-      struct((dot_const(col("embedding"), c.map(_ * 2.0))
-                - lit(c.map(x => x * x).sum)).as("s"),
-             lit(cid).as("c"))
-    }: _*), asc = false)
-    val assigned = e
+    // The multi-probe assignment projection feeds BOTH sides of the
+    // cell join below; materialize it once (probed: the old 64-struct
+    // sort_array projection cost 0.75 s at sf0.1 and the join was
+    // recomputing it per side — top_cells is the one-loop codegen
+    // replacement, bit-identical ordering).
+    val assigned = checkpointCycled("semdedup-assign", e
       .withColumn("nrm", sqrt(dot_product(col("embedding"), col("embedding"))))
-      .withColumn("cs", scored)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(expr(s"transform(slice(cs, 1, $SEM_PROBE), x -> x.c)"))
-          .as("cell"))
+        explode(top_cells(col("embedding"), cents, SEM_PROBE)).as("cell")))
     val aS = assigned.select(col("cell"), col("vec_id").as("i"),
       col("embedding").as("va"), col("nrm").as("na"))
     val bS = assigned.select(col("cell"), col("vec_id").as("j"),

@@ -214,9 +214,12 @@ object Dedup {
     * directly); the scale path when shingle frequencies are
     * heavy-tailed — registered under the gate as q80 so the 100 TB
     * escape hatch is itself oracle-checked, even though on THIS small
-    * corpus the direct index join is faster (measured 6×; tiny
-    * vocabulary means prefixes prune little). */
+    * corpus the direct index join is faster (Q80Profile: 2.65 s vs
+    * 0.9 s at sf0.1 — tiny vocabulary means prefixes prune little;
+    * was 6.45 s before the length+positional filters starved the
+    * exact verify from 409k candidates down to 120k). */
   def ppjoinJaccard(s: SparkSession, d: String): DataFrame = {
+    val tau = JACCARD_THRESHOLD
     val sh = shingles(s, d)
     val docFreq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -226,12 +229,38 @@ object Dedup {
       .withColumn("n_sg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("pos") <=
-        col("n_sg") - ceil(col("n_sg") * lit(JACCARD_THRESHOLD)) + 1)
-      .select(col("doc_id"), col("sg"))
-    val cand = prefixes.select(col("doc_id").as("i"), col("sg"))
-      .join(prefixes.select(col("doc_id").as("j"), col("sg")), Seq("sg"))
+        col("n_sg") - ceil(col("n_sg") * lit(tau)) + 1)
+      .select(col("doc_id"), col("sg"), col("pos"), col("n_sg"))
+    // Candidate generation with PPJoin's two LOSSLESS prunes (profiled:
+    // the exact array_intersect verify was ~5 s of the 6.4 s total over
+    // 409k candidates of which 256 survive — the filters exist to starve
+    // it):
+    //  - length filter AT THE JOIN: J >= tau forces
+    //    tau * max(ni, nj) <= min(ni, nj);
+    //  - positional filter ON THE AGGREGATE: with both docs' shingles in
+    //    the same global rarest-first order, matched prefix positions
+    //    increase together, so the LAST match (max(pi), max(pj) — both
+    //    attained at the same shingle) bounds the total overlap:
+    //    c <= cnt + min(ni - max(pi), nj - max(pj)); any common shingle
+    //    ordered before the last match sits inside BOTH prefixes and is
+    //    already counted, any after it fits in the shorter suffix. Prune
+    //    when that bound cannot reach alpha = ceil(tau/(1+tau)*(ni+nj)).
+    // The groupBy replaces the old distinct — same shuffle key, now
+    // carrying the pruning state instead of discarding it.
+    val cand = prefixes.select(col("doc_id").as("i"), col("sg"),
+        col("pos").as("pi"), col("n_sg").as("ni"))
+      .join(prefixes.select(col("doc_id").as("j"), col("sg"),
+        col("pos").as("pj"), col("n_sg").as("nj")), Seq("sg"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j")).distinct()
+      .filter(least(col("ni"), col("nj"))
+        >= greatest(col("ni"), col("nj")) * lit(tau))
+      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
+      .agg(count(lit(1)).as("cnt"),
+           max(col("pi")).as("mpi"), max(col("pj")).as("mpj"))
+      .filter(col("cnt")
+          + least(col("ni") - col("mpi"), col("nj") - col("mpj"))
+        >= ceil(lit(tau / (1 + tau)) * (col("ni") + col("nj"))))
+      .select(col("i"), col("j"))
     verifyPairs(cand, shingleArrays(s, d))
   }
 
