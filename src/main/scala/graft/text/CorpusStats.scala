@@ -168,14 +168,18 @@ object CorpusStats {
     * complement of q79's per-document links). Zero-overlap pairs are
     * absent by construction (inner join). */
   def q94SourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val spans = documents(s, d)
+    // The distinct span vocabulary feeds three consumers (both
+    // self-join sides and the per-source sizes); materialize it once —
+    // ReuseExchange only covers the identical a/b subtrees, the sizes
+    // aggregate was re-deriving the whole explode+distinct chain.
+    val spans = checkpointCycled("source-overlap-spans", documents(s, d)
       .select(col("source"), explode(
         graft.functions.ShingleSet.shingle_set(col("text"), Dedup.SPAN))
         .as("span"))
       .select(col("source"),
         expr("cast(conv(substr(md5(span),1,15),16,10) as bigint)").as("h"))
       .distinct() // per-source span vocabulary
-      .repartition(shufflePartitions(s), col("h"))
+      .repartition(shufflePartitions(s), col("h")))
     val sizes = spans.groupBy(col("source")).agg(count(lit(1)).as("n"))
     spans.as("a")
       .join(spans.as("b"),
