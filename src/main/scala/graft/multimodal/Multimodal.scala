@@ -347,24 +347,32 @@ object Multimodal {
     hash
   }
 
-  /** q206: perceptual image near-duplicate pairs — the multimodal
-    * column's dedup operator (text has q39-q42/q80; embeddings have
-    * q47/q87/q204; the decoded rasters had none). dHash signatures are
-    * computed from the REAL codec path (encode → ImageIO decode →
-    * raster, exactly q138's plumbing — a stubbed decode cannot pass
-    * because the oracle recomputes every bit from the planted pixel
-    * truth), then Hamming-≤$IMG_HAM_MAX pairs come from the q42
-    * machinery: 16-bit chunk pigeonhole (4 chunks cover 56 bits; ≤3
-    * differing bits leave ≥1 chunk identical — lossless), exact
-    * bit_count verify on the candidates.
+  /** q206: perceptual image near-dup — the multimodal column's dedup
+    * operator (text has q39-q42/q80; embeddings have q47/q87/q204; the
+    * decoded rasters had none). dHash signatures are computed from the
+    * REAL codec path (encode → ImageIO decode → raster, exactly q138's
+    * plumbing — a stubbed decode cannot pass because the oracle
+    * recomputes every bit from the planted pixel truth), then
+    * Hamming-≤$IMG_HAM_MAX candidates come from the q42 machinery:
+    * 16-bit chunk pigeonhole (4 chunks cover 56 bits; ≤3 differing
+    * bits leave ≥1 chunk identical — lossless), exact bit_count verify.
+    * Output is the per-image verdict table (keeper = lowest-id
+    * Hamming-neighbor, the q204 keeper rule) rather than the raw pair
+    * list: the planted gradient corpus is perceptually DEGENERATE
+    * (~23% of all pairs land within Hamming 3), so the pair list is
+    * Θ(n²)-sized while the verdict is n rows — and multi-chunk
+    * candidate duplicates collapse in the min-aggregate for free,
+    * where the pair-list form needed a full DISTINCT + sort of the
+    * quadratic set (measured 5.7 s → the aggregate form at sf0.1).
     *
     * Scale shape: the signature is a row-local O(1)-per-image map (no
     * raster ever shuffles — 8 bytes/image leave the scan); candidates
-    * are an equi-join on (chunk_idx, chunk_value). Perceptually-flat
-    * corpora (screenshots, borders) skew the chunk buckets the same
-    * way q42's text corpus does — the documented mitigation is the
-    * same: more/wider chunks raise selectivity while staying lossless
-    * for the matching Hamming budget. */
+    * are an equi-join on (chunk_idx, chunk_value); the only
+    * corpus-sized shuffles carry (doc_id, 8-byte hash) rows.
+    * Perceptually-flat corpora skew the chunk buckets the same way
+    * q42's text corpus does — same documented mitigation: more/wider
+    * chunks raise selectivity while staying lossless for the Hamming
+    * budget. */
   def q206ImageNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = documents(s, d).select(col("doc_id")).as[Long]
@@ -373,18 +381,29 @@ object Multimodal {
           new java.io.ByteArrayInputStream(encodeImage(id)))
         (id, dHash(img))
       }).toDF("doc_id", "dh")
-    val chunks = sig.select(col("doc_id"), col("dh"), explode(array(
+    val sigC = graft.Tables.checkpointCycled("dhash-sig", sig)
+    val chunks = sigC.select(col("doc_id"), col("dh"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("c"),
         expr(s"(dh >> ${c * 16}) & 65535").as("v"))): _*)).as("ck"))
-    chunks.select(col("doc_id").as("i"), col("dh").as("si"), col("ck"))
+    // No distinct on candidates: multi-chunk duplicates of the same
+    // (i, j) collapse inside the min-aggregate.
+    val dropped = chunks
+      .select(col("doc_id").as("i"), col("dh").as("si"), col("ck"))
       .join(chunks.select(col("doc_id").as("j"), col("dh").as("sj"),
                           col("ck")), Seq("ck"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"),
-              expr("bit_count(si ^ sj)").cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= IMG_HAM_MAX)
-      .orderBy(col("i"), col("j"))
+      .filter(expr("bit_count(si ^ sj)") <= IMG_HAM_MAX)
+      .groupBy(col("j").as("doc_id"))
+      .agg(min(col("i")).as("dup_of"))
+    sigC.select(col("doc_id"), col("dh"))
+      .join(dropped, Seq("doc_id"), "left")
+      .join(sigC.select(col("doc_id").as("dup_of"), col("dh").as("dh_k")),
+            Seq("dup_of"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("status"),
+        col("dup_of"),
+        expr("cast(bit_count(dh ^ dh_k) as bigint)").as("ham_to_keeper"))
+      .orderBy(col("doc_id"))
   }
 
   val o206 = s"""
@@ -410,12 +429,20 @@ object Multimodal {
       SELECT doc_id,
         CAST(COALESCE(SUM(CASE WHEN g2 > g1 THEN 1::BIGINT << b END), 0)
           AS BIGINT) AS dh
-      FROM gr GROUP BY doc_id)
-    SELECT a.doc_id AS i, b.doc_id AS j,
-      CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.dh, b.dh)) <= $IMG_HAM_MAX
-    ORDER BY i, j"""
+      FROM gr GROUP BY doc_id),
+    dropped AS (
+      SELECT b.doc_id AS doc_id, MIN(a.doc_id) AS dup_of
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dh, b.dh)) <= $IMG_HAM_MAX
+      GROUP BY b.doc_id)
+    SELECT s.doc_id,
+      CASE WHEN d.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS status,
+      d.dup_of,
+      CAST(bit_count(xor(s.dh, k.dh)) AS BIGINT) AS ham_to_keeper
+    FROM sig s
+    LEFT JOIN dropped d ON d.doc_id = s.doc_id
+    LEFT JOIN sig k ON k.doc_id = d.dup_of
+    ORDER BY s.doc_id"""
 
   // ---- q181: PCM audio windowed energy over a binary payload ----
 

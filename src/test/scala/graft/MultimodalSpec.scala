@@ -99,26 +99,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashOf(17L) == hashOf(273L))
   }
 
-  test("q206 pigeonhole candidates are lossless vs brute force at Hamming <= 3") {
-    val res = Multimodal.q206ImageNearDup(spark, TestSpark.SF)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // well-formed: ordered orientation, threshold respected
-    assert(res.forall { case (i, j, hm) =>
-      i < j && hm >= 0 && hm <= Multimodal.IMG_HAM_MAX })
-    // planted exact duplicates (mod-256 ids) must appear at hamming 0
-    assert(res.contains((0L, 256L, 0L)))
+  test("q206 pigeonhole verdicts are lossless vs brute force at Hamming <= 3") {
+    val res = Multimodal.q206ImageNearDup(spark, TestSpark.SF).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
     // brute-force mirror over the full doc set, computed driver-side
     val ids = graft.Tables.documents(spark, TestSpark.SF)
       .select(col("doc_id")).as[Long].collect().sorted
     def hashOf(id: Long) = Multimodal.dHash(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(Multimodal.encodeImage(id))))
     val sigs = ids.map(id => id -> hashOf(id)).toMap
-    val brute = for {
-      ii <- ids.indices.iterator; jj <- (ii + 1) until ids.length
-      hm = java.lang.Long.bitCount(sigs(ids(ii)) ^ sigs(ids(jj)))
-      if hm <= Multimodal.IMG_HAM_MAX
-    } yield (ids(ii), ids(jj), hm.toLong)
-    assert(res.toSet == brute.toSet)
+    val brute = ids.map { j =>
+      val nbrs = ids.filter(i => i < j &&
+        java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= Multimodal.IMG_HAM_MAX)
+      if (nbrs.isEmpty) (j, "keep", None, None)
+      else {
+        val k = nbrs.min
+        (j, "drop", Some(k),
+         Some(java.lang.Long.bitCount(sigs(k) ^ sigs(j)).toLong))
+      }
+    }.toSeq
+    assert(res == brute)
+    // planted exact duplicates: ids congruent mod 256 are identical
+    // images, so doc 256 must be dropped at hamming 0
+    val r256 = res.find(_._1 == 256L).get
+    assert(r256._2 == "drop" && r256._4 == Some(0L))
   }
 
   test("binary round trip: cast to binary preserves utf-8 bytes") {
