@@ -44,6 +44,9 @@ object SparkEntry {
     sources.PartitionedScan.ensureSorted(spark, sfDir)
     sim.Similarity.ensureAnnIndexes(spark, sfDir)
     text.DedupCluster.ensureClusterLabels(spark, sfDir)
+    // q209 applies the q207-trained merge table; training is the offline
+    // step (q207 itself stays timed — it IS the training benchmark).
+    text.Scrub.ensureBpeMerges(spark, sfDir)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -67,6 +67,67 @@ object Similarity {
     SELECT qid, rank, nid, sim FROM ranked
     WHERE rank <= $TOP_K ORDER BY qid, rank"""
 
+  // ---- q208: hard-negative mining (contrastive training data) ----
+
+  /** Negatives kept per query. */
+  val HN_K = 5
+
+  /** q208: hard-negative mining — for each query vector, the HN_K
+    * most-similar vectors carrying a DIFFERENT label. This is the
+    * retrieval/contrastive-training data builder (DPR/SimCSE recipe):
+    * same-label neighbors are positives, and the near-boundary
+    * OTHER-label neighbors are the negatives that actually move the
+    * loss; random negatives are trivially separable and teach nothing.
+    * Output is the per-query negative set a training-pair writer joins
+    * against, with the negative's label carried for audit.
+    *
+    * Scale shape: the query set is bounded (broadcast); the base scan
+    * is one pass with a row-local codegen cosine; per-(query,partition)
+    * state is the HN_K-bounded heap (TopKPerGroup — the shuffle
+    * carries candidates, not the scan). The label filter runs INSIDE
+    * the scan stage before any ranking state. Exact and fully
+    * oracle-checked (the q43 stance — at index scale the same query
+    * runs against the IVF/PQ candidates instead of the full base; the
+    * exact form IS the gate). */
+  def q208HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+              col("embedding").as("qv"))
+    val base = e.select(col("vec_id").as("nid"), col("label").as("neg_label"),
+                        col("embedding").as("nv"))
+    val scored = broadcast(q)
+      .join(base, col("qid") =!= col("nid")
+        && col("qlabel") =!= col("neg_label"))
+      .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
+    graft.plans.TopKPerGroup(scored, Seq("qid"),
+        Seq(("sim", true), ("nid", false)), HN_K)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("rank"), col("nid"), col("neg_label"),
+              col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val o208 = s"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < $N_QUERIES),
+    b AS (SELECT vec_id AS nid, label AS neg_label,
+                 embedding::DOUBLE[] AS nv FROM embeddings),
+    sims AS (
+      SELECT qid, nid, neg_label,
+        ROUND(list_dot_product(qv, nv)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))),
+          6) AS sim
+      FROM q, b WHERE qid <> nid AND qlabel <> neg_label),
+    ranked AS (
+      SELECT qid, nid, neg_label, sim,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM sims)
+    SELECT qid, rank, nid, neg_label, sim FROM ranked
+    WHERE rank <= $HN_K ORDER BY qid, rank"""
+
   // ---- q146: int8-quantized similarity search ----
 
   /** q146: exact top-k over INT8-QUANTIZED embeddings — the
@@ -840,12 +901,14 @@ object Similarity {
     "q55_knn_ivf"         -> (q55KnnIvf _),
     "q87_margin_near_dup" -> (q87MarginNearDup _),
     "q146_int8_ann"       -> (q146Int8Ann _),
-    "q162_knn_pq"         -> (q162KnnPq _))
+    "q162_knn_pq"         -> (q162KnnPq _),
+    "q208_hard_negatives" -> (q208HardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "q100_label_centroids" -> o100,
     "q43_knn_bruteforce" -> o43,
     "q47_embed_near_dup" -> o47,
     "q87_margin_near_dup" -> o87,
-    "q146_int8_ann" -> o146)
+    "q146_int8_ann" -> o146,
+    "q208_hard_negatives" -> o208)
 }

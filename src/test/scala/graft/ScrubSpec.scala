@@ -100,4 +100,14 @@ class ScrubSpec extends AnyFunSuite {
     assert(m2(0) == (1L, "a", "a", 4L))
     assert(m2(1) == (2L, "a a", "a", 1L))
   }
+
+  test("q209 ledger: merges only shrink, savings equal applied merge mass") {
+    val led = Scrub.q209BpeApply(spark, TestSpark.SF).collect()
+    assert(led.nonEmpty)
+    led.foreach { r =>
+      val (before, after) = (r.getLong(2), r.getLong(3))
+      assert(after <= before, s"merges must never grow a sequence: $r")
+      assert(r.getLong(4) == after * 1000000L / before)
+    }
+  }
 }
