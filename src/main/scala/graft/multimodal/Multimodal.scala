@@ -494,16 +494,99 @@ object Multimodal {
            unnest(range(0, $PCM_N)) u(i))
     GROUP BY doc_id, win ORDER BY doc_id, win"""
 
+  // ---- q210: audio near-dup via quantized energy-envelope fingerprint ----
+
+  /** Clips planted for the dedup operator (more than q181's 40 so real
+    * duplicate groups exist) and the envelope quantizer shift. */
+  val PCM_DUP_DOCS = 200
+  val ENV_SHIFT = 24
+
+  /** q210: audio near-duplicate detection — the last modality without a
+    * dedup operator (text q39-q42/q80, embeddings q47/q87/q204, images
+    * q206). Clips are planted with CLASS structure (waveform derives
+    * from doc_id % 25; doc_id div 25 adds a ±2 DC offset — re-encodes
+    * of the same recording) through the REAL binary path: 16-bit
+    * big-endian PCM built via hex, parsed BACK out of the payload bytes
+    * (q181's plumbing — a stub that never touches the binary cannot
+    * pass, the oracle recomputes from the closed-form sample function).
+    * The fingerprint is the coarse-quantized per-window energy envelope
+    * (energy div 2^$ENV_SHIFT — the Shazam-style invariant: robust to
+    * small amplitude jitter, discriminative across waveforms); verdicts
+    * are fingerprint-equality groups under the lowest-id keeper rule.
+    *
+    * Scale shape: everything to the fingerprint is row-local (payload
+    * never shuffles — PCM_N·2 bytes reduce to a short string before
+    * any exchange); the dedup is one fingerprint-keyed aggregate +
+    * one broadcast-sized join back. Exact duplicates of the envelope,
+    * not the waveform — the documented contract (same one q39 has for
+    * exact text dedup via md5(lower(text))). */
+  def q210AudioNearDup(s: SparkSession, d: String): DataFrame = {
+    val sample = (i: String) =>
+      s"(((doc_id % 25) * 31 + $i * $i * 17) % 65536 + (doc_id div 25) % 3) % 65536"
+    val env = documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < PCM_DUP_DOCS)
+      .withColumn("payload", expr(
+        s"unhex(concat_ws('', transform(sequence(0, ${PCM_N - 1}), " +
+          s"i -> lpad(hex(${sample("i")}), 4, '0'))))"))
+      .withColumn("win", explode(sequence(lit(0), lit(PCM_N / PCM_WIN - 1))))
+      .withColumn("samples", expr(
+        s"transform(sequence(0, ${PCM_WIN - 1}), j -> " +
+          s"cast(conv(hex(substring(payload, 2 * (win * $PCM_WIN + j) + 1, 2)), " +
+          "16, 10) as bigint))"))
+      .select(col("doc_id"), col("win"),
+        expr(s"aggregate(samples, 0L, (acc, x) -> acc + x * x)" +
+          s" div ${1L << ENV_SHIFT}").as("qe"))
+    val fp = env.groupBy(col("doc_id"))
+      .agg(concat_ws("-", expr(
+        "transform(array_sort(collect_list(struct(win, qe)))," +
+          " x -> cast(x.qe as string))")).as("fp"))
+    val keeper = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    fp.join(keeper, Seq("fp"))
+      .select(col("doc_id"),
+        when(col("doc_id") === col("keeper_id"), "keep")
+          .otherwise("drop").as("status"),
+        when(col("doc_id") === col("keeper_id"), lit(null).cast("long"))
+          .otherwise(col("keeper_id")).as("dup_of"),
+        col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o210 = s"""
+    WITH sv AS (
+      SELECT doc_id, i,
+        (((doc_id % 25) * 31 + i * i * 17) % 65536
+          + (doc_id // 25) % 3) % 65536 AS sv
+      FROM (SELECT doc_id FROM documents WHERE doc_id < $PCM_DUP_DOCS),
+           unnest(range(0, $PCM_N)) u(i)),
+    env AS (
+      SELECT doc_id, i // $PCM_WIN AS win,
+        SUM(sv * sv) // ${1L << ENV_SHIFT} AS qe
+      FROM sv GROUP BY doc_id, win),
+    fp AS (
+      SELECT doc_id, string_agg(qe::VARCHAR, '-' ORDER BY win) AS fp
+      FROM env GROUP BY doc_id),
+    k AS (SELECT fp, MIN(doc_id) AS keeper,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM fp GROUP BY fp)
+    SELECT f.doc_id,
+      CASE WHEN f.doc_id = k.keeper THEN 'keep' ELSE 'drop' END AS status,
+      CASE WHEN f.doc_id = k.keeper THEN NULL ELSE k.keeper END AS dup_of,
+      k.n_copies
+    FROM fp f JOIN k USING (fp) ORDER BY f.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
     "q71_frame_stats"     -> (q71FrameStats _),
     "q138_image_decode"   -> (q138ImageDecode _),
     "q139_image_resize"   -> (q139ImageResize _),
     "q181_audio_energy"   -> (q181AudioEnergy _),
-    "q206_image_near_dup" -> (q206ImageNearDup _))
+    "q206_image_near_dup" -> (q206ImageNearDup _),
+    "q210_audio_near_dup" -> (q210AudioNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71,
     "q138_image_decode" -> o138, "q139_image_resize" -> o139,
-    "q181_audio_energy" -> o181, "q206_image_near_dup" -> o206)
+    "q181_audio_energy" -> o181, "q206_image_near_dup" -> o206,
+    "q210_audio_near_dup" -> o210)
 }
