@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sim.{KMeans, Similarity}
 import graft.Tables.embeddings
 
-/** Throwaway stage probe for q204: where does the time go —
+/** Stage probe for q204 (SemDeDup): where does the time go —
   * assignment, cell pair join, checkpoint, evidence, or verdict? */
 object Q204Probe {
   def minOf(reps: Int)(f: => Unit): Double =
