@@ -29,7 +29,8 @@ object SparkEntry {
       text.CorpusPipeline.queries ++ text.TrainingSet.queries ++
       text.Scrub.queries ++ text.CorpusStats.queries ++
       text.CorpusSignals.queries ++
-      sim.Similarity.queries ++ multimodal.Multimodal.queries ++
+      sim.Similarity.queries ++ sim.Pca.queries ++
+      multimodal.Multimodal.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.PartitionedScan.queries
 
@@ -63,7 +64,8 @@ object SparkEntry {
       text.CorpusPipeline.oracles ++ text.TrainingSet.oracles ++
       text.Scrub.oracles ++ text.CorpusStats.oracles ++
       text.CorpusSignals.oracles ++
-      sim.Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      sim.Similarity.oracles ++ sim.Pca.oracles ++
+      multimodal.Multimodal.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles
 }

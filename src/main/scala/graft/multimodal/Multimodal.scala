@@ -575,6 +575,112 @@ object Multimodal {
       k.n_copies
     FROM fp f JOIN k USING (fp) ORDER BY f.doc_id"""
 
+  // ---- q213: video near-dup via sampled-frame fingerprint containment ----
+
+  /** Planted video geometry: VID_DOCS clips of VID_FRAMES frames ×
+    * VID_FRAME_BYTES bytes. Scene class = doc_id % 20; temporal shift =
+    * (doc_id div 20) % 4 — clips of the same class show the SAME scene
+    * footage offset by 0–3 frames (the trimmed/shifted re-upload case
+    * video dedup exists for). Byte k of scene frame f in class c is
+    * (7c + 13f + 29k) mod 251 — closed-form, so the oracle re-derives
+    * every frame without seeing the binary. */
+  val VID_DOCS = 120
+  val VID_FRAMES = 16
+  val VID_FRAME_BYTES = 16
+  /** Containment threshold τ = 4/5 as an exact rational — shift ≤ 3
+    * leaves ≥ 13/16 frames shared (match); distinct classes share no
+    * frame (no match). The comparison is pure int64. */
+  val VID_TAU_NUM = 4
+  val VID_TAU_DEN = 5
+
+  /** q213: video near-duplicate detection — the fourth modality's dedup
+    * operator (text q39–q42/q80, embeddings q47/q87/q204, images q206,
+    * audio q210). The payload is REAL binary (planted via hex, exactly
+    * q181's plumbing); frames are sliced back OUT of the bytes with
+    * `frameSample` (a stub that never touches the binary cannot pass —
+    * the oracle recomputes each frame's hex from the closed form), each
+    * frame reduces to an md5 fingerprint, and two clips are duplicates
+    * when the shared-distinct-frame count reaches τ·min(|A|,|B|) —
+    * frame-SET containment, which is what makes the operator robust to
+    * temporal trims/shifts where q210's ordered-envelope equality is
+    * not. Verdict output under the lowest-id keeper rule (q206's shape;
+    * pair lists go quadratic on degenerate corpora).
+    *
+    * Scale shape: payload → 16 fingerprints is row-local (frames never
+    * shuffle; 16 hashes/clip leave the scan). Candidates come from the
+    * inverted-index equi-join on the frame fingerprint — the exact
+    * shape audio/video fingerprint stores (Shazam-style) run at scale —
+    * so cost is Σ per-fingerprint bucket², bounded by footage reuse,
+    * never all-pairs. The per-clip frame-count joins carry |clips|-row
+    * tables with no broadcast hint: the planner broadcasts at this SF
+    * and shuffle-joins at 100 TB, no plan change needed elsewhere. */
+  def q213VideoNearDup(s: SparkSession, d: String): DataFrame = {
+    val clips = documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < VID_DOCS)
+      .withColumn("payload", expr(
+        s"unhex(concat_ws('', transform(sequence(0, ${VID_FRAMES * VID_FRAME_BYTES - 1}), " +
+          s"b -> lpad(hex(((doc_id % 20) * 7 " +
+          s"+ (b div $VID_FRAME_BYTES + (doc_id div 20) % 4) * 13 " +
+          s"+ (b % $VID_FRAME_BYTES) * 29) % 251), 2, '0'))))"))
+    val f = clips
+      .select(col("doc_id"),
+        explode(frameSample(col("payload"), VID_FRAME_BYTES, 1)).as("frame"))
+      .select(col("doc_id"), md5(hex(col("frame"))).as("fp"))
+      .distinct()
+    val fC = graft.Tables.checkpointCycled("video-frames", f)
+    val nf = fC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val m = fC.select(col("doc_id").as("i"), col("fp"))
+      .join(fC.select(col("doc_id").as("j"), col("fp")), Seq("fp"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("shared"))
+    val mm = m
+      .join(nf.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(nf.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+      .filter(col("shared") * VID_TAU_DEN >=
+        least(col("ni"), col("nj")) * VID_TAU_NUM)
+      .select(col("i"), col("j"), col("shared"))
+    val dr = mm.groupBy(col("j").as("doc_id")).agg(min(col("i")).as("dup_of"))
+    clips.select(col("doc_id"))
+      .join(dr, Seq("doc_id"), "left")
+      .join(mm.select(col("i").as("dup_of"), col("j").as("doc_id"),
+        col("shared")), Seq("dup_of", "doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("status"),
+        col("dup_of"), col("shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o213 = s"""
+    WITH c AS (
+      SELECT doc_id, doc_id % 20 AS cls, (doc_id // 20) % 4 AS sh
+      FROM documents WHERE doc_id < $VID_DOCS),
+    fr AS (
+      SELECT doc_id, j,
+        md5(string_agg(lpad(hex((cls*7 + (j + sh)*13 + k*29) % 251), 2, '0'),
+          '' ORDER BY k)) AS fp
+      FROM c, unnest(range(0, $VID_FRAMES)) t(j),
+           unnest(range(0, $VID_FRAME_BYTES)) u(k)
+      GROUP BY doc_id, cls, sh, j),
+    f AS (SELECT DISTINCT doc_id, fp FROM fr),
+    nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+    m AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    mm AS (
+      SELECT m.i, m.j, m.shared FROM m
+      JOIN nf ni ON ni.doc_id = m.i
+      JOIN nf nj ON nj.doc_id = m.j
+      WHERE m.shared * $VID_TAU_DEN >= LEAST(ni.n, nj.n) * $VID_TAU_NUM),
+    dr AS (SELECT j AS doc_id, MIN(i) AS dup_of FROM mm GROUP BY j)
+    SELECT c.doc_id,
+      CASE WHEN dr.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS status,
+      dr.dup_of, k.shared
+    FROM c
+    LEFT JOIN dr ON dr.doc_id = c.doc_id
+    LEFT JOIN mm k ON k.i = dr.dup_of AND k.j = c.doc_id
+    ORDER BY c.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
     "q71_frame_stats"     -> (q71FrameStats _),
@@ -582,11 +688,12 @@ object Multimodal {
     "q139_image_resize"   -> (q139ImageResize _),
     "q181_audio_energy"   -> (q181AudioEnergy _),
     "q206_image_near_dup" -> (q206ImageNearDup _),
-    "q210_audio_near_dup" -> (q210AudioNearDup _))
+    "q210_audio_near_dup" -> (q210AudioNearDup _),
+    "q213_video_near_dup" -> (q213VideoNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71,
     "q138_image_decode" -> o138, "q139_image_resize" -> o139,
     "q181_audio_energy" -> o181, "q206_image_near_dup" -> o206,
-    "q210_audio_near_dup" -> o210)
+    "q210_audio_near_dup" -> o210, "q213_video_near_dup" -> o213)
 }

@@ -462,7 +462,81 @@ object CorpusSignals {
         AS avg_nll_micro
     FROM sc GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- q215: bigram conditional LM quality (add-one smoothed) ----
+
+  /** Fixed-point scale for per-occurrence conditional NLL (q167's ·1e7
+    * floor stance — truncation at the row, exact int64 sums after). */
+  val BIGRAM_SCALE = 1e7
+
+  /** q215: per-document average conditional negative log-likelihood under
+    * the corpus's own add-one-smoothed BIGRAM model — the next LM-proxy
+    * step past q167's unigram NLL and q205's surprisal: a document full
+    * of individually-common tokens in improbable ADJACENCIES (shuffled
+    * boilerplate, spam keyword salads) scores high here while passing
+    * both unigram filters. p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V), with V
+    * the observed-context vocabulary (distinct w1), so every unseen-pair
+    * mass assignment is explicit and integer-derived.
+    *
+    * Engine parity: each occurrence contributes
+    * floor(ln((c1+V)/(c12+1)) · 1e7) — one ln whose argument is a single
+    * division of exact int64s, identical in both engines; ratio > 1 so
+    * every contribution is positive and the final integer division
+    * agrees across floor/truncate conventions.
+    *
+    * Scale shape: the model is ONE (w1,w2)-keyed aggregate (bigram-vocab
+    * sized, NOT corpus sized); its prefix marginal and the V scalar
+    * derive from that table without another corpus pass. Both broadcast
+    * back (the q205/q63 caveat applies: over an unbounded raw-token
+    * vocabulary the hints must go and the join becomes key-shuffled —
+    * no other plan change); the corpus-sized shuffle is the per-doc
+    * collapse alone. */
+  def q215BigramLm(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.agg(countDistinct(col("w1")).as("v"))
+    bg.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("n7", floor(log((col("c1") + col("v")).cast("double")
+          / (col("c12") + lit(1L)).cast("double")) * BIGRAM_SCALE)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("n7")).as("t7"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("t7 div (10 * n_bigrams)").as("avg_nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o215 = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, unnest(range(1, len(toks))) u(i)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM c12),
+    sc AS (
+      SELECT doc_id,
+        CAST(FLOOR(ln((c1 + v)::DOUBLE / (c12 + 1)::DOUBLE) * 1e7) AS BIGINT)
+          AS n7
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(n7) AS BIGINT) // CAST(10 * COUNT(*) AS BIGINT)
+        AS avg_nll_micro
+    FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_bigram_lm"   -> (q215BigramLm _),
     "q167_unigram_nll" -> (q167UnigramNll _),
     "q140_pmi_collocations" -> (q140PmiCollocations _),
     "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
@@ -473,6 +547,7 @@ object CorpusSignals {
     "q133_shingle_novelty" -> (q133ShingleNovelty _))
 
   val oracles: Map[String, String] = Map(
+    "q215_bigram_lm"   -> o215,
     "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,

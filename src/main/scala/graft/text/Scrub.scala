@@ -354,17 +354,151 @@ object Scrub {
     FROM d$BPE_ROUNDS k JOIN documents d ON d.doc_id = k.doc_id
     GROUP BY d.source ORDER BY d.source"""
 
+  // ---- q212: cross-document boilerplate line removal (C4-style) ----
+
+  /** Line granularity (tokens per line) and the duplication threshold: a
+    * line whose exact text occurs in ≥ LINE_DUP_MIN distinct documents is
+    * boilerplate (the C4 "three-sentence" rule re-expressed over the
+    * synthetic corpus's token stream, where 3-token lines give a real
+    * boilerplate mix at the graded SF: 231 of 7,460 distinct lines cross
+    * the threshold at sf0.01). */
+  val LINE_TOKS = 3
+  val LINE_DUP_MIN = 3
+
+  /** q212: cross-document line dedup — the C4/CCNet boilerplate scrub:
+    * chunk every document into fixed LINE_TOKS-token lines, census how
+    * many DISTINCT documents each exact line occurs in, drop lines at or
+    * above the threshold from every document, and re-assemble the
+    * scrubbed text (per-doc: line counts kept/total plus an md5 of the
+    * scrubbed document, so the whole reassembled string — order included
+    * — is oracle-checked, not just the counts).
+    *
+    * Scale shape: line chunking is a row-local `transform` (token arrays
+    * never shuffle). The census groups on md5(line) — a 32-byte
+    * fingerprint, not the line text — carrying map-side-combined
+    * (fp, partial-distinct) partials; its result is corpus-VOCABULARY
+    * sized (distinct lines), joined back on the same fingerprint key.
+    * Reassembly is one doc-keyed collapse whose payload is the doc's own
+    * lines — bounded by document length, the per-entity shape. At 100 TB
+    * the census table exceeds broadcast size and the join becomes a
+    * fp-keyed shuffle join with no plan change elsewhere. */
+  def q212LineDedup(s: SparkSession, d: String): DataFrame = {
+    val lines = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(toks) + ${LINE_TOKS - 1}) div $LINE_TOKS - 1), " +
+          s"i -> named_struct('idx', i, " +
+          s"'line', array_join(slice(toks, i * $LINE_TOKS + 1, $LINE_TOKS), ' ')))"))
+        .as("l"))
+      .select(col("doc_id"), col("l.idx").as("idx"), col("l.line").as("line"))
+    val boiler = lines
+      .groupBy(md5(col("line")).as("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= LINE_DUP_MIN)
+    lines.join(boiler, md5(col("line")) === boiler("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("nd").isNull, lit(1))).as("n_kept"),
+        collect_list(when(col("nd").isNull,
+          struct(col("idx").as("idx"), col("line").as("line")))).as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(kept), x -> x.line)"))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o212 = s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    lines AS (
+      SELECT doc_id, i,
+        array_to_string(toks[(i*$LINE_TOKS+1):(i*$LINE_TOKS+$LINE_TOKS)], ' ') AS line
+      FROM d, unnest(range(0, (len(toks)+${LINE_TOKS - 1})//$LINE_TOKS)) u(i)),
+    bp AS (
+      SELECT md5(line) AS fp, COUNT(DISTINCT doc_id) AS nd
+      FROM lines GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $LINE_DUP_MIN)
+    SELECT l.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(COUNT(*) FILTER (WHERE b.fp IS NULL) AS BIGINT) AS n_kept,
+      md5(COALESCE(string_agg(l.line, ' ' ORDER BY l.i)
+        FILTER (WHERE b.fp IS NULL), '')) AS kept_md5
+    FROM lines l LEFT JOIN bp b ON b.fp = md5(l.line)
+    GROUP BY l.doc_id ORDER BY l.doc_id"""
+
+  // ---- q214: domain-level quality filter (RefinedWeb-style) ----
+
+  /** q214: domain-level quality gating — aggregate a per-document quality
+    * signal (type-token ratio in exact ppm) up to the citing DOMAIN
+    * (extracted from the q92 URL machinery), then keep/filter whole
+    * domains against the corpus-wide average: the RefinedWeb/CCNet move
+    * of auditing hosts, not documents, so one spammy site can't leak
+    * thousands of individually-plausible pages. Every number is integer
+    * arithmetic (ppm + integer division) — no float crosses the engine
+    * boundary.
+    *
+    * Scale shape: extraction and the ppm score are row-local in the scan;
+    * the ledger is one |domains|-sized aggregate; the corpus threshold
+    * enters as a crossJoin(broadcast(1-row aggregate)) — never a driver
+    * collect. The verdict table IS the blocklist a pipeline would join
+    * (broadcast) against the corpus on the next pass. */
+  def q214DomainFilter(s: SparkSession, d: String): DataFrame = {
+    val led = documents(s, d)
+      .select(
+        regexp_extract(urlText(col("doc_id"), col("text")), URL_RE, 1)
+          .as("domain"),
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint) * 1000000" +
+          " div size(split(text, ' '))").as("q_ppm"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_ppm")).as("sum_ppm"))
+    val grand = led.agg(
+      expr("sum(sum_ppm) div sum(n_docs)").as("grand_ppm"))
+    led.crossJoin(broadcast(grand))
+      .select(col("domain"), col("n_docs"),
+        expr("sum_ppm div n_docs").as("q_avg_ppm"), col("grand_ppm"),
+        when(expr("sum_ppm div n_docs") >= col("grand_ppm"), "keep")
+          .otherwise("filter").as("verdict"))
+      .orderBy(col("domain"))
+  }
+
+  val o214 = s"""
+    WITH ut AS (
+      SELECT doc_id,
+        text || ' see https://site' || (doc_id % 20)::VARCHAR || '.example'
+          || (doc_id % 3)::VARCHAR || '.org/p/' || doc_id::VARCHAR
+          || CASE WHEN doc_id % 2 = 0 THEN ' and http://cdn'
+               || (doc_id % 5)::VARCHAR || '.example.net/x.js' ELSE '' END AS t,
+        string_split(text, ' ') AS toks
+      FROM documents),
+    dq AS (
+      SELECT regexp_extract(t, '$URL_RE', 1) AS domain,
+        len(list_distinct(toks)) * 1000000 // len(toks) AS q_ppm
+      FROM ut),
+    led AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(q_ppm) AS BIGINT) AS sum_ppm
+      FROM dq GROUP BY domain),
+    g AS (SELECT SUM(sum_ppm) // SUM(n_docs) AS grand_ppm FROM led)
+    SELECT domain, n_docs, sum_ppm // n_docs AS q_avg_ppm,
+      CAST(grand_ppm AS BIGINT) AS grand_ppm,
+      CASE WHEN sum_ppm // n_docs >= grand_ppm THEN 'keep' ELSE 'filter' END
+        AS verdict
+    FROM led, g ORDER BY domain"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q91_pii_redact"  -> (q91PiiRedact _),
-    "q92_url_domains" -> (q92UrlDomains _),
-    "q93_bpe_pairs"   -> (q93BpePairs _),
-    "q207_bpe_train"  -> (q207BpeTrain _),
-    "q209_bpe_apply"  -> (q209BpeApply _))
+    "q91_pii_redact"   -> (q91PiiRedact _),
+    "q92_url_domains"  -> (q92UrlDomains _),
+    "q93_bpe_pairs"    -> (q93BpePairs _),
+    "q207_bpe_train"   -> (q207BpeTrain _),
+    "q209_bpe_apply"   -> (q209BpeApply _),
+    "q212_line_dedup"  -> (q212LineDedup _),
+    "q214_domain_filter" -> (q214DomainFilter _))
 
   val oracles: Map[String, String] = Map(
     "q91_pii_redact"  -> o91,
     "q92_url_domains" -> o92,
     "q93_bpe_pairs"   -> o93,
     "q207_bpe_train"  -> o207,
-    "q209_bpe_apply"  -> o209)
+    "q209_bpe_apply"  -> o209,
+    "q212_line_dedup" -> o212,
+    "q214_domain_filter" -> o214)
 }

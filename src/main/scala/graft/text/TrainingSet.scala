@@ -679,7 +679,186 @@ object TrainingSet {
     FROM runs GROUP BY doc_id, eval_id
     ORDER BY doc_id, eval_id"""
 
+  // ---- q211: DSIR importance weights (hashed-bigram resampling) ----
+
+  /** Feature-hash buckets, smoothing α (add-one), and the resample size.
+    * B is deliberately far below the bigram vocabulary so buckets
+    * genuinely collide — the hashed-feature compression IS the method's
+    * scale story (two B-row models summarize any corpus size). */
+  val DSIR_BUCKETS = 256
+  val DSIR_K = 60
+
+  /** Fixed-point scale for per-occurrence log-ratio contributions (the
+    * q63/q205 engine-parity stance: round(·1e6) at the ROW level, exact
+    * int64 sums after). */
+  val DSIR_SCALE = 1e6
+
+  /** q211: Data Selection via Importance Resampling (Xie et al. 2023) —
+    * score every raw document by how much it resembles a TARGET
+    * distribution (here: the `lang = 'en'` slice) under hashed-bigram
+    * bag-of-words models, and take the top-K weights as the selected
+    * training subset. Each bigram occurrence is hashed into one of
+    * B = $DSIR_BUCKETS buckets; the target and raw bucket-count models
+    * get add-one smoothing; a document's log importance weight is the
+    * sum of its occurrences' log(p_target/p_raw) bucket ratios.
+    *
+    * Engine parity: each occurrence contributes
+    * round(ln((t_b+1)·(R+B) / ((r_b+1)·(T+B))) · 1e6) — ONE ln call
+    * whose argument is a single division of two exact int64 products,
+    * so both engines feed libm the identical double; sums are int64.
+    *
+    * Scale shape: bigram→bucket hashing is row-local md5 arithmetic in
+    * the scan; the model fit is ONE aggregate whose result is B rows
+    * per class (bounded by the hash width, NOT the corpus — that is
+    * DSIR's point), broadcast back; the corpus-sized shuffles are the
+    * per-doc collapse and nothing else; the top-K is
+    * TakeOrderedAndProject. Selecting from 100 TB costs two passes. */
+  def q211DsirWeights(s: SparkSession, d: String): DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"transform(sequence(0, size(toks) - 2), " +
+          s"i -> cast(conv(substr(md5(concat(toks[i], ' ', toks[i + 1])), 1, 6)," +
+          s" 16, 10) as bigint) % $DSIR_BUCKETS)")).as("bkt"))
+    val g = grams(documents(s, d))
+    val stats = g.groupBy(col("bkt")).agg(
+      count(when(col("lang") === "en", lit(1))).as("t"),
+      count(when(col("lang") =!= "en", lit(1))).as("r"))
+    val tot = stats.agg(sum(col("t")).as("tt"), sum(col("r")).as("rr"))
+    val lr = stats.crossJoin(broadcast(tot))
+      .select(col("bkt"), round(log(
+        ((col("t") + lit(1L)) * (col("rr") + lit(DSIR_BUCKETS.toLong)))
+          .cast("double") /
+        ((col("r") + lit(1L)) * (col("tt") + lit(DSIR_BUCKETS.toLong)))
+          .cast("double")) * DSIR_SCALE).cast("long").as("c"))
+    g.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("w_sum"))
+      .orderBy(col("w_sum").desc, col("doc_id"))
+      .limit(DSIR_K)
+  }
+
+  val o211 = s"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    g AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 6))::BIGINT
+          % $DSIR_BUCKETS AS bkt
+      FROM d, unnest(range(1, len(toks))) u(i)),
+    stats AS (
+      SELECT bkt,
+        CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t,
+        CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS r
+      FROM g GROUP BY bkt),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(r) AS BIGINT) AS rr
+      FROM stats),
+    lr AS (
+      SELECT bkt, CAST(ROUND(LN(
+          ((t + 1) * (rr + $DSIR_BUCKETS))::DOUBLE
+            / ((r + 1) * (tt + $DSIR_BUCKETS))::DOUBLE) * 1000000.0) AS BIGINT)
+        AS c
+      FROM stats, tot)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(c) AS BIGINT) AS w_sum
+    FROM g JOIN lr USING (bkt)
+    GROUP BY g.doc_id ORDER BY w_sum DESC, g.doc_id LIMIT $DSIR_K"""
+
+  // ---- q216: batch perceptron training (integer quality classifier) ----
+
+  /** Full-batch update rounds. Integer features keep every round exact:
+    * perceptron training is the all-int64 member of the linear-classifier
+    * family (no sigmoid/exp crosses the engine boundary). */
+  val PERC_ROUNDS = 4
+
+  /** q216: in-engine classifier TRAINING — a full-batch perceptron over
+    * integer document features (bias, token count, distinct-token count,
+    * stopword count) with the target-language label (`lang = 'en'` → +1).
+    * Round r scores every document under the incoming weights, counts
+    * the misclassified set (y·⟨w,x⟩ ≤ 0), and adds Σ y·x over that set —
+    * the fastText-lineage "train a cheap linear quality/domain classifier
+    * on the corpus itself" primitive, here with fully deterministic
+    * integer dynamics so the whole training TRACE (weights per round +
+    * error count) is the graded, hash-checked artifact.
+    *
+    * Scale shape: each round is ONE conditional aggregate over the
+    * feature scan (map-side combined to a single 5-value row) with the
+    * incoming weights folded in as literals — the q207/k-means k-bounded
+    * driver round-trip; features are materialized once (checkpointCycled)
+    * so round k doesn't rescan text. Weights grow with Σ|x| and stay in
+    * int64 at any corpus size a single label fits (decimal(38) swap-in
+    * documented if not). */
+  def q216PerceptronQuality(s: SparkSession, d: String): DataFrame = {
+    val f = graft.Tables.checkpointCycled("perc-features",
+      documents(s, d).select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("x1"),
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint)").as("x2"),
+        expr("cast(size(filter(split(text, ' '), " +
+          "t -> t IN ('the','a','of','and'))) as bigint)").as("x3")))
+    var w = Array(0L, 0L, 0L, 0L)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    for (r <- 1 to PERC_ROUNDS) {
+      val mis = col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1")
+        + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")) <= 0
+      val row = f.agg(
+        coalesce(sum(when(mis, col("y") * col("x0"))), lit(0L)).as("d0"),
+        coalesce(sum(when(mis, col("y") * col("x1"))), lit(0L)).as("d1"),
+        coalesce(sum(when(mis, col("y") * col("x2"))), lit(0L)).as("d2"),
+        coalesce(sum(when(mis, col("y") * col("x3"))), lit(0L)).as("d3"),
+        count(when(mis, lit(1))).as("miss")).collect().head
+      w = Array(w(0) + row.getLong(0), w(1) + row.getLong(1),
+                w(2) + row.getLong(2), w(3) + row.getLong(3))
+      trace += ((r.toLong, w(0), w(1), w(2), w(3), row.getLong(4)))
+    }
+    import s.implicits._
+    trace.toSeq.toDF("round", "w0", "w1", "w2", "w3", "n_miss")
+      .orderBy(col("round"))
+  }
+
+  /** Unrolled-round oracle: round r's CTE carries the cumulative weights
+    * and re-aggregates the full feature table under them — DuckDB
+    * re-trains from scratch, so a wrong Spark-side update diverges. */
+  val o216: String = {
+    val sb = new StringBuilder(
+      """WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+          CAST(1 AS BIGINT) AS x0,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','and'))) AS BIGINT) AS x3
+        FROM documents),
+      r0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                    CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+                    CAST(0 AS BIGINT) AS miss)""")
+    for (r <- 1 to PERC_ROUNDS) {
+      val p = s"r${r - 1}"
+      val dot = s"($p.w0*x0 + $p.w1*x1 + $p.w2*x2 + $p.w3*x3)"
+      sb.append(s""",
+      r$r AS (
+        SELECT
+          CAST($p.w0 + COALESCE(SUM(CASE WHEN y*$dot <= 0 THEN y*x0 END), 0) AS BIGINT) AS w0,
+          CAST($p.w1 + COALESCE(SUM(CASE WHEN y*$dot <= 0 THEN y*x1 END), 0) AS BIGINT) AS w1,
+          CAST($p.w2 + COALESCE(SUM(CASE WHEN y*$dot <= 0 THEN y*x2 END), 0) AS BIGINT) AS w2,
+          CAST($p.w3 + COALESCE(SUM(CASE WHEN y*$dot <= 0 THEN y*x3 END), 0) AS BIGINT) AS w3,
+          CAST(COUNT(CASE WHEN y*$dot <= 0 THEN 1 END) AS BIGINT) AS miss
+        FROM f, $p GROUP BY $p.w0, $p.w1, $p.w2, $p.w3)""")
+    }
+    sb.toString + "\n      " +
+      (1 to PERC_ROUNDS).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, w0, w1, w2, w3, miss AS n_miss FROM r$r")
+        .mkString(" UNION ALL ") +
+      " ORDER BY round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_perceptron"      -> (q216PerceptronQuality _),
+    "q211_dsir_weights"    -> (q211DsirWeights _),
     "q203_contam_spans"    -> (q203ContamSpans _),
     "q176_containment"     -> (q176Containment _),
     "q171_interleave_mix"  -> (q171InterleaveMix _),
@@ -693,6 +872,8 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q216_perceptron"      -> o216,
+    "q211_dsir_weights"    -> o211,
     "q203_contam_spans"    -> o203,
     "q176_containment"     -> o176,
     "q171_interleave_mix"  -> o171,

@@ -58,4 +58,30 @@ class CorpusSignalsSpec extends AnyFunSuite {
       case _ => true
     })
   }
+
+  test("q215 bigram LM matches an independent driver-side mirror") {
+    import graft.text.CorpusSignals
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val bg = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2)
+        .map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val c12 = bg.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = c12.keySet.map(_._1).size.toLong
+    val expect = bg.groupBy(_._1).map { case (id, xs) =>
+      val t7 = xs.map { case (_, p) =>
+        math.floor(math.log((c1(p._1) + v).toDouble / (c12(p) + 1).toDouble)
+          * CorpusSignals.BIGRAM_SCALE).toLong
+      }.sum
+      (id, xs.length.toLong, t7 / (10L * xs.length))
+    }.toSeq.sortBy(_._1)
+    val got = CorpusSignals.q215BigramLm(spark, TestSpark.SF)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // add-one smoothing over observed contexts: every ratio > 1, so
+    // every per-doc NLL is strictly positive
+    assert(got.forall(_._3 > 0))
+  }
 }

@@ -186,6 +186,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded(1) == Multimodal.fakeDecode(2L, payloads("b.jpg")))
   }
 
+  test("q213 video verdicts match the scene-index-set mirror " +
+       "(independent of the binary/hash path)") {
+    // The planted truth: clip doc_id shows scene frames
+    //   {(cls, sh) .. (cls, sh+15)} with cls = id%20, sh = (id/20)%4.
+    // The mirror computes shared-frame containment on those index SETS —
+    // never touching the payload bytes, frame slicing, or md5 — so it
+    // independently cross-checks the whole binary fingerprint path.
+    val ids = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id")).as[Long].collect()
+      .filter(_ < Multimodal.VID_DOCS).sorted
+    def scenes(id: Long): Set[(Long, Long)] = {
+      val (cls, sh) = (id % 20, (id / 20) % 4)
+      (sh until sh + Multimodal.VID_FRAMES).map(f => (cls, f)).toSet
+    }
+    val expect = ids.map { j =>
+      val sj = scenes(j)
+      val nbrs = ids.filter { i =>
+        i < j && {
+          val shared = (scenes(i) & sj).size
+          shared * Multimodal.VID_TAU_DEN >=
+            math.min(scenes(i).size, sj.size) * Multimodal.VID_TAU_NUM
+        }
+      }
+      if (nbrs.isEmpty) (j, "keep", None, None)
+      else {
+        val k = nbrs.min
+        (j, "drop", Some(k), Some((scenes(k) & sj).size.toLong))
+      }
+    }.toSeq
+    val got = Multimodal.q213VideoNearDup(spark, TestSpark.SF).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == expect)
+    // the corpus must exercise both outcomes, and every same-class
+    // shifted re-upload (shift diff ≤ 3 ⇒ ≥ 13/16 shared) must drop
+    assert(got.exists(_._2 == "keep") && got.exists(_._2 == "drop"))
+    ids.filter(_ >= 20).foreach { id =>
+      assert(got.find(_._1 == id).get._2 == "drop",
+        s"clip $id re-shows class ${id % 20} footage and must drop")
+    }
+  }
+
   test("CSV and JSON sinks round-trip a cleaned table (S3/S4)") {
     val df = Seq((1L, "addr:street", "Main St"), (2L, "amenity", "cafe"))
       .toDF("id", "key", "value")

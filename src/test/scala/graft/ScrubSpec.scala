@@ -110,4 +110,53 @@ class ScrubSpec extends AnyFunSuite {
       assert(r.getLong(4) == after * 1000000L / before)
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q212 line dedup matches an independent driver-side mirror") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val lines = docs.map { case (id, t) =>
+      id -> t.split(" ").grouped(Scrub.LINE_TOKS).map(_.mkString(" ")).toVector }
+    val census = lines.flatMap { case (id, ls) => ls.distinct.map(l => (l, id)) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val expect = lines.map { case (id, ls) =>
+      val kept = ls.filter(l => census(l) < Scrub.LINE_DUP_MIN)
+      (id, ls.size.toLong, kept.size.toLong, md5hex(kept.mkString(" ")))
+    }.sortBy(_._1).toSeq
+    val got = Scrub.q212LineDedup(spark, TestSpark.SF)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == expect)
+    // the scrub must have real work at this SF (some boilerplate dropped)
+    // and must never drop everything from every document
+    assert(got.exists { case (_, nl, nk, _) => nk < nl })
+    assert(got.exists { case (_, _, nk, _) => nk > 0 })
+  }
+
+  test("q214 domain filter: ledger matches mirror, verdict ⟺ threshold") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // mirror derives the domain ARITHMETICALLY (the injection schedule),
+    // independently of the query's regex extraction path
+    val perDoc = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      (s"site${id % 20}.example${id % 3}.org",
+       toks.distinct.length.toLong * 1000000L / toks.length)
+    }
+    val led = perDoc.groupBy(_._1).map { case (dom, xs) =>
+      (dom, xs.length.toLong, xs.map(_._2).sum) }.toSeq
+    val grand = led.map(_._3).sum / led.map(_._2).sum
+    val expect = led.map { case (dom, n, s) =>
+      (dom, n, s / n, grand, if (s / n >= grand) "keep" else "filter")
+    }.sortBy(_._1)
+    val got = Scrub.q214DomainFilter(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(got == expect)
+    // the gate must actually split: both verdicts present
+    assert(got.exists(_._5 == "keep") && got.exists(_._5 == "filter"))
+  }
 }

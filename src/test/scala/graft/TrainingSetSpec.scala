@@ -219,4 +219,75 @@ class TrainingSetSpec extends AnyFunSuite {
       span >= graft.text.Dedup.SPAN && win >= 1
     })
   }
+
+  test("q211 DSIR weights match an independent driver-side mirror") {
+    import graft.text.TrainingSet
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    def bkt(w1: String, w2: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$w1 $w2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(6), 16) % TrainingSet.DSIR_BUCKETS
+    }
+    val grams = docs.flatMap { case (id, lang, t) =>
+      val toks = t.split(" ")
+      toks.sliding(2).filter(_.length == 2).map(p =>
+        (id, lang == "en", bkt(p(0), p(1)))).toSeq
+    }
+    val t = grams.filter(_._2).groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val r = grams.filterNot(_._2).groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val (tt, rr) = (t.values.sum, r.values.sum)
+    val bkts = (t.keySet ++ r.keySet)
+    val c = bkts.map { b =>
+      val (tb, rb) = (t.getOrElse(b, 0L), r.getOrElse(b, 0L))
+      val x = ((tb + 1) * (rr + TrainingSet.DSIR_BUCKETS)).toDouble /
+              ((rb + 1) * (tt + TrainingSet.DSIR_BUCKETS)).toDouble
+      b -> BigDecimal(math.log(x) * TrainingSet.DSIR_SCALE)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val expect = grams.groupBy(_._1).map { case (id, xs) =>
+      (id, xs.length.toLong, xs.map(g => c(g._3)).sum)
+    }.toSeq.sortBy { case (id, _, w) => (-w, id) }.take(TrainingSet.DSIR_K)
+    val got = TrainingSet.q211DsirWeights(spark, TestSpark.SF)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // target-resemblance sanity: the selected set must over-represent
+    // the target language vs its corpus share (the method's whole point)
+    val enAll = docs.count(_._2 == "en").toDouble / docs.length
+    val enSel = got.count { case (id, _, _) =>
+      docs.find(_._1 == id).get._2 == "en" }.toDouble / got.length
+    assert(enSel > enAll,
+      s"selected en-share $enSel must exceed corpus en-share $enAll")
+  }
+
+  test("q216 perceptron trace matches a driver-side re-training") {
+    val stop = Set("the", "a", "of", "and")
+    val feats = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+      .map { case (_, lang, t) =>
+        val toks = t.split(" ")
+        (if (lang == "en") 1L else -1L,
+         Array(1L, toks.length.toLong, toks.distinct.length.toLong,
+               toks.count(stop).toLong))
+      }
+    var w = Array(0L, 0L, 0L, 0L)
+    val expect = (1 to TrainingSet.PERC_ROUNDS).map { r =>
+      val mis = feats.filter { case (y, x) =>
+        y * (0 until 4).map(i => w(i) * x(i)).sum <= 0 }
+      val miss = mis.length.toLong
+      w = Array.tabulate(4)(i => w(i) + mis.map { case (y, x) => y * x(i) }.sum)
+      (r.toLong, w(0), w(1), w(2), w(3), miss)
+    }
+    val got = TrainingSet.q216PerceptronQuality(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // round 1 starts from w = 0: y·⟨0,x⟩ ≤ 0 everywhere, so every
+    // document is in the first update batch
+    assert(got.head._6 == feats.length.toLong)
+    // training must actually separate something: the final round's error
+    // count is strictly below the corpus size
+    assert(got.last._6 < feats.length.toLong)
+  }
 }
