@@ -40,33 +40,64 @@ object Pca {
     * per-dimension eigenvector coordinates in 1e-6 fixed point (max-norm
     * scaled: the largest |coordinate| is exactly ±1e6) plus the Rayleigh
     * eigenvalue in (1e-6·x)² units, constant across rows. */
+  /** Half-away-from-zero rounding — the ROUND both engines apply (JVM
+    * Math.round is half-toward-+∞, which differs at negative .5). */
+  private def roundHalfAway(v: Double): Long =
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+
   def q217PcaPower(s: SparkSession, d: String): DataFrame = {
-    val e6 = embeddings(s, d).select(
-      expr(s"transform(embedding, x -> cast(round(cast(x as double) * $PCA_SCALE) as bigint))")
-        .as("e6"))
-    // D-row mean (exact truncating division), read once driver-side
-    // (k-bounded) and injected back as an array LITERAL so centering
-    // stays row-local with no join.
-    val meanRows = e6
-      .select(posexplode(col("e6")).as(Seq("i", "v")))
-      .groupBy(col("i")).agg(expr("sum(v) div count(1)").as("m6"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    require(meanRows.size == PCA_DIM,
-      s"embedding dim ${meanRows.size} != PCA_DIM $PCA_DIM")
-    val meanLit = array((0 until PCA_DIM).map(i => lit(meanRows(i))): _*)
-    // Row-local centered outer product → ONE map-side-combined aggregate
-    // down to D² keys: the only corpus-sized work in the query.
-    val covRows = e6
-      .select(zip_with(col("e6"), meanLit, (x, m) => x - m).as("c"))
-      .select(explode(expr(
-        s"flatten(transform(sequence(0, ${PCA_DIM - 1}), i -> " +
-          s"transform(sequence(0, ${PCA_DIM - 1}), j -> " +
-          "named_struct('i', i, 'j', j, 'p', c[i] * c[j]))))")).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("cij"))
-      .collect()
-    val cov = Array.ofDim[BigInt](PCA_DIM, PCA_DIM)
-    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2)))
+    // ONE partition-wise pass accumulates the exact raw moments
+    // (n, S_i = Σe6_i, P_ij = Σe6_i·e6_j) in tight JVM loops — a
+    // Catalyst HOF outer-product expansion here costs 20M interpreted
+    // lambda calls at sf0.1 (measured 4.1 s vs ~0.4 s for this shape),
+    // and a separate mean pass would rescan the corpus. The centered
+    // covariance then derives algebraically driver-side:
+    //   C_ij = P_ij − m_i·S_j − m_j·S_i + n·m_i·m_j,  m = S div n
+    // — EXACT integer identity, so the oracle's two-pass centered-sum
+    // formulation produces bit-identical C. Only #partitions moment
+    // blocks (D² + D + 1 longs each) leave the executors; int64
+    // addition is associative/commutative, so the partition-order-free
+    // reduction is exact.
+    val moments = {
+      import s.implicits._
+      val dim = PCA_DIM
+      embeddings(s, d).select(col("embedding")).as[Array[Float]]
+        .mapPartitions { it =>
+          val p = new Array[Long](dim * dim)
+          val sums = new Array[Long](dim)
+          val e = new Array[Long](dim)
+          var n = 0L
+          while (it.hasNext) {
+            val x = it.next()
+            require(x.length == dim, s"embedding dim ${x.length} != $dim")
+            var i = 0
+            while (i < dim) {
+              e(i) = roundHalfAway(x(i).toDouble * PCA_SCALE)
+              sums(i) += e(i)
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              val ei = e(i); val base = i * dim
+              var j = 0
+              while (j < dim) { p(base + j) += ei * e(j); j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          Iterator.single((n, sums, p))
+        }
+        .collect()
+    }
+    val n = moments.map(_._1).sum
+    require(n > 0, "empty embeddings table")
+    val sums = Array.tabulate(PCA_DIM)(i => moments.map(_._2(i)).sum)
+    val mean = sums.map(_ / n) // Long division truncates toward zero
+    val cov = Array.tabulate(PCA_DIM, PCA_DIM) { (i, j) =>
+      val pij = moments.map(_._3(i * PCA_DIM + j)).sum
+      BigInt(pij) - BigInt(mean(i)) * sums(j) - BigInt(mean(j)) * sums(i) +
+        BigInt(n) * mean(i) * mean(j)
+    }
     // Driver-side exact power iteration (D-bounded, never corpus-sized).
     var v = Array.tabulate(PCA_DIM)(i => if (i == 0) BigInt(PCA_SCALE) else BigInt(0))
     def matvec(x: Array[BigInt]): Array[BigInt] =
