@@ -892,6 +892,24 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  val o220: String = s"""
+    WITH ${graft.text.Dedup.ORA_PAIR_CTES},
+    tp AS (SELECT i, j FROM jac WHERE jac >= 0.5),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ep AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= $NEAR_DUP_TAU),
+    f AS (
+      SELECT tp.i IS NOT NULL AS t, ep.i IS NOT NULL AS e
+      FROM tp FULL JOIN ep ON tp.i = ep.i AND tp.j = ep.j)
+    SELECT CASE WHEN t AND e THEN 'both'
+                WHEN t THEN 'text_only' ELSE 'embed_only' END AS signal,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM f GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_semdedup"       -> (q204SemDedup _),
     "q100_label_centroids" -> (q100LabelCentroids _),
@@ -902,7 +920,37 @@ object Similarity {
     "q87_margin_near_dup" -> (q87MarginNearDup _),
     "q146_int8_ann"       -> (q146Int8Ann _),
     "q162_knn_pq"         -> (q162KnnPq _),
-    "q208_hard_negatives" -> (q208HardNegatives _))
+    "q208_hard_negatives" -> (q208HardNegatives _),
+    "q220_dedup_agreement" -> (q220DedupAgreement _))
+
+  /** q220: cross-signal dedup AUDIT — how often do the text near-dup
+    * signal (q40's exact shingle-Jaccard pairs) and the embedding
+    * near-dup signal (q47's exact cosine pairs) agree on the same
+    * corpus? Pairs land in `both` / `text_only` / `embed_only` buckets;
+    * the split is the number a curation team reads before choosing
+    * which signal (or union/intersection policy) gates the corpus —
+    * embed-only pairs are paraphrases exact text overlap misses,
+    * text-only pairs are template boilerplate the embedding smooths
+    * over. doc_id and vec_id are the same identifier space (row i of
+    * `documents` embeds to row i of `embeddings` — the dataset
+    * contract q208/q204 already rely on).
+    *
+    * Scale shape: a composition query — both inputs are the existing
+    * scale-shaped pair engines (inverted-index join; 1-bucket-theta
+    * block join), and the audit itself adds one full-outer join on the
+    * (sparse) pair keys plus a 3-row aggregate. */
+  def q220DedupAgreement(s: SparkSession, d: String): DataFrame = {
+    val tp = graft.text.Dedup.q40NgramJaccard(s, d)
+      .select(col("i"), col("j"), lit(true).as("t"))
+    val ep = q47EmbedNearDup(s, d)
+      .select(col("i"), col("j"), lit(true).as("e"))
+    tp.join(ep, Seq("i", "j"), "full_outer")
+      .select(when(col("t").isNotNull && col("e").isNotNull, "both")
+        .when(col("t").isNotNull, "text_only")
+        .otherwise("embed_only").as("signal"))
+      .groupBy(col("signal")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("signal"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q100_label_centroids" -> o100,
@@ -910,5 +958,7 @@ object Similarity {
     "q47_embed_near_dup" -> o47,
     "q87_margin_near_dup" -> o87,
     "q146_int8_ann" -> o146,
-    "q208_hard_negatives" -> o208)
+    "q208_hard_negatives" -> o208,
+    "q220_dedup_agreement" -> o220)
+
 }

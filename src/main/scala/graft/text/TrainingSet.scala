@@ -856,7 +856,48 @@ object TrainingSet {
       " ORDER BY round"
   }
 
+  // ---- q219: contrastive positive-pair generation (span crops) ----
+
+  /** q219: SimCSE/DPR-lineage positive-pair GENERATION — for every
+    * document, two overlapping ⌈2n/3⌉-token crops (prefix anchor,
+    * suffix positive) whose guaranteed ≥n/3-token overlap makes them a
+    * labeled positive pair for contrastive training; the emitted md5s
+    * pin the exact crop strings (off-by-one in either boundary breaks
+    * the hash), and the overlap share in exact ppm is the curriculum
+    * knob (pairs with smaller overlap are harder positives).
+    *
+    * Scale shape: pure row-local slicing inside the scan — nothing
+    * shuffles but the presentation sort. The generation step of a
+    * contrastive-pretraining corpus at 100 TB is exactly this map. */
+  def q219CropPairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        expr("cast((2 * size(toks) + 2) div 3 as int)").as("la"), col("toks"))
+      .select(col("doc_id"), col("n_tok"),
+        md5(array_join(expr("slice(toks, 1, la)"), " ")).as("anchor_md5"),
+        md5(array_join(expr("slice(toks, size(toks) - la + 1, la)"), " "))
+          .as("positive_md5"),
+        (lit(2) * col("la") - col("n_tok")).cast("long").as("overlap_toks"))
+      .withColumn("overlap_ppm",
+        expr("overlap_toks * 1000000 div n_tok"))
+      .orderBy(col("doc_id"))
+
+  val o219 = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        (2 * len(string_split(text, ' ')) + 2) // 3 AS la
+      FROM documents)
+    SELECT doc_id, n AS n_tok,
+      md5(array_to_string(toks[1:la], ' ')) AS anchor_md5,
+      md5(array_to_string(toks[(n - la + 1):n], ' ')) AS positive_md5,
+      CAST(2 * la - n AS BIGINT) AS overlap_toks,
+      CAST((2 * la - n) * 1000000 // n AS BIGINT) AS overlap_ppm
+    FROM t ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_crop_pairs"      -> (q219CropPairs _),
     "q216_perceptron"      -> (q216PerceptronQuality _),
     "q211_dsir_weights"    -> (q211DsirWeights _),
     "q203_contam_spans"    -> (q203ContamSpans _),
@@ -872,6 +913,7 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q219_crop_pairs"      -> o219,
     "q216_perceptron"      -> o216,
     "q211_dsir_weights"    -> o211,
     "q203_contam_spans"    -> o203,

@@ -61,4 +61,31 @@ class PcaSpec extends AnyFunSuite {
     val cos = (0 until dim).map(i => u(i) * v(i)).sum / (norm(u) * norm(v))
     assert(cos > 0.99, s"power-iteration output drifted off the fixed point: cos=$cos")
   }
+
+  test("q218 whitening ledger matches a BigInt mirror of the projection") {
+    val fit = Pca.fitPca(spark, TestSpark.SF)
+    val den = fit.v.map(x => BigInt(x) * BigInt(x)).sum
+    val vecs = Tables.embeddings(spark, TestSpark.SF)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val expect = vecs.map { case (id, xs) =>
+      val c = xs.zipWithIndex.map { case (x, i) =>
+        BigDecimal(x.toDouble * Pca.PCA_SCALE)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong - fit.mean(i) }
+      val p = c.zip(fit.v).map { case (ci, vi) => BigInt(ci) * vi }.sum
+      val c2 = c.zip(fit.v).map { case (ci, vi) =>
+        ((BigInt(ci) * den - p * vi) / den).toLong }
+      val nb = c.map(ci => ci * ci).sum
+      val na = c2.map(ci => ci * ci).sum
+      val ppm = if (nb == 0) 0L else ((BigInt(nb - na) * 1000000) / nb).toLong
+      (id, nb, na, ppm)
+    }.sortBy(_._1).toSeq
+    val got = Pca.q218PcaWhiten(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // removing a direction never increases variance beyond quantization
+    // noise, and the top component must carry REAL mass somewhere
+    assert(got.forall { case (_, nb, na, _) => na <= nb + 64 })
+    assert(got.exists(_._4 > 10000), "top component removed <1% everywhere")
+  }
 }

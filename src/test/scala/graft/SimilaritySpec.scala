@@ -253,4 +253,21 @@ class SimilaritySpec extends AnyFunSuite {
       "a dropped vector had no real near-dup relation to its keeper")
     assert(drops.count() > 0, "fixture has near-dups; none were dropped")
   }
+
+  test("q220 agreement buckets reconcile with q40 and q47 pair sets") {
+    import spark.implicits._
+    val tp = graft.text.Dedup.q40NgramJaccard(spark, TestSpark.SF)
+      .select(col("i"), col("j")).as[(Long, Long)].collect().toSet
+    val ep = Similarity.q47EmbedNearDup(spark, TestSpark.SF)
+      .select(col("i"), col("j")).as[(Long, Long)].collect().toSet
+    val got = Similarity.q220DedupAgreement(spark, TestSpark.SF)
+      .as[(String, Long)].collect().toMap
+    val both = (tp & ep).size.toLong
+    def at(k: String) = got.getOrElse(k, 0L)
+    assert(at("both") == both)
+    assert(at("text_only") == tp.size - both)
+    assert(at("embed_only") == ep.size - both)
+    assert(got.values.sum == (tp | ep).size.toLong)
+    assert(got.values.sum > 0, "fixture has near-dup pairs; audit saw none")
+  }
 }

@@ -290,4 +290,25 @@ class TrainingSetSpec extends AnyFunSuite {
     // count is strictly below the corpus size
     assert(got.last._6 < feats.length.toLong)
   }
+
+  test("q219 crop pairs: boundaries, md5s, and overlap guarantee") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expect = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      val n = toks.length
+      val la = (2 * n + 2) / 3
+      (id, n.toLong, md5hex(toks.take(la).mkString(" ")),
+       md5hex(toks.takeRight(la).mkString(" ")),
+       (2L * la - n), (2L * la - n) * 1000000L / n)
+    }.sortBy(_._1).toSeq
+    val got = TrainingSet.q219CropPairs(spark, TestSpark.SF)
+      .as[(Long, Long, String, String, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // the contrastive contract: every pair overlaps by at least n/3
+    assert(got.forall { case (_, n, _, _, ov, _) => ov >= n / 3 })
+  }
 }
