@@ -118,11 +118,86 @@ object ChunkPlan {
         FROM documents))
     ORDER BY doc_id, chunk_idx"""
 
+  // ---- q221: temperature-scaled mixture allocation (α = 0.5) ----
+
+  /** Sample budget apportioned under the α-temperature recipe. */
+  val TEMP_BUDGET = 10000L
+
+  /** q221: temperature-scaled source mixture — the mT5/XLM-R recipe
+    * p_s ∝ m_s^α with α = 0.5, which upsamples low-resource sources
+    * relative to proportional allocation (q190 is the α = 1 member).
+    * α = 0.5 means w_s = √m_s — and sqrt is IEEE-754 correctly rounded
+    * in BOTH engines, so the single permitted float step is exact;
+    * it is immediately quantized to 1e-6 fixed point at the ROW level
+    * (the q63/q205 stance), and everything after — the largest-remainder
+    * apportionment over w6, the boost-vs-proportional ratio in ppm —
+    * is integer/decimal arithmetic. A double Σw would instead cross the
+    * engines with order-dependent low bits and flip remainder ranks.
+    *
+    * Scale shape: q190's — one map-side-combined per-source aggregate,
+    * a 1-row broadcast total, and a |sources|-row remainder window. */
+  def q221TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val mass = documents(s, d).groupBy(col("source"))
+      .agg(expr("sum(cast(size(split(text, ' ')) as bigint))").as("m"))
+      .withColumn("w6",
+        expr("cast(round(sqrt(cast(m as double)) * 1000000) as bigint)"))
+    val tot = mass.agg(sum(col("w6")).as("tw"), sum(col("m")).as("tm"))
+    val ranked = mass.crossJoin(broadcast(tot))
+      .select(col("source"), col("m"), col("w6"), col("tm"),
+        expr(s"cast((cast(w6 as decimal(38,0)) * $TEMP_BUDGET) div tw as bigint)")
+          .as("floor_q"),
+        expr(s"cast((cast(w6 as decimal(38,0)) * $TEMP_BUDGET) % tw as bigint)")
+          .as("rem"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("rem"), col("source"))))
+    val short = ranked.agg((lit(TEMP_BUDGET) - sum(col("floor_q")))
+      .as("extra"))
+    ranked.crossJoin(broadcast(short))
+      .select(col("source"), col("m"),
+        (col("floor_q") +
+          when(col("rk") <= col("extra"), 1L).otherwise(0L)).as("quota"),
+        col("tm"))
+      // boost vs proportional: quota/budget ÷ m/Σm in exact ppm —
+      // > 1e6 exactly on the sources temperature upsamples
+      .withColumn("boost_ppm", expr(
+        s"cast((cast(quota as decimal(38,0)) * tm * 1000000)" +
+          s" div (cast($TEMP_BUDGET as decimal(38,0)) * m) as bigint)"))
+      .select(col("source"), col("m"), col("quota"), col("boost_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o221 = s"""
+    WITH mass AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+      FROM documents GROUP BY 1),
+    wq AS (
+      SELECT source, m,
+        CAST(ROUND(sqrt(CAST(m AS DOUBLE)) * 1000000) AS BIGINT) AS w6
+      FROM mass),
+    ranked AS (
+      SELECT source, m, w6,
+        CAST(w6 * $TEMP_BUDGET // (SELECT SUM(w6) FROM wq) AS BIGINT)
+          AS floor_q,
+        CAST(w6 * $TEMP_BUDGET % (SELECT SUM(w6) FROM wq) AS BIGINT) AS rem,
+        row_number() OVER (ORDER BY
+          w6 * $TEMP_BUDGET % (SELECT SUM(w6) FROM wq) DESC, source) AS rk
+      FROM wq)
+    SELECT source, m,
+      floor_q + CASE WHEN rk <= $TEMP_BUDGET -
+        (SELECT SUM(floor_q) FROM ranked) THEN 1 ELSE 0 END AS quota,
+      CAST((CAST(floor_q + CASE WHEN rk <= $TEMP_BUDGET -
+          (SELECT SUM(floor_q) FROM ranked) THEN 1 ELSE 0 END AS HUGEINT)
+        * (SELECT SUM(m) FROM mass) * 1000000)
+        // (CAST($TEMP_BUDGET AS HUGEINT) * m) AS BIGINT) AS boost_ppm
+    FROM ranked ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_quota_alloc" -> (q190QuotaAlloc _),
-    "q191_chunk_plan"  -> (q191ChunkPlan _))
+    "q191_chunk_plan"  -> (q191ChunkPlan _),
+    "q221_temperature_mix" -> (q221TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "q190_quota_alloc" -> o190,
-    "q191_chunk_plan"  -> o191)
+    "q191_chunk_plan"  -> o191,
+    "q221_temperature_mix" -> o221)
 }

@@ -52,6 +52,28 @@ class StatShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("q221 temperature mix: exact budget, sqrt-weight shares, boost direction") {
+    val rows = text.ChunkPlan.q221TemperatureMix(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == text.ChunkPlan.TEMP_BUDGET)
+    // every quota within 1 of the exact sqrt-proportional share
+    val w6 = rows.map { case (_, m, _, _) =>
+      BigDecimal(math.sqrt(m.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+    val tw = w6.sum
+    rows.zip(w6).foreach { case ((src, _, q, _), w) =>
+      val exact = BigDecimal(w) * text.ChunkPlan.TEMP_BUDGET / tw
+      assert((BigDecimal(q) - exact).abs <= 1, s"$src: $q vs $exact")
+    }
+    // temperature upsamples below-average-mass sources and downsamples
+    // above-average ones (α = 0.5 crosses 1.0 at the sqrt-mean point)
+    val smallest = rows.minBy(_._2)
+    val biggest = rows.maxBy(_._2)
+    assert(smallest._4 >= biggest._4,
+      s"boost must fall with mass: $smallest vs $biggest")
+  }
+
   test("q191 chunks tile each doc: cover [0,n_tok), stride apart, clamped") {
     val rows = text.ChunkPlan.q191ChunkPlan(spark, TestSpark.SF)
       .select("doc_id", "n_tok", "n_chunks", "chunk_idx", "start_tok",
