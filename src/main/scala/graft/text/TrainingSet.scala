@@ -714,14 +714,21 @@ object TrainingSet {
     * per-doc collapse and nothing else; the top-K is
     * TakeOrderedAndProject. Selecting from 100 TB costs two passes. */
   def q211DsirWeights(s: SparkSession, d: String): DataFrame = {
-    def grams(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        s"transform(sequence(0, size(toks) - 2), " +
-          s"i -> cast(conv(substr(md5(concat(toks[i], ' ', toks[i + 1])), 1, 6)," +
-          s" 16, 10) as bigint) % $DSIR_BUCKETS)")).as("bkt"))
-    val g = grams(documents(s, d))
+    // Pair structs are built in the (interpreted) HOF lambda, but the
+    // md5/conv hashing runs AFTER the explode as an ordinary projection
+    // — whole-stage codegen, not per-element interpretation (the
+    // q207/q217 HOF lesson); the hashed gram table is materialized once
+    // and feeds both the model fit and the scoring pass.
+    val g = graft.Tables.checkpointCycled("dsir-grams",
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
+        .select(col("doc_id"), col("lang"), expr(
+          s"cast(conv(substr(md5(concat(p.w1, ' ', p.w2)), 1, 6), 16, 10)" +
+            s" as bigint) % $DSIR_BUCKETS").as("bkt")))
     val stats = g.groupBy(col("bkt")).agg(
       count(when(col("lang") === "en", lit(1))).as("t"),
       count(when(col("lang") =!= "en", lit(1))).as("r"))
