@@ -484,6 +484,122 @@ object Scrub {
         AS verdict
     FROM led, g ORDER BY domain"""
 
+  // ---- q222: corpus-internal verbatim-span scrub (ExactSubstr) ----
+
+  /** First-occurrence keeper key: doc lengths are far below this, so
+    * `doc_id * SPAN_KEY + pos` is a collision-free lexicographic
+    * (doc_id, pos) encoding in one int64. */
+  val SPAN_KEY = 1000000L
+
+  /** q222: corpus-internal duplicated-span removal — the ExactSubstr
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), window-granular: every verbatim
+    * `Dedup.SPAN`-token window that already occurred earlier in the
+    * corpus (any doc with a smaller doc_id, or the same doc at an
+    * earlier position) is scrubbed; only the corpus-global FIRST
+    * occurrence of each span survives. Tokens covered by at least one
+    * scrubbed window are dropped and the document reassembled in order;
+    * the output ledger carries per-doc tokens before/after, kept-ppm,
+    * and an md5 of the full scrubbed string so the whole reassembly —
+    * not just the counts — is oracle-checked.
+    *
+    * Versus the rest of the dedup family: q39/q41/q76 drop whole
+    * documents; q212 drops cross-doc boilerplate LINES; q203 measures
+    * spans against an eval set. This is the remaining cell: remove the
+    * duplicated REGION inside otherwise-unique training documents, the
+    * operation the paper shows lowers memorization at equal token count.
+    *
+    * Scale shape (100 TB): the positional gram index is corpus-sized
+    * but 16 bytes/row past the scan (doc_id, pos, h — text never
+    * leaves the row); its ONE shuffle on h feeds a map-side-combinable
+    * MIN — this exchange is the operator's intrinsic cost, the
+    * distributed stand-in for the paper's suffix array (window-exact
+    * removal, no maximal-match merging). Dup-window re-join is on the
+    * same h key; the ×SPAN coverage explode and the ordered per-doc
+    * collapse (the q212 reassembly) are DUPLICATION-sized, not
+    * corpus-sized. No window functions, no driver state. */
+  /** Core over any (doc_id, text) frame — exposed for the spec's planted
+    * duplicate corpus (the contamSpans pattern).
+    *
+    * Removal is window-granular and deliberately conservative: a token is
+    * scrubbed when ANY non-first duplicate window covers it, so
+    * overlapping duplicate windows may clip tokens adjacent to a kept
+    * first occurrence. The corpus-global first window of every span
+    * always survives intact unless other duplication overlaps it. */
+  private[graft] def selfspanScrub(docs: DataFrame): DataFrame = {
+    val SPAN = Dedup.SPAN
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = toks
+      .filter(size(col("tk")) >= SPAN)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - $SPAN),
+            i -> cast(conv(substr(md5(array_join(
+                   slice(tk, i + 1, $SPAN), ' ')), 1, 15),
+                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+    val first = grams
+      .groupBy(col("h"))
+      .agg(min(col("doc_id") * SPAN_KEY + col("pos")).as("first_key"))
+    val dup = grams.join(first, Seq("h"))
+      .filter(col("doc_id") * SPAN_KEY + col("pos") =!= col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    val covered = dup
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SPAN - 1})")).as("idx"))
+      .distinct()
+    // LEFT join (not anti) so a fully-scrubbed document still yields its
+    // ledger row (n_kept = 0, md5 of ""), exactly as the oracle's
+    // LEFT JOIN does; collect_list drops the null structs of covered
+    // tokens (the q212 reassembly idiom).
+    toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("idx", "token")))
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cov").isNull, lit(1))).as("n_kept"),
+        collect_list(when(col("cov").isNull,
+          struct(col("idx"), col("token")))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        expr("n_kept * 1000000L div n_tokens").as("kept_ppm"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(kept), x -> x.token)"))).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q222SelfspanScrub(s: SparkSession, d: String): DataFrame =
+    selfspanScrub(documents(s, d).select(col("doc_id"), col("text")))
+
+  val o222 = {
+    val SPAN = Dedup.SPAN
+    s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+        ('0x' || substr(md5(array_to_string(tk[i:i+${SPAN - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM d, unnest(range(1, len(tk) - ${SPAN - 2})) u(i)
+      WHERE len(tk) >= $SPAN),
+    fst AS (SELECT h, MIN(doc_id * $SPAN_KEY + pos) AS first_key FROM g GROUP BY h),
+    dup AS (
+      SELECT g.doc_id, g.pos FROM g JOIN fst USING (h)
+      WHERE g.doc_id * $SPAN_KEY + g.pos <> fst.first_key),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o AS idx
+      FROM dup, unnest(range(0, $SPAN)) u(o)),
+    tok AS (
+      SELECT doc_id, i - 1 AS idx, tk[i] AS token
+      FROM d, unnest(range(1, len(tk) + 1)) u(i))
+    SELECT t.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) FILTER (WHERE c.doc_id IS NULL) AS BIGINT) AS n_kept,
+      COUNT(*) FILTER (WHERE c.doc_id IS NULL) * 1000000 // COUNT(*)
+        AS kept_ppm,
+      md5(COALESCE(string_agg(t.token, ' ' ORDER BY t.idx)
+        FILTER (WHERE c.doc_id IS NULL), '')) AS scrub_md5
+    FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+    GROUP BY t.doc_id ORDER BY t.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_pii_redact"   -> (q91PiiRedact _),
     "q92_url_domains"  -> (q92UrlDomains _),
@@ -491,7 +607,8 @@ object Scrub {
     "q207_bpe_train"   -> (q207BpeTrain _),
     "q209_bpe_apply"   -> (q209BpeApply _),
     "q212_line_dedup"  -> (q212LineDedup _),
-    "q214_domain_filter" -> (q214DomainFilter _))
+    "q214_domain_filter" -> (q214DomainFilter _),
+    "q222_selfspan_scrub" -> (q222SelfspanScrub _))
 
   val oracles: Map[String, String] = Map(
     "q91_pii_redact"  -> o91,
@@ -500,5 +617,6 @@ object Scrub {
     "q207_bpe_train"  -> o207,
     "q209_bpe_apply"  -> o209,
     "q212_line_dedup" -> o212,
-    "q214_domain_filter" -> o214)
+    "q214_domain_filter" -> o214,
+    "q222_selfspan_scrub" -> o222)
 }

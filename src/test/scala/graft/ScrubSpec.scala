@@ -159,4 +159,38 @@ class ScrubSpec extends AnyFunSuite {
     // the gate must actually split: both verdicts present
     assert(got.exists(_._5 == "keep") && got.exists(_._5 == "filter"))
   }
+
+  test("q222 planted duplicate: copy scrubbed, first occurrence intact") {
+    // doc 0: 8 shared tokens + unique tail; doc 1: the same 8 tokens +
+    // a different unique tail; doc 2: an exact copy of doc 0.
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (0L, s"$shared a1 a2 a3"),
+      (1L, s"$shared b1 b2 b3"),
+      (2L, s"$shared a1 a2 a3")).toDF("doc_id", "text")
+    val got = Scrub.selfspanScrub(docs)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 0 holds every first occurrence: fully kept.
+    assert(got(0) == ((0L, 11L, 11L, 1000000L,
+      md5hex(s"$shared a1 a2 a3"))))
+    // doc 1: only its window 0 (the 8 shared tokens) duplicates doc 0;
+    // windows 1-3 include b-tokens and are unique. Tokens 0-7 scrubbed.
+    assert(got(1) == ((1L, 11L, 3L, 272727L, md5hex("b1 b2 b3"))))
+    // doc 2: every window duplicates doc 0 -> fully scrubbed, row present.
+    assert(got(2) == ((2L, 11L, 0L, 0L, md5hex(""))))
+  }
+
+  test("q222 corpus run: ledger is total, bounded, and non-vacuous") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val got = Scrub.q222SelfspanScrub(spark, TestSpark.SF)
+    assert(got.count() == docs.count())
+    val bad = got.filter(col("n_kept") > col("n_tokens")
+      || col("kept_ppm") < 0 || col("kept_ppm") > 1000000L).count()
+    assert(bad == 0L)
+    // the synthetic corpus genuinely shares 8-token spans across docs:
+    // the operator must find real work (and some doc keeps everything)
+    val scrubbed = got.filter(col("n_kept") < col("n_tokens")).count()
+    val intact = got.filter(col("n_kept") === col("n_tokens")).count()
+    assert(scrubbed > 0L && intact > 0L)
+  }
 }
