@@ -600,6 +600,91 @@ object Scrub {
     GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
 
+  // ---- q223: consistent pseudonymization (surrogate PII) ----
+
+  /** Shared-entity injection on top of the q91 schedule: every sixth doc
+    * escalates to the SAME ops address, so referential consistency (one
+    * entity → one surrogate, corpus-wide) is genuinely exercised — the
+    * per-doc q91 entities are all doc-unique by construction. */
+  val SHARED_EMAIL = "ops@corp.example.com"
+
+  def pseudoText(id: Column, text: Column): Column = concat(
+    piiText(id, text),
+    when(id % 6 === 0, lit(s" escalate to $SHARED_EMAIL")).otherwise(lit("")))
+
+  /** q223: consistent pseudonymization — q91 redacts PII to a fixed tag,
+    * destroying coreference ("did these two documents mention the same
+    * address?"); this replaces every entity with a deterministic
+    * HASH-derived surrogate `<CAT:md5prefix>`, so identical entities map
+    * to identical surrogates across the whole corpus (and across
+    * independent runs / engines) while the raw value disappears. That is
+    * the production pseudonymization contract (keyed-hash surrogates):
+    * entity linkage survives training, the PII does not.
+    *
+    * Scale shape: extraction and the three category folds are entirely
+    * row-local (`aggregate` over the per-doc entity arrays, ≤ 4 entries
+    * each by the injection schedule) — ZERO shuffles before the
+    * presentation sort, no entity dictionary, no window over a global
+    * rank: the surrogate IS the hash, so consistency needs no
+    * coordination at any corpus size (the reason real pipelines use
+    * keyed hashing rather than dense enumeration). */
+  def q223Pseudonymize(s: SparkSession, d: String): DataFrame = {
+    // Entities always extract from the ORIGINAL text t; the fold chains
+    // through init (the progressively-pseudonymized string). Regex
+    // backslashes are doubled for the Spark SQL string-literal parser.
+    val sub = (cat: String, re: String, init: String) =>
+      s"""aggregate(regexp_extract_all(t, '${re.replace("\\", "\\\\")}', 0),
+          $init, (acc, e) -> replace(acc, e,
+            concat('<$cat:', substr(md5(e), 1, 8), '>')))"""
+    documents(s, d)
+      .select(col("doc_id"),
+        pseudoText(col("doc_id"), col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        expr(sub("EMAIL", EMAIL_RE, "t")).as("p1"))
+      .select(col("doc_id"), col("t"),
+        expr(sub("IP", IP_RE, "p1")).as("p2"))
+      .select(col("doc_id"), col("t"),
+        expr(sub("PHONE", PHONE_RE, "p2")).as("p"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EMAIL_RE)).cast("long").as("n_email"),
+        regexp_count(col("t"), lit(IP_RE)).cast("long").as("n_ip"),
+        regexp_count(col("t"), lit(PHONE_RE)).cast("long").as("n_phone"),
+        md5(col("p")).as("pseudo_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o223 = {
+    // DuckDB fold-with-init: list_reduce over list_prepend(init, list)
+    // (a 1-element list reduces to the init itself, so zero-entity docs
+    // pass through unchanged).
+    val sub = (cat: String, re: String, init: String) =>
+      s"""list_reduce(list_prepend($init, regexp_extract_all(t, '$re')),
+          (acc, e) -> replace(acc, e,
+            '<$cat:' || substr(md5(e), 1, 8) || '>'))"""
+    s"""
+    WITH t AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@mail'
+             || doc_id % 7 || '.example.com' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || doc_id % 256 || '.'
+             || (doc_id * 7) % 256 || '.' || doc_id % 100 ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 6 = 0 THEN ' escalate to $SHARED_EMAIL'
+             ELSE '' END AS t
+      FROM documents),
+    p AS (SELECT doc_id, t, ${sub("EMAIL", EMAIL_RE, "t")} AS p1 FROM t),
+    p2 AS (SELECT doc_id, t, ${sub("IP", IP_RE, "p1")} AS p2 FROM p),
+    p3 AS (SELECT doc_id, t, ${sub("PHONE", PHONE_RE, "p2")} AS p FROM p2)
+    SELECT doc_id,
+      CAST(length(regexp_extract_all(t, '$EMAIL_RE')) AS BIGINT) AS n_email,
+      CAST(length(regexp_extract_all(t, '$IP_RE')) AS BIGINT) AS n_ip,
+      CAST(length(regexp_extract_all(t, '$PHONE_RE')) AS BIGINT) AS n_phone,
+      md5(p) AS pseudo_md5
+    FROM p3 ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_pii_redact"   -> (q91PiiRedact _),
     "q92_url_domains"  -> (q92UrlDomains _),
@@ -608,7 +693,8 @@ object Scrub {
     "q209_bpe_apply"   -> (q209BpeApply _),
     "q212_line_dedup"  -> (q212LineDedup _),
     "q214_domain_filter" -> (q214DomainFilter _),
-    "q222_selfspan_scrub" -> (q222SelfspanScrub _))
+    "q222_selfspan_scrub" -> (q222SelfspanScrub _),
+    "q223_pseudonymize" -> (q223Pseudonymize _))
 
   val oracles: Map[String, String] = Map(
     "q91_pii_redact"  -> o91,
@@ -618,5 +704,6 @@ object Scrub {
     "q209_bpe_apply"  -> o209,
     "q212_line_dedup" -> o212,
     "q214_domain_filter" -> o214,
-    "q222_selfspan_scrub" -> o222)
+    "q222_selfspan_scrub" -> o222,
+    "q223_pseudonymize" -> o223)
 }

@@ -193,4 +193,40 @@ class ScrubSpec extends AnyFunSuite {
     val intact = got.filter(col("n_kept") === col("n_tokens")).count()
     assert(scrubbed > 0L && intact > 0L)
   }
+
+  test("q223 pseudonymization matches mirror; surrogates consistent, no residual PII") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def inject(id: Long, t: String): String = t +
+      (if (id % 3 == 0) s" contact u$id@mail${id % 7}.example.com" else "") +
+      (if (id % 4 == 0) s" from 10.${id % 256}.${(id * 7) % 256}.${id % 100}" else "") +
+      (if (id % 5 == 0) f" call 555-${id % 10000}%04d" else "") +
+      (if (id % 6 == 0) s" escalate to ${Scrub.SHARED_EMAIL}" else "")
+    def fold(cat: String, re: String, orig: String, acc0: String): String =
+      re.r.findAllIn(orig).toVector.foldLeft(acc0)((acc, e) =>
+        acc.replace(e, s"<$cat:${md5hex(e).take(8)}>"))
+    val mirror = docs.map { case (id, t0) =>
+      val t = inject(id, t0)
+      val p = fold("PHONE", Scrub.PHONE_RE,  t,
+                fold("IP", Scrub.IP_RE, t,
+                  fold("EMAIL", Scrub.EMAIL_RE, t, t)))
+      (id, p)
+    }
+    val expect = mirror.map { case (id, p) => (id, md5hex(p)) }.sortBy(_._1).toSeq
+    val got = Scrub.q223Pseudonymize(spark, TestSpark.SF)
+      .select(col("doc_id"), col("pseudo_md5"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == expect)
+    // By mirror equality the two assertions below hold for the query's
+    // output string too. (1) referential consistency: every sixth doc
+    // carries the ONE shared-entity surrogate, byte-identical everywhere;
+    val surrogate = s"<EMAIL:${md5hex(Scrub.SHARED_EMAIL).take(8)}>"
+    mirror.filter(_._1 % 6 == 0).foreach { case (id, p) =>
+      assert(p.contains(surrogate), s"shared surrogate missing in doc $id") }
+    // (2) zero residual PII in any pseudonymized string.
+    mirror.foreach { case (id, p) =>
+      Seq(Scrub.EMAIL_RE, Scrub.IP_RE, Scrub.PHONE_RE).foreach { re =>
+        assert(re.r.findFirstIn(p).isEmpty, s"residual PII in doc $id") } }
+  }
 }
