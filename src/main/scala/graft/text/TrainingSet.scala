@@ -903,6 +903,106 @@ object TrainingSet {
       CAST((2 * la - n) * 1000000 // n AS BIGINT) AS overlap_ppm
     FROM t ORDER BY doc_id"""
 
+  // ---- q224: epoch/repetition budget (data-constrained scaling) ----
+
+  /** Epoch cap and budget multiple (×1.5 the unique corpus, in halves)
+    * for q224 — a budget above 1× forces genuine repetition choices at
+    * every SF, the cap mirrors the ~4-epoch useful-repetition horizon
+    * of Muennighoff et al. 2023. */
+  val EPOCH_MAX = 4
+  val BUDGET_NUM = 3L
+  val BUDGET_DEN = 2L
+
+  /** q224: repetition-aware token-budget allocation — the
+    * data-constrained-scaling planner (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): when the compute budget exceeds
+    * the unique corpus, which sources should be repeated, and how many
+    * times? Each source's epoch k (k ≤ $EPOCH_MAX) is a candidate worth
+    * `quality_ppm div 2^(k-1)` (geometrically decaying marginal value —
+    * the paper's diminishing returns on repeated data) and costing the
+    * source's unique tokens; candidates are taken greedily by (value
+    * DESC, source, epoch) until the budget (3/2 × unique corpus) runs
+    * out, the boundary candidate taking a PARTIAL epoch with the exact
+    * remainder. Quality is the per-source mean type-token ratio (exact
+    * ppm, the q214 signal). All integer arithmetic.
+    *
+    * Scale shape: ONE corpus pass (per-doc TTR ppm + token counts,
+    * row-local) collapsing to a |sources|-row ledger; the candidate grid
+    * is EPOCH_MAX × |sources| and the greedy prefix is a cumulative sum
+    * over that grid — k-bounded driver-scale state (the q190/q207
+    * stance), never a corpus-sized window. The budget enters as
+    * crossJoin(broadcast(1-row agg)). */
+  def q224EpochBudget(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_dis"))
+      .filter(col("n_tok") > 0)
+    val led = perDoc.groupBy(col("source")).agg(
+      sum(col("n_tok")).as("u_tokens"),
+      expr("sum(n_dis * 1000000L div n_tok) div count(1)").as("q_ppm"))
+    val budget = led.agg(
+      expr(s"sum(u_tokens) * ${BUDGET_NUM}L div ${BUDGET_DEN}L")
+        .as("budget"))
+    val cand = led
+      .select(col("source"), col("u_tokens"), col("q_ppm"),
+        explode(expr(s"sequence(1, $EPOCH_MAX)")).as("epoch"))
+      .withColumn("value",
+        expr("q_ppm div shiftleft(1L, epoch - 1)"))
+    val wRank = Window.orderBy(
+      col("value").desc, col("source"), col("epoch"))
+    cand.crossJoin(broadcast(budget))
+      .withColumn("cum", sum(col("u_tokens")).over(wRank))
+      .withColumn("alloc", greatest(lit(0L),
+        least(col("u_tokens"), col("budget") - col("cum") + col("u_tokens"))))
+      .filter(col("alloc") > 0)
+      .groupBy(col("source"))
+      .agg(
+        max(col("u_tokens")).as("u_tokens"),
+        max(col("q_ppm")).as("q_ppm"),
+        count(when(col("alloc") === col("u_tokens"), lit(1)))
+          .as("epochs_full"),
+        max(when(col("alloc") < col("u_tokens"),
+          expr("alloc * 1000000L div u_tokens")).otherwise(lit(0L)))
+          .as("partial_ppm"),
+        sum(col("alloc")).as("tokens_alloc"))
+      .orderBy(col("source"))
+  }
+
+  val o224 = s"""
+    WITH pd AS (
+      SELECT source,
+        len(string_split(text, ' ')) AS n_tok,
+        len(list_distinct(string_split(text, ' '))) AS n_dis
+      FROM documents WHERE len(string_split(text, ' ')) > 0),
+    led AS (
+      SELECT source, SUM(n_tok) AS u_tokens,
+        SUM(n_dis * 1000000 // n_tok) // COUNT(*) AS q_ppm
+      FROM pd GROUP BY source),
+    b AS (SELECT SUM(u_tokens) * $BUDGET_NUM // $BUDGET_DEN AS budget
+          FROM led),
+    cand AS (
+      SELECT source, u_tokens, q_ppm, k AS epoch,
+        q_ppm // (1 << (k - 1)) AS value
+      FROM led, unnest(range(1, $EPOCH_MAX + 1)) u(k)),
+    g AS (
+      SELECT source, u_tokens, q_ppm,
+        GREATEST(0, LEAST(u_tokens,
+          budget - SUM(u_tokens) OVER (ORDER BY value DESC, source, epoch)
+          + u_tokens)) AS alloc
+      FROM cand, b)
+    SELECT source,
+      CAST(MAX(u_tokens) AS BIGINT) AS u_tokens,
+      CAST(MAX(q_ppm) AS BIGINT) AS q_ppm,
+      CAST(COUNT(*) FILTER (WHERE alloc = u_tokens) AS BIGINT)
+        AS epochs_full,
+      CAST(MAX(CASE WHEN alloc < u_tokens
+        THEN alloc * 1000000 // u_tokens ELSE 0 END) AS BIGINT)
+        AS partial_ppm,
+      CAST(SUM(alloc) AS BIGINT) AS tokens_alloc
+    FROM g WHERE alloc > 0
+    GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_crop_pairs"      -> (q219CropPairs _),
     "q216_perceptron"      -> (q216PerceptronQuality _),
@@ -913,6 +1013,7 @@ object TrainingSet {
     "q109_priority_sample" -> (q109PrioritySample _),
     "q114_group_sample"    -> (q114GroupSample _),
     "q98_token_budget"     -> (q98TokenBudget _),
+    "q224_epoch_budget"    -> (q224EpochBudget _),
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
     "q85_decontaminate"    -> (q85Decontaminate _),
@@ -932,6 +1033,7 @@ object TrainingSet {
     "q86_trainset_build"   -> o86,
     "q96_shard_export"     -> o96,
     "q98_token_budget"     -> o98,
+    "q224_epoch_budget"    -> o224,
     "q109_priority_sample" -> o109,
     "q114_group_sample"    -> o114)
 }

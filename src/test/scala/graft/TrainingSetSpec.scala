@@ -311,4 +311,46 @@ class TrainingSetSpec extends AnyFunSuite {
     // the contrastive contract: every pair overlaps by at least n/3
     assert(got.forall { case (_, n, _, _, ov, _) => ov >= n / 3 })
   }
+
+  test("q224 epoch budget matches a driver-side greedy mirror exactly") {
+    import spark.implicits._
+    // Mirror: per-source (u, q) ledger from raw text, then the greedy
+    // value-ordered prefix with an exact partial boundary epoch.
+    val perSrc = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .filter(_._2.nonEmpty)
+      .groupBy(_._1).map { case (src, xs) =>
+        val stats = xs.map { case (_, t) =>
+          val tk = t.split(" "); (tk.length.toLong, tk.distinct.length.toLong) }
+        val u = stats.map(_._1).sum
+        val q = stats.map { case (n, d) => d * 1000000L / n }.sum / stats.size
+        (src, u, q)
+      }.toSeq
+    val budget = perSrc.map(_._2).sum * TrainingSet.BUDGET_NUM /
+      TrainingSet.BUDGET_DEN
+    val cand = perSrc.flatMap { case (src, u, q) =>
+      (1 to TrainingSet.EPOCH_MAX).map(k => (src, u, q, k, q >> (k - 1))) }
+      .sortBy { case (src, _, _, k, v) => (-v, src, k) }
+    var remaining = budget
+    val allocs = cand.map { case (src, u, q, k, _) =>
+      val a = math.max(0L, math.min(u, remaining)); remaining -= u
+      (src, u, q, a)
+    }.filter(_._4 > 0)
+    val expect = allocs.groupBy(_._1).map { case (src, xs) =>
+      (src, xs.head._2, xs.head._3,
+       xs.count(x => x._4 == x._2).toLong,
+       xs.collectFirst { case (_, u, _, a) if a < u => a * 1000000L / u }
+         .getOrElse(0L),
+       xs.map(_._4).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TrainingSet.q224EpochBudget(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // exact budget conservation: candidate mass (4 epochs) exceeds the
+    // 1.5x budget, so the greedy fill must land on it to the token
+    assert(got.map(_._6).sum == budget)
+    // at most one boundary partial; epoch counts within [1, EPOCH_MAX]
+    assert(got.count(_._5 > 0) <= 1)
+    assert(got.forall(r => r._4 >= 0 && r._4 <= TrainingSet.EPOCH_MAX))
+  }
 }
