@@ -191,13 +191,90 @@ object ChunkPlan {
         // (CAST($TEMP_BUDGET AS HUGEINT) * m) AS BIGINT) AS boost_ppm
     FROM ranked ORDER BY source"""
 
+  // ---- q225: deterministic epoch shuffle + batch ledger ----
+
+  /** Epochs generated and docs per training batch for q225. */
+  val SHUFFLE_EPOCHS = 2
+  val BATCH_DOCS = 64L
+
+  /** q225: deterministic per-epoch global shuffle and batch assignment —
+    * the training-order generator: every epoch e permutes the corpus by
+    * the keyed hash md5(e || ':' || doc_id) (a different, reproducible
+    * permutation per epoch — reshuffle-each-epoch without any RNG
+    * state), then consecutive runs of $BATCH_DOCS docs form the
+    * micro-batches. The ledger emits one row per (epoch, batch): doc
+    * and token counts, distinct sources (the mixing the shuffle is FOR),
+    * and an md5 of the ordered doc_id list — the full permutation is
+    * hash-attested, not just its shape.
+    *
+    * Scale shape: ordering by a hash key is the TeraSort shape — a
+    * range exchange, the operator's intrinsic cost. Global positions
+    * are NOT taken from a single-partition window: the first two hex
+    * chars of the key form 256 ordered bands (monotone in key order),
+    * positions are band-local row_numbers plus a broadcast 256-row
+    * band-offset table — the q98 banded-prefix pattern, so every
+    * exchange is key-ranged and parallel. Per-batch collapse is
+    * batch-bounded. */
+  def q225EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("*"),
+        explode(expr(s"sequence(1L, ${SHUFFLE_EPOCHS}L)")).as("epoch"))
+      .withColumn("k",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("band", substring(col("k"), 1, 2))
+    val wBand = Window.partitionBy(col("epoch"), col("band"))
+      .orderBy(col("k"))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("epoch"), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("band"), col("off"))
+    docs
+      .withColumn("pos_in", row_number().over(wBand).cast("long") - 1)
+      .join(broadcast(offsets), Seq("epoch", "band"))
+      .withColumn("pos", col("off") + col("pos_in"))
+      .withColumn("batch_id", expr(s"pos div $BATCH_DOCS"))
+      .groupBy(col("epoch"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("source")).as("n_src"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(named_struct('p', pos, 'id', doc_id))), x -> x.id)")))
+          .as("ids_md5"))
+      .orderBy(col("epoch"), col("batch_id"))
+  }
+
+  val o225 = s"""
+    WITH e AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        ep AS epoch, md5(ep || ':' || doc_id) AS k
+      FROM documents, unnest(range(1, $SHUFFLE_EPOCHS + 1)) u(ep)),
+    p AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k) - 1
+        AS pos
+      FROM e)
+    SELECT epoch, pos // $BATCH_DOCS AS batch_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src,
+      md5(string_agg(doc_id, ',' ORDER BY pos)) AS ids_md5
+    FROM p GROUP BY epoch, pos // $BATCH_DOCS
+    ORDER BY epoch, batch_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_quota_alloc" -> (q190QuotaAlloc _),
     "q191_chunk_plan"  -> (q191ChunkPlan _),
-    "q221_temperature_mix" -> (q221TemperatureMix _))
+    "q221_temperature_mix" -> (q221TemperatureMix _),
+    "q225_epoch_shuffle" -> (q225EpochShuffle _))
 
   val oracles: Map[String, String] = Map(
     "q190_quota_alloc" -> o190,
     "q191_chunk_plan"  -> o191,
-    "q221_temperature_mix" -> o221)
+    "q221_temperature_mix" -> o221,
+    "q225_epoch_shuffle" -> o225)
 }

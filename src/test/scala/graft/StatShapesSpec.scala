@@ -170,4 +170,28 @@ class StatShapesSpec extends AnyFunSuite {
       assert(dv == sh - bf)
     }
   }
+
+  test("q225 epoch shuffle: partition-total batches, distinct permutations") {
+    val docs = Tables.documents(spark, TestSpark.SF).count()
+    val rows = text.ChunkPlan.q225EpochShuffle(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (1L to text.ChunkPlan.SHUFFLE_EPOCHS).toSet)
+    byEpoch.foreach { case (e, bs) =>
+      // every doc lands in exactly one batch; batches are consecutive,
+      // full except the last
+      assert(bs.map(_._3).sum == docs, s"epoch $e loses docs")
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until bs.length).toSeq)
+      sorted.init.foreach(b =>
+        assert(b._3 == text.ChunkPlan.BATCH_DOCS, s"short batch $b"))
+    }
+    // the keyed hash gives each epoch a DIFFERENT deterministic
+    // permutation: first-batch id lists must differ across epochs
+    val firstBatches = byEpoch.toSeq.sortBy(_._1)
+      .map(_._2.minBy(_._2)._6)
+    assert(firstBatches.distinct.size == firstBatches.size,
+      "epochs produced identical orderings")
+  }
 }
