@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Deduplication surface for the LLM-data-pipeline extension: exact
@@ -529,6 +530,85 @@ object Dedup {
     FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY i, j ORDER BY i, j"""
 
+  // ---- q226: winnowing fingerprints (MOSS document fingerprinting) ----
+
+  /** Token k-gram size and winnowing window for q226. Guarantee
+    * threshold t = WIN_K + WIN_W − 1 = 8 tokens: any verbatim match of
+    * ≥ t tokens shares at least one selected fingerprint — deliberately
+    * equal to SPAN so DedupSpec can cross-validate against q79's exact
+    * full-gram pair list. */
+  val WIN_K = 5
+  val WIN_W = 4
+
+  /** q226: winnowing (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * fingerprinter) — per document, hash every WIN_K-token gram, slide
+    * a WIN_W-gram window, and in each window select the LEFTMOST
+    * minimal hash; the distinct selected hashes are the document's
+    * fingerprint sketch (≈ 2/(w+1) of the grams), and candidate pairs
+    * join on SELECTED fingerprints only. Versus q79 (all grams) this
+    * is the classic density/guarantee trade: ~w/2× fewer index rows
+    * and join candidates, while every match of ≥ k+w−1 tokens is still
+    * caught — the winnowing theorem, which DedupSpec asserts against
+    * q79's exact pair list.
+    *
+    * Determinism across engines: selection compares the single int64
+    * `(h mod 2^40)·2^20 + pos` — min-reduces to the leftmost minimal
+    * hash (relative order, identical for any copy of the run) with no
+    * struct/argmin tie ambiguity in either engine.
+    *
+    * Scale shape: grams and keys are row-local; the selection window is
+    * partitioned BY DOCUMENT (in-partition sort, never global); the
+    * sketch is w/2× smaller than the gram index before the ONE
+    * fingerprint-keyed exchange; the pair join carries Σ bucket²
+    * bounded by actual fingerprint reuse. */
+  def q226Winnowing(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= WIN_K)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - $WIN_K),
+            i -> cast(conv(substr(md5(array_join(
+                   slice(tk, i + 1, $WIN_K), ' ')), 1, 15),
+                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+      .withColumn("key",
+        expr("(h % 1099511627776L) * 1048576L + pos"))
+    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WIN_W - 1), 0)
+    val sel = grams
+      .withColumn("mk", min(col("key")).over(wSel))
+      .filter(col("pos") >= WIN_W - 1)
+      .select(col("doc_id"), expr("mk div 1048576L").as("fp"))
+      .distinct()
+    val bucketed = sel.repartition(shufflePartitions(s), col("fp"))
+    bucketed.as("a")
+      .join(bucketed.as("b"), col("a.fp") === col("b.fp")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val o226 = s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+        ('0x' || substr(md5(array_to_string(tk[i:i+${WIN_K - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM t, unnest(range(1, len(tk) - ${WIN_K - 2})) u(i)
+      WHERE len(tk) >= $WIN_K),
+    k AS (SELECT doc_id, pos,
+        (h % 1099511627776) * 1048576 + pos AS key FROM g),
+    w AS (
+      SELECT doc_id, pos,
+        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN ${WIN_W - 1} PRECEDING AND CURRENT ROW) AS mk
+      FROM k),
+    sel AS (
+      SELECT DISTINCT doc_id, mk // 1048576 AS fp
+      FROM w WHERE pos >= ${WIN_W - 1})
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared_fp
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY i, j ORDER BY i, j"""
+
   // ---- q99: incremental ingest dedup (new batch vs indexed base) ----
 
   /** Deterministic batch split for q99: doc_id % 4 == 0 is the
@@ -694,6 +774,7 @@ object Dedup {
     "q41_minhash_lsh"    -> (q41MinhashLsh _),
     "q42_simhash"        -> (q42Simhash _),
     "q79_shared_spans"   -> (q79SharedSpans _),
+    "q226_winnowing"     -> (q226Winnowing _),
     "q80_ppjoin_jaccard" -> (ppjoinJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -701,6 +782,7 @@ object Dedup {
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
     "q41_minhash_lsh" -> o41, "q42_simhash" -> o42,
     "q79_shared_spans" -> o79,
+    "q226_winnowing"   -> o226,
     "q99_incremental_dedup" -> o99,
     // q80 is the prefix-filtered formulation of the SAME exact join —
     // identical output to q40, identical oracle.

@@ -226,4 +226,44 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(4L -> "exact_dup", 8L -> "near_dup",
       12L -> "accepted", 16L -> "exact_dup"))
   }
+
+  test("q226 winnowing theorem: catches every q79 pair at ~w/2x fewer index rows") {
+    // Any shared verbatim run of >= WIN_K + WIN_W - 1 = SPAN tokens must
+    // share a selected fingerprint (winnowing guarantee). Every q79 pair
+    // shares a full SPAN-gram, i.e. such a run -> q226 must list it.
+    assert(Dedup.WIN_K + Dedup.WIN_W - 1 == Dedup.SPAN)
+    val full = Dedup.q79SharedSpans(spark, TestSpark.SF)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val win = Dedup.q226Winnowing(spark, TestSpark.SF)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty, "fixture must exhibit shared spans")
+    val missed = full -- win
+    assert(missed.isEmpty, s"winnowing guarantee violated for: $missed")
+    // the sketch must genuinely compress: selected fingerprint rows
+    // stay well under the full gram-index rows q79 would shuffle
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= Dedup.WIN_K)
+    val nGrams = docs.select(
+      sum(size(col("tk")) - Dedup.WIN_K + 1)).as[Long].head()
+    val nSel = {
+      // count distinct selected fingerprints via the public pair query's
+      // building blocks: re-derive with the same window-min rule
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - ${Dedup.WIN_K}),
+            i -> cast(conv(substr(md5(array_join(
+                   slice(tk, i + 1, ${Dedup.WIN_K}), ' ')), 1, 15),
+                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+        .withColumn("key", expr("(h % 1099511627776L) * 1048576L + pos"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-(Dedup.WIN_W - 1), 0)
+      grams.withColumn("mk", min(col("key")).over(w))
+        .filter(col("pos") >= Dedup.WIN_W - 1)
+        .select(col("doc_id"), expr("mk div 1048576L").as("fp"))
+        .distinct().count()
+    }
+    assert(nSel * 2 < nGrams,
+      s"winnowing sketch not compressing: $nSel selected of $nGrams grams")
+  }
 }
