@@ -284,15 +284,97 @@ object StatShapes {
     WHERE cw * 2 >= tw
     GROUP BY 1 ORDER BY l_returnflag"""
 
+  // ---- q227: k-anonymity generalization ladder ----
+
+  /** Anonymity threshold for q227. */
+  val K_ANON = 8L
+
+  /** q227: k-anonymity audit with a local-recoding generalization
+    * ladder — the release-gate a training pipeline runs before letting
+    * structured records (here: customers under the quasi-identifiers
+    * nation × market segment × account-balance band) into a corpus.
+    * Equivalence classes of < $K_ANON rows cannot be released as-is
+    * (their members are re-identifiable); instead of dropping them, the
+    * ladder generalizes ONLY the failing classes upward —
+    * level 0 (nation, segment, band) → level 1 (nation, segment) →
+    * level 2 (segment) → level 3 fully suppressed — pooling each
+    * remainder until the pool clears k or runs out of ladder. The
+    * ledger lists every released class with its level and size, so
+    * min(n_rows) over the output IS the k of the released set.
+    *
+    * Balance bands are exact-integer: `(cents + 100000) div 100000`
+    * (the shift keeps the dividend non-negative, where Spark's
+    * truncating `div` and DuckDB's flooring `//` agree).
+    *
+    * Scale shape: ONE row-level exchange (the level-0 aggregate); every
+    * later rung re-aggregates the previous remainder LEDGER (class-
+    * count-sized, shrinking each rung), never the row table. All
+    * integer arithmetic. */
+  def q227KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val c0 = t(s, d, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("(cast(c_acctbal * 100 as bigint) + 100000L) div 100000L")
+          .as("band"))
+      .groupBy(col("nat"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val ok0 = c0.filter(col("n") >= K_ANON)
+      .select(lit(0L).as("level"), col("nat"), col("seg"), col("band"),
+        col("n").as("n_rows"))
+    val rem0 = c0.filter(col("n") < K_ANON)
+    val c1 = rem0.groupBy(col("nat"), col("seg"))
+      .agg(sum(col("n")).as("n"))
+    val ok1 = c1.filter(col("n") >= K_ANON)
+      .select(lit(1L).as("level"), col("nat"), col("seg"),
+        lit(-1L).as("band"), col("n").as("n_rows"))
+    val rem1 = c1.filter(col("n") < K_ANON)
+    val c2 = rem1.groupBy(col("seg")).agg(sum(col("n")).as("n"))
+    val ok2 = c2.filter(col("n") >= K_ANON)
+      .select(lit(2L).as("level"), lit(-1L).as("nat"), col("seg"),
+        lit(-1L).as("band"), col("n").as("n_rows"))
+    val rem2 = c2.filter(col("n") < K_ANON)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit(3L).as("level"), lit(-1L).as("nat"), lit("*").as("seg"),
+        lit(-1L).as("band"), col("n").as("n_rows"))
+    ok0.unionAll(ok1).unionAll(ok2).unionAll(rem2)
+      .orderBy(col("level"), col("nat"), col("seg"), col("band"))
+  }
+
+  val o227 = s"""
+    WITH c0 AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000 AS band,
+        COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3),
+    ok0 AS (SELECT 0 AS level, nat, seg, band, n FROM c0 WHERE n >= $K_ANON),
+    c1 AS (SELECT nat, seg, SUM(n) AS n FROM c0 WHERE n < $K_ANON
+           GROUP BY 1, 2),
+    ok1 AS (SELECT 1 AS level, nat, seg, -1 AS band, n FROM c1
+            WHERE n >= $K_ANON),
+    c2 AS (SELECT seg, SUM(n) AS n FROM c1 WHERE n < $K_ANON GROUP BY 1),
+    ok2 AS (SELECT 2 AS level, -1 AS nat, seg, -1 AS band, n FROM c2
+            WHERE n >= $K_ANON),
+    r3 AS (SELECT 3 AS level, -1 AS nat, '*' AS seg, -1 AS band,
+             SUM(n) AS n
+           FROM c2 WHERE n < $K_ANON HAVING SUM(n) > 0)
+    SELECT CAST(level AS BIGINT) AS level, CAST(nat AS BIGINT) AS nat,
+      seg, CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n_rows
+    FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+          UNION ALL SELECT * FROM ok2 UNION ALL SELECT * FROM r3)
+    ORDER BY level, nat, seg, band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_ols_trend"       -> (q189OlsTrend _),
     "q192_mad_outliers"    -> (q192MadOutliers _),
     "q193_benford"         -> (q193BenfordAudit _),
-    "q194_weighted_median" -> (q194WeightedMedian _))
+    "q194_weighted_median" -> (q194WeightedMedian _),
+    "q227_k_anonymity"     -> (q227KAnonymity _))
 
   val oracles: Map[String, String] = Map(
     "q189_ols_trend"       -> o189,
     "q192_mad_outliers"    -> o192,
     "q193_benford"         -> o193,
-    "q194_weighted_median" -> o194)
+    "q194_weighted_median" -> o194,
+    "q227_k_anonymity"     -> o227)
 }

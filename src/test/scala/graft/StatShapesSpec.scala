@@ -194,4 +194,34 @@ class StatShapesSpec extends AnyFunSuite {
     assert(firstBatches.distinct.size == firstBatches.size,
       "epochs produced identical orderings")
   }
+
+  test("q227 k-anonymity: conservation, k-property, ladder mirror") {
+    val K = ops.StatShapes.K_ANON
+    val rows = Tables.t(spark, TestSpark.SF, "customer")
+      .selectExpr("cast(c_nationkey as long)", "c_mktsegment",
+        "(cast(c_acctbal * 100 as bigint) + 100000L) div 100000L")
+      .as[(Long, String, Long)].collect()
+    // driver-side ladder mirror
+    val c0 = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ok0 = c0.filter(_._2 >= K).map { case ((n, s, b), c) =>
+      (0L, n, s, b, c) }
+    val c1 = c0.filter(_._2 < K).groupBy { case ((n, s, _), _) => (n, s) }
+      .view.mapValues(_.values.sum).toMap
+    val ok1 = c1.filter(_._2 >= K).map { case ((n, s), c) =>
+      (1L, n, s, -1L, c) }
+    val c2 = c1.filter(_._2 < K).groupBy(_._1._2)
+      .view.mapValues(_.values.sum).toMap
+    val ok2 = c2.filter(_._2 >= K).map { case (s, c) => (2L, -1L, s, -1L, c) }
+    val supN = c2.filter(_._2 < K).values.sum
+    val sup = if (supN > 0) Seq((3L, -1L, "*", -1L, supN)) else Seq()
+    val expect = (ok0 ++ ok1 ++ ok2 ++ sup).toSeq
+      .sortBy(r => (r._1, r._2, r._3, r._4))
+    val got = ops.StatShapes.q227KAnonymity(spark, TestSpark.SF)
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // nothing lost: the ledger covers every customer row exactly once
+    assert(got.map(_._5).sum == rows.length.toLong)
+    // the k-contract: every RELEASED class (level <= 2) clears k
+    assert(got.filter(_._1 <= 2).forall(_._5 >= K))
+  }
 }
