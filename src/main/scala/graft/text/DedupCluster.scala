@@ -147,7 +147,7 @@ object DedupCluster {
     labelCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}|$d",
       key => connectedComponents(
-        Dedup.q40NgramJaccard(s, d).select(col("i"), col("j")),
+        Dedup.cachedTextPairs(s, d).select(col("i"), col("j")),
         tag = s"cc-labels|$key"))
 
   /** Bench-setup hook (mirrors Similarity.ensureAnnIndexes). */
