@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -444,6 +444,111 @@ object Multimodal {
     LEFT JOIN sig k ON k.doc_id = d.dup_of
     ORDER BY s.doc_id"""
 
+  // ---- q228: image-caption alignment gate (CLIP-style filter) ----
+
+  /** Tone bucket modulus and the caption-corruption schedule: every
+    * seventh doc's alt-text carries an off-by-one tone — the planted
+    * "noisy alt-text" the gate must catch. */
+  val TONE_MOD = 997L
+  val CAP_BAD_MOD = 7L
+
+  /** Closed-form Σ channel bytes of the planted raster (the fixture /
+    * ETL side — no codec; the GATE decodes the real payload). */
+  def plantedPixSum(id: Long): Long = {
+    val (w, h) = plantedDims(id)
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = id + 3L * x + 7L * y
+        s += base % 256 + (base + 1) % 256 + (base + 2) % 256
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** q228: image–caption alignment gate — the LAION/DataComp "CLIP
+    * score" filter re-expressed deterministically: each image's
+    * alt-text (fixture: derived arithmetically from the planted truth,
+    * with every ${CAP_BAD_MOD}th doc's tone corrupted) is scored
+    * against features extracted from the REAL ImageIO-decoded payload
+    * (grid dims + tone = pix_sum mod $TONE_MOD). s_true counts
+    * matching features (0–3) for the doc's own caption, s_swap for the
+    * doc_id⊕1 partner's caption (the mismatched-pair control CLIP
+    * training uses); verdict keeps only perfectly-aligned pairs, so
+    * the corrupted captions are exactly the drops.
+    *
+    * Scale shape: decode + caption construction are partition-local
+    * (q138's mapPartitions shape, codec state amortized); caption
+    * feature extraction is row-local regexp over the metadata-sized
+    * frame; the ⊕1 swap is a self-join on an involution key — an
+    * equi-join the planner broadcasts at this SF and shuffle-joins at
+    * scale. Payloads never shuffle; only (id, 4 ints, caption) rows
+    * do. */
+  def q228ClipAlign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (_, wd, hd, sumd) = decodeImage(encodeImage(id))
+        val (wc, hc) = plantedDims(id)
+        val tone = (plantedPixSum(id) % TONE_MOD
+          + (if (id % CAP_BAD_MOD == 0) 1L else 0L)) % TONE_MOD
+        (id, wd.toLong, hd.toLong, sumd,
+          s"img depicts grid ${wc}x$hc tone $tone")
+      }).toDF("doc_id", "wd", "hd", "sumd", "caption")
+    val capt = rows.select(col("doc_id"),
+      regexp_extract(col("caption"), "grid (\\d+)x", 1).cast("long").as("wc"),
+      regexp_extract(col("caption"), "x(\\d+) tone", 1).cast("long").as("hc"),
+      regexp_extract(col("caption"), "tone (\\d+)$", 1).cast("long").as("tc"))
+    val img = rows.select(col("doc_id"), col("wd"), col("hd"),
+      (col("sumd") % TONE_MOD).as("td"))
+    def sc(wc: Column, hc: Column, tc: Column) =
+      when(col("wd") === wc, 1L).otherwise(0L) +
+        when(col("hd") === hc, 1L).otherwise(0L) +
+        when(col("td") === tc, 1L).otherwise(0L)
+    img
+      .join(capt, Seq("doc_id"))
+      .withColumn("s_true", sc(col("wc"), col("hc"), col("tc")))
+      .drop("wc", "hc", "tc")
+      .join(capt.select(expr("doc_id ^ 1").as("doc_id"),
+        col("wc"), col("hc"), col("tc")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("s_true"),
+        coalesce(sc(col("wc"), col("hc"), col("tc")), lit(-1L)).as("s_swap"))
+      .withColumn("margin", col("s_true") - col("s_swap"))
+      .withColumn("verdict",
+        when(col("s_true") === 3, "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o228 = s"""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 16 AS w, 1 + (doc_id * 3) % 16 AS h
+      FROM documents),
+    e AS (SELECT doc_id, w, h, unnest(range(w*h*3)) AS i FROM d),
+    ps AS (
+      SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+        SUM((doc_id + 3*((i//3) % w) + 7*(i//(3*w)) + i % 3) % 256) AS psum
+      FROM e GROUP BY doc_id),
+    f AS (
+      SELECT doc_id, w AS wd, h AS hd, psum % $TONE_MOD AS td,
+        w AS wc, h AS hc,
+        (psum % $TONE_MOD + CASE WHEN doc_id % $CAP_BAD_MOD = 0
+           THEN 1 ELSE 0 END) % $TONE_MOD AS tc
+      FROM ps),
+    t AS (
+      SELECT a.doc_id,
+        (a.wd = a.wc)::BIGINT + (a.hd = a.hc)::BIGINT
+          + (a.td = a.tc)::BIGINT AS s_true,
+        COALESCE((a.wd = b.wc)::BIGINT + (a.hd = b.hc)::BIGINT
+          + (a.td = b.tc)::BIGINT, -1) AS s_swap
+      FROM f a LEFT JOIN f b ON b.doc_id = xor(a.doc_id, 1))
+    SELECT doc_id, s_true, s_swap, s_true - s_swap AS margin,
+      CASE WHEN s_true = 3 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM t ORDER BY doc_id"""
+
   // ---- q181: PCM audio windowed energy over a binary payload ----
 
   /** Samples per planted clip, samples per analysis window. */
@@ -689,11 +794,13 @@ object Multimodal {
     "q181_audio_energy"   -> (q181AudioEnergy _),
     "q206_image_near_dup" -> (q206ImageNearDup _),
     "q210_audio_near_dup" -> (q210AudioNearDup _),
-    "q213_video_near_dup" -> (q213VideoNearDup _))
+    "q213_video_near_dup" -> (q213VideoNearDup _),
+    "q228_clip_align"     -> (q228ClipAlign _))
 
   val oracles: Map[String, String] = Map(
     "q45_multimodal_meta" -> o45, "q71_frame_stats" -> o71,
     "q138_image_decode" -> o138, "q139_image_resize" -> o139,
     "q181_audio_energy" -> o181, "q206_image_near_dup" -> o206,
-    "q210_audio_near_dup" -> o210, "q213_video_near_dup" -> o213)
+    "q210_audio_near_dup" -> o210, "q213_video_near_dup" -> o213,
+    "q228_clip_align" -> o228)
 }

@@ -242,4 +242,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(backJson.select("id", "key", "value").as[(Long, String, String)]
       .collect().toSet == Set((1L, "addr:street", "Main St"), (2L, "amenity", "cafe")))
   }
+
+  test("q228 alignment gate drops exactly the corrupted captions, separates swaps") {
+    val rows = multimodal.Multimodal.q228ClipAlign(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, sTrue, sSwap, margin, verdict) =>
+      // drops are EXACTLY the planted corrupted alt-texts: tone is off
+      // by one, dims still match -> s_true = 2
+      if (id % multimodal.Multimodal.CAP_BAD_MOD == 0) {
+        assert(verdict == "drop" && sTrue == 2L, s"doc $id")
+      } else assert(verdict == "keep" && sTrue == 3L, s"doc $id")
+      // a swapped caption never beats the doc's own: id and id^1 differ
+      // in the low bit, so w = 1+id%16 (and h, tone) always diverge
+      assert(sSwap <= 0L, s"swap score unexpectedly high at $id")
+      assert(margin == sTrue - sSwap)
+    }
+    // both verdicts must be exercised at this SF
+    assert(rows.exists(_._5 == "keep") && rows.exists(_._5 == "drop"))
+  }
 }
