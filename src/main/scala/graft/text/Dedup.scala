@@ -630,6 +630,116 @@ object Dedup {
     FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY i, j ORDER BY i, j"""
 
+  // ---- q229: LSH operating-point sweep (bands × rows tuning curve) ----
+
+  /** Rows-per-band settings swept by q229 (each divides NUM_HASHES, so
+    * every config reads the same 48-value signature). */
+  val SWEEP_ROWS = Seq(1, 2, 3, 4, 6)
+
+  /** q229: the LSH tuning table — for each (bands b, rows r) operating
+    * point on ONE shared 48-hash MinHash signature, the measured
+    * candidate count, recall and precision against the exact q40 pair
+    * truth. This is the S-curve P(candidate|J) = 1−(1−J^r)^(48/r) made
+    * empirical: the number an engineer reads before committing a (b,r)
+    * to a 100 TB dedup run, where r too low explodes the verify stage
+    * and r too high silently loses near-dups. q41 ships the chosen
+    * point; this query justifies it.
+    *
+    * Unlike q41's murmur3 signatures (JVM-only), the sweep uses an
+    * md5-derived (h1 + i·h2) mod 2³² hash family so DuckDB re-derives
+    * the ENTIRE pipeline — signatures, banding, candidates, metrics —
+    * and the output is hash-checked end to end, not just floor-gated.
+    *
+    * Scale shape: signature = one 48-minima aggregate (map-side
+    * combined) over the shingle index; ALL configs' band keys explode
+    * from that one signature row (Σ 48/r ≈ 108 keys/doc); candidates
+    * join on (cfg, band, key) — the identical-subtree self-join that
+    * ReuseExchange shuffles once (q40's pattern); the truth join reads
+    * the materialized q40 verdict table. */
+  def q229LshSweep(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .withColumn("h1",
+        expr("cast(conv(substr(md5(sg), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2",
+        expr("cast(conv(substr(md5(sg), 9, 8), 16, 10) as bigint) | 1"))
+    val aggs = (0 until NUM_HASHES).map(i =>
+      min(expr(s"(h1 + $i * h2) % 4294967296")).as(s"s$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NUM_HASHES).map(i => col(s"s$i")): _*).as("sig"))
+    val keyStructs = SWEEP_ROWS.flatMap { r =>
+      (0 until NUM_HASHES / r).map { b =>
+        struct(lit(r).as("cfg"), lit(b).as("band"),
+          concat_ws(",", (0 until r).map(j =>
+            element_at(col("sig"), b * r + j + 1)): _*).as("key"))
+      }
+    }
+    val keys = sig
+      .select(col("doc_id"), explode(array(keyStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.cfg").as("cfg"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(shufflePartitions(s), col("cfg"), col("band"), col("key"))
+    val cand = keys.as("a")
+      .join(keys.as("b"), col("a.cfg") === col("b.cfg")
+        && col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.doc_id").as("i"),
+        col("b.doc_id").as("j"))
+      .distinct()
+    val truth = cachedTextPairs(s, d)
+      .select(col("i"), col("j"), lit(1L).as("t"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cand.join(truth, Seq("i", "j"), "left")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("t"), lit(0L))).as("caught"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("cfg").cast("long").as("rows_per_band"),
+        expr(s"cast($NUM_HASHES div cfg as bigint)").as("bands"),
+        col("n_candidates"), col("caught"), col("n_truth"),
+        expr("caught * 1000000L div n_truth").as("recall_ppm"),
+        expr("""case when n_candidates > 0
+                then caught * 1000000L div n_candidates
+                else 0L end""").as("precision_ppm"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  val o229 = s"""
+    WITH $ORA_PAIR_CTES,
+    truth AS (SELECT i, j FROM jac WHERE jac >= $JACCARD_THRESHOLD),
+    hh AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h1,
+        ('0x' || substr(md5(sg), 9, 8))::BIGINT | 1 AS h2
+      FROM sh),
+    m AS (
+      SELECT doc_id, i, MIN((h1 + i * h2) % 4294967296) AS sv
+      FROM hh, unnest(range($NUM_HASHES)) u(i) GROUP BY 1, 2),
+    sa AS (SELECT doc_id, list(sv ORDER BY i) AS sig FROM m GROUP BY 1),
+    k AS (
+      SELECT doc_id, r AS cfg, bd,
+        array_to_string(sig[bd*r+1 : bd*r+r], ',') AS key
+      FROM sa, (VALUES (1), (2), (3), (4), (6)) c(r),
+           unnest(range($NUM_HASHES // r)) u(bd)),
+    cand AS (
+      SELECT DISTINCT k1.cfg, k1.doc_id AS i, k2.doc_id AS j
+      FROM k k1 JOIN k k2 ON k1.cfg = k2.cfg AND k1.bd = k2.bd
+        AND k1.key = k2.key AND k1.doc_id < k2.doc_id),
+    g AS (
+      SELECT c.cfg, COUNT(*) AS n_candidates, COUNT(t.i) AS caught
+      FROM cand c LEFT JOIN truth t ON t.i = c.i AND t.j = c.j
+      GROUP BY c.cfg),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT CAST(cfg AS BIGINT) AS rows_per_band,
+      CAST($NUM_HASHES // cfg AS BIGINT) AS bands,
+      CAST(n_candidates AS BIGINT) AS n_candidates,
+      CAST(caught AS BIGINT) AS caught,
+      CAST(n_truth AS BIGINT) AS n_truth,
+      caught * 1000000 // n_truth AS recall_ppm,
+      CASE WHEN n_candidates > 0 THEN caught * 1000000 // n_candidates
+           ELSE 0 END AS precision_ppm
+    FROM g, nt ORDER BY rows_per_band"""
+
   // ---- q99: incremental ingest dedup (new batch vs indexed base) ----
 
   /** Deterministic batch split for q99: doc_id % 4 == 0 is the
@@ -796,6 +906,7 @@ object Dedup {
     "q42_simhash"        -> (q42Simhash _),
     "q79_shared_spans"   -> (q79SharedSpans _),
     "q226_winnowing"     -> (q226Winnowing _),
+    "q229_lsh_sweep"     -> (q229LshSweep _),
     "q80_ppjoin_jaccard" -> (ppjoinJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -804,6 +915,7 @@ object Dedup {
     "q41_minhash_lsh" -> o41, "q42_simhash" -> o42,
     "q79_shared_spans" -> o79,
     "q226_winnowing"   -> o226,
+    "q229_lsh_sweep"   -> o229,
     "q99_incremental_dedup" -> o99,
     // q80 is the prefix-filtered formulation of the SAME exact join —
     // identical output to q40, identical oracle.

@@ -266,4 +266,32 @@ class DedupSpec extends AnyFunSuite {
     assert(nSel * 2 < nGrams,
       s"winnowing sketch not compressing: $nSel selected of $nGrams grams")
   }
+
+  test("q229 sweep: S-curve monotone, shipped config at full recall") {
+    val rows = Dedup.q229LshSweep(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Dedup.SWEEP_ROWS.map(_.toLong))
+    rows.foreach { case (r, b, nc, caught, nt, rec, prec) =>
+      assert(b == Dedup.NUM_HASHES / r)
+      assert(caught <= nc && caught <= nt && prec <= 1000000L
+        && rec <= 1000000L)
+    }
+    // provable containment: when r1 | r2, every r2-band contains an
+    // aligned complete r1-band, so an r2 collision implies an r1
+    // collision -> candidates(r2) ⊆ candidates(r1). (r=3 vs r=4 is
+    // genuinely incomparable — a {4..7} band contains no aligned
+    // triple — so only divisibility pairs are asserted.)
+    val byR = rows.map(r => r._1 -> r).toMap
+    for (r1 <- rows.map(_._1); r2 <- rows.map(_._1)
+         if r1 < r2 && r2 % r1 == 0) {
+      assert(byR(r2)._3 <= byR(r1)._3,
+        s"candidates grew from r=$r1 to r=$r2")
+      assert(byR(r2)._6 <= byR(r1)._6, s"recall rose from r=$r1 to r=$r2")
+    }
+    // the corpus margin (asserted elsewhere) means the shipped q41
+    // point (r = ROWS_PER_BAND) must sit at full recall in the sweep
+    val shipped = rows.find(_._1 == Dedup.ROWS_PER_BAND.toLong).get
+    assert(shipped._6 == 1000000L, s"shipped config lost recall: $shipped")
+  }
 }
