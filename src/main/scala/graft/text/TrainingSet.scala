@@ -679,6 +679,96 @@ object TrainingSet {
     FROM runs GROUP BY doc_id, eval_id
     ORDER BY doc_id, eval_id"""
 
+  // ---- q230: surgical decontamination (span-level eval scrub) ----
+
+  /** q230: surgical decontamination — the remediation step after q203's
+    * audit: instead of dropping every contaminated training document
+    * (q85's verdict, which wastes the 95% of a long document that is
+    * NOT the quoted benchmark item), remove exactly the tokens covered
+    * by a verbatim eval-overlapping SPAN-window and keep the rest. The
+    * ledger carries per-train-doc tokens before/after, the number of
+    * matching windows, and an md5 of the scrubbed string — the whole
+    * reassembly is oracle-checked, the q222 contract.
+    *
+    * Scale shape: the eval-side positional gram index broadcasts (q203's
+    * stance — a benchmark is tiny next to a training corpus); matching
+    * windows are contamination-sized, the ×SPAN coverage explode and
+    * the ordered per-doc collapse likewise; the train corpus is scanned
+    * once. No global windows, no driver state. */
+  def q230DecontamScrub(s: SparkSession, d: String): DataFrame = {
+    val SPAN = Dedup.SPAN
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= SPAN)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - $SPAN),
+            i -> cast(conv(substr(md5(array_join(
+                   slice(tk, i + 1, $SPAN), ' ')), 1, 15),
+                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+    val ev = grams(docs.filter(col("doc_id") % SPAN_EVAL_MOD === 0))
+      .select(col("h")).distinct()
+    val train = docs.filter(col("doc_id") % SPAN_EVAL_MOD =!= 0)
+    val hits = grams(train).join(broadcast(ev), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val covered = hits
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SPAN - 1})")).as("idx"))
+      .distinct()
+    val nWin = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    train
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("idx", "token")))
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cov").isNull, lit(1))).as("n_kept"),
+        collect_list(when(col("cov").isNull,
+          struct(col("idx"), col("token")))).as("kept"))
+      .join(nWin, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(kept), x -> x.token)"))).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o230 = {
+    val SPAN = Dedup.SPAN
+    s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+        ('0x' || substr(md5(array_to_string(tk[i:i+${SPAN - 1}], ' ')), 1, 15))::BIGINT AS h
+      FROM d, unnest(range(1, len(tk) - ${SPAN - 2})) u(i)
+      WHERE len(tk) >= $SPAN),
+    ev AS (SELECT DISTINCT h FROM g WHERE doc_id % $SPAN_EVAL_MOD = 0),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN ev USING (h)
+      WHERE g.doc_id % $SPAN_EVAL_MOD <> 0),
+    nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+           FROM hits GROUP BY doc_id),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o AS idx
+      FROM hits, unnest(range(0, $SPAN)) u(o)),
+    tok AS (
+      SELECT doc_id, i - 1 AS idx, tk[i] AS token
+      FROM d, unnest(range(1, len(tk) + 1)) u(i)
+      WHERE doc_id % $SPAN_EVAL_MOD <> 0)
+    SELECT t.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) FILTER (WHERE c.doc_id IS NULL) AS BIGINT) AS n_kept,
+      COALESCE(MIN(nw.n_windows), 0) AS n_windows,
+      md5(COALESCE(string_agg(t.token, ' ' ORDER BY t.idx)
+        FILTER (WHERE c.doc_id IS NULL), '')) AS scrub_md5
+    FROM tok t
+    LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+    LEFT JOIN nw ON nw.doc_id = t.doc_id
+    GROUP BY t.doc_id ORDER BY t.doc_id"""
+  }
+
   // ---- q211: DSIR importance weights (hashed-bigram resampling) ----
 
   /** Feature-hash buckets, smoothing α (add-one), and the resample size.
@@ -1014,6 +1104,7 @@ object TrainingSet {
     "q114_group_sample"    -> (q114GroupSample _),
     "q98_token_budget"     -> (q98TokenBudget _),
     "q224_epoch_budget"    -> (q224EpochBudget _),
+    "q230_decontam_scrub"  -> (q230DecontamScrub _),
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
     "q85_decontaminate"    -> (q85Decontaminate _),
@@ -1034,6 +1125,7 @@ object TrainingSet {
     "q96_shard_export"     -> o96,
     "q98_token_budget"     -> o98,
     "q224_epoch_budget"    -> o224,
+    "q230_decontam_scrub"  -> o230,
     "q109_priority_sample" -> o109,
     "q114_group_sample"    -> o114)
 }

@@ -353,4 +353,29 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(got.count(_._5 > 0) <= 1)
     assert(got.forall(r => r._4 >= 0 && r._4 <= TrainingSet.EPOCH_MAX))
   }
+
+  test("q230 surgical decontamination: untouched docs intact, hits scrubbed") {
+    import spark.implicits._
+    val got = TrainingSet.q230DecontamScrub(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val evalIds = Tables.documents(spark, TestSpark.SF)
+      .filter(col("doc_id") % TrainingSet.SPAN_EVAL_MOD === 0).count()
+    val total = Tables.documents(spark, TestSpark.SF).count()
+    // output covers exactly the train side
+    assert(got.length.toLong == total - evalIds)
+    // clean documents pass through BYTE-identical (md5 of original text)
+    val originals = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, nTok, nKept, nWin, m) =>
+      assert(nKept <= nTok)
+      if (nWin == 0) assert(nKept == nTok && m == originals(id),
+        s"clean doc $id was altered")
+      else assert(nKept < nTok, s"contaminated doc $id kept everything")
+    }
+    // the q203 audit and this remediation must agree on WHO is affected
+    val audited = TrainingSet.q203ContamSpans(spark, TestSpark.SF)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._4 > 0).map(_._1).toSet == audited)
+  }
 }
