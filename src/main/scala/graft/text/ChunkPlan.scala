@@ -215,12 +215,16 @@ object ChunkPlan {
     * band-offset table — the q98 banded-prefix pattern, so every
     * exchange is key-ranged and parallel. Per-batch collapse is
     * batch-bounded. */
-  def q225EpochShuffle(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+  /** Global shuffle positions for epochs 1..nEpochs over any frame
+    * carrying `doc_id` — the banded-prefix position assignment q225
+    * describes, factored out so consumers of the TRAINING ORDER (q231's
+    * novelty curve) read the same permutation. Appends `epoch` and
+    * `pos` (0-based within the epoch's permutation). */
+  private[graft] def shufflePositions(docs0: DataFrame, nEpochs: Int)
+      : DataFrame = {
+    val docs = docs0
       .select(col("*"),
-        explode(expr(s"sequence(1L, ${SHUFFLE_EPOCHS}L)")).as("epoch"))
+        explode(expr(s"sequence(1L, ${nEpochs}L)")).as("epoch"))
       .withColumn("k",
         md5(concat(col("epoch").cast("string"), lit(":"),
           col("doc_id").cast("string"))))
@@ -237,6 +241,14 @@ object ChunkPlan {
       .withColumn("pos_in", row_number().over(wBand).cast("long") - 1)
       .join(broadcast(offsets), Seq("epoch", "band"))
       .withColumn("pos", col("off") + col("pos_in"))
+      .drop("k", "band", "off", "pos_in")
+  }
+
+  def q225EpochShuffle(s: SparkSession, d: String): DataFrame =
+    shufflePositions(
+      documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      SHUFFLE_EPOCHS)
       .withColumn("batch_id", expr(s"pos div $BATCH_DOCS"))
       .groupBy(col("epoch"), col("batch_id"))
       .agg(
@@ -247,7 +259,6 @@ object ChunkPlan {
           "transform(array_sort(collect_list(named_struct('p', pos, 'id', doc_id))), x -> x.id)")))
           .as("ids_md5"))
       .orderBy(col("epoch"), col("batch_id"))
-  }
 
   val o225 = s"""
     WITH e AS (
@@ -266,15 +277,90 @@ object ChunkPlan {
     FROM p GROUP BY epoch, pos // $BATCH_DOCS
     ORDER BY epoch, batch_id"""
 
+  // ---- q231: novelty decay curve over the training order ----
+
+  /** q231: per-batch n-gram novelty — as training consumes batches in
+    * the q225 epoch-1 order, how fast does the corpus stop contributing
+    * NEW 3-gram shingles? Each batch's ledger row carries its distinct
+    * grams, the grams first seen in that batch, novelty ppm, and the
+    * cumulative vocabulary share — the empirical diminishing-returns
+    * curve that motivates q224's geometric epoch decay: when
+    * novelty_ppm flattens, additional data from the same pool is
+    * repetition, and the budget should widen sources instead.
+    *
+    * Scale shape: grams are row-local (codegen ShingleSet); the
+    * first-batch attribution is ONE min-aggregate keyed on the gram
+    * (map-side combined — the dedup exchange); per-batch rollups and
+    * the cumulative window run over the |batches|-sized ledger. The
+    * ordering reuses q225's banded-prefix positions — no global
+    * single-partition window anywhere. */
+  def q231NoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    val ordered = shufflePositions(
+      documents(s, d).select(col("doc_id"), col("text")), 1)
+      .withColumn("batch_id", expr(s"pos div $BATCH_DOCS"))
+    val bg = ordered
+      .select(col("batch_id"),
+        explode(graft.functions.ShingleSet.shingle_set(col("text")))
+          .as("sg"))
+      .distinct()
+    val fb = bg.groupBy(col("sg")).agg(min(col("batch_id")).as("first_batch"))
+    val perBatch = bg.join(fb, Seq("sg"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("distinct_grams"),
+        count(when(col("first_batch") === col("batch_id"), lit(1)))
+          .as("novel_grams"))
+    val wCum = Window.orderBy(col("batch_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val vocab = fb.agg(count(lit(1)).as("vocab"))
+    perBatch.crossJoin(broadcast(vocab))
+      .withColumn("novelty_ppm",
+        expr("novel_grams * 1000000L div distinct_grams"))
+      .withColumn("cum_novel", sum(col("novel_grams")).over(wCum))
+      .select(col("batch_id"), col("distinct_grams"), col("novel_grams"),
+        col("novelty_ppm"),
+        expr("cum_novel * 1000000L div vocab").as("cum_vocab_ppm"))
+      .orderBy(col("batch_id"))
+  }
+
+  val o231 = s"""
+    WITH p AS (
+      SELECT doc_id, text,
+        (ROW_NUMBER() OVER (ORDER BY md5('1:' || doc_id)) - 1)
+          // $BATCH_DOCS AS batch_id
+      FROM documents),
+    sg AS (
+      SELECT DISTINCT batch_id, doc_id,
+        t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+      FROM (SELECT batch_id, doc_id, string_split(text, ' ') AS t FROM p)
+           , unnest(range(1, len(t) - 1)) u(i)
+      WHERE len(t) >= 3),
+    bg AS (SELECT DISTINCT batch_id, sg FROM sg),
+    fb AS (SELECT sg, MIN(batch_id) AS first_batch FROM bg GROUP BY sg),
+    pb AS (
+      SELECT b.batch_id,
+        CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+        CAST(COUNT(*) FILTER (WHERE f.first_batch = b.batch_id) AS BIGINT)
+          AS novel_grams
+      FROM bg b JOIN fb f USING (sg) GROUP BY b.batch_id),
+    v AS (SELECT COUNT(*) AS vocab FROM fb)
+    SELECT batch_id, distinct_grams, novel_grams,
+      novel_grams * 1000000 // distinct_grams AS novelty_ppm,
+      SUM(novel_grams) OVER (ORDER BY batch_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        * 1000000 // vocab AS cum_vocab_ppm
+    FROM pb, v ORDER BY batch_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_quota_alloc" -> (q190QuotaAlloc _),
     "q191_chunk_plan"  -> (q191ChunkPlan _),
     "q221_temperature_mix" -> (q221TemperatureMix _),
-    "q225_epoch_shuffle" -> (q225EpochShuffle _))
+    "q225_epoch_shuffle" -> (q225EpochShuffle _),
+    "q231_novelty_curve" -> (q231NoveltyCurve _))
 
   val oracles: Map[String, String] = Map(
     "q190_quota_alloc" -> o190,
     "q191_chunk_plan"  -> o191,
     "q221_temperature_mix" -> o221,
-    "q225_epoch_shuffle" -> o225)
+    "q225_epoch_shuffle" -> o225,
+    "q231_novelty_curve" -> o231)
 }

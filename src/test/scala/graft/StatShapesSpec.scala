@@ -224,4 +224,22 @@ class StatShapesSpec extends AnyFunSuite {
     // the k-contract: every RELEASED class (level <= 2) clears k
     assert(got.filter(_._1 <= 2).forall(_._5 >= K))
   }
+
+  test("q231 novelty curve: first batch all-novel, vocabulary conserved") {
+    val rows = text.ChunkPlan.q231NoveltyCurve(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // batch 0 has nothing before it: everything is novel
+    assert(rows.head._4 == 1000000L)
+    rows.foreach { case (_, dist, nov, ppm, cum) =>
+      assert(nov <= dist && ppm <= 1000000L && cum <= 1000000L)
+    }
+    // every gram is attributed to exactly one first batch: the novel
+    // counts sum to the vocabulary, so the cumulative share ends at 1
+    assert(rows.last._5 == 1000000L)
+    // cumulative share is non-decreasing
+    rows.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b._5 >= a._5)
+    }
+  }
 }
