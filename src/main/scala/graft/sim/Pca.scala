@@ -253,11 +253,115 @@ object Pca {
              // norm2_before END AS BIGINT) AS removed_ppm
     FROM led ORDER BY vec_id"""
 
+  // ---- q232: Johnson–Lindenstrauss projection distortion audit ----
+
+  /** Target dimension for the ±1 random-sign projection (D=$PCA_DIM→16:
+    * a 4× ANN-index compression). */
+  val JL_K = 16
+
+  /** Deterministic ±1 sign for matrix cell (i, j): parity of the first
+    * hex digit of md5("i:j") — byte-identical to the oracle's
+    * ('0x'||substr(md5(i||':'||j),1,1))::INT % 2. */
+  private[graft] def jlSign(i: Int, j: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((digest(0) >> 4) & 0x1) == 0) 1L else -1L
+  }
+
+  /** q232: JL random-projection audit — project every (1e-6-quantized)
+    * embedding through a deterministic D×$JL_K ±1 sign matrix and
+    * measure, over the disjoint (even, even+1) pair sample, the squared
+    * -distance distortion ratio d²_proj·1e6 / (k·d²_orig) (E[ratio] = 1
+    * for a sign matrix — the JL/Achlioptas guarantee). The output is
+    * the distortion histogram (0.1-wide ratio buckets with counts and
+    * integer mean ppm): the table that justifies shipping the 4×-
+    * compressed index to ANN (q44/q55/q162) instead of full vectors.
+    *
+    * Scale shape: quantization + projection are ONE partition-local
+    * JVM pass (the q217 HOF lesson — k·D multiply-adds per row in a
+    * tight loop, signs materialized once per partition, never a nested
+    * Catalyst lambda); the pair join is a single equi-join on the
+    * derived pair key; distances are row-local zip_with folds over
+    * 2(D+k) ints; the histogram is a bucket-count aggregate. Numerators
+    * run in decimal(38,0) where d²·1e6 exceeds int64. */
+  def q232JlAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = PCA_DIM
+    val proj = embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val signs = Array.tabulate(D, JL_K)((i, j) => jlSign(i, j))
+        it.map { case (id, e) =>
+          val c = Array.tabulate(D)(i =>
+            roundHalfAway(e(i).toDouble * PCA_SCALE))
+          val y = Array.tabulate(JL_K) { j =>
+            var a = 0L; var i = 0
+            while (i < D) { a += signs(i)(j) * c(i); i += 1 }
+            a
+          }
+          (id, c, y)
+        }
+      }.toDF("vec_id", "c", "y")
+    val a = proj.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("pair_id"), col("c").as("ca"),
+        col("y").as("ya"))
+    val b = proj.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") - 1).as("pair_id"), col("c").as("cb"),
+        col("y").as("yb"))
+    a.join(b, Seq("pair_id"))
+      .withColumn("d2o", expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("d2p", expr(
+        "aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("ratio_ppm", expr(
+        s"""case when d2o = 0 then 0L
+            else cast((cast(d2p as decimal(38,0)) * 1000000)
+                 div (cast($JL_K as decimal(38,0)) * d2o) as bigint) end"""))
+      .groupBy(expr("ratio_ppm div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ratio_ppm) div count(1)").as("mean_ratio_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val o232 = s"""
+    WITH e AS (
+      SELECT vec_id, i,
+        CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * $PCA_SCALE) AS BIGINT) AS c
+      FROM embeddings, unnest(range(0, $PCA_DIM)) u(i)),
+    sg AS (
+      SELECT i, j,
+        CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
+          THEN 1 ELSE -1 END AS s
+      FROM unnest(range(0, $PCA_DIM)) a(i), unnest(range(0, $JL_K)) b(j)),
+    y AS (
+      SELECT vec_id, j, CAST(SUM(s * c) AS BIGINT) AS y
+      FROM e JOIN sg USING (i) GROUP BY 1, 2),
+    d2o AS (
+      SELECT a.vec_id AS pair_id, SUM((a.c - b.c) * (a.c - b.c)) AS d2o
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      WHERE a.vec_id % 2 = 0 GROUP BY 1),
+    d2p AS (
+      SELECT a.vec_id AS pair_id, SUM((a.y - b.y) * (a.y - b.y)) AS d2p
+      FROM y a JOIN y b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      WHERE a.vec_id % 2 = 0 GROUP BY 1),
+    r AS (
+      SELECT pair_id,
+        CASE WHEN d2o = 0 THEN 0
+          ELSE CAST((CAST(d2p AS HUGEINT) * 1000000) // ($JL_K * d2o)
+               AS BIGINT) END AS ratio_ppm
+      FROM d2o JOIN d2p USING (pair_id))
+    SELECT ratio_ppm // 100000 AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
+    FROM r GROUP BY 1 ORDER BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q217_pca_power"  -> (q217PcaPower _),
-    "q218_pca_whiten" -> (q218PcaWhiten _))
+    "q218_pca_whiten" -> (q218PcaWhiten _),
+    "q232_jl_audit"   -> (q232JlAudit _))
 
   val oracles: Map[String, String] = Map(
     "q217_pca_power"  -> o217,
-    "q218_pca_whiten" -> o218)
+    "q218_pca_whiten" -> o218,
+    "q232_jl_audit"   -> o232)
 }

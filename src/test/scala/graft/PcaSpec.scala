@@ -88,4 +88,28 @@ class PcaSpec extends AnyFunSuite {
     assert(got.forall { case (_, nb, na, _) => na <= nb + 64 })
     assert(got.exists(_._4 > 10000), "top component removed <1% everywhere")
   }
+
+  test("q232 JL audit: sign matrix mirrored, distortion centered at 1") {
+    // the JVM sign derivation must equal the SQL form it documents
+    val sqlSigns = spark.sql(
+      s"""SELECT i, j, CASE WHEN conv(substr(md5(concat(i, ':', j)), 1, 1),
+            16, 10) % 2 = 0 THEN 1L ELSE -1L END
+          FROM (SELECT explode(sequence(0, ${Pca.PCA_DIM - 1})) AS i)
+          LATERAL VIEW explode(sequence(0, ${Pca.JL_K - 1})) t AS j""")
+      .as[(Int, Int, Long)].collect()
+    sqlSigns.foreach { case (i, j, sgn) =>
+      assert(Pca.jlSign(i, j) == sgn, s"sign mismatch at ($i,$j)") }
+    val rows = Pca.q232JlAudit(spark, TestSpark.SF)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    // E[ratio] = 1 for a ±1 sign projection: the pair-weighted mean of
+    // bucket means must sit near 1e6 (k=16 gives ~±25% sampling noise
+    // on this pair count)
+    val mean = rows.map(r => r._2 * r._3).sum / n
+    assert(mean > 750000L && mean < 1300000L, s"distortion mean off: $mean")
+    // concentration: most pairs within ratio [0.5, 1.5]
+    val mid = rows.filter(r => r._1 >= 5 && r._1 <= 14).map(_._2).sum
+    assert(mid * 2 > n, s"distortion not concentrated: $mid of $n")
+  }
 }
