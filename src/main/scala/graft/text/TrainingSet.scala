@@ -769,6 +769,104 @@ object TrainingSet {
     GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
 
+  // ---- q233: reciprocal-rank fusion for data selection ----
+
+  /** RRF smoothing constant (the standard k=60) and docs kept per
+    * source. */
+  val RRF_K = 60L
+  val RRF_TOP = 3
+
+  /** q233: reciprocal-rank fusion — combine several incomparable
+    * per-document quality signals (lexical diversity ppm, content
+    * density ppm, mean token length) into one selection ranking by
+    * summing 1e6 div (60 + rank_i) over each signal's per-source rank,
+    * then keep the top $RRF_TOP documents per source. RRF is the
+    * standard way to fuse heterogeneous rankers without calibrating
+    * their scales (Cormack et al. 2009); for a curation pipeline it is
+    * how "quality" built from multiple filters actually gets ranked.
+    * Exact integer throughout: ranks are ints, each contribution is one
+    * integral division.
+    *
+    * Scale shape: the three signals are row-local expressions in the
+    * scan; the three rankings and the final selection are windows
+    * PARTITIONED BY SOURCE (in-partition sorts over source-sized
+    * groups, the q27 shape — never a global single-partition window);
+    * ties are broken by doc_id so every rank is total. */
+  def q233RrfSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("tk"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"))
+      .select(col("source"), col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_dis"),
+        size(expr("filter(tk, t -> t IN ('the','a','of','and'))"))
+          .cast("long").as("n_stop"), col("chars"))
+      .filter(col("n_tok") > 0)
+      .withColumn("s1", expr("n_dis * 1000000L div n_tok"))
+      .withColumn("s2", expr("(n_tok - n_stop) * 1000000L div n_tok"))
+      .withColumn("s3", expr("chars * 1000L div n_tok"))
+    def rk(c: String) = row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col(c).desc, col("doc_id"))).cast("long")
+    val ranked = docs
+      .withColumn("r1", rk("s1"))
+      .withColumn("r2", rk("s2"))
+      .withColumn("r3", rk("s3"))
+      .withColumn("fused", expr(
+        s"1000000L div ($RRF_K + r1) + 1000000L div ($RRF_K + r2)" +
+          s" + 1000000L div ($RRF_K + r3)"))
+    ranked
+      .withColumn("sel_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("fused").desc, col("doc_id"))).cast("long"))
+      .filter(col("sel_rank") <= RRF_TOP)
+      .select(col("source"), col("sel_rank"), col("doc_id"),
+        col("r1"), col("r2"), col("r3"), col("fused"))
+      .orderBy(col("source"), col("sel_rank"))
+  }
+
+  val o233 = s"""
+    WITH d AS (
+      SELECT source, doc_id, string_split(text, ' ') AS tk,
+        CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars
+      FROM documents),
+    f AS (
+      SELECT source, doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tok,
+        CAST(len(list_distinct(tk)) AS BIGINT) AS n_dis,
+        CAST(len(list_filter(tk, t -> t IN ('the','a','of','and')))
+          AS BIGINT) AS n_stop, chars
+      FROM d WHERE len(tk) > 0),
+    sg AS (
+      SELECT source, doc_id,
+        n_dis * 1000000 // n_tok AS s1,
+        (n_tok - n_stop) * 1000000 // n_tok AS s2,
+        chars * 1000 // n_tok AS s3
+      FROM f),
+    rk AS (
+      SELECT source, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY s1 DESC, doc_id)
+          AS r1,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY s2 DESC, doc_id)
+          AS r2,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY s3 DESC, doc_id)
+          AS r3
+      FROM sg),
+    fu AS (
+      SELECT source, doc_id, r1, r2, r3,
+        1000000 // ($RRF_K + r1) + 1000000 // ($RRF_K + r2)
+          + 1000000 // ($RRF_K + r3) AS fused
+      FROM rk),
+    sel AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY fused DESC, doc_id) AS sel_rank
+      FROM fu)
+    SELECT source, CAST(sel_rank AS BIGINT) AS sel_rank, doc_id,
+      CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+      CAST(r3 AS BIGINT) AS r3, CAST(fused AS BIGINT) AS fused
+    FROM sel WHERE sel_rank <= $RRF_TOP
+    ORDER BY source, sel_rank"""
+
   // ---- q211: DSIR importance weights (hashed-bigram resampling) ----
 
   /** Feature-hash buckets, smoothing α (add-one), and the resample size.
@@ -1105,6 +1203,7 @@ object TrainingSet {
     "q98_token_budget"     -> (q98TokenBudget _),
     "q224_epoch_budget"    -> (q224EpochBudget _),
     "q230_decontam_scrub"  -> (q230DecontamScrub _),
+    "q233_rrf_select"      -> (q233RrfSelect _),
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
     "q85_decontaminate"    -> (q85Decontaminate _),
@@ -1126,6 +1225,7 @@ object TrainingSet {
     "q98_token_budget"     -> o98,
     "q224_epoch_budget"    -> o224,
     "q230_decontam_scrub"  -> o230,
+    "q233_rrf_select"      -> o233,
     "q109_priority_sample" -> o109,
     "q114_group_sample"    -> o114)
 }

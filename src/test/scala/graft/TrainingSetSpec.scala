@@ -378,4 +378,31 @@ class TrainingSetSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(got.filter(_._4 > 0).map(_._1).toSet == audited)
   }
+
+  test("q233 RRF: per-source top list, fused score consistent with ranks") {
+    import spark.implicits._
+    val got = TrainingSet.q233RrfSelect(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val srcs = Tables.documents(spark, TestSpark.SF)
+      .select("source").distinct().count()
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      // exactly RRF_TOP per source (corpus has > RRF_TOP docs each),
+      // sel_rank consecutive from 1
+      assert(rows.map(_._2).sorted.toSeq ==
+        (1L to TrainingSet.RRF_TOP.toLong), s"bad top list for $src")
+      // fused recomputes from the three ranks exactly
+      rows.foreach { case (_, _, _, r1, r2, r3, fused) =>
+        val k = TrainingSet.RRF_K
+        assert(fused == 1000000L / (k + r1) + 1000000L / (k + r2)
+          + 1000000L / (k + r3))
+      }
+      // the selection is ordered by fused desc (doc_id tiebreak)
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._7 > b._7 || (a._7 == b._7 && a._3 < b._3))
+      }
+    }
+    assert(got.groupBy(_._1).size.toLong == srcs)
+  }
 }
