@@ -350,17 +350,98 @@ object ChunkPlan {
         * 1000000 // vocab AS cum_vocab_ppm
     FROM pb, v ORDER BY batch_id"""
 
+  // ---- q234: padding-waste audit (length-bucketed batching) ----
+
+  /** q234: padding-waste comparison — every training batch pads its
+    * sequences to the batch maximum, so batch COMPOSITION is compute:
+    * this audit builds the same corpus into $BATCH_DOCS-doc batches two
+    * ways — the q225 shuffled order (iid batches, maximal padding) and
+    * length-ascending order (bucketed batching, the standard padding
+    * cure) — and ledgers real vs padded tokens and waste ppm for each.
+    * The delta is the throughput argument for length-bucketed batching,
+    * with its known cost (intra-batch length correlation) left to the
+    * q225 shuffle to argue the other side.
+    *
+    * Scale shape: both orders use banded-prefix positions — the shuffle
+    * order via md5 bands (shufflePositions), the length order with the
+    * LENGTH ITSELF as the monotone band (q98's trick: band-local
+    * row_numbers + a ≤|distinct lengths|-row broadcast offset table).
+    * Per-batch max/sum/count and the 2-row rollup are ledger-sized. */
+  def q234PaddingAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val shuffled = shufflePositions(docs, 1)
+      .select(col("doc_id"), col("n_tok"), col("pos"))
+    val wLen = Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))
+    val wOffL = Window.orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs.groupBy(col("n_tok")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOffL), lit(0L)))
+      .select(col("n_tok"), col("off"))
+    val byLen = docs
+      .withColumn("pos_in", row_number().over(wLen).cast("long") - 1)
+      .join(broadcast(offs), Seq("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("off") + col("pos_in")).as("pos"))
+    def ledger(df: DataFrame, tag: String): DataFrame = df
+      .withColumn("batch_id", expr(s"pos div $BATCH_DOCS"))
+      .groupBy(col("batch_id"))
+      .agg(max(col("n_tok")).as("mx"), sum(col("n_tok")).as("st"),
+        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("st")).as("real_tokens"),
+        sum(col("mx") * col("n")).as("padded_tokens"))
+      .select(lit(tag).as("strategy"), col("n_batches"),
+        col("real_tokens"), col("padded_tokens"),
+        expr("(padded_tokens - real_tokens) * 1000000L div padded_tokens")
+          .as("waste_ppm"))
+    ledger(shuffled, "shuffled")
+      .unionAll(ledger(byLen, "length_bucketed"))
+      .orderBy(col("strategy"))
+  }
+
+  val o234 = s"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    sh AS (
+      SELECT n_tok, (ROW_NUMBER() OVER (ORDER BY md5('1:' || doc_id)) - 1)
+        // $BATCH_DOCS AS batch_id
+      FROM d),
+    ln AS (
+      SELECT n_tok, (ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1)
+        // $BATCH_DOCS AS batch_id
+      FROM d),
+    ls AS (
+      SELECT 'shuffled' AS strategy, batch_id, MAX(n_tok) AS mx,
+        SUM(n_tok) AS st, COUNT(*) AS n
+      FROM sh GROUP BY batch_id),
+    ll AS (
+      SELECT 'length_bucketed' AS strategy, batch_id, MAX(n_tok) AS mx,
+        SUM(n_tok) AS st, COUNT(*) AS n
+      FROM ln GROUP BY batch_id),
+    u AS (SELECT * FROM ls UNION ALL SELECT * FROM ll)
+    SELECT strategy,
+      CAST(COUNT(*) AS BIGINT) AS n_batches,
+      CAST(SUM(st) AS BIGINT) AS real_tokens,
+      CAST(SUM(mx * n) AS BIGINT) AS padded_tokens,
+      (SUM(mx * n) - SUM(st)) * 1000000 // SUM(mx * n) AS waste_ppm
+    FROM u GROUP BY strategy ORDER BY strategy"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_quota_alloc" -> (q190QuotaAlloc _),
     "q191_chunk_plan"  -> (q191ChunkPlan _),
     "q221_temperature_mix" -> (q221TemperatureMix _),
     "q225_epoch_shuffle" -> (q225EpochShuffle _),
-    "q231_novelty_curve" -> (q231NoveltyCurve _))
+    "q231_novelty_curve" -> (q231NoveltyCurve _),
+    "q234_padding_audit" -> (q234PaddingAudit _))
 
   val oracles: Map[String, String] = Map(
     "q190_quota_alloc" -> o190,
     "q191_chunk_plan"  -> o191,
     "q221_temperature_mix" -> o221,
     "q225_epoch_shuffle" -> o225,
-    "q231_novelty_curve" -> o231)
+    "q231_novelty_curve" -> o231,
+    "q234_padding_audit" -> o234)
 }

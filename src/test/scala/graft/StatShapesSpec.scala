@@ -242,4 +242,20 @@ class StatShapesSpec extends AnyFunSuite {
       assert(b._5 >= a._5)
     }
   }
+
+  test("q234 padding audit: conserved tokens, bucketing strictly cheaper") {
+    val rows = text.ChunkPlan.q234PaddingAudit(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val sh = rows("shuffled")
+    val lb = rows("length_bucketed")
+    // both strategies batch the same corpus: same batch count, same
+    // real token mass; padding only ever adds
+    assert(sh._2 == lb._2 && sh._3 == lb._3)
+    assert(sh._4 >= sh._3 && lb._4 >= lb._3)
+    assert(sh._5 == (sh._4 - sh._3) * 1000000L / sh._4)
+    // sorting by length can only tighten batch maxima: bucketed padding
+    // is never worse, and on this length-diverse corpus strictly better
+    assert(lb._4 < sh._4, s"bucketing did not reduce padding: $lb vs $sh")
+  }
 }
