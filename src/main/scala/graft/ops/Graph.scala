@@ -549,6 +549,97 @@ object Graph {
     SELECT p1, p2, p3, triple_orders FROM t
     ORDER BY triple_orders DESC, p1, p2, p3 LIMIT 20"""
 
+  // ---- q235: k-core decomposition (iterated peeling) ----
+
+  /** Core threshold and synchronous peel rounds for q235. */
+  val K_CORE = 3
+  val CORE_ROUNDS = 4
+
+  /** q235: k-core decomposition of the co-purchase graph — repeatedly
+    * remove every vertex with fewer than $K_CORE surviving neighbors;
+    * what remains after $CORE_ROUNDS synchronous peels is (an
+    * over-approximation of, and at convergence exactly) the $K_CORE-
+    * core. The ledger records, per vertex, whether it survived and at
+    * which round it was peeled with what degree — the density audit
+    * spam/link-farm filtering and community-seeding read (a vertex's
+    * peel round is a robust centrality proxy the degree alone is not).
+    *
+    * Each round is ONE degree aggregate over the surviving edge set
+    * (two semi-joins against the alive set, map-side combined count)
+    * — the q158/q163/q164 k-bounded synchronous-round shape, with the
+    * alive frontier checkpointCycled so lineage stays flat. The edge
+    * table is the memoized q163 pair graph; only (vertex, degree)
+    * ledgers shuffle. Oracle: $CORE_ROUNDS unrolled CTE rounds. */
+  def q235KCore(s: SparkSession, d: String): DataFrame = {
+    val ep = pairs2Shared(s, d).select(col("p1"), col("p2"))
+    val edges = graft.Tables.checkpointCycled(s"kcore-edges:$d",
+      ep.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionAll(ep.select(col("p2").as("src"), col("p1").as("dst"))))
+    var alive = edges.select(col("src").as("v")).distinct()
+    val peeled = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to CORE_ROUNDS) {
+      val e2 = edges
+        .join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+      val deg = e2.groupBy(col("dst").as("v")).agg(count(lit(1)).as("deg"))
+      val withDeg = alive.join(deg, Seq("v"), "left")
+        .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      peeled += withDeg.filter(col("deg") < K_CORE)
+        .select(col("v"), lit("peeled").as("status"),
+          lit(r.toLong).as("peel_round"), col("deg"))
+      alive = graft.Tables.checkpointCycled(s"kcore-alive-$r:$d",
+        withDeg.filter(col("deg") >= K_CORE).select(col("v")))
+    }
+    val eF = edges
+      .join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+    val degF = eF.groupBy(col("dst").as("v")).agg(count(lit(1)).as("deg"))
+    val core = alive.join(degF, Seq("v"), "left")
+      .select(col("v"), lit("core").as("status"),
+        lit(0L).as("peel_round"), coalesce(col("deg"), lit(0L)).as("deg"))
+    peeled.foldLeft(core)(_ unionAll _)
+      .select(col("v").as("part_id"), col("status"), col("peel_round"),
+        col("deg"))
+      .orderBy(col("part_id"))
+  }
+
+  val o235: String = {
+    val sb = new StringBuilder(s"""
+    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    ep AS (SELECT a.p p1, b2.p p2 FROM b a
+           JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT p1 src, p2 dst FROM ep UNION ALL SELECT p2, p1 FROM ep),
+    a0 AS (SELECT DISTINCT src AS v FROM e)""")
+    for (r <- 1 to CORE_ROUNDS) {
+      val p = r - 1
+      sb.append(s""",
+    d$r AS (SELECT e.dst AS v, COUNT(*) AS deg
+            FROM e JOIN a$p s ON s.v = e.src JOIN a$p t ON t.v = e.dst
+            GROUP BY 1),
+    w$r AS (SELECT a.v, COALESCE(d.deg, 0) AS deg
+            FROM a$p a LEFT JOIN d$r d ON d.v = a.v),
+    p$r AS (SELECT v, deg FROM w$r WHERE deg < $K_CORE),
+    a$r AS (SELECT v FROM w$r WHERE deg >= $K_CORE)""")
+    }
+    sb.append(s""",
+    df AS (SELECT e.dst AS v, COUNT(*) AS deg
+           FROM e JOIN a$CORE_ROUNDS s ON s.v = e.src
+                  JOIN a$CORE_ROUNDS t ON t.v = e.dst
+           GROUP BY 1),
+    core AS (SELECT a.v, 'core' AS status, 0 AS peel_round,
+               COALESCE(d.deg, 0) AS deg
+             FROM a$CORE_ROUNDS a LEFT JOIN df d ON d.v = a.v)
+    SELECT v AS part_id, status, CAST(peel_round AS BIGINT) AS peel_round,
+      CAST(deg AS BIGINT) AS deg
+    FROM (SELECT * FROM core""")
+    for (r <- 1 to CORE_ROUNDS)
+      sb.append(s"""
+      UNION ALL SELECT v, 'peeled', $r, deg FROM p$r""")
+    sb.append(") ORDER BY part_id")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_assoc_rules"  -> (q156AssocRules _),
     "q157_triangles"    -> (q157Triangles _),
@@ -556,7 +647,8 @@ object Graph {
     "q159_bfs_khop"     -> (q159BfsKhop _),
     "q163_label_prop"   -> (q163LabelProp _),
     "q164_shortest_path" -> (q164ShortestPath _),
-    "q165_itemsets3"    -> (q165Itemsets3 _))
+    "q165_itemsets3"    -> (q165Itemsets3 _),
+    "q235_kcore"        -> (q235KCore _))
 
   val oracles: Map[String, String] = Map(
     "q156_assoc_rules" -> o156,
@@ -565,5 +657,6 @@ object Graph {
     "q159_bfs_khop"    -> o159,
     "q163_label_prop"  -> o163,
     "q164_shortest_path" -> o164,
-    "q165_itemsets3"   -> o165)
+    "q165_itemsets3"   -> o165,
+    "q235_kcore"       -> o235)
 }

@@ -163,4 +163,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty,
       s"got ${got.size} triples, expected ${expected.size}")
   }
+
+  test("q235 k-core: totality, degree contracts, peel mirror") {
+    val got = Graph.q235KCore(spark, TestSpark.SF)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // driver-side mirror of the full peel cascade
+    val edges = Graph.pairs2Shared(spark, TestSpark.SF)
+      .select("p1", "p2").as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var alive = adj.keySet
+    val expect = scala.collection.mutable.Map.empty[Long, (String, Long, Long)]
+    for (r <- 1 to Graph.CORE_ROUNDS) {
+      val degs = alive.map(v => v -> (adj(v) & alive).size.toLong).toMap
+      val out = degs.filter(_._2 < Graph.K_CORE)
+      out.foreach { case (v, dg) => expect(v) = ("peeled", r.toLong, dg) }
+      alive = alive -- out.keySet
+    }
+    alive.foreach { v =>
+      expect(v) = ("core", 0L, (adj(v) & alive).size.toLong) }
+    assert(got.length == expect.size)
+    got.foreach { case (v, st, r, dg) =>
+      assert(expect(v) == ((st, r, dg)), s"vertex $v") }
+    // contracts: core vertices keep >= K neighbors IN the core;
+    // peeled vertices were below K when removed
+    got.foreach { case (v, st, _, dg) =>
+      if (st == "core") assert(dg >= Graph.K_CORE, s"thin core vertex $v")
+      else assert(dg < Graph.K_CORE, s"over-degree peel $v")
+    }
+    // at sf0.001 the minSup-pruned graph is dense enough that nothing
+    // peels (all-core); the peel waves are exercised by the driver's
+    // sf0.01 oracle gate (635/167/59/36 peeled there)
+    assert(got.exists(_._2 == "core"))
+  }
 }
