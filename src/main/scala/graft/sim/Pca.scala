@@ -284,16 +284,28 @@ object Pca {
     * derived pair key; distances are row-local zip_with folds over
     * 2(D+k) ints; the histogram is a bucket-count aggregate. Numerators
     * run in decimal(38,0) where d²·1e6 exceeds int64. */
-  def q232JlAudit(s: SparkSession, d: String): DataFrame = {
+  /** Quantized coords + JL projection per vector — the shared
+    * (vec_id, c[D], y[JL_K]) frame q232 audits and q236's SRP-LSH
+    * sketches from. One partition-local JVM pass; signs materialized
+    * once per partition. */
+  private[sim] def jlProjected(s: SparkSession, d: String): DataFrame =
+    jlProjectFrame(embeddings(s, d)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(round(cast(x as double) * $PCA_SCALE) as bigint))")
+        .as("c")))
+
+  /** JL-project any (vec_id, c: array<bigint>) frame — appends the
+    * JL_K-value projection `y` in one partition-local JVM pass (signs
+    * materialized per partition). */
+  private[sim] def jlProjectFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
     val D = PCA_DIM
-    val proj = embeddings(s, d)
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    df.select(col("vec_id"), col("c")).as[(Long, Seq[Long])]
       .mapPartitions { it =>
         val signs = Array.tabulate(D, JL_K)((i, j) => jlSign(i, j))
-        it.map { case (id, e) =>
-          val c = Array.tabulate(D)(i =>
-            roundHalfAway(e(i).toDouble * PCA_SCALE))
+        it.map { case (id, cs) =>
+          val c = cs.toArray
           val y = Array.tabulate(JL_K) { j =>
             var a = 0L; var i = 0
             while (i < D) { a += signs(i)(j) * c(i); i += 1 }
@@ -302,6 +314,10 @@ object Pca {
           (id, c, y)
         }
       }.toDF("vec_id", "c", "y")
+  }
+
+  def q232JlAudit(s: SparkSession, d: String): DataFrame = {
+    val proj = jlProjected(s, d)
     val a = proj.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("pair_id"), col("c").as("ca"),
         col("y").as("ya"))

@@ -352,6 +352,141 @@ object Similarity {
   def q47EmbedNearDup(s: SparkSession, d: String): DataFrame =
     exactNearDupPairs(s, embeddings(s, d))
 
+  // ---- q236: SRP-LSH near-dup (sign-random-projection sketches) ----
+
+  /** Sketch width (= Pca.JL_K), pigeonhole chunks, Hamming gate, and
+    * the exact-rational cosine verify threshold (0.9 = 9/10, squared
+    * 81/100) for q236. */
+  val SRP_BITS = 16
+  val SRP_HAM_MAX = 1
+
+  /** q236: SRP-LSH — Charikar's sign-random-projection sketch as a
+    * fully oracle-checked embedding near-dup path: each vector's
+    * $SRP_BITS-bit sketch is the sign pattern of its JL projection
+    * (Pca.jlProjected — deterministic md5-parity hyperplanes), byte
+    * pigeonhole (2×8-bit chunks) generates candidates, Hamming ≤
+    * $SRP_HAM_MAX gates them (lossless by pigeonhole), and an
+    * EXACT-RATIONAL cosine verify keeps pairs with cos ≥ 0.9 on the
+    * 1e-6-quantized coords: dot ≥ 0 ∧ 100·dot² ≥ 81·‖a‖²·‖b‖², all in
+    * decimal(38,0) — so unlike q44/q55 (k-means quantizers, recall
+    * floors) EVERY stage hash-matches DuckDB. The trade: SRP only
+    * catches the high-cosine regime (P[bit agree] = 1 − θ/π), which is
+    * exactly the near-duplicate use case; q47 remains the exact
+    * baseline and the spec measures this sketch's recall on q47's
+    * high-sim pairs.
+    *
+    * Scale shape: sketching is row-local on top of the one-pass JL
+    * projection; the candidate join is the inverted-index equi-join on
+    * (chunk, value) — Σ bucket² bounded by sketch collisions; the
+    * verify is a row-local fold per CANDIDATE (sketch-gated, not
+    * all-pairs). */
+  /** Planted-copy id offset and per-coordinate jitter for q236's
+    * fixture: every fifth vector gets a copy at id+OFF with ±0.1%-of-
+    * scale md5-derived jitter (cos ≈ 0.9999 to its original) — this
+    * corpus's organic pair ceiling is cos ≈ 0.51, far below the SRP
+    * regime, so the near-duplicate structure the sketch exists for is
+    * planted at query time (the q206/q210 planted-class pattern),
+    * identically in the oracle. */
+  val SRP_AUG_OFF = 1000000L
+  val SRP_AUG_MOD = 5L
+
+  def q236SrpLsh(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"), expr(
+      s"transform(embedding, x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint))")
+      .as("c"))
+    val aug = base.filter(col("vec_id") % SRP_AUG_MOD === 0)
+      .select((col("vec_id") + SRP_AUG_OFF).as("vec_id"), expr(
+        """zip_with(c, sequence(0L, 63L), (x, i) ->
+           x + cast(conv(substr(md5(concat(vec_id, ':', i)), 1, 4), 16, 10)
+               as bigint) % 2001 - 1000)""").as("c"))
+    val sk = Pca.jlProjectFrame(base.unionAll(aug))
+      .withColumn("sk", expr(
+        s"""aggregate(zip_with(y, sequence(0L, ${SRP_BITS - 1}L),
+            (v, j) -> case when v > 0 then shiftleft(1L, cast(j as int))
+                      else 0L end), 0L, (acc, x) -> acc + x)"""))
+      .withColumn("na2", expr("aggregate(c, 0L, (acc, x) -> acc + x * x)"))
+      .select(col("vec_id"), col("c"), col("sk"), col("na2"))
+    val chunks = sk.select(col("vec_id"), col("sk"),
+      explode(array(
+        struct(lit(0).as("ci"), expr("sk % 256").as("cv")),
+        struct(lit(1).as("ci"), expr("sk div 256").as("cv")))).as("ch"))
+      .select(col("vec_id"), col("sk"), col("ch.ci").as("ci"),
+        col("ch.cv").as("cv"))
+      .repartition(shufflePartitions(s), col("ci"), col("cv"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"), col("a.ci") === col("b.ci")
+        && col("a.cv") === col("b.cv")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        expr("bit_count(a.sk ^ b.sk)").as("ham"))
+      .distinct()
+      .filter(col("ham") <= SRP_HAM_MAX)
+    cand
+      .join(sk.select(col("vec_id").as("i"), col("c").as("ca"),
+        col("na2").as("na2")), Seq("i"))
+      .join(sk.select(col("vec_id").as("j"), col("c").as("cb"),
+        col("na2").as("nb2")), Seq("j"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .filter(expr(
+        """dot >= 0 AND cast(dot as decimal(19,0)) * cast(dot as decimal(19,0)) * 100
+           >= cast(na2 as decimal(19,0)) * cast(nb2 as decimal(19,0)) * 81"""))
+      .select(col("i"), col("j"), col("ham").cast("long").as("ham"),
+        expr("""cast((cast(dot as decimal(19,0)) * cast(dot as decimal(19,0)) * 1000000)
+                div (cast(na2 as decimal(19,0)) * cast(nb2 as decimal(19,0)))
+                as bigint)""").as("cos2_ppm"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val o236: String = {
+    val D = Pca.PCA_DIM
+    s"""
+    WITH e0 AS (
+      SELECT vec_id, i,
+        CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE}) AS BIGINT) AS c
+      FROM embeddings, unnest(range(0, $D)) u(i)),
+    ea AS (
+      SELECT vec_id + $SRP_AUG_OFF AS vec_id, i,
+        c + ('0x' || substr(md5(vec_id || ':' || i), 1, 4))::BIGINT
+            % 2001 - 1000 AS c
+      FROM e0 WHERE vec_id % $SRP_AUG_MOD = 0),
+    e AS (SELECT * FROM e0 UNION ALL SELECT * FROM ea),
+    sg AS (
+      SELECT i, j,
+        CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
+          THEN 1 ELSE -1 END AS s
+      FROM unnest(range(0, $D)) a(i), unnest(range(0, $SRP_BITS)) b(j)),
+    y AS (
+      SELECT vec_id, j, CAST(SUM(s * c) AS BIGINT) AS y
+      FROM e JOIN sg USING (i) GROUP BY 1, 2),
+    sk AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN y > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sk
+      FROM y GROUP BY 1),
+    n2 AS (SELECT vec_id, SUM(c * c) AS n2 FROM e GROUP BY 1),
+    ch AS (
+      SELECT vec_id, sk, 0 AS ci, sk % 256 AS cv FROM sk
+      UNION ALL SELECT vec_id, sk, 1, sk // 256 FROM sk),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
+        bit_count(xor(a.sk, b.sk)) AS ham
+      FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv
+        AND a.vec_id < b.vec_id),
+    hm AS (SELECT i, j, ham FROM cand WHERE ham <= $SRP_HAM_MAX),
+    dt AS (
+      SELECT hm.i, hm.j, hm.ham, SUM(a.c * b.c) AS dot
+      FROM hm JOIN e a ON a.vec_id = hm.i JOIN e b ON b.vec_id = hm.j
+        AND b.i = a.i
+      GROUP BY 1, 2, 3)
+    SELECT dt.i, dt.j, CAST(dt.ham AS BIGINT) AS ham,
+      CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+        // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+    FROM dt JOIN n2 na ON na.vec_id = dt.i JOIN n2 nb ON nb.vec_id = dt.j
+    WHERE dot >= 0
+      AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 81
+    ORDER BY dt.i, dt.j"""
+  }
+
   private val embedPairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -937,7 +1072,8 @@ object Similarity {
     "q146_int8_ann"       -> (q146Int8Ann _),
     "q162_knn_pq"         -> (q162KnnPq _),
     "q208_hard_negatives" -> (q208HardNegatives _),
-    "q220_dedup_agreement" -> (q220DedupAgreement _))
+    "q220_dedup_agreement" -> (q220DedupAgreement _),
+    "q236_srp_lsh"        -> (q236SrpLsh _))
 
   /** q220: cross-signal dedup AUDIT — how often do the text near-dup
     * signal (q40's exact shingle-Jaccard pairs) and the embedding
@@ -979,6 +1115,7 @@ object Similarity {
     "q87_margin_near_dup" -> o87,
     "q146_int8_ann" -> o146,
     "q208_hard_negatives" -> o208,
-    "q220_dedup_agreement" -> o220)
+    "q220_dedup_agreement" -> o220,
+    "q236_srp_lsh" -> o236)
 
 }

@@ -270,4 +270,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.sum == (tp | ep).size.toLong)
     assert(got.values.sum > 0, "fixture has near-dup pairs; audit saw none")
   }
+
+  test("q236 SRP-LSH: finds the planted copies, nothing else") {
+    import spark.implicits._
+    val got = Similarity.q236SrpLsh(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long)].collect()
+    val planted = Tables.embeddings(spark, TestSpark.SF)
+      .filter(col("vec_id") % Similarity.SRP_AUG_MOD === 0)
+      .select("vec_id").as[Long].collect()
+      .map(v => (v, v + Similarity.SRP_AUG_OFF)).toSet
+    assert(planted.nonEmpty)
+    // precision: the organic pair ceiling is cos ~0.51, far under the
+    // 0.9 verify, so every surviving pair must be a planted copy
+    got.foreach { case (i, j, ham, cos2) =>
+      assert(planted.contains((i, j)), s"non-planted pair ($i,$j)")
+      assert(ham <= Similarity.SRP_HAM_MAX && cos2 >= 810000L)
+    }
+    // recall: at cos ~0.9999 the 16-bit sketch flips essentially no
+    // bits; the Hamming<=1 gate must keep nearly all planted pairs
+    assert(got.length * 10 >= planted.size * 9,
+      s"SRP recall too low: ${got.length} of ${planted.size}")
+  }
 }
