@@ -535,8 +535,82 @@ object CorpusSignals {
         AS avg_nll_micro
     FROM sc GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- q237: rank-frequency (Zipf) diagnostic per source ----
+
+  /** q237: per-source rank–frequency power-law fit — OLS of ln(freq)
+    * against ln(rank) over the source's term distribution, the
+    * corpus-health diagnostic that separates natural Zipfian text
+    * (slope ≈ −1) from templated/synthetic spam (flat slopes) and
+    * from token-soup (steep cliffs). Each point contributes
+    * round(ln(int)·1e6) fixed-point coordinates (the q205 stance —
+    * both engines feed libm the identical exact-integer double), and
+    * the slope/intercept come from the q189 closed-form normal
+    * equations in decimal(38,0): exact moments, ONE integral division
+    * each at the end.
+    *
+    * Scale shape: term frequencies are one map-side-combined
+    * aggregate; the per-source rank window partitions BY SOURCE over
+    * the source's vocabulary (never corpus rows); the fit collapses
+    * each source to 5 moments. */
+  def q237ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tf = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("freq"))
+    val pts = tf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("freq").desc, col("term"))).cast("long"))
+      .select(col("source"),
+        expr("cast(round(ln(cast(rank as double)) * 1000000) as bigint)")
+          .as("x"),
+        expr("cast(round(ln(cast(freq as double)) * 1000000) as bigint)")
+          .as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).cast(d38).as("sx"),
+        sum(col("y").cast(d38)).cast(d38).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).cast(d38).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).cast(d38).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_terms"),
+        expr("cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) as bigint)")
+          .as("slope_micro"),
+        // y is already ln·1e6 fixed point, so the plain quotient IS the
+        // intercept in micro units (no second ×1e6)
+        expr("cast((sy * sxx - sx * sxy) div (n * sxx - sx * sx) as bigint)")
+          .as("icept_micro"))
+      .orderBy(col("source"))
+  }
+
+  val o237 = """
+    WITH tf AS (
+      SELECT source, t AS term, COUNT(*) AS freq
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    pts AS (
+      SELECT source,
+        CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY freq DESC, term) AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM tf),
+    mom AS (
+      SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM pts GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_terms,
+      CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        AS slope_micro,
+      CAST((sy * sxx - sx * sxy) // (n * sxx - sx * sx) AS BIGINT)
+        AS icept_micro
+    FROM mom ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
+    "q237_zipf_fit"    -> (q237ZipfFit _),
     "q167_unigram_nll" -> (q167UnigramNll _),
     "q140_pmi_collocations" -> (q140PmiCollocations _),
     "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
@@ -548,6 +622,7 @@ object CorpusSignals {
 
   val oracles: Map[String, String] = Map(
     "q215_bigram_lm"   -> o215,
+    "q237_zipf_fit"    -> o237,
     "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,

@@ -84,4 +84,38 @@ class CorpusSignalsSpec extends AnyFunSuite {
     // every per-doc NLL is strictly positive
     assert(got.forall(_._3 > 0))
   }
+
+  test("q237 Zipf fit matches a driver-side BigInt mirror per source") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = text.CorpusSignals.q237ZipfFit(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    def fit(freqs: Seq[Long]): (Long, Long, Long) = {
+      val pts = freqs.zipWithIndex.map { case (f, i) =>
+        (math.round(math.log((i + 1).toDouble) * 1e6),
+         math.round(math.log(f.toDouble) * 1e6)) }
+      val n = BigInt(pts.size)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val den = n * sxx - sx * sx
+      (pts.size.toLong, ((n * sxy - sx * sy) * 1000000 / den).toLong,
+        ((sy * sxx - sx * sxy) / den).toLong)
+    }
+    val expect = docs.groupBy(_._1).map { case (src, xs) =>
+      val freqs = xs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, os) => (t, os.length.toLong) }.toSeq
+        .sortBy { case (t, f) => (-f, t) }.map(_._2)
+      val (n, sl, ic) = fit(freqs)
+      (src, n, sl, ic)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // rank-frequency is non-increasing, so every fitted slope is <= 0,
+    // and the rank-1 intercept sits above zero (ln of the top freq)
+    assert(got.forall(r => r._3 <= 0 && r._4 > 0))
+  }
 }
