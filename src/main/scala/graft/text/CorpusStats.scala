@@ -269,14 +269,103 @@ object CorpusStats {
       ROUND(SUM((pa - pb) * (pa - pb) / (pa + pb)), 6) AS chi2
     FROM pr GROUP BY source_x, source_y ORDER BY source_x, source_y"""
 
+  // ---- q238: dataset card (corpus datasheet in one query) ----
+
+  /** q238: the dataset card — the one-table corpus datasheet a
+    * training run's data config records: document/token/char/vocab
+    * masses, source and language counts, exact-duplicate rate, token
+    * extremes, and mean lexical diversity, as a tall (metric, value)
+    * ledger of exact integers. Datasheets-for-datasets made a query:
+    * at 100 TB this is the nightly artifact a data lead reads, and
+    * every number is reproducible because each is an exact count or an
+    * integral division of exact counts.
+    *
+    * Scale shape: two corpus passes (one row-local per-doc pass, one
+    * token-explode for the vocabulary), each collapsing map-side to a
+    * handful of rows; the exact-dup census groups 16-byte md5
+    * fingerprints, never text. The tall UNION is 11 rows. */
+  def q238DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d).select(
+      col("doc_id"), col("source"), col("lang"),
+      md5(col("text")).as("fp"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("n_chr"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_dis"))
+    val base = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("n_chr")).as("n_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("fp")).as("n_distinct_docs"),
+      min(col("n_tok")).as("min_doc_tokens"),
+      max(col("n_tok")).as("max_doc_tokens"),
+      expr("sum(n_dis * 1000000L div n_tok) div count(1)")
+        .as("mean_ttr_ppm"))
+    val vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("vocab_size"))
+    val card = base.crossJoin(broadcast(vocab))
+      .withColumn("dup_doc_ppm",
+        expr("(n_docs - n_distinct_docs) * 1000000L div n_docs"))
+      .withColumn("mean_doc_tokens", expr("n_tokens div n_docs"))
+    val metrics = Seq("n_docs", "n_tokens", "n_chars", "n_sources",
+      "n_langs", "vocab_size", "dup_doc_ppm", "mean_doc_tokens",
+      "min_doc_tokens", "max_doc_tokens", "mean_ttr_ppm")
+    metrics.map(m =>
+      card.select(lit(m).as("metric"), col(m).cast("long").as("value")))
+      .reduce(_ unionAll _)
+      .orderBy(col("metric"))
+  }
+
+  val o238 = """
+    WITH pd AS (
+      SELECT doc_id, source, lang, md5(text) AS fp,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        CAST(length(text) AS BIGINT) AS n_chr,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis
+      FROM documents),
+    base AS (
+      SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        SUM(n_chr) AS n_chars,
+        COUNT(DISTINCT source) AS n_sources,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT fp) AS n_distinct_docs,
+        MIN(n_tok) AS min_doc_tokens, MAX(n_tok) AS max_doc_tokens,
+        SUM(n_dis * 1000000 // n_tok) // COUNT(*) AS mean_ttr_ppm
+      FROM pd),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS vocab_size
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+    card AS (
+      SELECT base.*, v.vocab_size,
+        (n_docs - n_distinct_docs) * 1000000 // n_docs AS dup_doc_ppm,
+        n_tokens // n_docs AS mean_doc_tokens
+      FROM base, v)
+    SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM card
+      UNION ALL SELECT 'n_tokens', n_tokens FROM card
+      UNION ALL SELECT 'n_chars', n_chars FROM card
+      UNION ALL SELECT 'n_sources', n_sources FROM card
+      UNION ALL SELECT 'n_langs', n_langs FROM card
+      UNION ALL SELECT 'vocab_size', vocab_size FROM card
+      UNION ALL SELECT 'dup_doc_ppm', dup_doc_ppm FROM card
+      UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM card
+      UNION ALL SELECT 'min_doc_tokens', min_doc_tokens FROM card
+      UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM card
+      UNION ALL SELECT 'mean_ttr_ppm', mean_ttr_ppm FROM card)
+    ORDER BY metric"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_source_drift" -> (q116SourceDrift _),
     "q94_source_overlap" -> (q94SourceOverlap _),
     "q95_heavy_hitters"  -> (q95HeavyHitters _),
-    "q144_cms_point_queries" -> (q144CmsPointQueries _))
+    "q144_cms_point_queries" -> (q144CmsPointQueries _),
+    "q238_dataset_card"  -> (q238DatasetCard _))
 
   val oracles: Map[String, String] = Map(
     "q94_source_overlap" -> o94,
     "q95_heavy_hitters"  -> o95,
-    "q116_source_drift"  -> o116)
+    "q116_source_drift"  -> o116,
+    "q238_dataset_card"  -> o238)
 }

@@ -96,4 +96,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     wide.foreach { case (w, e) =>
       assert(e == exact(w), s"width-${CorpusStats.CMS_WIDTH} diverged on $w") }
   }
+
+  test("q238 dataset card cross-checks against independent aggregates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val card = CorpusStats.q238DatasetCard(spark, TestSpark.SF)
+      .as[(String, Long)].collect().toMap
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("text"), col("source"), col("lang"))
+      .as[(String, String, String)].collect()
+    assert(card("n_docs") == docs.length.toLong)
+    val toks = docs.map(_._1.split(" ").length.toLong)
+    assert(card("n_tokens") == toks.sum)
+    assert(card("min_doc_tokens") == toks.min)
+    assert(card("max_doc_tokens") == toks.max)
+    assert(card("mean_doc_tokens") == toks.sum / toks.length)
+    assert(card("vocab_size") ==
+      docs.flatMap(_._1.split(" ")).distinct.length.toLong)
+    assert(card("n_sources") == docs.map(_._2).distinct.length.toLong)
+    assert(card("n_langs") == docs.map(_._3).distinct.length.toLong)
+    assert(card("dup_doc_ppm") ==
+      (docs.length - docs.map(_._1).distinct.length).toLong * 1000000L /
+        docs.length)
+    assert(card.keySet.size == 11)
+  }
 }
