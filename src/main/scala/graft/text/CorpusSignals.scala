@@ -608,9 +608,90 @@ object CorpusSignals {
         AS icept_micro
     FROM mom ORDER BY source"""
 
+  // ---- q239: population-stability drift monitor (PSI) ----
+
+  /** q239: PSI — the population stability index of each source's
+    * document-length distribution against the corpus-wide one, over
+    * fixed decade bands (n_tok div 10) with add-one smoothing so empty
+    * bands stay defined. PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) is THE
+    * drift score risk teams gate on (< 0.1 stable, > 0.25 shifted);
+    * for a training pipeline it is the monitor that catches a source
+    * whose new crawl suddenly ships different-shaped documents.
+    *
+    * Determinism: p and q are IEEE divisions of exact int64 counts, ln
+    * and the product are single double ops on identical operands in
+    * both engines, and each band's contribution is rounded to 1e-6 AT
+    * THE BAND before the exact integer sum (the q221 float-quantize
+    * stance) — so per-source PSI is partition-order-free and
+    * hash-exact.
+    *
+    * Scale shape: band censuses are two map-side-combined aggregates
+    * (corpus-wide and per-source); the band domain × sources grid,
+    * the smoothing joins, and the PSI rollup are ledger-sized. */
+  def q239PsiDrift(s: SparkSession, d: String): DataFrame = {
+    val bands = documents(s, d)
+      .select(col("source"),
+        expr("size(split(text, ' ')) div 10").cast("long").as("band"))
+    val dom = bands.select(col("band")).distinct()
+    val nB = dom.agg(count(lit(1)).as("n_bands"))
+    val cb = bands.groupBy(col("band")).agg(count(lit(1)).as("cnt_c"))
+    val nc = bands.agg(count(lit(1)).as("n_c"))
+    val sb = bands.groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("cnt_s"))
+    val ns = bands.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    ns.crossJoin(dom)
+      .join(sb, Seq("source", "band"), "left")
+      .join(broadcast(cb), Seq("band"))
+      .crossJoin(broadcast(nc)).crossJoin(broadcast(nB))
+      .withColumn("contrib_micro", expr(
+        """cast(round(
+             ((cast(coalesce(cnt_s, 0L) + 1 as double) / (n_s + n_bands))
+              - (cast(cnt_c + 1 as double) / (n_c + n_bands)))
+             * ln(((cast(coalesce(cnt_s, 0L) + 1 as double) / (n_s + n_bands)))
+                  / (cast(cnt_c + 1 as double) / (n_c + n_bands)))
+             * 1000000) as bigint)"""))
+      .groupBy(col("source"))
+      .agg(sum(col("contrib_micro")).as("psi_micro"),
+        count(lit(1)).as("n_bands"))
+      .orderBy(col("source"))
+  }
+
+  val o239 = """
+    WITH b AS (
+      SELECT source,
+        CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS band
+      FROM documents),
+    dom AS (SELECT DISTINCT band FROM b),
+    nb AS (SELECT COUNT(*) AS n_bands FROM dom),
+    cb AS (SELECT band, COUNT(*) AS cnt_c FROM b GROUP BY 1),
+    nc AS (SELECT COUNT(*) AS n_c FROM b),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM b GROUP BY 1),
+    sb AS (SELECT source, band, COUNT(*) AS cnt_s FROM b GROUP BY 1, 2),
+    g AS (
+      SELECT ns.source, dom.band,
+        COALESCE(sb.cnt_s, 0) AS cnt_s, ns.n_s, cb.cnt_c, nc.n_c,
+        nb.n_bands
+      FROM ns CROSS JOIN dom
+      LEFT JOIN sb ON sb.source = ns.source AND sb.band = dom.band
+      JOIN cb ON cb.band = dom.band
+      CROSS JOIN nc CROSS JOIN nb),
+    c AS (
+      SELECT source,
+        CAST(ROUND(
+          ((CAST(cnt_s + 1 AS DOUBLE) / (n_s + n_bands))
+           - (CAST(cnt_c + 1 AS DOUBLE) / (n_c + n_bands)))
+          * ln((CAST(cnt_s + 1 AS DOUBLE) / (n_s + n_bands))
+               / (CAST(cnt_c + 1 AS DOUBLE) / (n_c + n_bands)))
+          * 1000000) AS BIGINT) AS contrib_micro
+      FROM g)
+    SELECT source, CAST(SUM(contrib_micro) AS BIGINT) AS psi_micro,
+      CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM c GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
     "q237_zipf_fit"    -> (q237ZipfFit _),
+    "q239_psi_drift"   -> (q239PsiDrift _),
     "q167_unigram_nll" -> (q167UnigramNll _),
     "q140_pmi_collocations" -> (q140PmiCollocations _),
     "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
@@ -623,6 +704,7 @@ object CorpusSignals {
   val oracles: Map[String, String] = Map(
     "q215_bigram_lm"   -> o215,
     "q237_zipf_fit"    -> o237,
+    "q239_psi_drift"   -> o239,
     "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,

@@ -118,4 +118,33 @@ class CorpusSignalsSpec extends AnyFunSuite {
     // and the rank-1 intercept sits above zero (ln of the top freq)
     assert(got.forall(r => r._3 <= 0 && r._4 > 0))
   }
+
+  test("q239 PSI matches a driver-side mirror; every term non-negative") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = text.CorpusSignals.q239PsiDrift(spark, TestSpark.SF)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), expr("size(split(text, ' ')) div 10"))
+      .as[(String, Long)].collect()
+    val dom = rows.map(_._2).distinct.sorted
+    val nB = dom.length
+    val nC = rows.length
+    val cb = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val expect = rows.groupBy(_._1).map { case (src, xs) =>
+      val ns = xs.length
+      val sb = xs.groupBy(_._2).view.mapValues(_.length).toMap
+      val psi = dom.map { b =>
+        val p = (sb.getOrElse(b, 0) + 1).toDouble / (ns + nB)
+        val q = (cb(b) + 1).toDouble / (nC + nB)
+        math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong
+      }.sum
+      (src, psi, nB.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // each PSI term is (p−q)·ln(p/q) ≥ 0, so per-source PSI can dip
+    // below zero only by per-band rounding slack
+    assert(got.forall(_._2 >= -nB))
+  }
 }
