@@ -688,10 +688,74 @@ object CorpusSignals {
       CAST(COUNT(*) AS BIGINT) AS n_bands
     FROM c GROUP BY source ORDER BY source"""
 
+  // ---- q240: nucleus (top-p) truncation audit over the bigram LM ----
+
+  /** Nucleus mass threshold: 90% = 9/10 (exact integer comparison). */
+  val NUCLEUS_NUM = 9L
+  val NUCLEUS_DEN = 10L
+
+  /** q240: nucleus-size distribution — for every bigram context w1,
+    * the smallest number of continuations covering ≥ 90% of observed
+    * mass (counts desc, lexical tie-break), histogrammed over contexts.
+    * This is top-p sampling's truncation set made empirical on the
+    * corpus's own conditional distribution: flat contexts (big nuclei)
+    * are where an LM trained on this data stays uncertain, peaked ones
+    * where it commits — the number a decoding-default or a
+    * synthetic-data temperature is tuned against.
+    *
+    * All integer: a continuation is in the nucleus iff the mass BEFORE
+    * it satisfies cum_before·10 < total·9 (greedy prefix, exact
+    * rational compare — no float p's anywhere).
+    *
+    * Scale shape: the bigram model is ONE (w1,w2) aggregate (the q215
+    * exchange); ranking/cumsum windows partition BY CONTEXT over each
+    * context's continuation list; the histogram is a k-keyed ledger
+    * rollup. */
+  def q240NucleusSize(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+           (a, b) -> named_struct('w1', a, 'w2', b))""")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val wCtx = Window.partitionBy(col("w1"))
+      .orderBy(col("c").desc, col("w2"))
+    val k = bg
+      .withColumn("cum", sum(col("c")).over(wCtx))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("w1"))))
+      .filter((col("cum") - col("c")) * NUCLEUS_DEN
+        < col("total") * NUCLEUS_NUM)
+      .groupBy(col("w1")).agg(count(lit(1)).as("k"))
+    k.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_contexts"))
+      .orderBy(col("k"))
+  }
+
+  val o240 = s"""
+    WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT tk[i] AS w1, tk[i+1] AS w2, COUNT(*) AS c
+      FROM t, unnest(range(1, len(tk))) u(i)
+      WHERE len(tk) >= 2 GROUP BY 1, 2),
+    r AS (
+      SELECT w1, c,
+        SUM(c) OVER (PARTITION BY w1 ORDER BY c DESC, w2
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(c) OVER (PARTITION BY w1) AS total
+      FROM bg),
+    k AS (
+      SELECT w1, COUNT(*) AS k FROM r
+      WHERE (cum - c) * $NUCLEUS_DEN < total * $NUCLEUS_NUM
+      GROUP BY w1)
+    SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_contexts
+    FROM k GROUP BY k ORDER BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
     "q237_zipf_fit"    -> (q237ZipfFit _),
     "q239_psi_drift"   -> (q239PsiDrift _),
+    "q240_nucleus_size" -> (q240NucleusSize _),
     "q167_unigram_nll" -> (q167UnigramNll _),
     "q140_pmi_collocations" -> (q140PmiCollocations _),
     "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
@@ -705,6 +769,7 @@ object CorpusSignals {
     "q215_bigram_lm"   -> o215,
     "q237_zipf_fit"    -> o237,
     "q239_psi_drift"   -> o239,
+    "q240_nucleus_size" -> o240,
     "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,

@@ -147,4 +147,32 @@ class CorpusSignalsSpec extends AnyFunSuite {
     // below zero only by per-band rounding slack
     assert(got.forall(_._2 >= -nB))
   }
+
+  test("q240 nucleus sizes match a per-context driver mirror") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = text.CorpusSignals.q240NucleusSize(spark, TestSpark.SF)
+      .as[(Long, Long)].collect().toMap
+    val texts = Tables.documents(spark, TestSpark.SF)
+      .select("text").as[String].collect()
+    val bg = texts.flatMap { t =>
+      val tk = t.split(" "); tk.zip(tk.drop(1)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = bg.groupBy(_._1._1).map { case (_, m) =>
+      val sorted = m.toSeq.map { case ((_, w2), c) => (c, w2) }
+        .sortBy { case (c, w2) => (-c, w2) }
+      val total = sorted.map(_._1).sum
+      var cum = 0L
+      sorted.takeWhile { case (c, _) =>
+        val in = cum * text.CorpusSignals.NUCLEUS_DEN <
+          total * text.CorpusSignals.NUCLEUS_NUM
+        cum += c; in
+      }.length.toLong
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+    // every context needs at least one continuation; the histogram
+    // covers every context exactly once
+    assert(got.keys.forall(_ >= 1L))
+    assert(got.values.sum == bg.keys.map(_._1).toSeq.distinct.size.toLong)
+  }
 }
