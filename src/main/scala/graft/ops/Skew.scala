@@ -156,11 +156,120 @@ object Skew {
     FROM counts, tot
     ORDER BY pairs_contrib DESC, user_id LIMIT 5"""
 
+  // ---- q241: consistent-hash rebalancing audit ----
+
+  /** Physical nodes before/after the scale-out, virtual nodes per
+    * physical node. */
+  val CH_NODES = 4
+  val CH_VNODES = 64
+
+  /** 60-bit md5 position — identical to Dedup.md5Hash60 and the SQL
+    * form ('0x'||substr(md5(s),1,15))::BIGINT. */
+  private def pos60(str: String): Long =
+    graft.text.Dedup.md5Hash60(str)
+
+  private def ringSql(n: Int): String =
+    s"""SELECT ('0x' || substr(md5('n' || nd || ':' || v), 1, 15))::BIGINT
+          AS vpos, 'n' || nd AS node
+        FROM unnest(range($n)) a(nd), unnest(range($CH_VNODES)) b(v)"""
+
+  /** q241: consistent-hash rebalancing — assign every document to a
+    * node on a $CH_VNODES-vnode md5 ring with $CH_NODES nodes and again
+    * with a fifth added, versus naive `hash mod N` placement, and
+    * ledger per node: load before/after and DOCS GAINED under each
+    * scheme. The table demonstrates THE consistent-hashing contract a
+    * 100 TB shard layout is chosen for: adding a node moves only the
+    * ~1/(N+1) of keys that land on the new node's arcs (every gained
+    * doc goes TO n4 — asserted in the spec), while modulo placement
+    * reshuffles ~N/(N+1) of the corpus across every node.
+    *
+    * Scale shape: the ring is driver-built (N·V = ${4 * 64} entries —
+    * k-bounded, the k-means/PQ-LUT stance) and enters the plan as a
+    * SORTED ARRAY LITERAL; per-doc assignment is a row-local
+    * first-match over that array (successor-on-the-ring with
+    * wraparound), so placement is a map-only pass — no join, no
+    * shuffle until the |nodes|-sized load rollup. */
+  def q241ConsistentHash(s: SparkSession, d: String): DataFrame = {
+    def ringLit(n: Int): String = {
+      val entries = for (nd <- 0 until n; v <- 0 until CH_VNODES)
+        yield (pos60(s"n$nd:$v"), s"n$nd")
+      entries.sortBy(_._1)
+        .map { case (p, nm) => s"named_struct('p', ${p}L, 'nd', '$nm')" }
+        .mkString("array(", ",", ")")
+    }
+    def owner(ring: String): String =
+      s"""coalesce(try_element_at(filter($ring, r -> r.p > ipos), 1),
+          element_at($ring, 1)).nd"""
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("ipos"))
+      .withColumn("ch4", expr(owner(ringLit(CH_NODES))))
+      .withColumn("ch5", expr(owner(ringLit(CH_NODES + 1))))
+      .withColumn("mod4", expr(s"concat('n', pmod(ipos, $CH_NODES))"))
+      .withColumn("mod5", expr(s"concat('n', pmod(ipos, ${CH_NODES + 1}))"))
+    val nodes = docs.select(col("ch5").as("node")).distinct()
+    nodes
+      .join(docs.groupBy(col("ch4").as("node"))
+        .agg(count(lit(1)).as("ch_before")), Seq("node"), "left")
+      .join(docs.groupBy(col("ch5").as("node"))
+        .agg(count(lit(1)).as("ch_after")), Seq("node"), "left")
+      .join(docs.filter(col("ch4") =!= col("ch5"))
+        .groupBy(col("ch5").as("node"))
+        .agg(count(lit(1)).as("ch_gained")), Seq("node"), "left")
+      .join(docs.groupBy(col("mod5").as("node"))
+        .agg(count(lit(1)).as("mod_after")), Seq("node"), "left")
+      .join(docs.filter(col("mod4") =!= col("mod5"))
+        .groupBy(col("mod5").as("node"))
+        .agg(count(lit(1)).as("mod_gained")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("ch_before"), lit(0L)).as("ch_before"),
+        coalesce(col("ch_after"), lit(0L)).as("ch_after"),
+        coalesce(col("ch_gained"), lit(0L)).as("ch_gained"),
+        coalesce(col("mod_after"), lit(0L)).as("mod_after"),
+        coalesce(col("mod_gained"), lit(0L)).as("mod_gained"))
+      .orderBy(col("node"))
+  }
+
+  val o241 = s"""
+    WITH r4 AS (SELECT LIST(STRUCT_PACK(p := vpos, nd := node) ORDER BY vpos)
+                  AS ring FROM (${ringSql(CH_NODES)})),
+    r5 AS (SELECT LIST(STRUCT_PACK(p := vpos, nd := node) ORDER BY vpos)
+             AS ring FROM (${ringSql(CH_NODES + 1)})),
+    d AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS ipos
+      FROM documents),
+    a AS (
+      SELECT doc_id, ipos,
+        COALESCE(list_filter(r4.ring, r -> r.p > ipos)[1], r4.ring[1]).nd
+          AS ch4,
+        COALESCE(list_filter(r5.ring, r -> r.p > ipos)[1], r5.ring[1]).nd
+          AS ch5,
+        'n' || (ipos % $CH_NODES) AS mod4,
+        'n' || (ipos % ${CH_NODES + 1}) AS mod5
+      FROM d, r4, r5),
+    nodes AS (SELECT DISTINCT ch5 AS node FROM a)
+    SELECT n.node,
+      CAST(COALESCE((SELECT COUNT(*) FROM a WHERE ch4 = n.node), 0)
+        AS BIGINT) AS ch_before,
+      CAST(COALESCE((SELECT COUNT(*) FROM a WHERE ch5 = n.node), 0)
+        AS BIGINT) AS ch_after,
+      CAST(COALESCE((SELECT COUNT(*) FROM a
+        WHERE ch5 = n.node AND ch4 <> ch5), 0) AS BIGINT) AS ch_gained,
+      CAST(COALESCE((SELECT COUNT(*) FROM a WHERE mod5 = n.node), 0)
+        AS BIGINT) AS mod_after,
+      CAST(COALESCE((SELECT COUNT(*) FROM a
+        WHERE mod5 = n.node AND mod4 <> mod5), 0) AS BIGINT) AS mod_gained
+    FROM nodes n ORDER BY n.node"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_skew_report" -> (q149SkewReport _),
-    "q166_join_size_est" -> (q166JoinSizeEst _))
+    "q166_join_size_est" -> (q166JoinSizeEst _),
+    "q241_consistent_hash" -> (q241ConsistentHash _))
 
   val oracles: Map[String, String] = Map(
     "q149_skew_report" -> o149,
-    "q166_join_size_est" -> o166)
+    "q166_join_size_est" -> o166,
+    "q241_consistent_hash" -> o241)
 }

@@ -32,4 +32,27 @@ class SkewSpec extends AnyFunSuite {
     val pcs = rows.map(_._3)
     assert(pcs.zip(pcs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q241 consistent hashing: moves only to the new node, beats modulo") {
+    val rows = ops.Skew.q241ConsistentHash(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, TestSpark.SF).count()
+    // conservation under both ring sizes
+    assert(rows.map(_._2).sum == docs && rows.map(_._3).sum == docs)
+    assert(rows.map(_._5).sum == docs)
+    val newNode = s"n${ops.Skew.CH_NODES}"
+    rows.foreach { case (node, before, after, chGain, _, _) =>
+      if (node == newNode) {
+        assert(before == 0L && chGain == after,
+          "everything on the new node must be a move")
+      } else assert(chGain == 0L,
+        s"consistent hashing moved docs to OLD node $node")
+    }
+    // movement: CH ~ 1/(N+1) of the corpus; modulo ~ N/(N+1). Assert
+    // the directional contract, not the exact fractions.
+    val chMoves = rows.map(_._4).sum
+    val modMoves = rows.map(_._6).sum
+    assert(chMoves > 0 && chMoves * 2 < docs, s"CH moved $chMoves of $docs")
+    assert(modMoves > chMoves * 2, s"modulo ($modMoves) should dwarf CH ($chMoves)")
+  }
 }
