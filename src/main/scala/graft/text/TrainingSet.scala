@@ -867,6 +867,72 @@ object TrainingSet {
     FROM sel WHERE sel_rank <= $RRF_TOP
     ORDER BY source, sel_rank"""
 
+  // ---- q242: stratified k-fold assignment ----
+
+  /** Fold count for q242. */
+  val K_FOLDS = 5L
+
+  /** q242: stratified k-fold cross-validation assignment — documents
+    * are folded WITHIN each (source, diversity-band) stratum by
+    * round-robin over the stratum's doc_id order, so every fold gets
+    * the same mix of sources and quality bands to within one document
+    * per stratum (the ±1 balance guarantee the spec asserts). Naive
+    * `hash mod k` folding only balances in expectation; stratified
+    * round-robin balances by CONSTRUCTION, which is what keeps fold
+    * metrics comparable when a small stratum matters. q148 solves the
+    * adjacent leak-free-split problem (near-dup clusters must not
+    * straddle folds); composing the two — stratify over cluster
+    * keepers — is the production recipe.
+    *
+    * With many tiny strata, starting every stratum's round-robin at
+    * fold 0 would overload fold 0 globally; the md5-derived per-stratum
+    * ROTATION OFFSET spreads the leftover documents evenly while
+    * preserving the per-stratum ±1 guarantee (the standard
+    * StratifiedKFold shuffle-the-start trick, made deterministic).
+    *
+    * Scale shape: the stratum key and band are row-local; the
+    * round-robin rank is a window PARTITIONED BY STRATUM (in-partition
+    * sort over stratum-sized groups); the ledger is k rows. */
+  def q242KfoldStrata(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tok"),
+        expr("size(array_distinct(tk)) * 10L div size(tk)").as("band"))
+    val w = Window.partitionBy(col("source"), col("band"))
+      .orderBy(col("doc_id"))
+    docs
+      .withColumn("off", expr(
+        s"""cast(conv(substr(md5(concat(source, ':', band)), 1, 8), 16, 10)
+            as bigint) % $K_FOLDS"""))
+      .withColumn("fold",
+        (row_number().over(w).cast("long") - 1 + col("off")) % K_FOLDS)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("source"), col("band")).as("n_strata"))
+      .orderBy(col("fold"))
+  }
+
+  val o242 = s"""
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        len(list_distinct(string_split(text, ' '))) * 10
+          // len(string_split(text, ' ')) AS band
+      FROM documents),
+    f AS (
+      SELECT doc_id, source, n_tok, band,
+        (ROW_NUMBER() OVER (PARTITION BY source, band ORDER BY doc_id) - 1
+         + ('0x' || substr(md5(source || ':' || band), 1, 8))::BIGINT
+           % $K_FOLDS) % $K_FOLDS AS fold
+      FROM d)
+    SELECT CAST(fold AS BIGINT) AS fold,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(COUNT(DISTINCT (source, band)) AS BIGINT) AS n_strata
+    FROM f GROUP BY fold ORDER BY fold"""
+
   // ---- q211: DSIR importance weights (hashed-bigram resampling) ----
 
   /** Feature-hash buckets, smoothing α (add-one), and the resample size.
@@ -1204,6 +1270,7 @@ object TrainingSet {
     "q224_epoch_budget"    -> (q224EpochBudget _),
     "q230_decontam_scrub"  -> (q230DecontamScrub _),
     "q233_rrf_select"      -> (q233RrfSelect _),
+    "q242_kfold_strata"    -> (q242KfoldStrata _),
     "q83_sequence_packing" -> (q83SequencePacking _),
     "q84_mixture_sample"   -> (q84MixtureSample _),
     "q85_decontaminate"    -> (q85Decontaminate _),
@@ -1226,6 +1293,7 @@ object TrainingSet {
     "q224_epoch_budget"    -> o224,
     "q230_decontam_scrub"  -> o230,
     "q233_rrf_select"      -> o233,
+    "q242_kfold_strata"    -> o242,
     "q109_priority_sample" -> o109,
     "q114_group_sample"    -> o114)
 }

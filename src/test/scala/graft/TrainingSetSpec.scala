@@ -405,4 +405,33 @@ class TrainingSetSpec extends AnyFunSuite {
     }
     assert(got.groupBy(_._1).size.toLong == srcs)
   }
+
+  test("q242 k-fold: per-stratum ±1 balance, every doc folded once") {
+    import spark.implicits._
+    val K = TrainingSet.K_FOLDS
+    val ledger = TrainingSet.q242KfoldStrata(spark, TestSpark.SF)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("source"),
+        expr("size(array_distinct(split(text, ' '))) * 10L div size(split(text, ' '))"))
+      .as[(Long, String, Long)].collect()
+    assert(ledger.map(_._2).sum == docs.length.toLong)
+    assert(ledger.map(_._1).sorted.toSeq == (0L until K))
+    // mirror the assignment and assert the per-stratum ±1 contract
+    def md5off(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var v = 0L
+      for (i <- 0 until 4) v = (v << 8) | (h(i) & 0xffL)
+      v % K
+    }
+    docs.groupBy(t => (t._2, t._3)).foreach { case ((src, band), xs) =>
+      val off = md5off(s"$src:$band")
+      val folds = xs.map(_._1).sorted.zipWithIndex
+        .map { case (_, r) => (r + off) % K }
+      val counts = (0L until K).map(f => folds.count(_ == f))
+      assert(counts.max - counts.min <= 1,
+        s"stratum ($src,$band) unbalanced: $counts")
+    }
+  }
 }
