@@ -751,11 +751,87 @@ object CorpusSignals {
     SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_contexts
     FROM k GROUP BY k ORDER BY k"""
 
+  // ---- q243: exact Kolmogorov–Smirnov drift per source ----
+
+  /** q243: two-sample KS distance between each source's document-length
+    * distribution and the rest of the corpus — sup |F_s(x) − F_rest(x)|
+    * computed EXACTLY: at every support point the CDF difference is the
+    * rational (cum_s·n_r − cum_r·n_s)/(n_s·n_r), maximized by its exact
+    * integer numerator before ONE final scaled division. Where q239's
+    * PSI is band-smoothed and ln-based, KS is banding-free and
+    * float-free — the pair gives a drift monitor both calibrated (PSI)
+    * and exact (KS). Leave-one-out (source vs REST) keeps the two
+    * samples disjoint, the textbook two-sample setting.
+    *
+    * Scale shape: one (source, length) census; per-source CDFs are
+    * windows over each source's ≤|support| distinct lengths; the rest-
+    * CDF derives from the corpus census by subtraction (no second
+    * corpus pass); the ledger is |sources| rows. */
+  def q243KsDrift(s: SparkSession, d: String): DataFrame = {
+    val lens = documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+    val census = lens.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = lens.groupBy(col("len")).agg(count(lit(1)).as("c_all"))
+    val nsrc = lens.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nc = lens.agg(count(lit(1)).as("n_all"))
+    // grid: every (source, support length) so flat stretches between a
+    // source's own observations still contribute their CDF gap
+    val grid = nsrc.crossJoin(corpus.select(col("len")))
+      .join(census, Seq("source", "len"), "left")
+      .join(corpus, Seq("len"))
+      .crossJoin(broadcast(nc))
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wS = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum_s", sum(col("c")).over(wS))
+      .withColumn("cum_all", sum(col("c_all")).over(wS))
+      .withColumn("cum_r", col("cum_all") - col("cum_s"))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+      .withColumn("num",
+        abs(col("cum_s") * col("n_r") - col("cum_r") * col("n_s")))
+      .groupBy(col("source"))
+      .agg(max(col("num")).as("max_num"),
+        max(col("n_s") * col("n_r")).as("den"))
+      .select(col("source"),
+        expr("max_num * 1000000L div den").as("ks_micro"))
+      .orderBy(col("source"))
+  }
+
+  val o243 = """
+    WITH l AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      FROM documents),
+    cen AS (SELECT source, len, COUNT(*) AS c FROM l GROUP BY 1, 2),
+    cor AS (SELECT len, COUNT(*) AS c_all FROM l GROUP BY 1),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM l GROUP BY 1),
+    na AS (SELECT COUNT(*) AS n_all FROM l),
+    g AS (
+      SELECT ns.source, cor.len, COALESCE(cen.c, 0) AS c, cor.c_all,
+        ns.n_s, na.n_all
+      FROM ns CROSS JOIN cor
+      LEFT JOIN cen ON cen.source = ns.source AND cen.len = cor.len
+      CROSS JOIN na),
+    cum AS (
+      SELECT source, n_s, n_all - n_s AS n_r,
+        SUM(c) OVER (PARTITION BY source ORDER BY len
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+        SUM(c_all) OVER (PARTITION BY source ORDER BY len
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM g)
+    SELECT source,
+      CAST(MAX(ABS(cum_s * n_r - (cum_all - cum_s) * n_s))
+        * 1000000 // MAX(n_s * n_r) AS BIGINT) AS ks_micro
+    FROM cum GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
     "q237_zipf_fit"    -> (q237ZipfFit _),
     "q239_psi_drift"   -> (q239PsiDrift _),
     "q240_nucleus_size" -> (q240NucleusSize _),
+    "q243_ks_drift"    -> (q243KsDrift _),
     "q167_unigram_nll" -> (q167UnigramNll _),
     "q140_pmi_collocations" -> (q140PmiCollocations _),
     "q136_weighted_quantiles" -> (q136WeightedQuantiles _),
@@ -770,6 +846,7 @@ object CorpusSignals {
     "q237_zipf_fit"    -> o237,
     "q239_psi_drift"   -> o239,
     "q240_nucleus_size" -> o240,
+    "q243_ks_drift"    -> o243,
     "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,

@@ -175,4 +175,29 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got.keys.forall(_ >= 1L))
     assert(got.values.sum == bg.keys.map(_._1).toSeq.distinct.size.toLong)
   }
+
+  test("q243 KS distance matches an exact driver-side sup computation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = text.CorpusSignals.q243KsDrift(spark, TestSpark.SF)
+      .as[(String, Long)].collect().toMap
+    val rows = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), expr("size(split(text, ' '))").cast("long"))
+      .as[(String, Long)].collect()
+    val support = rows.map(_._2).distinct.sorted
+    val expect = rows.groupBy(_._1).map { case (src, xs) =>
+      val ns = xs.length.toLong
+      val rest = rows.filterNot(_._1 == src)
+      val nr = rest.length.toLong
+      val num = support.map { x =>
+        val cs = xs.count(_._2 <= x).toLong
+        val cr = rest.count(_._2 <= x).toLong
+        math.abs(cs * nr - cr * ns)
+      }.max
+      src -> num * 1000000L / (ns * nr)
+    }
+    assert(got == expect)
+    // KS lives in [0, 1]
+    assert(got.values.forall(v => v >= 0 && v <= 1000000L))
+  }
 }
