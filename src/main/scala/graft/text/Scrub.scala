@@ -685,6 +685,115 @@ object Scrub {
     FROM p3 ORDER BY doc_id"""
   }
 
+  // ---- q244: URL canonicalization + dedup census ----
+
+  /** Messy-URL fixture for q244: scheme/host case noise, a default :80
+    * port, utm_ tracking params, unsorted query order, fragments and
+    * trailing slashes — all doc_id-derived. Ids congruent mod
+    * lcm(2,3,4,7,10) = 420 produce DIFFERENT raw strings that
+    * canonicalize identically, so the dedup census has real work. */
+  def messyUrl(id: Column): Column = {
+    val sch = when(id % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+    concat(
+      sch, lit("://"),
+      lit("Site"), s_(id % 10), lit(".Example.org"),
+      when(id % 4 === 0, lit(":80")).otherwise(lit("")),
+      lit("/a/"), s_(id % 7),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit("?b="), s_(id % 3), lit("&utm_source=feed&a="), s_(id % 2)))
+        .when(id % 3 === 1,
+          concat(lit("?a="), s_(id % 2), lit("&b="), s_(id % 3)))
+        .otherwise(lit("")),
+      when(id % 4 === 1, concat(lit("#sec"), s_(id % 4))).otherwise(lit("")))
+  }
+
+  /** q244: URL canonicalization — the crawl-frontier/dedup normalizer:
+    * lowercase scheme and host, strip default ports and fragments,
+    * drop utm_ tracking params, sort surviving query params, trim the
+    * trailing slash; then census the corpus by canonical form (docs
+    * and DISTINCT RAW VARIANTS per canonical URL). Canonicalization is
+    * why a crawler's seen-set holds ~1 entry per resource instead of
+    * one per syntactic variant; the n_raw_forms column measures
+    * exactly that collapse.
+    *
+    * Entirely row-local string surgery (regex + split/filter/sort
+    * folds — identical semantics in Java regex and RE2 for these
+    * anchored patterns; param filtering compares substr(p,1,4) to
+    * dodge LIKE-underscore pitfalls); ONE canonical-keyed exchange for
+    * the census. Canonical cardinality is bounded by the fixture's
+    * mod-420 schedule, not corpus size. */
+  def q244UrlCanonical(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .select(col("doc_id"), messyUrl(col("doc_id")).as("raw"))
+      .withColumn("nofrag", regexp_replace(col("raw"), "#.*$", ""))
+      .withColumn("scheme",
+        lower(regexp_extract(col("nofrag"), "^([A-Za-z]+)://", 1)))
+      .withColumn("rest",
+        regexp_replace(col("nofrag"), "^[A-Za-z]+://", ""))
+      .withColumn("host", expr(
+        """regexp_replace(lower(regexp_extract(rest, '^([^/]+)', 1)),
+           ':(80|443)$', '')"""))
+      .withColumn("pathq", regexp_replace(col("rest"), "^[^/]+", ""))
+      .withColumn("path", expr(
+        "regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '')"))
+      .withColumn("kept", expr(
+        """array_join(array_sort(filter(
+             split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+             p -> p != '' AND substr(p, 1, 4) != 'utm_')), '&')"""))
+      .withColumn("canonical", expr(
+        """concat(scheme, '://', host, path,
+           case when kept != '' then concat('?', kept) else '' end)"""))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw")).as("n_raw_forms"))
+      .orderBy(col("canonical"))
+  }
+
+  val o244 = """
+    WITH r AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        || '://Site' || doc_id % 10 || '.Example.org'
+        || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+        || '/a/' || doc_id % 7
+        || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0
+              THEN '?b=' || doc_id % 3 || '&utm_source=feed&a=' || doc_id % 2
+            WHEN doc_id % 3 = 1
+              THEN '?a=' || doc_id % 2 || '&b=' || doc_id % 3
+            ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 1 THEN '#sec' || doc_id % 4
+            ELSE '' END) AS raw
+      FROM documents),
+    c AS (
+      SELECT raw,
+        regexp_replace(raw, '#.*$', '') AS nofrag,
+        lower(regexp_extract(regexp_replace(raw, '#.*$', ''),
+          '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(raw, '#.*$', ''),
+          '^[A-Za-z]+://', '') AS rest
+      FROM r),
+    p AS (
+      SELECT raw, scheme,
+        regexp_replace(lower(regexp_extract(rest, '^([^/]+)', 1)),
+          ':(80|443)$', '') AS host,
+        regexp_replace(rest, '^[^/]+', '') AS pathq
+      FROM c),
+    q AS (
+      SELECT raw, scheme, host,
+        regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '')
+          AS path,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+          p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS kept
+      FROM p)
+    SELECT scheme || '://' || host || path
+        || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canonical,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_forms
+    FROM q GROUP BY 1 ORDER BY canonical"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_pii_redact"   -> (q91PiiRedact _),
     "q92_url_domains"  -> (q92UrlDomains _),
@@ -694,7 +803,8 @@ object Scrub {
     "q212_line_dedup"  -> (q212LineDedup _),
     "q214_domain_filter" -> (q214DomainFilter _),
     "q222_selfspan_scrub" -> (q222SelfspanScrub _),
-    "q223_pseudonymize" -> (q223Pseudonymize _))
+    "q223_pseudonymize" -> (q223Pseudonymize _),
+    "q244_url_canonical" -> (q244UrlCanonical _))
 
   val oracles: Map[String, String] = Map(
     "q91_pii_redact"  -> o91,
@@ -705,5 +815,6 @@ object Scrub {
     "q212_line_dedup" -> o212,
     "q214_domain_filter" -> o214,
     "q222_selfspan_scrub" -> o222,
-    "q223_pseudonymize" -> o223)
+    "q223_pseudonymize" -> o223,
+    "q244_url_canonical" -> o244)
 }

@@ -229,4 +229,27 @@ class ScrubSpec extends AnyFunSuite {
       Seq(Scrub.EMAIL_RE, Scrub.IP_RE, Scrub.PHONE_RE).foreach { re =>
         assert(re.r.findFirstIn(p).isEmpty, s"residual PII in doc $id") } }
   }
+
+  test("q244 canonical forms are normalized and the collapse is real") {
+    val rows = Scrub.q244UrlCanonical(spark, TestSpark.SF)
+      .as[(String, Long, Long)].collect()
+    val docs = Tables.documents(spark, TestSpark.SF).count()
+    assert(rows.map(_._2).sum == docs)
+    rows.foreach { case (canon, nDocs, nRaw) =>
+      // every normalization rule held: lowercase, no default port, no
+      // fragment, no tracking params, no trailing slash, sorted query
+      assert(canon == canon.toLowerCase, s"case survived: $canon")
+      assert(!canon.contains(":80") && !canon.contains("#")
+        && !canon.contains("utm_"), s"noise survived: $canon")
+      assert(!canon.stripPrefix("https://").stripPrefix("http://")
+        .endsWith("/"), s"trailing slash survived: $canon")
+      if (canon.contains("?")) {
+        val ps = canon.split("\\?")(1).split("&").toSeq
+        assert(ps == ps.sorted, s"params unsorted: $canon")
+      }
+      assert(nRaw >= 1 && nDocs >= nRaw)
+    }
+    // distinct raw variants genuinely collapse onto shared canonicals
+    assert(rows.exists(_._3 >= 2), "no variant collapse observed")
+  }
 }
