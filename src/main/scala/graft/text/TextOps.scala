@@ -520,6 +520,73 @@ object TextOps {
     WHERE tf_vector > 0 AND tf_merge > 0 AND tf_spark > 0
     ORDER BY score DESC, doc_id LIMIT 20"""
 
+  // ---- q245: classifier evaluation (precision/recall/F1 per class) ----
+
+  /** q245: per-class evaluation of the q35 language classifier against
+    * the labeled `lang` column — tp/fp/fn, precision, recall and F1 in
+    * exact ppm, using the integer F1 identity
+    * F1 = 2·tp / (2·tp + fp + fn) so no intermediate float p·r product
+    * exists. This is the eval-harness primitive every in-engine filter
+    * (q35 lang-id, q216 perceptron) is judged by before it gates a
+    * corpus; producing it IN the engine keeps model selection on the
+    * same exact-arithmetic footing as the filters themselves.
+    *
+    * Scale shape: the confusion matrix is ONE (lang, predicted)
+    * aggregate over the corpus (the q35 exchange); tp/fp/fn derive
+    * from conditional sums over that |classes|²-bounded ledger. */
+  def q245LangidEval(s: SparkSession, d: String): DataFrame = {
+    val cm = documents(s, d)
+      .groupBy(col("lang"), langGuess(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val tp = cm.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("tp"))
+    val fn = cm.filter(col("lang") =!= col("predicted"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("fn"))
+    val fp = cm.filter(col("lang") =!= col("predicted"))
+      .groupBy(col("predicted").as("lang")).agg(sum(col("n")).as("fp"))
+    documents(s, d).select(col("lang")).distinct()
+      .join(tp, Seq("lang"), "left")
+      .join(fn, Seq("lang"), "left")
+      .join(fp, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision_ppm", expr(
+        "case when tp + fp = 0 then 0L else tp * 1000000L div (tp + fp) end"))
+      .withColumn("recall_ppm", expr(
+        "case when tp + fn = 0 then 0L else tp * 1000000L div (tp + fn) end"))
+      .withColumn("f1_ppm", expr(
+        "case when 2 * tp + fp + fn = 0 then 0L " +
+          "else 2 * tp * 1000000L div (2 * tp + fp + fn) end"))
+      .orderBy(col("lang"))
+  }
+
+  val o245 = s"""
+    WITH cm AS (
+      SELECT lang, $ORA_LANG_CASE AS predicted, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2),
+    tp AS (SELECT lang, n AS tp FROM cm WHERE lang = predicted),
+    fn AS (SELECT lang, SUM(n) AS fn FROM cm WHERE lang <> predicted
+           GROUP BY 1),
+    fp AS (SELECT predicted AS lang, SUM(n) AS fp FROM cm
+           WHERE lang <> predicted GROUP BY 1),
+    cls AS (SELECT DISTINCT lang FROM documents),
+    j AS (
+      SELECT cls.lang, COALESCE(tp.tp, 0) AS tp, COALESCE(fp.fp, 0) AS fp,
+        COALESCE(fn.fn, 0) AS fn
+      FROM cls LEFT JOIN tp USING (lang) LEFT JOIN fn USING (lang)
+        LEFT JOIN fp USING (lang))
+    SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      CAST(fn AS BIGINT) AS fn,
+      CASE WHEN tp + fp = 0 THEN 0
+        ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+      CASE WHEN tp + fn = 0 THEN 0
+        ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+      CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+    FROM j ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_unigram_surprisal" -> (q205UnigramSurprisal _),
     "q155_search"        -> (q155Search _),
@@ -529,6 +596,7 @@ object TextOps {
     "q56_regex_tokens"  -> (q56RegexTokens _),
     "q34_token_stats"   -> (q34TokenStats _),
     "q35_lang_id"       -> (q35LangId _),
+    "q245_langid_eval"  -> (q245LangidEval _),
     "q36_quality_score" -> (q36QualityScore _),
     "q37_fingerprint"   -> (q37Fingerprint _),
     "q38_doc_stats"     -> (q38DocStats _),
@@ -537,6 +605,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
+    "q245_langid_eval" -> o245,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
     "q56_regex_tokens" -> o56, "q63_tfidf" -> o63,

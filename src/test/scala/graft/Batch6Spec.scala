@@ -93,4 +93,27 @@ class Batch6Spec extends AnyFunSuite {
     } yield (ka, kb, d2)).sortBy(t => (t._3, t._1, t._2)).take(20).toSet
     assert(got == brute)
   }
+
+  test("q245 eval derives exactly from q35's confusion matrix") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cm = graft.text.TextOps.q35LangId(spark, TestSpark.SF)
+      .as[(String, String, Long)].collect()
+    val classes = Tables.documents(spark, TestSpark.SF)
+      .select("lang").distinct().as[String].collect().sorted
+    val expect = classes.map { c =>
+      val tp = cm.filter(r => r._1 == c && r._2 == c).map(_._3).sum
+      val fn = cm.filter(r => r._1 == c && r._2 != c).map(_._3).sum
+      val fp = cm.filter(r => r._1 != c && r._2 == c).map(_._3).sum
+      def ppm(n: Long, dd: Long) = if (dd == 0) 0L else n * 1000000L / dd
+      (c, tp, fp, fn, ppm(tp, tp + fp), ppm(tp, tp + fn),
+        ppm(2 * tp, 2 * tp + fp + fn))
+    }.toSeq
+    val got = graft.text.TextOps.q245LangidEval(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    // totality: every labeled doc is tp-or-fn of exactly one class
+    assert(got.map(r => r._2 + r._4).sum ==
+      Tables.documents(spark, TestSpark.SF).count())
+  }
 }
