@@ -826,8 +826,78 @@ object CorpusSignals {
         * 1000000 // MAX(n_s * n_r) AS BIGINT) AS ks_micro
     FROM cum GROUP BY source ORDER BY source"""
 
+  // ---- q246: per-source entropy / cross-entropy / KL divergence ----
+
+  /** q246: unigram information profile per source — plug-in entropy
+    * H(s) = −Σ p ln p over the source's term distribution, cross-
+    * entropy CE(s‖corpus) = −Σ p_s ln p_corpus, and their gap KL =
+    * CE − H: the nats-per-token a corpus-wide code wastes on this
+    * source, i.e. how far the source's vocabulary usage sits from the
+    * mixture. This triple is the information-theoretic twin of q239's
+    * PSI (which is itself a symmetrized KL over bands) at full
+    * vocabulary resolution — the signal that ranks sources for q221's
+    * temperature before any model exists.
+    *
+    * Per-term contributions are round(·1e6) fixed point over IEEE
+    * divisions/ln of exact counts (every source term exists in the
+    * corpus, so no smoothing is needed and no zero hits the ln); KL
+    * derives from the two rounded sums, so it is exact given them.
+    *
+    * Scale shape: one (source, term) census; the corpus census derives
+    * from it by re-aggregation (no second corpus pass); contributions
+    * join vocabulary-sized tables on the term key; ledger = |sources|
+    * rows. */
+  def q246SourceEntropy(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val ns = tf.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val cf = tf.groupBy(col("t")).agg(sum(col("c")).as("c_all"))
+    val nAll = cf.agg(sum(col("c_all")).as("n_all"))
+    tf.join(ns, Seq("source"))
+      .join(cf, Seq("t"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("h_term", expr(
+        """cast(round(-(cast(c as double) / n_s)
+             * ln(cast(c as double) / n_s) * 1000000) as bigint)"""))
+      .withColumn("ce_term", expr(
+        """cast(round(-(cast(c as double) / n_s)
+             * ln(cast(c_all as double) / n_all) * 1000000) as bigint)"""))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("h_term")).as("h_micro"),
+        sum(col("ce_term")).as("ce_micro"))
+      .withColumn("kl_micro", col("ce_micro") - col("h_micro"))
+      .orderBy(col("source"))
+  }
+
+  val o246 = """
+    WITH tf AS (
+      SELECT source, t, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    ns AS (SELECT source, SUM(c) AS n_s FROM tf GROUP BY 1),
+    cf AS (SELECT t, SUM(c) AS c_all FROM tf GROUP BY 1),
+    na AS (SELECT SUM(c_all) AS n_all FROM cf),
+    g AS (
+      SELECT tf.source,
+        ns.n_s,
+        CAST(ROUND(-(CAST(c AS DOUBLE) / n_s)
+          * ln(CAST(c AS DOUBLE) / n_s) * 1000000) AS BIGINT) AS h_term,
+        CAST(ROUND(-(CAST(c AS DOUBLE) / n_s)
+          * ln(CAST(c_all AS DOUBLE) / n_all) * 1000000) AS BIGINT)
+          AS ce_term
+      FROM tf JOIN ns USING (source) JOIN cf USING (t) CROSS JOIN na)
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      CAST(SUM(h_term) AS BIGINT) AS h_micro,
+      CAST(SUM(ce_term) AS BIGINT) AS ce_micro,
+      CAST(SUM(ce_term) - SUM(h_term) AS BIGINT) AS kl_micro
+    FROM g GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
+    "q246_source_entropy" -> (q246SourceEntropy _),
     "q237_zipf_fit"    -> (q237ZipfFit _),
     "q239_psi_drift"   -> (q239PsiDrift _),
     "q240_nucleus_size" -> (q240NucleusSize _),
@@ -847,6 +917,7 @@ object CorpusSignals {
     "q239_psi_drift"   -> o239,
     "q240_nucleus_size" -> o240,
     "q243_ks_drift"    -> o243,
+    "q246_source_entropy" -> o246,
     "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,

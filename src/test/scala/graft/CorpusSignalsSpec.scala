@@ -200,4 +200,37 @@ class CorpusSignalsSpec extends AnyFunSuite {
     // KS lives in [0, 1]
     assert(got.values.forall(v => v >= 0 && v <= 1000000L))
   }
+
+  test("q246 entropy triple: mirror match, KL >= 0, H <= ln(vocab)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = text.CorpusSignals.q246SourceEntropy(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val all = rows.flatMap(_._2.split(" "))
+    val cAll = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nAll = all.length.toLong
+    val expect = rows.groupBy(_._1).map { case (src, xs) =>
+      val terms = xs.flatMap(_._2.split(" "))
+      val cs = terms.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nS = terms.length.toLong
+      def r6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+      val h = cs.values.map(c =>
+        r6(-(c.toDouble / nS) * math.log(c.toDouble / nS))).sum
+      val ce = cs.map { case (t, c) =>
+        r6(-(c.toDouble / nS) * math.log(cAll(t).toDouble / nAll)) }.sum
+      (src, nS, h, ce, ce - h)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // Gibbs: KL >= 0 (up to per-term rounding slack); plug-in entropy
+    // is bounded by ln |vocab|
+    val vocab = cAll.size
+    got.foreach { case (src, _, h, _, kl) =>
+      assert(kl >= -100L, s"negative KL at $src")
+      assert(h <= math.ceil(math.log(vocab.toDouble) * 1e6).toLong + 100,
+        s"entropy above ln(vocab) at $src")
+    }
+  }
 }
