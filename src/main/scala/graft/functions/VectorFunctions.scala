@@ -229,7 +229,13 @@ case class TopCells(child: Expression, cents: Array[Array[Double]],
       val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val cid = ctx.freshName("cid")
       val pos = ctx.freshName("pos"); val end = ctx.freshName("end")
-      val m = ctx.freshName("m")
+      val m = ctx.freshName("m"); val cmp = ctx.freshName("cmp")
+      // NOTE: no generated line may START with '|' — downstream
+      // formatting passes treat a leading pipe as a margin char and eat
+      // it (observed: the `|| (` continuation of a multi-line while
+      // lost its operator, Janino failed, and the whole Predicate fell
+      // back to interpreted mode). The tie-break runs through an int
+      // cmp temp so every line begins with an identifier or keyword.
       s"""
          |int $keep = Math.min($probe, $cRef.length);
          |double[] $ts = new double[$keep];
@@ -244,9 +250,11 @@ case class TopCells(child: Expression, cents: Array[Array[Double]],
          |  double $s = 2.0 * $dot - $bRef[$ki];
          |  int $cid = $idRef[$ki];
          |  int $pos = $filled;
-         |  while ($pos > 0 && (java.lang.Double.compare($s, $ts[$pos - 1]) > 0
-         |      || (java.lang.Double.compare($s, $ts[$pos - 1]) == 0
-         |          && $cid > $tc[$pos - 1]))) $pos--;
+         |  while ($pos > 0) {
+         |    int $cmp = java.lang.Double.compare($s, $ts[$pos - 1]);
+         |    if ($cmp > 0 || ($cmp == 0 && $cid > $tc[$pos - 1])) $pos--;
+         |    else break;
+         |  }
          |  if ($pos < $keep) {
          |    int $end = Math.min($filled, $keep - 1);
          |    for (int $m = $end; $m > $pos; $m--) {
