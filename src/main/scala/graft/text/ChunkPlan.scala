@@ -298,11 +298,15 @@ object ChunkPlan {
     val ordered = shufflePositions(
       documents(s, d).select(col("doc_id"), col("text")), 1)
       .withColumn("batch_id", expr(s"pos div $BATCH_DOCS"))
-    val bg = ordered
+    // materialized once: fb aggregates FROM bg and the per-batch join
+    // reads it again — without the checkpoint the distinct (and the
+    // whole position assignment under it) runs twice (23 exchanges
+    // measured vs 8)
+    val bg = graft.Tables.checkpointCycled(s"novelty-bg:$d", ordered
       .select(col("batch_id"),
         explode(graft.functions.ShingleSet.shingle_set(col("text")))
           .as("sg"))
-      .distinct()
+      .distinct())
     val fb = bg.groupBy(col("sg")).agg(min(col("batch_id")).as("first_batch"))
     val perBatch = bg.join(fb, Seq("sg"))
       .groupBy(col("batch_id"))

@@ -312,9 +312,13 @@ object CorpusStats {
     val metrics = Seq("n_docs", "n_tokens", "n_chars", "n_sources",
       "n_langs", "vocab_size", "dup_doc_ppm", "mean_doc_tokens",
       "min_doc_tokens", "max_doc_tokens", "mean_ttr_ppm")
-    metrics.map(m =>
-      card.select(lit(m).as("metric"), col(m).cast("long").as("value")))
-      .reduce(_ unionAll _)
+    // ONE pass into the tall shape via stack() — a per-metric
+    // unionAll would re-run the whole card subplan (both corpus
+    // aggregates) once per metric: measured 43 exchanges vs 4.
+    card.select(expr(metrics
+      .map(m => s"'$m', cast($m as long)")
+      .mkString(s"stack(${metrics.size}, ", ", ", ")"))
+      .as(Seq("metric", "value")))
       .orderBy(col("metric"))
   }
 
