@@ -740,6 +740,61 @@ object Dedup {
            ELSE 0 END AS precision_ppm
     FROM g, nt ORDER BY rows_per_band"""
 
+  // ---- q247: repeated-span census (boilerplate ranking) ----
+
+  /** Top spans kept by q247. */
+  val BOILER_TOP = 20
+
+  /** q247: rank the corpus's most-repeated verbatim SPAN-token windows
+    * by document frequency — the boilerplate FINDER that precedes the
+    * q212/q222 removers: before a pipeline drops repeated content it
+    * ranks it and a human (or a rule) reviews the head (license
+    * headers, templates, navigation chrome). Output carries the span
+    * TEXT (the review artifact), its document frequency, total
+    * occurrences, and the lowest containing doc_id as an exemplar.
+    *
+    * Scale shape: spans reduce row-locally to (hash, doc, count)
+    * partials; the census is ONE span-keyed aggregate where min(text)
+    * rides along as the exemplar payload (at 100 TB: group on the
+    * 8-byte hash, keep one exemplar string per key — never a
+    * text-keyed shuffle of every occurrence); the top-k executes as
+    * TakeOrderedAndProject under the (df DESC, span) total order. */
+  def q247BoilerSpans(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= SPAN)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(tk) - $SPAN),
+            i -> array_join(slice(tk, i + 1, $SPAN), ' '))""")).as("span"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(span), 1, 15), 16, 10) as bigint)"))
+    occ
+      .groupBy(col("h"))
+      .agg(min(col("span")).as("span"),
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("exemplar_doc"))
+      .filter(col("df") >= 2)
+      .select(col("span"), col("df"), col("n_occ"), col("exemplar_doc"))
+      .orderBy(col("df").desc, col("span"))
+      .limit(BOILER_TOP)
+  }
+
+  val o247 = s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    occ AS (
+      SELECT doc_id, array_to_string(tk[i:i+${SPAN - 1}], ' ') AS span
+      FROM t, unnest(range(1, len(tk) - ${SPAN - 2})) u(i)
+      WHERE len(tk) >= $SPAN)
+    SELECT MIN(span) AS span,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      CAST(COUNT(*) AS BIGINT) AS n_occ,
+      MIN(doc_id) AS exemplar_doc
+    FROM occ
+    GROUP BY md5(span)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY df DESC, span LIMIT $BOILER_TOP"""
+
   // ---- q99: incremental ingest dedup (new batch vs indexed base) ----
 
   /** Deterministic batch split for q99: doc_id % 4 == 0 is the
@@ -907,6 +962,7 @@ object Dedup {
     "q79_shared_spans"   -> (q79SharedSpans _),
     "q226_winnowing"     -> (q226Winnowing _),
     "q229_lsh_sweep"     -> (q229LshSweep _),
+    "q247_boiler_spans"  -> (q247BoilerSpans _),
     "q80_ppjoin_jaccard" -> (ppjoinJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -916,6 +972,7 @@ object Dedup {
     "q79_shared_spans" -> o79,
     "q226_winnowing"   -> o226,
     "q229_lsh_sweep"   -> o229,
+    "q247_boiler_spans" -> o247,
     "q99_incremental_dedup" -> o99,
     // q80 is the prefix-filtered formulation of the SAME exact join —
     // identical output to q40, identical oracle.

@@ -294,4 +294,25 @@ class DedupSpec extends AnyFunSuite {
     val shipped = rows.find(_._1 == Dedup.ROWS_PER_BAND.toLong).get
     assert(shipped._6 == 1000000L, s"shipped config lost recall: $shipped")
   }
+
+  test("q247 boilerplate ranking: counts verified against raw text") {
+    val rows = Dedup.q247BoilerSpans(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= Dedup.BOILER_TOP)
+    // ranked by df desc (span tie-break), every row genuinely repeated
+    rows.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 <= b._1)) }
+    val texts = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    rows.foreach { case (span, df, nOcc, ex) =>
+      assert(df >= 2 && nOcc >= df)
+      // recount df and the exemplar from raw text: the span must occur
+      // as a TOKEN run, so check against the tokenized windows
+      val w = span.split(" ").toSeq
+      val hits = texts.filter { case (_, t) =>
+        t.split(" ").sliding(w.length).exists(_.toSeq == w) }
+      assert(hits.length.toLong == df, s"df mismatch for '$span'")
+      assert(hits.map(_._1).min == ex, s"exemplar mismatch for '$span'")
+    }
+  }
 }
