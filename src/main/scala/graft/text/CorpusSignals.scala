@@ -895,8 +895,74 @@ object CorpusSignals {
       CAST(SUM(ce_term) - SUM(h_term) AS BIGINT) AS kl_micro
     FROM g GROUP BY source ORDER BY source"""
 
+  // ---- q248: per-source TF-IDF signature terms ----
+
+  /** Signature terms kept per source. */
+  val SIG_TOP = 3
+
+  /** q248: source signatures — the $SIG_TOP most characteristic terms
+    * per source by source-level TF-IDF (term mass within the source ×
+    * ln((S+1)/(df+1)) where df counts SOURCES containing the term).
+    * q63 scores documents; this scores the sources themselves — the
+    * at-a-glance table ("what is this crawl about?") a mixture
+    * designer reads next to q246's divergence numbers. idf is the
+    * round(ln·1e6) q205 contract on an exact integer ratio; scores
+    * are exact int64 products.
+    *
+    * Scale shape: one (source, term) aggregate; the source-df table
+    * re-aggregates it (vocabulary-sized); the top-k is a
+    * source-partitioned window over each source's vocabulary. */
+  def q248SourceSignature(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val sdf = tf.groupBy(col("term"))
+      .agg(countDistinct(col("source")).as("src_df"))
+    val nSrc = documents(s, d).agg(
+      countDistinct(col("source")).as("n_src"))
+    val scored = tf.join(sdf, Seq("term"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("idf_micro", expr(
+        """cast(round(ln(cast(n_src + 1 as double) / (src_df + 1))
+             * 1000000) as bigint)"""))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score_micro").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= SIG_TOP)
+      .select(col("source"), col("rank"), col("term"), col("tf"),
+        col("src_df"), col("score_micro"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val o248 = s"""
+    WITH tf AS (
+      SELECT source, t AS term, COUNT(*) AS tf
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    sdf AS (SELECT term, COUNT(DISTINCT source) AS src_df FROM tf
+            GROUP BY 1),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+    sc AS (
+      SELECT tf.source, tf.term, tf.tf, sdf.src_df,
+        tf.tf * CAST(ROUND(ln(CAST(n_src + 1 AS DOUBLE) / (src_df + 1))
+          * 1000000) AS BIGINT) AS score_micro
+      FROM tf JOIN sdf USING (term) CROSS JOIN ns),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY score_micro DESC, term) AS rank
+      FROM sc)
+    SELECT source, CAST(rank AS BIGINT) AS rank, term,
+      CAST(tf AS BIGINT) AS tf, CAST(src_df AS BIGINT) AS src_df,
+      CAST(score_micro AS BIGINT) AS score_micro
+    FROM r WHERE rank <= $SIG_TOP
+    ORDER BY source, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
+    "q248_source_signature" -> (q248SourceSignature _),
     "q246_source_entropy" -> (q246SourceEntropy _),
     "q237_zipf_fit"    -> (q237ZipfFit _),
     "q239_psi_drift"   -> (q239PsiDrift _),
@@ -918,6 +984,7 @@ object CorpusSignals {
     "q240_nucleus_size" -> o240,
     "q243_ks_drift"    -> o243,
     "q246_source_entropy" -> o246,
+    "q248_source_signature" -> o248,
     "q167_unigram_nll" -> o167,
     "q140_pmi_collocations" -> o140,
     "q120_token_rarity" -> o120, "q123_cooccur" -> o123,

@@ -233,4 +233,30 @@ class CorpusSignalsSpec extends AnyFunSuite {
         s"entropy above ln(vocab) at $src")
     }
   }
+
+  test("q248 source signatures: score formula exact, top list well-formed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = text.CorpusSignals.q248SourceSignature(spark, TestSpark.SF)
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val nSrc = Tables.documents(spark, TestSpark.SF)
+      .select("source").distinct().count()
+    got.foreach { case (_, rank, _, tf, sdf, score) =>
+      assert(rank >= 1 && rank <= text.CorpusSignals.SIG_TOP)
+      assert(sdf >= 1 && sdf <= nSrc)
+      val idf = math.floor(
+        math.log((nSrc + 1).toDouble / (sdf + 1)) * 1e6 + 0.5).toLong
+      assert(score == tf * idf, s"score formula drifted")
+    }
+    // every source surfaces a full top list, ranked by score desc
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted.toSeq ==
+        (1L to text.CorpusSignals.SIG_TOP.toLong), s"bad list for $src")
+      val byRank = rows.sortBy(_._2)
+      byRank.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._6 > b._6 || (a._6 == b._6 && a._3 <= b._3)) }
+    }
+    assert(got.groupBy(_._1).size.toLong == nSrc)
+  }
 }
