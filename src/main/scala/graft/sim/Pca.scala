@@ -371,13 +371,107 @@ object Pca {
       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
     FROM r GROUP BY 1 ORDER BY bucket"""
 
+  // ---- q249: isotropy audit (before/after all-but-the-top) ----
+
+  /** q249: embedding isotropy audit — mean squared norm and the mean
+    * pairwise dot (over the disjoint even/odd pair sample) of the
+    * CENTERED corpus, before and after removing the fitted top
+    * component (the q218 whitening). The anisotropy share
+    * sum_dot·1e6 div (n_pairs·mean_norm2) ≈ ‖μ-direction mass‖²/E‖c‖²
+    * is the number Mu et al.'s all-but-the-top targets. On THIS corpus
+    * the centered embeddings are already near-isotropic (sub-1% share,
+    * both stages — the audit certifies it), and the ledger shows what
+    * whitening does here: the norm mass drops by exactly the q218
+    * removed share while the pairwise-dot share stays noise-level —
+    * fit → apply → measure, closed loop. All exact: int64 norms/dots,
+    * decimal(38,0) numerators, truncating division in both engines.
+    *
+    * Scale shape: centering and the projection enter as literals from
+    * the cached fit (train-once/apply-many); per-vector norms are
+    * row-local; the pair dot is one equi-join on the derived pair key;
+    * the ledger is 2 rows. */
+  def q249IsotropyAudit(s: SparkSession, d: String): DataFrame = {
+    val fit = fitPca(s, d)
+    val den = fit.v.map(x => BigInt(x) * BigInt(x)).sum
+    require(den > 0 && den <= BigInt(Long.MaxValue), s"bad vtv $den")
+    val mArr = fit.mean.mkString("array(", ",", ")")
+    val vArr = fit.v.mkString("array(", ",", ")")
+    val frames = embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> cast(round(cast(x as double) * $PCA_SCALE) as bigint))")
+          .as("e6"))
+      .withColumn("c", expr(s"zip_with(e6, $mArr, (x, m) -> x - m)"))
+      .withColumn("p", expr(
+        s"aggregate(zip_with(c, $vArr, (ci, vi) -> ci * vi), 0L, (a, x) -> a + x)"))
+      .withColumn("c2", expr(
+        s"zip_with(c, $vArr, (ci, vi) -> " +
+          s"cast((cast(ci as decimal(38,0)) * $den - cast(p as decimal(38,0)) * vi) div $den as bigint))"))
+      .select(col("vec_id"), col("c"), col("c2"))
+    def stats(colName: String, tag: String): DataFrame = {
+      val n2 = frames.select(col("vec_id"),
+        expr(s"aggregate($colName, 0L, (a, x) -> a + x * x)").as("n2"),
+        col(colName).as("v"))
+      val a = n2.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("pk"), col("v").as("va"))
+      val b = n2.filter(col("vec_id") % 2 === 1)
+        .select((col("vec_id") - 1).as("pk"), col("v").as("vb"))
+      val dots = a.join(b, Seq("pk"))
+        .select(expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("dot"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("dot")).as("sum_dot"))
+      n2.agg(count(lit(1)).as("n_vecs"),
+        expr("sum(n2) div count(1)").as("mean_norm2"))
+        .crossJoin(broadcast(dots))
+        .select(lit(tag).as("stage"), col("n_vecs"), col("n_pairs"),
+          col("mean_norm2"), col("sum_dot"),
+          expr("""cast((cast(sum_dot as decimal(38,0)) * 1000000)
+                  div (cast(n_pairs as decimal(38,0)) * mean_norm2)
+                  as bigint)""").as("aniso_ppm"))
+    }
+    stats("c", "centered").unionAll(stats("c2", "whitened"))
+      .orderBy(col("stage"))
+  }
+
+  val o249: String = pcaCtes + s""",
+    den AS (SELECT SUM(v * v) AS den FROM v$PCA_ITERS),
+    p AS (SELECT c.vec_id, CAST(SUM(c.c * v.v) AS HUGEINT) AS p
+          FROM c JOIN v$PCA_ITERS v USING (i) GROUP BY c.vec_id),
+    cp AS (SELECT c.vec_id, c.i, c.c AS c1,
+             CAST((CAST(c.c AS HUGEINT) * den - p.p * v.v) // den
+               AS BIGINT) AS c2
+           FROM c JOIN v$PCA_ITERS v USING (i) JOIN p USING (vec_id)
+           CROSS JOIN den),
+    nn AS (SELECT vec_id, SUM(c1 * c1) AS r, SUM(c2 * c2) AS w
+           FROM cp GROUP BY 1),
+    dots AS (
+      SELECT SUM(a.c1 * b.c1) AS dr, SUM(a.c2 * b.c2) AS dw,
+        COUNT(DISTINCT a.vec_id) AS n_pairs
+      FROM cp a JOIN cp b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      WHERE a.vec_id % 2 = 0),
+    ms AS (SELECT COUNT(*) AS n_vecs, SUM(r) // COUNT(*) AS mr,
+            SUM(w) // COUNT(*) AS mw FROM nn)
+    SELECT stage, CAST(n_vecs AS BIGINT) AS n_vecs,
+      CAST(n_pairs AS BIGINT) AS n_pairs,
+      CAST(mn AS BIGINT) AS mean_norm2, CAST(sd AS BIGINT) AS sum_dot,
+      CAST((CAST(sd AS HUGEINT) * 1000000)
+        // (CAST(n_pairs AS HUGEINT) * mn) AS BIGINT) AS aniso_ppm
+    FROM (
+      SELECT 'centered' AS stage, n_vecs, n_pairs, mr AS mn, dr AS sd
+      FROM ms, dots
+      UNION ALL
+      SELECT 'whitened', n_vecs, n_pairs, mw, dw FROM ms, dots)
+    ORDER BY stage"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q217_pca_power"  -> (q217PcaPower _),
     "q218_pca_whiten" -> (q218PcaWhiten _),
-    "q232_jl_audit"   -> (q232JlAudit _))
+    "q232_jl_audit"   -> (q232JlAudit _),
+    "q249_isotropy_audit" -> (q249IsotropyAudit _))
 
   val oracles: Map[String, String] = Map(
     "q217_pca_power"  -> o217,
     "q218_pca_whiten" -> o218,
-    "q232_jl_audit"   -> o232)
+    "q232_jl_audit"   -> o232,
+    "q249_isotropy_audit" -> o249)
 }

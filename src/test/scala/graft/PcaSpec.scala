@@ -112,4 +112,22 @@ class PcaSpec extends AnyFunSuite {
     val mid = rows.filter(r => r._1 >= 5 && r._1 <= 14).map(_._2).sum
     assert(mid * 2 > n, s"distortion not concentrated: $mid of $n")
   }
+
+  test("q249 isotropy audit: pair math sane, whitening removes norm mass") {
+    val rows = Pca.q249IsotropyAudit(spark, TestSpark.SF)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val c = rows("centered"); val w = rows("whitened")
+    val nVecs = Tables.embeddings(spark, TestSpark.SF).count()
+    assert(c._2 == nVecs && w._2 == nVecs)
+    assert(c._3 == nVecs / 2 && w._3 == nVecs / 2)
+    // removing a component can only shed norm mass (up to div slack)
+    assert(w._4 <= c._4 + 64, s"whitening grew norms: $w vs $c")
+    // this corpus's centered embeddings are near-isotropic: the
+    // pairwise-dot share stays sub-5% at BOTH stages (the audit's
+    // certification; a common-direction corpus would show a large
+    // centered share that whitening collapses)
+    assert(math.abs(c._6) < 50000L && math.abs(w._6) < 50000L,
+      s"unexpected anisotropy: $c / $w")
+  }
 }
