@@ -145,4 +145,26 @@ class DedupClusterSpec extends AnyFunSuite {
     val tables = fr.map(_._1).toSet
     assert(tables.exists(_.contains("lineitem")))
   }
+
+  test("q250 funnel: monotone, consistent with its constituent stages") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = graft.text.CorpusPipeline
+      .q250CurationFunnel(spark, TestSpark.SF)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "lang", "quality", "dedup", "decontam"))
+    // monotone shrink in docs and tokens
+    rows.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"funnel grew: $a -> $b") }
+    // stage anchors: raw == corpus; dedup == q78's keeper count
+    assert(rows(0)._3 == Tables.documents(spark, TestSpark.SF).count())
+    assert(rows(3)._3 ==
+      graft.text.CorpusPipeline.q78CorpusPipeline(spark, TestSpark.SF).count())
+    // retained-ppm recomputes from the counts
+    val raw = rows(0)._3
+    rows.foreach(r => assert(r._5 == r._3 * 1000000L / raw))
+    // the funnel does real work at this SF: the end keeps fewer docs
+    assert(rows.last._3 < raw)
+  }
 }
