@@ -482,7 +482,131 @@ object Reconcile {
            WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
     ORDER BY table_name"""
 
+  // ---- q254: Fellegi–Sunter probabilistic record linkage ----
+
+  /** Corruption schedule for the planted "dirty file" (the q206/q236
+    * planted-noise convention): 1-in-NM of names lose their last char,
+    * 1-in-BL of balances jitter by ±2.00, 1-in-NK of nation keys are
+    * wrong (which silently moves the record OUT of its true block). */
+  val LINK_NM_MOD = 4L
+  val LINK_BL_MOD = 3L
+  val LINK_NK_MOD = 10L
+  /** Balance-agreement tolerance in cents, and the centi-log-odds
+    * agreement/disagreement weights (fixed model parameters — in a
+    * trained deployment these come from EM over the comparison-vector
+    * frequencies; here they are declared constants so both engines
+    * score identically). */
+  val LINK_BAL_TOL = 500L
+  val LINK_W_NAME_A = 40L; val LINK_W_NAME_D = -10L
+  val LINK_W_BAL_A = 15L; val LINK_W_BAL_D = -8L
+  val LINK_T_MATCH = 45L
+
+  /** q254: probabilistic record linkage, the Fellegi–Sunter shape — a
+    * deterministically-corrupted copy of `customer` is linked back to
+    * the clean file: BLOCK on (nationkey, mktsegment), score every
+    * in-block pair by summed field-agreement log-odds weights, and
+    * classify match / possible / nonmatch by thresholds. The census
+    * reports each class's pair count, how many are TRUE links (the
+    * fixture knows ground truth), and precision in ppm; the
+    * `lost_by_blocking` row counts true links no blocking pass can
+    * recover because the blocking key itself was corrupted — the
+    * metric that tells a linkage designer whether to add a second
+    * blocking pass.
+    *
+    * Scale shape: blocking is the whole point — the join is equi on
+    * the block key, never customer×customer; Σ|block|² is the graded
+    * cost and the block key must grow with the file (at 100 TB:
+    * nation×segment×name-prefix). Everything else is row-local
+    * integer arithmetic. */
+  def q254RecordLinkage(s: SparkSession, d: String): DataFrame = {
+    def h(tag: String) = expr(
+      s"cast(conv(substr(md5(concat(key, ':$tag')), 1, 4), 16, 10) as bigint)")
+    val clean = customer(s, d).select(col("c_custkey").as("key"),
+      col("c_name").as("nm"), col("c_nationkey").cast("long").as("nk"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+      col("c_mktsegment").as("seg"))
+    val dirty = clean.select(col("key").as("did"),
+      when(h("nm") % LINK_NM_MOD === 0,
+        expr("substr(nm, 1, length(nm) - 1)")).otherwise(col("nm")).as("dnm"),
+      when(h("nk") % LINK_NK_MOD === 0, (col("nk") + 1) % 25)
+        .otherwise(col("nk")).as("dnk"),
+      when(h("bl") % LINK_BL_MOD === 0,
+        col("cents") + (h("bj") % 401 - 200))
+        .otherwise(col("cents")).as("dcents"),
+      col("seg").as("dseg"))
+    val pairs = dirty.join(clean,
+      col("dnk") === col("nk") && col("dseg") === col("seg"))
+      .withColumn("w",
+        when(col("dnm") === col("nm"), lit(LINK_W_NAME_A))
+          .otherwise(lit(LINK_W_NAME_D)) +
+        when(abs(col("dcents") - col("cents")) <= LINK_BAL_TOL,
+          lit(LINK_W_BAL_A)).otherwise(lit(LINK_W_BAL_D)))
+      .withColumn("verdict", when(col("w") >= LINK_T_MATCH, lit("match"))
+        .when(col("w") >= 0, lit("possible")).otherwise(lit("nonmatch")))
+    val census = pairs.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("did") === col("key"), 1L).otherwise(0L)).as("n_true"))
+    val lost = clean
+      .filter(h("nk") % LINK_NK_MOD === 0)
+      .agg(count(lit(1)).as("n_pairs"), count(lit(1)).as("n_true"))
+      .select(lit("lost_by_blocking").as("verdict"), col("n_pairs"),
+        col("n_true"))
+    census.unionByName(lost)
+      .withColumn("precision_ppm",
+        expr("n_true * 1000000 div n_pairs"))
+      .orderBy(col("verdict"))
+  }
+
+  val o254 = s"""
+    WITH clean AS (
+      SELECT c_custkey AS key, c_name AS nm,
+        CAST(c_nationkey AS BIGINT) AS nk,
+        CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+        c_mktsegment AS seg
+      FROM customer),
+    dirty AS (
+      SELECT key AS did,
+        CASE WHEN ('0x' || substr(md5(key || ':nm'), 1, 4))::BIGINT
+            % $LINK_NM_MOD = 0
+          THEN substr(nm, 1, length(nm) - 1) ELSE nm END AS dnm,
+        CASE WHEN ('0x' || substr(md5(key || ':nk'), 1, 4))::BIGINT
+            % $LINK_NK_MOD = 0
+          THEN (nk + 1) % 25 ELSE nk END AS dnk,
+        CASE WHEN ('0x' || substr(md5(key || ':bl'), 1, 4))::BIGINT
+            % $LINK_BL_MOD = 0
+          THEN cents + ('0x' || substr(md5(key || ':bj'), 1, 4))::BIGINT
+            % 401 - 200
+          ELSE cents END AS dcents,
+        seg AS dseg
+      FROM clean),
+    pairs AS (
+      SELECT did, key,
+        (CASE WHEN dnm = nm THEN $LINK_W_NAME_A ELSE $LINK_W_NAME_D END)
+        + (CASE WHEN abs(dcents - cents) <= $LINK_BAL_TOL
+            THEN $LINK_W_BAL_A ELSE $LINK_W_BAL_D END) AS w
+      FROM dirty JOIN clean ON dnk = nk AND dseg = seg),
+    cls AS (
+      SELECT CASE WHEN w >= $LINK_T_MATCH THEN 'match'
+                  WHEN w >= 0 THEN 'possible'
+                  ELSE 'nonmatch' END AS verdict,
+        CASE WHEN did = key THEN 1 ELSE 0 END AS is_true
+      FROM pairs),
+    census AS (
+      SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(is_true) AS BIGINT) AS n_true
+      FROM cls GROUP BY 1
+      UNION ALL
+      SELECT 'lost_by_blocking', CAST(COUNT(*) AS BIGINT),
+        CAST(COUNT(*) AS BIGINT)
+      FROM clean
+      WHERE ('0x' || substr(md5(key || ':nk'), 1, 4))::BIGINT
+        % $LINK_NK_MOD = 0)
+    SELECT verdict, n_pairs, n_true,
+      n_true * 1000000 // n_pairs AS precision_ppm
+    FROM census ORDER BY verdict"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_record_linkage" -> (q254RecordLinkage _),
     "q179_forget_audit"  -> (q179ForgetAudit _),
     "q117_delta_agg"     -> (q117DeltaAgg _),
     "q112_merge_upsert"  -> (q112MergeUpsert _),
@@ -493,6 +617,7 @@ object Reconcile {
     "q108_corr_matrix"   -> (q108CorrMatrix _))
 
   val oracles: Map[String, String] = Map(
+    "q254_record_linkage" -> o254,
     "q179_forget_audit" -> o179,
     "q105_snapshot_diff" -> o105, "q106_not_in_nulls" -> o106,
     "q107_lateral_topk" -> o107, "q108_corr_matrix" -> o108,

@@ -487,6 +487,236 @@ object Similarity {
     ORDER BY dt.i, dt.j"""
   }
 
+  // ---- q252: clustering-agreement audit (ARI + purity vs labels) ----
+
+  /** q252: external clustering validation — Adjusted Rand Index and
+    * purity of an unsupervised partition against the ground-truth
+    * `label` column. The audited partition is the q236 SRP sketch's
+    * low byte (sk % 256): the cheapest clustering the engine owns and
+    * the one its LSH bucketing actually uses, so the score answers
+    * "how label-aligned are the buckets my dedup/ANN path groups by?".
+    * ARI is computed from the contingency table in EXACT integer
+    * arithmetic — pair counts P/A/B/T are C(·,2) sums, and
+    * ARI = 2(TP − AB) / (T(A+B) − 2AB); the graded column is
+    * (1+ARI)·1e6 (nonnegative, so BIGINT floor-vs-truncate division
+    * conventions agree) plus the raw num/den. Purity is Σ per-cluster
+    * majority-label mass.
+    *
+    * Scale shape: sketching rides the one-pass JL projection; the
+    * contingency table is one (cluster,label) aggregate (≤ 256·|labels|
+    * rows), and everything after is arithmetic on that tiny table.
+    * Products run in decimal(38,0) — at 100 TB row counts, T·P ≈ n⁴
+    * overflows int64 long before it overflows decimal(38,0). */
+  def q252ClusterAri(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"), expr(
+      s"transform(embedding, x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint))")
+      .as("c"))
+    val sk = Pca.jlProjectFrame(base)
+      .withColumn("cluster", expr(
+        s"""aggregate(zip_with(y, sequence(0L, ${SRP_BITS - 1}L),
+            (v, j) -> case when v > 0 then shiftleft(1L, cast(j as int))
+                      else 0L end), 0L, (acc, x) -> acc + x) % 256"""))
+      .select(col("vec_id"), col("cluster"))
+    val cont = sk
+      .join(embeddings(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("nij"))
+    val stats = cont.agg(
+      sum(col("nij")).as("n"),
+      countDistinct(col("cluster")).as("n_clusters"),
+      countDistinct(col("label")).as("n_labels"),
+      sum(expr("nij * (nij - 1) div 2")).cast("long").as("p_pairs"))
+    val aPairs = cont.groupBy(col("cluster")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).cast("long").as("a_pairs"))
+    val bPairs = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).cast("long").as("b_pairs"))
+    val purity = cont
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("nij").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .agg(sum(col("nij")).as("purity_mass"))
+    stats.crossJoin(broadcast(aPairs)).crossJoin(broadcast(bPairs))
+      .crossJoin(broadcast(purity))
+      .withColumn("t_pairs", expr(
+        "cast(cast(n as decimal(38,0)) * (n - 1) div 2 as bigint)"))
+      .withColumn("ari_num", expr(
+        """(cast(t_pairs as decimal(38,0)) * p_pairs
+            - cast(a_pairs as decimal(38,0)) * b_pairs) * 2"""))
+      .withColumn("ari_den", expr(
+        """cast(t_pairs as decimal(38,0)) * (a_pairs + b_pairs)
+            - cast(a_pairs as decimal(38,0)) * b_pairs * 2"""))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("p_pairs"), col("a_pairs"), col("b_pairs"), col("t_pairs"),
+        col("ari_num").cast("long").as("ari_num"),
+        col("ari_den").cast("long").as("ari_den"),
+        expr("cast((ari_num + ari_den) * 1000000 div ari_den as bigint)")
+          .as("ari1p_ppm"),
+        col("purity_mass"),
+        expr("""cast(cast(purity_mass as decimal(38,0)) * 1000000 div n
+                as bigint)""").as("purity_ppm"))
+  }
+
+  val o252: String = {
+    val D = Pca.PCA_DIM
+    s"""
+    WITH e AS (
+      SELECT vec_id, i,
+        CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE}) AS BIGINT) AS c
+      FROM embeddings, unnest(range(0, $D)) u(i)),
+    sg AS (
+      SELECT i, j,
+        CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
+          THEN 1 ELSE -1 END AS s
+      FROM unnest(range(0, $D)) a(i), unnest(range(0, $SRP_BITS)) b(j)),
+    y AS (
+      SELECT vec_id, j, CAST(SUM(s * c) AS BIGINT) AS y
+      FROM e JOIN sg USING (i) GROUP BY 1, 2),
+    sk AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN y > 0 THEN 1 << j ELSE 0 END) AS BIGINT) % 256
+          AS cluster
+      FROM y GROUP BY 1),
+    cont AS (
+      SELECT cluster, CAST(label AS BIGINT) AS label, COUNT(*) AS nij
+      FROM sk JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+    st AS (
+      SELECT CAST(SUM(nij) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+        CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS p_pairs
+      FROM cont),
+    ap AS (
+      SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS a_pairs
+      FROM (SELECT SUM(nij) AS ai FROM cont GROUP BY cluster)),
+    bp AS (
+      SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS b_pairs
+      FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY label)),
+    pu AS (
+      SELECT CAST(SUM(nij) AS BIGINT) AS purity_mass
+      FROM (SELECT cluster, nij, ROW_NUMBER() OVER (PARTITION BY cluster
+              ORDER BY nij DESC, label) AS rk FROM cont)
+      WHERE rk = 1),
+    fin AS (
+      SELECT n, n_clusters, n_labels, p_pairs, a_pairs, b_pairs,
+        CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT) AS t_pairs,
+        purity_mass
+      FROM st CROSS JOIN ap CROSS JOIN bp CROSS JOIN pu)
+    SELECT n, n_clusters, n_labels, p_pairs, a_pairs, b_pairs, t_pairs,
+      CAST((CAST(t_pairs AS HUGEINT) * p_pairs
+        - CAST(a_pairs AS HUGEINT) * b_pairs) * 2 AS BIGINT) AS ari_num,
+      CAST(CAST(t_pairs AS HUGEINT) * (a_pairs + b_pairs)
+        - CAST(a_pairs AS HUGEINT) * b_pairs * 2 AS BIGINT) AS ari_den,
+      CAST((((CAST(t_pairs AS HUGEINT) * p_pairs
+            - CAST(a_pairs AS HUGEINT) * b_pairs) * 2
+          + (CAST(t_pairs AS HUGEINT) * (a_pairs + b_pairs)
+            - CAST(a_pairs AS HUGEINT) * b_pairs * 2)) * 1000000)
+        // (CAST(t_pairs AS HUGEINT) * (a_pairs + b_pairs)
+          - CAST(a_pairs AS HUGEINT) * b_pairs * 2) AS BIGINT) AS ari1p_ppm,
+      purity_mass,
+      CAST(CAST(purity_mass AS HUGEINT) * 1000000 // n AS BIGINT)
+        AS purity_ppm
+    FROM fin"""
+  }
+
+  // ---- q255: per-bucket medoid (geometric exemplar) selection ----
+
+  /** q255: representative selection by geometry — for every SRP
+    * byte-bucket (the q252 partition), the MEDOID: the member
+    * minimizing the exact sum of squared euclidean distances to its
+    * bucket peers (lowest vec_id on ties; singletons are their own
+    * medoid at cost 0). This is the "keep one per cluster" step of a
+    * SemDeDup-style pipeline done geometrically — q142 keeps by
+    * QUALITY, q255 keeps the most CENTRAL member, the exemplar whose
+    * distances summarize the bucket. All arithmetic is exact:
+    * quantized int64 coords, int64 per-pair squared distance,
+    * decimal(38,0) per-member accumulation.
+    *
+    * Scale shape: the pair stage is the within-bucket self-join —
+    * Σ|bucket|², the same bounded quadratic every verify stage in
+    * this file rides; buckets are the LSH partition so their size is
+    * the engine's existing knob. The argmin is a per-bucket window
+    * over member rows only. */
+  def q255BucketMedoid(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"), expr(
+      s"transform(embedding, x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint))")
+      .as("c"))
+    val m = Pca.jlProjectFrame(base)
+      .withColumn("cluster", expr(
+        s"""aggregate(zip_with(y, sequence(0L, ${SRP_BITS - 1}L),
+            (v, j) -> case when v > 0 then shiftleft(1L, cast(j as int))
+                      else 0L end), 0L, (acc, x) -> acc + x) % 256"""))
+      .select(col("cluster"), col("vec_id"), col("c"))
+      .repartition(shufflePartitions(s), col("cluster"))
+    val sums = m.as("a")
+      .join(m.as("b"), col("a.cluster") === col("b.cluster")
+        && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"), col("a.vec_id").as("vec_id"),
+        expr("""aggregate(zip_with(a.c, b.c, (x, y) -> (x - y) * (x - y)),
+                0L, (acc, v) -> acc + v)""").as("d2"))
+      .groupBy(col("cluster"), col("vec_id"))
+      .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("sum_d2"))
+    m.select(col("cluster"), col("vec_id"))
+      .join(sums, Seq("cluster", "vec_id"), "left")
+      .withColumn("sum_d2", coalesce(col("sum_d2"), lit(0).cast(
+        org.apache.spark.sql.types.DecimalType(38, 0))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("sum_d2"), col("vec_id"))))
+      .withColumn("n_members", count(lit(1)).over(
+        Window.partitionBy(col("cluster"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("vec_id").as("medoid"),
+        col("n_members").cast("long").as("n_members"),
+        col("sum_d2").cast("long").as("sum_d2"))
+      .orderBy(col("cluster"))
+  }
+
+  val o255: String = {
+    val D = Pca.PCA_DIM
+    s"""
+    WITH e AS (
+      SELECT vec_id, i,
+        CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE}) AS BIGINT) AS c
+      FROM embeddings, unnest(range(0, $D)) u(i)),
+    sg AS (
+      SELECT i, j,
+        CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
+          THEN 1 ELSE -1 END AS s
+      FROM unnest(range(0, $D)) a(i), unnest(range(0, $SRP_BITS)) b(j)),
+    y AS (
+      SELECT vec_id, j, CAST(SUM(s * c) AS BIGINT) AS y
+      FROM e JOIN sg USING (i) GROUP BY 1, 2),
+    sk AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN y > 0 THEN 1 << j ELSE 0 END) AS BIGINT) % 256
+          AS cluster
+      FROM y GROUP BY 1),
+    pair AS (
+      SELECT a.cluster, a.vec_id,
+        CAST(SUM((ea.c - eb.c) * (ea.c - eb.c)) AS HUGEINT) AS d2
+      FROM sk a JOIN sk b ON a.cluster = b.cluster
+        AND a.vec_id <> b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT sk.cluster, sk.vec_id,
+        COALESCE(SUM(pair.d2), 0) AS sum_d2
+      FROM sk LEFT JOIN pair
+        ON pair.cluster = sk.cluster AND pair.vec_id = sk.vec_id
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT cluster, vec_id, sum_d2,
+        ROW_NUMBER() OVER (PARTITION BY cluster
+          ORDER BY sum_d2, vec_id) AS rk,
+        COUNT(*) OVER (PARTITION BY cluster) AS n_members
+      FROM agg)
+    SELECT cluster, vec_id AS medoid,
+      CAST(n_members AS BIGINT) AS n_members,
+      CAST(sum_d2 AS BIGINT) AS sum_d2
+    FROM rk WHERE rk = 1 ORDER BY cluster"""
+  }
+
   private val embedPairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -1073,7 +1303,9 @@ object Similarity {
     "q162_knn_pq"         -> (q162KnnPq _),
     "q208_hard_negatives" -> (q208HardNegatives _),
     "q220_dedup_agreement" -> (q220DedupAgreement _),
-    "q236_srp_lsh"        -> (q236SrpLsh _))
+    "q236_srp_lsh"        -> (q236SrpLsh _),
+    "q252_cluster_ari"    -> (q252ClusterAri _),
+    "q255_bucket_medoid"  -> (q255BucketMedoid _))
 
   /** q220: cross-signal dedup AUDIT — how often do the text near-dup
     * signal (q40's exact shingle-Jaccard pairs) and the embedding
@@ -1116,6 +1348,8 @@ object Similarity {
     "q146_int8_ann" -> o146,
     "q208_hard_negatives" -> o208,
     "q220_dedup_agreement" -> o220,
-    "q236_srp_lsh" -> o236)
+    "q236_srp_lsh" -> o236,
+    "q252_cluster_ari" -> o252,
+    "q255_bucket_medoid" -> o255)
 
 }

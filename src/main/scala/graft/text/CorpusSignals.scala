@@ -960,8 +960,242 @@ object CorpusSignals {
     FROM r WHERE rank <= $SIG_TOP
     ORDER BY source, rank"""
 
+  // ---- q251: BLEU-style n-gram precision (generation eval) ----
+
+  /** Every SUB_MOD-th position (md5-scheduled) of the candidate is
+    * substituted (token reversed) — the planted-noise convention of
+    * q206/q210/q236 applied to text eval. */
+  val BLEU_SUB_MOD = 5L
+
+  /** q251: in-engine generation evaluation — clipped (modified) n-gram
+    * precision, the BLEU core, between a candidate and its reference.
+    * The fixture derives the candidate from the reference by
+    * substituting every md5-scheduled $BLEU_SUB_MOD-th token with its
+    * reversal (length-preserving, so brevity penalty is identically 1
+    * and honestly omitted); a production caller points the two sides
+    * at real (model-output, reference) pairs. Per document: clipped
+    * unigram/bigram match counts m1/m2 against totals t1/t2 (exact
+    * integers — LEAST of the two occurrence counts, the BLEU clipping
+    * rule), and the squared-BLEU-2 proxy (m1·m2·1e12) / (t1·t2) in
+    * ppm² — a pure integer ratio, so no geometric-mean sqrt leaves
+    * exact arithmetic.
+    *
+    * Scale shape: n-gram counting is row-local (explode + two
+    * doc-keyed aggregates); the clip join is (doc, gram)-keyed — a
+    * co-partitioned self-derived join, never corpus×corpus. Products
+    * go through decimal(38,0) so 100 TB document lengths can't
+    * overflow the int64 path. */
+  def q251BleuEval(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("rt"))
+      .withColumn("ct", expr(
+        s"""transform(rt, (t, i) ->
+             case when cast(conv(substr(md5(concat(doc_id, ':', i)), 1, 4),
+                   16, 10) as bigint) % $BLEU_SUB_MOD = 0
+               then reverse(t) else t end)"""))
+    def grams(c: String, n: Int) = expr(
+      if (n == 1) s"transform($c, t -> t)"
+      else s"""transform(sequence(0, size($c) - 2),
+               i -> concat($c[i], chr(1), $c[i + 1]))""")
+    def clipped(n: Int) = {
+      val ref = base.select(col("doc_id"), explode(grams("rt", n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cr"))
+      val cand = base.select(col("doc_id"), explode(grams("ct", n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cc"))
+      cand.join(ref, Seq("doc_id", "g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(least(col("cc"), coalesce(col("cr"), lit(0L)))).as(s"m$n"),
+          sum(col("cc")).as(s"t$n"))
+    }
+    base.select(col("doc_id"), size(col("rt")).cast("long").as("ref_len"))
+      .join(clipped(1), Seq("doc_id"))
+      .join(clipped(2), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("m2", "t2"))
+      .withColumn("bleu2sq_ppm2", when(col("t1") > 0 && col("t2") > 0,
+        (col("m1").cast(d38) * col("m2") * lit(1000000000000L))
+          .divide(col("t1").cast(d38) * col("t2")).cast("long"))
+        .otherwise(lit(0L)))
+      .select(col("doc_id"), col("ref_len"), col("m1"), col("t1"),
+        col("m2"), col("t2"), col("bleu2sq_ppm2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o251 = s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
+    pos AS (
+      SELECT doc_id, i, rt[i + 1] AS t,
+        CASE WHEN ('0x' || substr(md5(doc_id || ':' || i), 1, 4))::BIGINT
+            % $BLEU_SUB_MOD = 0
+          THEN reverse(rt[i + 1]) ELSE rt[i + 1] END AS ct
+      FROM d, unnest(range(0, len(rt))) u(i)),
+    r1 AS (SELECT doc_id, t AS g, COUNT(*) AS cr FROM pos GROUP BY 1, 2),
+    c1 AS (SELECT doc_id, ct AS g, COUNT(*) AS cc FROM pos GROUP BY 1, 2),
+    u AS (
+      SELECT doc_id, SUM(LEAST(cc, COALESCE(cr, 0))) AS m1, SUM(cc) AS t1
+      FROM c1 LEFT JOIN r1 USING (doc_id, g) GROUP BY 1),
+    r2 AS (
+      SELECT a.doc_id, a.t || chr(1) || b.t AS g, COUNT(*) AS cr
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY 1, 2),
+    c2 AS (
+      SELECT a.doc_id, a.ct || chr(1) || b.ct AS g, COUNT(*) AS cc
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id, SUM(LEAST(cc, COALESCE(cr, 0))) AS m2, SUM(cc) AS t2
+      FROM c2 LEFT JOIN r2 USING (doc_id, g) GROUP BY 1)
+    SELECT d.doc_id, CAST(len(rt) AS BIGINT) AS ref_len,
+      CAST(u.m1 AS BIGINT) AS m1, CAST(u.t1 AS BIGINT) AS t1,
+      CAST(COALESCE(bi.m2, 0) AS BIGINT) AS m2,
+      CAST(COALESCE(bi.t2, 0) AS BIGINT) AS t2,
+      CASE WHEN u.t1 > 0 AND COALESCE(bi.t2, 0) > 0
+        THEN CAST(CAST(u.m1 AS HUGEINT) * bi.m2 * 1000000000000
+               // (CAST(u.t1 AS HUGEINT) * bi.t2) AS BIGINT)
+        ELSE 0 END AS bleu2sq_ppm2
+    FROM d JOIN u USING (doc_id) LEFT JOIN bi USING (doc_id)
+    ORDER BY doc_id"""
+
+  // ---- q253: CCNet-style perplexity buckets (head/middle/tail) ----
+
+  /** Perplexity tertiles per language. */
+  val PPL_BUCKETS = 3
+
+  /** q253: the CCNet curation step proper — rank every document by its
+    * LM score (q215's add-one bigram avg-NLL, the corpus's own proxy
+    * LM) WITHIN its language, cut into $PPL_BUCKETS equal-depth
+    * buckets (head = most fluent … tail = least), and report each
+    * bucket's document/token mass and NLL range. Head/middle/tail is
+    * the unit a mixture designer samples by (keep head, subsample
+    * middle, drop tail); doc_id breaks rank ties so the cut is
+    * deterministic.
+    *
+    * Scale shape: the LM table is bigram-vocab-sized (q215's
+    * contract); the ntile window partitions BY LANGUAGE over per-doc
+    * score rows — at 100 TB that window is the one per-lang sort, the
+    * same shape as q151's distributed rank, and the output is
+    * |langs|·$PPL_BUCKETS rows. Single-token documents have no bigram
+    * NLL and are excluded by the q215 ≥2-token contract. */
+  def q253CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = q215BigramLm(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("bucket", ntile(PPL_BUCKETS).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("avg_nll_micro"), col("doc_id"))).cast("long"))
+    scored.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams") + 1).as("n_tokens"),
+        min(col("avg_nll_micro")).as("nll_lo"),
+        max(col("avg_nll_micro")).as("nll_hi"))
+      .withColumn("tier", when(col("bucket") === 1, lit("head"))
+        .when(col("bucket") === PPL_BUCKETS, lit("tail"))
+        .otherwise(lit("middle")))
+      .select(col("lang"), col("bucket"), col("tier"), col("n_docs"),
+        col("n_tokens"), col("nll_lo"), col("nll_hi"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val o253 = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, unnest(range(1, len(toks))) u(i)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM c12),
+    nll AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(CAST(FLOOR(ln((c1 + v)::DOUBLE / (c12 + 1)::DOUBLE) * 1e7)
+          AS BIGINT)) AS BIGINT) // CAST(10 * COUNT(*) AS BIGINT)
+          AS avg_nll_micro
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY doc_id),
+    sc AS (
+      SELECT nll.*, doc.lang,
+        NTILE($PPL_BUCKETS) OVER (PARTITION BY doc.lang
+          ORDER BY avg_nll_micro, doc_id) AS bucket
+      FROM nll JOIN documents doc USING (doc_id))
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+      CASE WHEN bucket = 1 THEN 'head'
+           WHEN bucket = $PPL_BUCKETS THEN 'tail'
+           ELSE 'middle' END AS tier,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_bigrams + 1) AS BIGINT) AS n_tokens,
+      CAST(MIN(avg_nll_micro) AS BIGINT) AS nll_lo,
+      CAST(MAX(avg_nll_micro) AS BIGINT) AS nll_hi
+    FROM sc GROUP BY 1, 2, 3 ORDER BY lang, bucket"""
+
+  // ---- q256: Spearman rank agreement between quality signals ----
+
+  /** q256: per-source Spearman rank correlation between two per-doc
+    * quality signals — token count and type (distinct-token) count —
+    * the signal-agreement audit a curation designer runs before
+    * fusing filters (two signals that rank identically are redundant;
+    * q233's RRF fusion assumes they don't). Ordinal ranks with doc_id
+    * tie-break (deterministic, NOT average-rank — both engines apply
+    * the identical convention), then the classic
+    * ρ = 1 − 6Σd²/(n(n²−1)) as exact integers; the graded column is
+    * (1+ρ)·1e6 = (2·den − 6Σd²)·1e6 / den, nonnegative so the two
+    * engines' integer-division conventions agree.
+    *
+    * Scale shape: signals are row-local folds; the two rank windows
+    * partition BY SOURCE over per-doc signal rows (q151's distributed-
+    * rank shape); den ~ n³ runs in decimal(38,0). */
+  def q256SpearmanSignals(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("x"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+    val ranked = sig
+      .withColumn("rx", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("x"), col("doc_id"))).cast("long"))
+      .withColumn("ry", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("y"), col("doc_id"))).cast("long"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+      .filter(col("n") > 1) // ρ undefined for singleton sources
+      .withColumn("den", expr(
+        "cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * n - 1)"))
+      .select(col("source"), col("n"), col("sum_d2"),
+        col("den").cast("long").as("den"),
+        expr("""cast((2 * den - 6 * cast(sum_d2 as decimal(38,0)))
+                * 1000000 div den as bigint)""").as("rho1p_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o256 = """
+    WITH sig AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents),
+    rk AS (
+      SELECT source,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id)
+          AS BIGINT) AS rx,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY y, doc_id)
+          AS BIGINT) AS ry
+      FROM sig)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+      CAST(CAST(COUNT(*) AS HUGEINT)
+        * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1) AS BIGINT) AS den,
+      CAST((2 * CAST(COUNT(*) AS HUGEINT)
+            * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1)
+          - 6 * CAST(SUM((rx - ry) * (rx - ry)) AS HUGEINT)) * 1000000
+        // (CAST(COUNT(*) AS HUGEINT)
+            * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1)) AS BIGINT)
+        AS rho1p_ppm
+    FROM rk GROUP BY source HAVING COUNT(*) > 1 ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
+    "q251_bleu_eval"   -> (q251BleuEval _),
+    "q253_ccnet_buckets" -> (q253CcnetBuckets _),
+    "q256_spearman_signals" -> (q256SpearmanSignals _),
     "q248_source_signature" -> (q248SourceSignature _),
     "q246_source_entropy" -> (q246SourceEntropy _),
     "q237_zipf_fit"    -> (q237ZipfFit _),
@@ -979,6 +1213,9 @@ object CorpusSignals {
 
   val oracles: Map[String, String] = Map(
     "q215_bigram_lm"   -> o215,
+    "q251_bleu_eval"   -> o251,
+    "q253_ccnet_buckets" -> o253,
+    "q256_spearman_signals" -> o256,
     "q237_zipf_fit"    -> o237,
     "q239_psi_drift"   -> o239,
     "q240_nucleus_size" -> o240,

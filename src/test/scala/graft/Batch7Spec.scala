@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property checks for the round-9 eval/linkage additions: BLEU
+  * clipping invariants (q251), ARI pair-count identities (q252),
+  * CCNet bucket physics (q253), and the Fellegi–Sunter linkage
+  * census's conservation law (q254). */
+class Batch7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q251 BLEU: totals equal lengths, clips never exceed totals") {
+    val rows = text.CorpusSignals.q251BleuEval(spark, TestSpark.SF)
+      .select("doc_id", "ref_len", "m1", "t1", "m2", "t2", "bleu2sq_ppm2")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, refLen, m1, t1, m2, t2, ppm2) =>
+      // substitution preserves length: candidate totals are determined
+      assert(t1 == refLen, s"doc $id: t1=$t1 != ref_len=$refLen")
+      assert(t2 == math.max(refLen - 1, 0L), s"doc $id: t2=$t2")
+      // the clipping rule bounds matches by both sides
+      assert(m1 <= t1 && m2 <= t2, s"doc $id: clip exceeded totals")
+      assert(ppm2 >= 0 && ppm2 <= 1000000000000L, s"doc $id: ppm2=$ppm2")
+      // the planted noise hits ~1/5 of positions: a perfect score on a
+      // long doc would mean the corruption never fired
+      if (refLen >= 30) assert(m1 < t1, s"doc $id: corruption never fired")
+    }
+    // the corpus-level signal is meaningfully degraded but nonzero
+    val meanPpm2 = rows.map(_._7).sum / rows.length
+    assert(meanPpm2 > 100000000000L && meanPpm2 < 990000000000L,
+      s"mean bleu2sq_ppm2=$meanPpm2 outside the planted-noise regime")
+  }
+
+  test("q252 ARI: pair-count identities and metric bounds hold") {
+    val r = sim.Similarity.q252ClusterAri(spark, TestSpark.SF)
+      .collect().head
+    val n = r.getAs[Long]("n")
+    val nEmb = Tables.embeddings(spark, TestSpark.SF).count()
+    assert(n == nEmb, s"n=$n != |embeddings|=$nEmb")
+    val p = r.getAs[Long]("p_pairs"); val a = r.getAs[Long]("a_pairs")
+    val b = r.getAs[Long]("b_pairs"); val t = r.getAs[Long]("t_pairs")
+    assert(t == n * (n - 1) / 2)
+    // cell pairs are bounded by both marginals, marginals by the total
+    assert(p <= a && p <= b, s"p=$p exceeds a=$a or b=$b")
+    assert(a <= t && b <= t)
+    // ARI identity: num/den reproduce the graded (1+ARI)·1e6 exactly
+    val num = r.getAs[Long]("ari_num"); val den = r.getAs[Long]("ari_den")
+    assert(num == 2 * (BigInt(t) * p - BigInt(a) * b))
+    assert(den == BigInt(t) * (a + b) - 2 * BigInt(a) * b)
+    assert(r.getAs[Long]("ari1p_ppm") ==
+      ((BigInt(num) + den) * 1000000 / den).toLong)
+    // purity: at least the best-single-label floor, at most 1
+    val pur = r.getAs[Long]("purity_ppm")
+    val nLabels = r.getAs[Long]("n_labels")
+    assert(pur >= 1000000 / nLabels && pur <= 1000000, s"purity=$pur")
+  }
+
+  test("q253 CCNet buckets: equal-depth, ordered, complete per lang") {
+    val rows = text.CorpusSignals.q253CcnetBuckets(spark, TestSpark.SF)
+      .select("lang", "bucket", "tier", "n_docs", "nll_lo", "nll_hi")
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    val eligible = Tables.documents(spark, TestSpark.SF)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.length == text.CorpusSignals.PPL_BUCKETS, s"$lang buckets")
+      // every eligible doc lands in exactly one bucket
+      assert(g.map(_._4).sum == eligible(lang), s"$lang doc mass")
+      // ntile equal-depth: bucket sizes differ by at most 1
+      assert(g.map(_._4).max - g.map(_._4).min <= 1, s"$lang depth")
+      // NLL ranges are disjoint and ascending head -> tail
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == Seq("head", "middle", "tail"))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._6 <= w(1)._5,
+          s"$lang: bucket ${w(0)._2} hi > bucket ${w(1)._2} lo")
+      }
+    }
+  }
+
+  test("q255 medoids: one per bucket, mass conserved, singleton cost 0") {
+    val med = sim.Similarity.q255BucketMedoid(spark, TestSpark.SF)
+      .select("cluster", "medoid", "n_members", "sum_d2")
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly one medoid per bucket, buckets distinct
+    assert(med.map(_._1).distinct.length == med.length)
+    // member mass equals the corpus; bucket count matches q252's view
+    // of the SAME partition (shared sketch contract)
+    val ari = sim.Similarity.q252ClusterAri(spark, TestSpark.SF).collect().head
+    assert(med.map(_._3).sum == ari.getAs[Long]("n"))
+    assert(med.length == ari.getAs[Long]("n_clusters").toInt)
+    med.foreach { case (cl, _, nm, d2) =>
+      assert(nm >= 1 && d2 >= 0, s"bucket $cl")
+      if (nm == 1) assert(d2 == 0, s"singleton bucket $cl has cost $d2")
+    }
+  }
+
+  test("q256 Spearman: exact vs a driver-side recompute per source") {
+    val got = text.CorpusSignals.q256SpearmanSignals(spark, TestSpark.SF)
+      .select("source", "n", "sum_d2", "den", "rho1p_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect()
+    docs.groupBy(_._2).foreach { case (src, g) =>
+      val sig = g.map { case (id, _, t) =>
+        val toks = t.split(" ", -1)
+        (id, toks.length.toLong, toks.distinct.length.toLong)
+      }
+      val rx = sig.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+      val ry = sig.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+      val sumD2 = sig.map(r => { val d = rx(r._1) - ry(r._1); d * d }).sum
+      val n = sig.length.toLong
+      val (_, gn, gd2, gden, gppm) = got(src)
+      assert(gn == n && gd2 == sumD2, s"$src: d2 $gd2 != $sumD2")
+      assert(gden == n * (n * n - 1))
+      assert(gppm == (BigInt(2) * gden - 6 * BigInt(sumD2)) * 1000000 / gden)
+      // signals genuinely agree on ranking: ρ must be strongly positive
+      assert(gppm > 1500000, s"$src: rho1p_ppm=$gppm not > 1.5e6")
+    }
+  }
+
+  test("q254 linkage: true links conserved across classes + blocking") {
+    val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
+      .select("verdict", "n_pairs", "n_true", "precision_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val nCust = Tables.customer(spark, TestSpark.SF).count()
+    // conservation: every customer's true link is either found in some
+    // class (blocking kept it) or lost because its block key corrupted
+    val found = Seq("match", "possible", "nonmatch")
+      .map(c => rows.get(c).map(_._3).getOrElse(0L)).sum
+    val lost = rows("lost_by_blocking")._3
+    assert(found + lost == nCust, s"found=$found lost=$lost n=$nCust")
+    // the match class is precision-pure on this weight model: a +40
+    // name agreement only happens for the true twin (names are unique)
+    assert(rows("match")._4 == 1000000, "match class not pure")
+    // nonmatch must contain no true links (its weight floor requires a
+    // name disagreement AND balance disagreement, impossible for twins
+    // whose jitter is within tolerance)
+    assert(rows("nonmatch")._3 == 0, "true link classified nonmatch")
+    rows.values.foreach { case (v, np, nt, ppm) =>
+      assert(nt <= np && ppm == nt * 1000000 / np, s"$v census arithmetic")
+    }
+  }
+}
