@@ -507,16 +507,21 @@ object Similarity {
     * rows), and everything after is arithmetic on that tiny table.
     * Products run in decimal(38,0) — at 100 TB row counts, T·P ≈ n⁴
     * overflows int64 long before it overflows decimal(38,0). */
-  def q252ClusterAri(s: SparkSession, d: String): DataFrame = {
-    val base = embeddings(s, d).select(col("vec_id"), expr(
-      s"transform(embedding, x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint))")
-      .as("c"))
-    val sk = Pca.jlProjectFrame(base)
+  /** The SRP sketch's low byte as an unsupervised partition of the
+    * corpus — the shared contract behind q252 (how label-aligned is
+    * it?) and q255 (who is each bucket's exemplar?). Rides the same
+    * one-pass JL projection as q232/q236; coords `c` come along for
+    * consumers that need geometry. */
+  private def srpByteBuckets(s: SparkSession, d: String): DataFrame =
+    Pca.jlProjected(s, d)
       .withColumn("cluster", expr(
         s"""aggregate(zip_with(y, sequence(0L, ${SRP_BITS - 1}L),
             (v, j) -> case when v > 0 then shiftleft(1L, cast(j as int))
                       else 0L end), 0L, (acc, x) -> acc + x) % 256"""))
-      .select(col("vec_id"), col("cluster"))
+      .select(col("vec_id"), col("cluster"), col("c"))
+
+  def q252ClusterAri(s: SparkSession, d: String): DataFrame = {
+    val sk = srpByteBuckets(s, d).select(col("vec_id"), col("cluster"))
     val cont = sk
       .join(embeddings(s, d).select(col("vec_id"),
         col("label").cast("long").as("label")), Seq("vec_id"))
@@ -637,14 +642,7 @@ object Similarity {
     * the engine's existing knob. The argmin is a per-bucket window
     * over member rows only. */
   def q255BucketMedoid(s: SparkSession, d: String): DataFrame = {
-    val base = embeddings(s, d).select(col("vec_id"), expr(
-      s"transform(embedding, x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint))")
-      .as("c"))
-    val m = Pca.jlProjectFrame(base)
-      .withColumn("cluster", expr(
-        s"""aggregate(zip_with(y, sequence(0L, ${SRP_BITS - 1}L),
-            (v, j) -> case when v > 0 then shiftleft(1L, cast(j as int))
-                      else 0L end), 0L, (acc, x) -> acc + x) % 256"""))
+    val m = srpByteBuckets(s, d)
       .select(col("cluster"), col("vec_id"), col("c"))
       .repartition(shufflePartitions(s), col("cluster"))
     val sums = m.as("a")
