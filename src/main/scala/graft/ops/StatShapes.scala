@@ -364,17 +364,98 @@ object StatShapes {
           UNION ALL SELECT * FROM ok2 UNION ALL SELECT * FROM r3)
     ORDER BY level, nat, seg, band"""
 
+  // ---- q258: l-diversity + t-closeness audit ----
+
+  /** q258: the privacy ladder's next two rungs after q227's
+    * k-anonymity — for each (nation, balance-band) equivalence class
+    * with `c_mktsegment` as the SENSITIVE attribute: the class's row
+    * count (k), its distinct-sensitive-value count (the l it offers —
+    * a class where every member shares one segment leaks the segment
+    * even at high k), and its t-closeness as total-variation distance
+    * between the class's sensitive distribution and the global one,
+    * computed in EXACT rational arithmetic:
+    * tvd = Σ_v |n_v·N − m_v·n| / (2·n·N) scaled to ppm, so no
+    * per-class float frequencies exist. The release designer reads
+    * min(l) and max(tvd) off this table.
+    *
+    * Scale shape: ONE (class, sensitive) aggregate; the global
+    * distribution is a |sensitive|-row broadcast; everything after is
+    * arithmetic on the class ledger. Products run in decimal(38,0). */
+  def q258LDiversity(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        expr("(cast(c_acctbal * 100 as bigint) + 100000L) div 100000L")
+          .as("band"),
+        col("c_mktsegment").as("sv"))
+      .groupBy(col("nat"), col("band"), col("sv"))
+      .agg(count(lit(1)).as("nv"))
+    val cls = cells.groupBy(col("nat"), col("band"))
+      .agg(sum(col("nv")).as("k_rows"),
+        countDistinct(col("sv")).as("l_distinct"))
+    val glob = cells.groupBy(col("sv")).agg(sum(col("nv")).as("mv"))
+    val tot = cells.agg(sum(col("nv")).as("nn"))
+    // TVD needs the ABSENT sensitive values too: Σ_v |p_v − q_v| =
+    // Σ_present |nv·N − mv·k|/(k·N) + (N − Σ_present mv)·k/(k·N)
+    cells.join(broadcast(glob), Seq("sv"))
+      .join(cls, Seq("nat", "band"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("nat"), col("band"))
+      .agg(max(col("k_rows")).as("k_rows"),
+        max(col("l_distinct")).as("l_distinct"),
+        max(col("nn")).as("nn"),
+        sum(abs(expr("""cast(nv as decimal(38,0)) * nn
+              - cast(mv as decimal(38,0)) * k_rows"""))).as("num_present"),
+        sum(col("mv")).as("mv_present"))
+      .withColumn("tvd_ppm", expr(
+        """cast((num_present
+             + cast(nn - mv_present as decimal(38,0)) * k_rows) * 1000000
+           div (2 * cast(k_rows as decimal(38,0)) * nn) as bigint)"""))
+      .select(col("nat"), col("band"), col("k_rows"), col("l_distinct"),
+        col("tvd_ppm"))
+      .orderBy(col("nat"), col("band"))
+  }
+
+  val o258 = """
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000 AS band,
+        c_mktsegment AS sv, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM customer GROUP BY 1, 2, 3),
+    cls AS (
+      SELECT nat, band, CAST(SUM(nv) AS BIGINT) AS k_rows,
+        CAST(COUNT(DISTINCT sv) AS BIGINT) AS l_distinct
+      FROM cells GROUP BY 1, 2),
+    gdist AS (SELECT sv, CAST(SUM(nv) AS BIGINT) AS mv FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS nn FROM cells),
+    term AS (
+      SELECT nat, band,
+        SUM(abs(CAST(nv AS HUGEINT) * nn - CAST(mv AS HUGEINT) * k_rows))
+          AS num_present,
+        CAST(SUM(mv) AS BIGINT) AS mv_present,
+        MAX(k_rows) AS k_rows, MAX(l_distinct) AS l_distinct,
+        MAX(nn) AS nn
+      FROM cells JOIN gdist USING (sv) JOIN cls USING (nat, band)
+        CROSS JOIN tot
+      GROUP BY 1, 2)
+    SELECT nat, band, k_rows, l_distinct,
+      CAST((num_present + CAST(nn - mv_present AS HUGEINT) * k_rows)
+        * 1000000 // (2 * CAST(k_rows AS HUGEINT) * nn) AS BIGINT)
+        AS tvd_ppm
+    FROM term ORDER BY nat, band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_ols_trend"       -> (q189OlsTrend _),
     "q192_mad_outliers"    -> (q192MadOutliers _),
     "q193_benford"         -> (q193BenfordAudit _),
     "q194_weighted_median" -> (q194WeightedMedian _),
-    "q227_k_anonymity"     -> (q227KAnonymity _))
+    "q227_k_anonymity"     -> (q227KAnonymity _),
+    "q258_l_diversity"     -> (q258LDiversity _))
 
   val oracles: Map[String, String] = Map(
     "q189_ols_trend"       -> o189,
     "q192_mad_outliers"    -> o192,
     "q193_benford"         -> o193,
     "q194_weighted_median" -> o194,
-    "q227_k_anonymity"     -> o227)
+    "q227_k_anonymity"     -> o227,
+    "q258_l_diversity"     -> o258)
 }

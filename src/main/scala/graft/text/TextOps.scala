@@ -520,6 +520,116 @@ object TextOps {
     WHERE tf_vector > 0 AND tf_merge > 0 AND tf_spark > 0
     ORDER BY score DESC, doc_id LIMIT 20"""
 
+  // ---- q257: retrieval evaluation (MRR + nDCG@k) ----
+
+  /** Retrieval-eval depth and query batch (mid-frequency corpus words,
+    * the q155 convention). */
+  val RET_K = 10
+  val RET_TERMS = Seq("vector", "merge", "spark", "filter", "stream")
+
+  /** q257: the retrieval-metrics harness — MRR and nDCG@$RET_K for a
+    * batch of single-term queries over the corpus, with
+    * split-document pseudo-qrels: each document is ranked by its
+    * query-term TF in the FIRST half and judged relevant iff the term
+    * also occurs in the held-out SECOND half (the classic
+    * pseudo-query trick for label-free IR eval). Discounts use the
+    * fixed-point convention d(r) = round(1e6/log₂(r+1)) — both
+    * engines feed libm the identical small-integer argument (the q205
+    * ln stance) — so DCG/IDCG are exact integer sums and nDCG one
+    * final integer division.
+    *
+    * Scale shape: scoring is ROW-LOCAL (higher-order filter over the
+    * two halves, no explode — the q155 scan shape, one pass for the
+    * whole query batch); the only exchange is the per-term top-k
+    * window over docs that MATCH the term, and IDCG derives from the
+    * tiny (term, n_rel) ledger. */
+  def q257RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    val perTerm = RET_TERMS.map { t =>
+      struct(lit(t).as("term"),
+        expr(s"cast(size(filter(slice(toks, 1, h), x -> x = '$t')) as bigint)")
+          .as("tf1"),
+        expr(s"""case when size(filter(slice(toks, h + 1, n - h),
+                 x -> x = '$t')) > 0 then 1L else 0L end""").as("rel"))
+    }
+    val base = documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("h", expr("n div 2"))
+      .select(col("doc_id"), explode(array(perTerm: _*)).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf1").as("tf1"),
+        col("p.rel").as("rel"))
+    val top = base.filter(col("tf1") > 0)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+          .orderBy(col("tf1").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= RET_K)
+      .withColumn("disc", expr(
+        "cast(round(1000000 / log2(rank + 1)) as bigint)"))
+    val nrel = base.groupBy(col("term")).agg(sum(col("rel")).as("n_rel"))
+    top.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("rel") * col("disc")).as("dcg_micro"),
+        min(when(col("rel") === 1, col("rank"))).as("frr"))
+      .join(nrel, Seq("term"))
+      .withColumn("idcg_micro", expr(
+        s"""case when n_rel = 0 then 0L else
+            aggregate(sequence(1, cast(least(n_rel, $RET_K) as int)), 0L,
+              (acc, r) -> acc + cast(round(1000000 / log2(r + 1)) as bigint))
+            end"""))
+      .select(col("term"), col("n_ranked"), col("n_rel"),
+        coalesce(col("frr"), lit(0L)).as("first_rel_rank"),
+        expr("case when frr is null then 0L else 1000000 div frr end")
+          .as("rr_ppm"),
+        col("dcg_micro"), col("idcg_micro"),
+        expr("""case when idcg_micro = 0 then 0L
+                else dcg_micro * 1000000 div idcg_micro end""").as("ndcg_ppm"))
+      .orderBy(col("term"))
+  }
+
+  val o257 = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+      FROM documents),
+    q AS (SELECT unnest(['vector', 'merge', 'spark', 'filter', 'stream'])
+            AS term),
+    sc AS (
+      SELECT doc_id, term,
+        CAST(len(list_filter(toks[1 : CAST(n // 2 AS INT)],
+          x -> x = term)) AS BIGINT) AS tf1,
+        CASE WHEN len(list_filter(toks[CAST(n // 2 AS INT) + 1 : CAST(n AS INT)],
+          x -> x = term)) > 0 THEN 1 ELSE 0 END AS rel
+      FROM d CROSS JOIN q),
+    top AS (
+      SELECT term, doc_id, tf1, rel,
+        CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf1 DESC, doc_id)
+          AS BIGINT) AS rank
+      FROM sc WHERE tf1 > 0 QUALIFY rank <= $RET_K),
+    tw AS (
+      SELECT *, CAST(ROUND(1000000 / log2(rank + 1)) AS BIGINT) AS disc
+      FROM top),
+    nr AS (SELECT term, CAST(SUM(rel) AS BIGINT) AS n_rel FROM sc GROUP BY 1),
+    disc10 AS (
+      SELECT r, CAST(ROUND(1000000 / log2(r + 1)) AS BIGINT) AS dd
+      FROM unnest(range(1, $RET_K + 1)) u(r)),
+    idcg AS (
+      SELECT term, CAST(COALESCE(SUM(dd), 0) AS BIGINT) AS idcg_micro
+      FROM nr LEFT JOIN disc10 ON r <= LEAST(n_rel, $RET_K) GROUP BY 1),
+    ag AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+        CAST(SUM(rel * disc) AS BIGINT) AS dcg_micro,
+        MIN(CASE WHEN rel = 1 THEN rank END) AS frr
+      FROM tw GROUP BY 1)
+    SELECT ag.term, n_ranked, n_rel,
+      CAST(COALESCE(frr, 0) AS BIGINT) AS first_rel_rank,
+      CAST(CASE WHEN frr IS NULL THEN 0 ELSE 1000000 // frr END AS BIGINT)
+        AS rr_ppm,
+      dcg_micro, idcg_micro,
+      CAST(CASE WHEN idcg_micro = 0 THEN 0
+        ELSE dcg_micro * 1000000 // idcg_micro END AS BIGINT) AS ndcg_ppm
+    FROM ag JOIN nr USING (term) JOIN idcg USING (term)
+    ORDER BY term"""
+
   // ---- q245: classifier evaluation (precision/recall/F1 per class) ----
 
   /** q245: per-class evaluation of the q35 language classifier against
@@ -597,6 +707,7 @@ object TextOps {
     "q34_token_stats"   -> (q34TokenStats _),
     "q35_lang_id"       -> (q35LangId _),
     "q245_langid_eval"  -> (q245LangidEval _),
+    "q257_retrieval_eval" -> (q257RetrievalEval _),
     "q36_quality_score" -> (q36QualityScore _),
     "q37_fingerprint"   -> (q37Fingerprint _),
     "q38_doc_stats"     -> (q38DocStats _),
@@ -606,6 +717,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
     "q245_langid_eval" -> o245,
+    "q257_retrieval_eval" -> o257,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,
     "q56_regex_tokens" -> o56, "q63_tfidf" -> o63,

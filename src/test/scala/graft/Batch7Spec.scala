@@ -126,6 +126,75 @@ class Batch7Spec extends AnyFunSuite {
     }
   }
 
+  test("q257 retrieval eval: metric bounds + exact recompute for one query") {
+    val rows = text.TextOps.q257RetrievalEval(spark, TestSpark.SF)
+      .select("term", "n_ranked", "n_rel", "first_rel_rank", "rr_ppm",
+        "dcg_micro", "idcg_micro", "ndcg_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == text.TextOps.RET_TERMS.sorted)
+    rows.foreach { case (t, nRanked, nRel, frr, rr, dcg, idcg, ndcg) =>
+      assert(nRanked >= 1 && nRanked <= text.TextOps.RET_K, s"$t n_ranked")
+      assert(frr >= 0 && frr <= nRanked, s"$t first_rel_rank")
+      if (frr == 1) assert(rr == 1000000, s"$t rr at rank 1")
+      assert(dcg <= idcg, s"$t dcg $dcg > idcg $idcg")
+      assert(ndcg >= 0 && ndcg <= 1000000, s"$t ndcg=$ndcg")
+      assert(nRel >= 0)
+    }
+    // exact recompute of MRR + nDCG for one query, driver-side
+    val term = "vector"
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def disc(r: Long) = math.round(1000000.0 / (math.log(r + 1.0) / math.log(2)))
+    val scored = docs.map { case (id, txt) =>
+      val toks = txt.toLowerCase.split(" ", -1)
+      val h = toks.length / 2
+      val tf1 = toks.take(h).count(_ == term).toLong
+      val rel = if (toks.drop(h).contains(term)) 1L else 0L
+      (id, tf1, rel)
+    }
+    val top = scored.filter(_._2 > 0).sortBy(r => (-r._2, r._1))
+      .take(text.TextOps.RET_K).zipWithIndex
+      .map { case ((id, tf1, rel), i) => (id, rel, i + 1L) }
+    val expDcg = top.map { case (_, rel, r) => rel * disc(r) }.sum
+    val nRel = scored.map(_._3).sum
+    val expIdcg = (1L to math.min(nRel, text.TextOps.RET_K.toLong))
+      .map(disc).sum
+    val got = rows.find(_._1 == term).get
+    assert(got._6 == expDcg, s"dcg ${got._6} != $expDcg")
+    assert(got._7 == expIdcg, s"idcg ${got._7} != $expIdcg")
+    val expFrr = top.find(_._2 == 1).map(_._3).getOrElse(0L)
+    assert(got._4 == expFrr)
+  }
+
+  test("q258 privacy audit: mass conserved, l and t bounded, exact TVD") {
+    val rows = ops.StatShapes.q258LDiversity(spark, TestSpark.SF)
+      .select("nat", "band", "k_rows", "l_distinct", "tvd_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val cust = Tables.customer(spark, TestSpark.SF)
+      .select(col("c_nationkey").cast("long"),
+        expr("(cast(c_acctbal * 100 as bigint) + 100000L) div 100000L"),
+        col("c_mktsegment")).as[(Long, Long, String)].collect()
+    assert(rows.map(_._3).sum == cust.length)
+    val nSeg = cust.map(_._3).distinct.length
+    rows.foreach { case (nat, band, k, l, tvd) =>
+      assert(k >= 1 && l >= 1 && l <= math.min(k, nSeg), s"($nat,$band)")
+      assert(tvd >= 0 && tvd <= 1000000, s"($nat,$band) tvd=$tvd")
+      // an l=1 class concentrates all mass on one segment: its TVD is
+      // 1 - m_v/N, necessarily large on a ~5-way-balanced global dist
+      if (l == 1) assert(tvd > 500000, s"($nat,$band) l=1 but tvd=$tvd")
+    }
+    // exact TVD recompute for the largest class
+    val (nat, band, k, _, tvd) = rows.maxBy(_._3)
+    val n = cust.length.toLong
+    val global = cust.groupBy(_._3).map { case (s0, g) => s0 -> g.length.toLong }
+    val inCls = cust.filter(c => c._1 == nat && c._2 == band)
+      .groupBy(_._3).map { case (s0, g) => s0 -> g.length.toLong }
+    val num = global.map { case (s0, mv) =>
+      (BigInt(inCls.getOrElse(s0, 0L)) * n - BigInt(mv) * k).abs
+    }.sum
+    assert(BigInt(tvd) == num * 1000000 / (2 * BigInt(k) * n))
+  }
+
   test("q254 linkage: true links conserved across classes + blocking") {
     val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
       .select("verdict", "n_pairs", "n_true", "precision_ppm")
