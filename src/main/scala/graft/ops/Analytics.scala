@@ -838,7 +838,78 @@ object Analytics {
       CAST(sy // (10 * n) - s // (10 * n) AS BIGINT) AS ig_micro
     FROM hc CROSS JOIN hy CROSS JOIN nn ORDER BY feature"""
 
+  // ---- q261: Fano-factor burstiness per event type ----
+
+  /** Nanos per hourly bin. */
+  val FANO_BIN_NS = 3600000000000L
+
+  /** q261: dispersion index (Fano factor, variance-to-mean ratio of
+    * hourly arrival counts — INCLUDING empty hours, zero-filled over
+    * the observed span) per event type. F ≈ 1 is Poisson traffic;
+    * F ≫ 1 is bursty (flash crowds, batch replays) — the
+    * load-planning statistic behind q154's peak-concurrency number.
+    * F = (n·Σx² − (Σx)²) / (n·Σx) on exact integer moments, one
+    * final milli-scaled division.
+    *
+    * Scale shape: the fact scan collapses to an (event_type, hour)
+    * aggregate (map-side combined); the zero-fill grid is
+    * |types|·|hours| — calendar-sized, never event-sized (the q201
+    * pattern) — and the moments reduce it to 3 numbers per type. */
+  def q261FanoBurstiness(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = events(s, d)
+      .select(col("event_type"), expr(s"ts div $FANO_BIN_NS").as("hour"))
+    val counts = ev.groupBy(col("event_type").as("et"), col("hour").as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val span = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hour"))
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    grid.join(counts, col("event_type") === col("et")
+        && col("hour") === col("hr"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("x")).as("n_events"),
+        sum(col("x").cast(d38) * col("x")).cast(d38).as("sxx"))
+      .select(col("event_type"), col("n_buckets"), col("n_events"),
+        expr("n_events * 1000 div n_buckets").as("mean_milli"),
+        expr("""cast((cast(n_buckets as decimal(38,0)) * sxx
+              - cast(n_events as decimal(38,0)) * n_events) * 1000
+            div (cast(n_buckets as decimal(38,0)) * n_events) as bigint)""")
+          .as("fano_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val o261 = s"""
+    WITH ev AS (
+      SELECT event_type, epoch_ns(ts) // $FANO_BIN_NS AS hour FROM events),
+    counts AS (
+      SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS x
+      FROM ev GROUP BY 1, 2),
+    span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+    grid AS (
+      SELECT t.event_type, u.h AS hour
+      FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN span, unnest(range(h0, h1 + 1)) u(h)),
+    filled AS (
+      SELECT g.event_type, g.hour, COALESCE(c.x, 0) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.hour = g.hour),
+    mom AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(SUM(x) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM filled GROUP BY 1)
+    SELECT event_type, n_buckets, n_events,
+      n_events * 1000 // n_buckets AS mean_milli,
+      CAST((CAST(n_buckets AS HUGEINT) * sxx
+          - CAST(n_events AS HUGEINT) * n_events) * 1000
+        // (CAST(n_buckets AS HUGEINT) * n_events) AS BIGINT) AS fano_milli
+    FROM mom ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_fano_burstiness"   -> (q261FanoBurstiness _),
     "q175_info_gain"         -> (q175InfoGain _),
     "q172_seq_pairs"         -> (q172SeqPairs _),
     "q160_markov"            -> (q160Markov _),
@@ -855,6 +926,7 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q261_fano_burstiness" -> o261,
     "q175_info_gain" -> o175,
     "q172_seq_pairs" -> o172,
     "q160_markov" -> o160,

@@ -1191,11 +1191,190 @@ object CorpusSignals {
         AS rho1p_ppm
     FROM rk GROUP BY source HAVING COUNT(*) > 1 ORDER BY source"""
 
+  // ---- q259: Heaps'-law vocabulary-growth fit (corpus planner) ----
+
+  /** q259: per-source Heaps'-law fit V(N) ≈ K·N^β — the
+    * vocabulary-growth curve that answers "how much NEW vocabulary
+    * (≈ new information) will 10× more of this source bring?", the
+    * companion planning tool to q237's Zipf exponent and q231's
+    * novelty decay. The growth curve is exact and ONE-PASS: each
+    * type's first-occurrence document (min doc_id within source, the
+    * ingestion order) turns into per-doc new-type counts, and two
+    * per-source prefix sums give (cumulative tokens N, cumulative
+    * vocabulary V) at every document checkpoint; the log–log OLS then
+    * collapses the curve to 5 moments per source (the q237/q189
+    * closed form, round(ln·1e6) fixed-point coordinates,
+    * decimal(38,0) products).
+    *
+    * Scale shape: first-occurrence is the (source, type) aggregate —
+    * vocabulary-sized; the prefix sums window over per-DOC rows per
+    * source (q151's rank shape); no corpus-sized window, no repeated
+    * distinct-counting over prefixes (the naive formulation is
+    * quadratic — this one is the 100 TB way to get the same curve). */
+  def q259HeapsFit(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val occ = documents(s, d).select(col("source"), col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val newTypes = occ.groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("new_types"))
+    val growth = occ.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+      .join(newTypes, Seq("source", "doc_id"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("v", sum(col("new_types")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .withColumn("nn", sum(col("n_toks")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    val pts = growth.select(col("source"), col("v"), col("nn"),
+      expr("cast(round(ln(cast(nn as double)) * 1000000) as bigint)").as("x"),
+      expr("cast(round(ln(cast(v as double)) * 1000000) as bigint)").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        max(col("nn")).as("n_tokens"), max(col("v")).as("vocab"),
+        sum(col("x").cast(d38)).cast(d38).as("sx"),
+        sum(col("y").cast(d38)).cast(d38).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).cast(d38).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).cast(d38).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        col("n_tokens"), col("vocab"),
+        expr("cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) as bigint)")
+          .as("beta_micro"),
+        // y is ln·1e6 fixed point already — quotient IS micro units
+        expr("cast((sy * sxx - sx * sxy) div (n * sxx - sx * sx) as bigint)")
+          .as("icept_micro"))
+      .orderBy(col("source"))
+  }
+
+  val o259 = """
+    WITH occ AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    nt AS (
+      SELECT source, doc_id, COUNT(*) AS new_types
+      FROM (SELECT source, tok, MIN(doc_id) AS doc_id FROM occ GROUP BY 1, 2)
+      GROUP BY 1, 2),
+    gr AS (
+      SELECT o.source, o.doc_id, COUNT(*) AS n_toks,
+        COALESCE(MAX(nt.new_types), 0) AS new_types
+      FROM occ o LEFT JOIN nt ON nt.source = o.source
+        AND nt.doc_id = o.doc_id
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT source,
+        SUM(new_types) OVER (PARTITION BY source ORDER BY doc_id) AS v,
+        SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS nn
+      FROM gr),
+    pts AS (
+      SELECT source, v, nn,
+        CAST(ROUND(ln(CAST(nn AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM cum),
+    mom AS (
+      SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        CAST(MAX(nn) AS BIGINT) AS n_tokens, CAST(MAX(v) AS BIGINT) AS vocab,
+        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM pts GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, n_tokens, vocab,
+      CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        AS beta_micro,
+      CAST((sy * sxx - sx * sxy) // (n * sxx - sx * sx) AS BIGINT)
+        AS icept_micro
+    FROM mom ORDER BY source"""
+
+  // ---- q260: top-k rank-overlap drift (head-vocabulary Jaccard@k) ----
+
+  /** Overlap depths audited by q260. */
+  val RBO_KS = Seq(10, 25, 50)
+
+  /** q260: RANK-based drift — Jaccard overlap between each source's
+    * top-k term list and the corpus-global top-k, at depths
+    * ${RBO_KS}. Complements the DISTRIBUTION drift monitors (q239
+    * PSI, q243 KS, q246 KL): two sources can share a distribution
+    * shape yet rank entirely different heads, and the head list is
+    * what q248's signatures and any stop-list derive from. Ranks
+    * break ties lexically; |A∩B| and the union sizes are exact
+    * integers.
+    *
+    * Scale shape: both rankings derive from ONE (source, term)
+    * aggregate; the global top-k is orderBy+limit (TakeOrderedAnd-
+    * Project — bounded, never a full-vocab single-partition window)
+    * and the per-source rank window partitions by source over its
+    * vocabulary. The overlap joins are k-row × k-row broadcasts. */
+  def q260TopkOverlap(s: SparkSession, d: String): DataFrame = {
+    val kMax = RBO_KS.max
+    val tf = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("freq"))
+    val gtop = tf.groupBy(col("term")).agg(sum(col("freq")).as("gfreq"))
+      .orderBy(col("gfreq").desc, col("term")).limit(kMax)
+      .withColumn("grank", row_number().over(
+        Window.orderBy(col("gfreq").desc, col("term"))).cast("long"))
+      .select(col("term"), col("grank"))
+    val stop = tf
+      .withColumn("srank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("freq").desc, col("term"))).cast("long"))
+      .filter(col("srank") <= kMax)
+      .select(col("source"), col("term"), col("srank"))
+    val both = stop.join(broadcast(gtop), Seq("term"))
+    val frames = RBO_KS.map { k =>
+      val aK = stop.filter(col("srank") <= k)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val bK = math.min(k.toLong, kMax.toLong) // global list is exact-k here
+      val inter = both.filter(col("srank") <= k && col("grank") <= k)
+        .groupBy(col("source")).agg(count(lit(1)).as("inter"))
+      aK.join(inter, Seq("source"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .select(col("source"), lit(k.toLong).as("k"), col("n_src"),
+          col("inter"),
+          expr(s"inter * 1000000 div (n_src + $bK - inter)")
+            .as("jaccard_ppm"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("source"), col("k"))
+  }
+
+  val o260: String = {
+    val kMax = RBO_KS.max
+    val perK = RBO_KS.map { k =>
+      s"""
+      SELECT st.source, CAST($k AS BIGINT) AS k,
+        CAST(COUNT(*) AS BIGINT) AS n_src,
+        CAST(COUNT(gt.term) AS BIGINT) AS inter,
+        CAST(COUNT(gt.term) * 1000000
+          // (COUNT(*) + $k - COUNT(gt.term)) AS BIGINT) AS jaccard_ppm
+      FROM st LEFT JOIN gt ON gt.term = st.term AND gt.grank <= $k
+      WHERE st.srank <= $k GROUP BY st.source"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH tf AS (
+      SELECT source, t AS term, COUNT(*) AS freq
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    gt AS (
+      SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY gfreq DESC, term)
+        AS BIGINT) AS grank
+      FROM (SELECT term, SUM(freq) AS gfreq FROM tf GROUP BY 1)
+      ORDER BY gfreq DESC, term LIMIT $kMax),
+    st AS (
+      SELECT source, term,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY freq DESC, term) AS BIGINT) AS srank
+      FROM tf QUALIFY srank <= $kMax)
+    SELECT * FROM ($perK) ORDER BY source, k"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
+    "q260_topk_overlap" -> (q260TopkOverlap _),
     "q251_bleu_eval"   -> (q251BleuEval _),
     "q253_ccnet_buckets" -> (q253CcnetBuckets _),
     "q256_spearman_signals" -> (q256SpearmanSignals _),
+    "q259_heaps_fit"   -> (q259HeapsFit _),
     "q248_source_signature" -> (q248SourceSignature _),
     "q246_source_entropy" -> (q246SourceEntropy _),
     "q237_zipf_fit"    -> (q237ZipfFit _),
@@ -1216,6 +1395,8 @@ object CorpusSignals {
     "q251_bleu_eval"   -> o251,
     "q253_ccnet_buckets" -> o253,
     "q256_spearman_signals" -> o256,
+    "q259_heaps_fit"   -> o259,
+    "q260_topk_overlap" -> o260,
     "q237_zipf_fit"    -> o237,
     "q239_psi_drift"   -> o239,
     "q240_nucleus_size" -> o240,

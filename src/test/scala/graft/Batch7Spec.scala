@@ -195,6 +195,74 @@ class Batch7Spec extends AnyFunSuite {
     assert(BigInt(tvd) == num * 1000000 / (2 * BigInt(k) * n))
   }
 
+  test("q259 Heaps fit: sublinear growth, totals match exact recounts") {
+    val rows = text.CorpusSignals.q259HeapsFit(spark, TestSpark.SF)
+      .select("source", "n_docs", "n_tokens", "vocab", "beta_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select("source", "text").as[(String, String)].collect()
+    rows.foreach { case (src, nDocs, nToks, vocab, beta) =>
+      val g = docs.filter(_._1 == src)
+      assert(nDocs == g.length, s"$src n_docs")
+      val toks = g.flatMap(_._2.split(" ", -1))
+      assert(nToks == toks.length, s"$src n_tokens")
+      assert(vocab == toks.distinct.length, s"$src vocab")
+      assert(vocab <= nToks)
+      // Heaps' law: sublinear, non-negative. This fixture's ~100-word
+      // global vocabulary saturates within a few documents, so β can
+      // legitimately truncate to 0 at sf0.001 — assert the bound, not
+      // a natural-corpus interior value.
+      assert(beta >= 0 && beta < 1000000, s"$src beta_micro=$beta")
+    }
+  }
+
+  test("q260 top-k overlap: intersections monotone in k, bounded") {
+    val rows = text.CorpusSignals.q260TopkOverlap(spark, TestSpark.SF)
+      .select("source", "k", "n_src", "inter", "jaccard_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (src, g) =>
+      assert(g.map(_._2).sorted.toSeq ==
+        text.CorpusSignals.RBO_KS.map(_.toLong), s"$src depths")
+      g.foreach { case (_, k, nSrc, inter, j) =>
+        // a source's head list is min(k, |vocab|) long — this tiny
+        // fixture's sources have fewer than 50 types
+        assert(nSrc >= 1 && nSrc <= k, s"$src@$k n_src=$nSrc")
+        assert(inter >= 0 && inter <= math.min(nSrc, k), s"$src@$k inter")
+        assert(j >= 0 && j <= 1000000, s"$src@$k jaccard")
+      }
+      // A_10 ⊆ A_50 and B_10 ⊆ B_50 ⇒ |A_k ∩ B_k| nondecreasing in k
+      val byK = g.sortBy(_._2).map(_._4)
+      assert(byK.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        s"$src intersections not monotone: ${byK.toSeq}")
+    }
+  }
+
+  test("q261 Fano: shared span, mass conserved, exact for one type") {
+    val rows = ops.Analytics.q261FanoBurstiness(spark, TestSpark.SF)
+      .select("event_type", "n_buckets", "n_events", "mean_milli",
+        "fano_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), col("ts")).as[(String, Long)].collect()
+    assert(rows.map(_._3).sum == ev.length)
+    // zero-fill uses ONE global span: every type sees the same buckets
+    assert(rows.map(_._2).distinct.length == 1)
+    val hours = ev.map(e => e._2 / ops.Analytics.FANO_BIN_NS)
+    assert(rows.head._2 == hours.max - hours.min + 1)
+    // exact recompute for the first type
+    val (et, nB, nE, mean, fano) = rows.head
+    val mine = ev.filter(_._1 == et).map(_._2 / ops.Analytics.FANO_BIN_NS)
+    val counts = (hours.min to hours.max).map(h =>
+      mine.count(_ == h).toLong)
+    val sx = counts.sum; val sxx = counts.map(x => BigInt(x) * x).sum
+    assert(nE == sx)
+    assert(mean == sx * 1000 / nB)
+    assert(BigInt(fano) ==
+      (BigInt(nB) * sxx - BigInt(sx) * sx) * 1000 / (BigInt(nB) * sx))
+  }
+
   test("q254 linkage: true links conserved across classes + blocking") {
     val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
       .select("verdict", "n_pairs", "n_true", "precision_ppm")
