@@ -1368,9 +1368,64 @@ object CorpusSignals {
     SELECT * FROM ($perK) ORDER BY source, k"""
   }
 
+  // ---- q263: Mann–Whitney U / common-language effect size ----
+
+  /** q263: distribution-free source comparison — the Mann–Whitney U
+    * statistic of each source's document lengths against the REST of
+    * the corpus, reported as the common-language effect size
+    * CLES = U/(n₁n₂) = P(random source doc longer than random rest
+    * doc, ties half-counted). The rank-sum companion to q243's KS:
+    * KS finds WHERE distributions differ, CLES says WHICH side
+    * stochastically dominates and by how much. Ties use exact
+    * MIDRANKS kept integral in 2× units (midrank2 = 2·cum + c + 1),
+    * so U₂ = ΣR₂ − n₁(n₁+1) and every comparison is exact-integer;
+    * one final ppm division.
+    *
+    * Scale shape: ranks are assigned at the VALUE level (one
+    * aggregate over distinct lengths — a bounded domain — then a
+    * prefix sum over that value table), joined back to docs by value;
+    * per-source collapse is one aggregate. No doc-level global sort. */
+  def q263MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val vals = documents(s, d).select(col("source"),
+      col("n_chars").cast("long").as("x"))
+    val mid = vals.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("x"))) - col("c"))
+      .select(col("x"), (col("cum") * 2 + col("c") + 1).as("mr2"))
+    val tot = vals.agg(count(lit(1)).as("nn"))
+    vals.join(broadcast(mid), Seq("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n1"), sum(col("mr2")).as("r2"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"), (col("nn") - col("n1")).as("n2"),
+        (col("r2") - col("n1") * (col("n1") + 1)).as("u2"),
+        expr("""cast(cast(r2 - n1 * (n1 + 1) as decimal(38,0)) * 1000000
+              div (2 * cast(n1 as decimal(38,0)) * (nn - n1)) as bigint)""")
+          .as("cles_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o263 = """
+    WITH vals AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+    mid AS (
+      SELECT x, (SUM(c) OVER (ORDER BY x) - c) * 2 + c + 1 AS mr2
+      FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM vals),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+        CAST(SUM(mr2) AS BIGINT) AS r2
+      FROM vals JOIN mid USING (x) GROUP BY 1)
+    SELECT source, n1, nn - n1 AS n2,
+      CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+      CAST(CAST(r2 - n1 * (n1 + 1) AS HUGEINT) * 1000000
+        // (2 * CAST(n1 AS HUGEINT) * (nn - n1)) AS BIGINT) AS cles_ppm
+    FROM per CROSS JOIN tot ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
     "q260_topk_overlap" -> (q260TopkOverlap _),
+    "q263_mann_whitney" -> (q263MannWhitney _),
     "q251_bleu_eval"   -> (q251BleuEval _),
     "q253_ccnet_buckets" -> (q253CcnetBuckets _),
     "q256_spearman_signals" -> (q256SpearmanSignals _),
@@ -1397,6 +1452,7 @@ object CorpusSignals {
     "q256_spearman_signals" -> o256,
     "q259_heaps_fit"   -> o259,
     "q260_topk_overlap" -> o260,
+    "q263_mann_whitney" -> o263,
     "q237_zipf_fit"    -> o237,
     "q239_psi_drift"   -> o239,
     "q240_nucleus_size" -> o240,

@@ -1052,15 +1052,25 @@ object TrainingSet {
     * so round k doesn't rescan text. Weights grow with Σ|x| and stay in
     * int64 at any corpus size a single label fits (decimal(38) swap-in
     * documented if not). */
-  def q216PerceptronQuality(s: SparkSession, d: String): DataFrame = {
-    val f = graft.Tables.checkpointCycled("perc-features",
+  /** Feature frame shared by the q216 trainer and the q262 selector
+    * (doc_id rides along; the trainer's aggregates ignore it). */
+  private def percFeatures(s: SparkSession, d: String): DataFrame =
+    graft.Tables.checkpointCycled("perc-features",
       documents(s, d).select(
+        col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
         lit(1L).as("x0"),
         expr("cast(size(split(text, ' ')) as bigint)").as("x1"),
         expr("cast(size(array_distinct(split(text, ' '))) as bigint)").as("x2"),
         expr("cast(size(filter(split(text, ' '), " +
           "t -> t IN ('the','a','of','and'))) as bigint)").as("x3")))
+
+  /** The PERC_ROUNDS batch-update loop: per-round cumulative weights +
+    * miss counts. k-bounded driver iteration (4 aggregates), the q158
+    * iterative-fixpoint stance. */
+  private def percTrace(s: SparkSession, d: String)
+      : Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val f = percFeatures(s, d)
     var w = Array(0L, 0L, 0L, 0L)
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
     for (r <- 1 to PERC_ROUNDS) {
@@ -1076,18 +1086,25 @@ object TrainingSet {
                 w(2) + row.getLong(2), w(3) + row.getLong(3))
       trace += ((r.toLong, w(0), w(1), w(2), w(3), row.getLong(4)))
     }
+    trace.toSeq
+  }
+
+  def q216PerceptronQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trace.toSeq.toDF("round", "w0", "w1", "w2", "w3", "n_miss")
+    percTrace(s, d).toDF("round", "w0", "w1", "w2", "w3", "n_miss")
       .orderBy(col("round"))
   }
 
   /** Unrolled-round oracle: round r's CTE carries the cumulative weights
     * and re-aggregates the full feature table under them — DuckDB
     * re-trains from scratch, so a wrong Spark-side update diverges. */
-  val o216: String = {
+  /** Shared unrolled-round CTE prefix (f, r0..rPERC_ROUNDS) — DuckDB
+    * re-trains the perceptron from scratch; o216 reads the trace off
+    * it, o262 scores with the final round's weights. */
+  private val percCtes: String = {
     val sb = new StringBuilder(
       """WITH f AS (
-        SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
           CAST(1 AS BIGINT) AS x0,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
@@ -1110,12 +1127,55 @@ object TrainingSet {
           CAST(COUNT(CASE WHEN y*$dot <= 0 THEN 1 END) AS BIGINT) AS miss
         FROM f, $p GROUP BY $p.w0, $p.w1, $p.w2, $p.w3)""")
     }
-    sb.toString + "\n      " +
+    sb.toString
+  }
+
+  val o216: String =
+    percCtes + "\n      " +
       (1 to PERC_ROUNDS).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, w0, w1, w2, w3, miss AS n_miss FROM r$r")
         .mkString(" UNION ALL ") +
       " ORDER BY round"
+
+  // ---- q262: uncertainty sampling (active-learning batch) ----
+
+  /** Labeling-budget batch size for q262. */
+  val UNC_K = 25
+
+  /** q262: active-learning batch selection — score every document with
+    * the TRAINED q216 perceptron (final-round cumulative weights,
+    * exact integers) and pick the $UNC_K smallest-|margin| documents
+    * (doc_id tie-break): the points closest to the decision boundary,
+    * i.e. the ones a labeling budget buys the most from. This closes
+    * the train (q216) → evaluate (q245) → SELECT-WHAT-TO-LABEL-NEXT
+    * loop inside the engine.
+    *
+    * Scale shape: the weights are 4 driver-side integers (k-bounded,
+    * the q158 iterative stance); scoring is a row-local dot product on
+    * the shared feature frame, and the batch is TakeOrderedAndProject
+    * (per-partition heaps, $UNC_K rows to the driver) — one scan, no
+    * shuffle. The oracle re-trains from scratch through the unrolled
+    * CTEs and must agree on every selected row. */
+  def q262UncertaintySample(s: SparkSession, d: String): DataFrame = {
+    val t = percTrace(s, d).last
+    val (w0, w1, w2, w3) = (t._2, t._3, t._4, t._5)
+    percFeatures(s, d)
+      .withColumn("score", lit(w0) * col("x0") + lit(w1) * col("x1")
+        + lit(w2) * col("x2") + lit(w3) * col("x3"))
+      .select(col("doc_id"), col("y"), col("score"),
+        abs(col("score")).as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(UNC_K)
   }
+
+  val o262: String =
+    percCtes + s""",
+      scored AS (
+        SELECT doc_id, CAST(y AS BIGINT) AS y,
+          CAST(w0*x0 + w1*x1 + w2*x2 + w3*x3 AS BIGINT) AS score
+        FROM f, r$PERC_ROUNDS)
+      SELECT doc_id, y, score, abs(score) AS margin
+      FROM scored ORDER BY abs(score), doc_id LIMIT $UNC_K"""
 
   // ---- q219: contrastive positive-pair generation (span crops) ----
 
@@ -1260,6 +1320,7 @@ object TrainingSet {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_crop_pairs"      -> (q219CropPairs _),
     "q216_perceptron"      -> (q216PerceptronQuality _),
+    "q262_uncertainty_sample" -> (q262UncertaintySample _),
     "q211_dsir_weights"    -> (q211DsirWeights _),
     "q203_contam_spans"    -> (q203ContamSpans _),
     "q176_containment"     -> (q176Containment _),
@@ -1280,6 +1341,7 @@ object TrainingSet {
   val oracles: Map[String, String] = Map(
     "q219_crop_pairs"      -> o219,
     "q216_perceptron"      -> o216,
+    "q262_uncertainty_sample" -> o262,
     "q211_dsir_weights"    -> o211,
     "q203_contam_spans"    -> o203,
     "q176_containment"     -> o176,

@@ -263,6 +263,65 @@ class Batch7Spec extends AnyFunSuite {
       (BigInt(nB) * sxx - BigInt(sx) * sx) * 1000 / (BigInt(nB) * sx))
   }
 
+  test("q262 uncertainty batch: margins are the global minimum set") {
+    val sel = text.TrainingSet.q262UncertaintySample(spark, TestSpark.SF)
+      .select("doc_id", "y", "score", "margin")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sel.length == text.TrainingSet.UNC_K)
+    sel.foreach { case (_, y, score, margin) =>
+      assert(margin == math.abs(score))
+      assert(y == 1L || y == -1L)
+    }
+    // the batch is sorted by (margin, doc_id) and its ceiling bounds
+    // every unselected doc: recompute all margins from the final q216
+    // weights and compare the k-smallest set
+    val wRow = text.TrainingSet.q216PerceptronQuality(spark, TestSpark.SF)
+      .orderBy(desc("round")).limit(1)
+      .select("w0", "w1", "w2", "w3").as[(Long, Long, Long, Long)]
+      .collect().head
+    val all = Tables.documents(spark, TestSpark.SF)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, txt) =>
+        val toks = txt.split(" ", -1)
+        val x = Array(1L, toks.length.toLong, toks.distinct.length.toLong,
+          toks.count(Set("the", "a", "of", "and")).toLong)
+        val score = wRow._1 * x(0) + wRow._2 * x(1) + wRow._3 * x(2) +
+          wRow._4 * x(3)
+        (id, math.abs(score))
+      }
+    val expect = all.sortBy(r => (r._2, r._1)).take(text.TrainingSet.UNC_K)
+      .map(_._1).toSet
+    assert(sel.map(_._1).toSet == expect, "selected set != exact k-min set")
+  }
+
+  test("q263 Mann-Whitney: U identities and CLES anti-symmetry mass") {
+    val rows = text.CorpusSignals.q263MannWhitney(spark, TestSpark.SF)
+      .select("source", "n1", "n2", "u2", "cles_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val n = Tables.documents(spark, TestSpark.SF).count()
+    rows.foreach { case (src, n1, n2, u2, cles) =>
+      assert(n1 + n2 == n, s"$src partition")
+      // 0 <= U <= n1*n2, in 2x units
+      assert(u2 >= 0 && u2 <= 2 * n1 * n2, s"$src u2=$u2")
+      assert(cles >= 0 && cles <= 1000000, s"$src cles=$cles")
+      assert(cles == BigInt(u2) * 1000000 / (2 * BigInt(n1) * n2))
+    }
+    // exact recompute for one source with midranks
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select("source", "n_chars").as[(String, Long)].collect()
+    val src = rows.head._1
+    val sorted = docs.map(_._2).sorted
+    def midrank2(x: Long) = {
+      val lt = sorted.count(_ < x).toLong
+      val eq = sorted.count(_ == x).toLong
+      2 * lt + eq + 1
+    }
+    val mine = docs.filter(_._1 == src).map(_._2)
+    val r2 = mine.map(midrank2).sum
+    val expU2 = r2 - mine.length.toLong * (mine.length + 1)
+    assert(rows.head._4 == expU2, s"u2 ${rows.head._4} != $expU2")
+  }
+
   test("q254 linkage: true links conserved across classes + blocking") {
     val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
       .select("verdict", "n_pairs", "n_true", "precision_ppm")
