@@ -382,13 +382,15 @@ object StatShapes {
     * distribution is a |sensitive|-row broadcast; everything after is
     * arithmetic on the class ledger. Products run in decimal(38,0). */
   def q258LDiversity(s: SparkSession, d: String): DataFrame = {
-    val cells = t(s, d, "customer")
+    // the (class, sensitive) ledger is |classes|·|segments| rows and
+    // feeds four derived aggregates — materialize once
+    val cells = graft.Tables.checkpointCycled("ldiv-cells", t(s, d, "customer")
       .select(col("c_nationkey").cast("long").as("nat"),
         expr("(cast(c_acctbal * 100 as bigint) + 100000L) div 100000L")
           .as("band"),
         col("c_mktsegment").as("sv"))
       .groupBy(col("nat"), col("band"), col("sv"))
-      .agg(count(lit(1)).as("nv"))
+      .agg(count(lit(1)).as("nv")))
     val cls = cells.groupBy(col("nat"), col("band"))
       .agg(sum(col("nv")).as("k_rows"),
         countDistinct(col("sv")).as("l_distinct"))

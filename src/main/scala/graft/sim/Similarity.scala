@@ -522,10 +522,13 @@ object Similarity {
 
   def q252ClusterAri(s: SparkSession, d: String): DataFrame = {
     val sk = srpByteBuckets(s, d).select(col("vec_id"), col("cluster"))
-    val cont = sk
+    // the contingency table is ≤ 256·|labels| rows and feeds FOUR
+    // downstream aggregates — materialize it once instead of
+    // re-deriving the JL sketch per consumer
+    val cont = graft.Tables.checkpointCycled("ari-cont", sk
       .join(embeddings(s, d).select(col("vec_id"),
         col("label").cast("long").as("label")), Seq("vec_id"))
-      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("nij"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("nij")))
     val stats = cont.agg(
       sum(col("nij")).as("n"),
       countDistinct(col("cluster")).as("n_clusters"),

@@ -1320,21 +1320,23 @@ object CorpusSignals {
           .orderBy(col("freq").desc, col("term"))).cast("long"))
       .filter(col("srank") <= kMax)
       .select(col("source"), col("term"), col("srank"))
-    val both = stop.join(broadcast(gtop), Seq("term"))
-    val frames = RBO_KS.map { k =>
-      val aK = stop.filter(col("srank") <= k)
-        .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-      val bK = math.min(k.toLong, kMax.toLong) // global list is exact-k here
-      val inter = both.filter(col("srank") <= k && col("grank") <= k)
-        .groupBy(col("source")).agg(count(lit(1)).as("inter"))
-      aK.join(inter, Seq("source"), "left")
-        .withColumn("inter", coalesce(col("inter"), lit(0L)))
-        .select(col("source"), lit(k.toLong).as("k"), col("n_src"),
-          col("inter"),
-          expr(s"inter * 1000000 div (n_src + $bK - inter)")
-            .as("jaccard_ppm"))
+    // ONE pass: left-join the global head onto each source head row,
+    // take every depth's (n_src, inter) as conditional counts in a
+    // single per-source aggregate, then unpivot to (source, k) rows —
+    // no per-k re-derivation of the term-frequency aggregate.
+    val flags = stop.join(broadcast(gtop), Seq("term"), "left")
+    val counts = RBO_KS.flatMap { k =>
+      Seq(count(when(col("srank") <= k, lit(1))).as(s"a$k"),
+        count(when(col("srank") <= k && col("grank") <= k, lit(1)))
+          .as(s"i$k"))
     }
-    frames.reduce(_ unionAll _).orderBy(col("source"), col("k"))
+    val stackExpr = RBO_KS.map(k =>
+      s"${k}L, a$k, i$k").mkString(s"stack(${RBO_KS.size}, ", ", ", ")")
+    flags.groupBy(col("source")).agg(counts.head, counts.tail: _*)
+      .select(col("source"), expr(s"$stackExpr as (k, n_src, inter)"))
+      .select(col("source"), col("k"), col("n_src"), col("inter"),
+        expr("inter * 1000000 div (n_src + k - inter)").as("jaccard_ppm"))
+      .orderBy(col("source"), col("k"))
   }
 
   val o260: String = {
