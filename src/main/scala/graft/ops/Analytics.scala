@@ -908,7 +908,74 @@ object Analytics {
         // (CAST(n_buckets AS HUGEINT) * n_events) AS BIGINT) AS fano_milli
     FROM mom ORDER BY event_type"""
 
+  // ---- q265: weekly traffic profile (seasonality heatmap) ----
+
+  /** q265: the day-of-week seasonality profile per event type — event
+    * mass and exact share per (type, dow), plus that weekday's peak
+    * hour-of-day and its count. Day-of-week comes from pure epoch
+    * integer arithmetic ((epoch_day + 4) % 7, 0 = Sunday — no engine
+    * calendar/locale function whose week-start convention could
+    * disagree), hour-of-day from (epoch_hour % 24); UTC by the
+    * events-contract session pin. The operational companion to q261:
+    * Fano says HOW bursty, this says WHEN the load comes.
+    *
+    * Scale shape: one (type, dow, hour) aggregate over the fact scan
+    * (map-side combined, 5·7·24 cells max); the dow rollup, shares
+    * and argmax-hour all derive from that cell ledger. */
+  def q265WeeklyProfile(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .select(col("event_type"),
+        expr("(ts div 86400000000000 + 4) % 7").as("dow"),
+        expr("(ts div 3600000000000) % 24").as("hod"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("c"))
+    val byDow = cells.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("c")).as("n_events"))
+    val tot = byDow.groupBy(col("event_type").as("et"))
+      .agg(sum(col("n_events")).as("n_type"))
+    val peak = cells
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("dow"))
+          .orderBy(col("c").desc, col("hod"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("dow"), col("hod").as("peak_hour"),
+        col("c").as("peak_hour_n"))
+    byDow.join(tot, col("event_type") === col("et"))
+      .join(peak, Seq("event_type", "dow"))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        expr("n_events * 1000000 div n_type").as("share_ppm"),
+        col("peak_hour"), col("peak_hour_n"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val o265 = """
+    WITH cells AS (
+      SELECT event_type,
+        (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+        (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3),
+    bydow AS (
+      SELECT event_type, dow, CAST(SUM(c) AS BIGINT) AS n_events
+      FROM cells GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_type
+      FROM bydow GROUP BY 1),
+    peak AS (
+      SELECT event_type, dow, hod AS peak_hour, c AS peak_hour_n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dow
+              ORDER BY c DESC, hod) AS rk FROM cells)
+      WHERE rk = 1)
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, n_events,
+      n_events * 1000000 // n_type AS share_ppm,
+      CAST(peak_hour AS BIGINT) AS peak_hour,
+      CAST(peak_hour_n AS BIGINT) AS peak_hour_n
+    FROM bydow JOIN tot USING (event_type) JOIN peak USING (event_type, dow)
+    ORDER BY event_type, dow"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_weekly_profile"    -> (q265WeeklyProfile _),
     "q261_fano_burstiness"   -> (q261FanoBurstiness _),
     "q175_info_gain"         -> (q175InfoGain _),
     "q172_seq_pairs"         -> (q172SeqPairs _),
@@ -927,6 +994,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q261_fano_burstiness" -> o261,
+    "q265_weekly_profile" -> o265,
     "q175_info_gain" -> o175,
     "q172_seq_pairs" -> o172,
     "q160_markov" -> o160,

@@ -295,13 +295,61 @@ object DedupCluster {
            ELSE 'test' END AS split
     FROM u ORDER BY doc_id"""
 
+  // ---- q264: dedup survivorship-bias audit ----
+
+  /** q264: what does dedup DO to the corpus mix? Per (source, role ∈
+    * {keeper, duplicate}) under the q76 min-id keeper policy: document
+    * and token mass and mean quality (q36's score, micro fixed-point)
+    * — the audit that catches a dedup stage silently skewing quality
+    * or starving a source (duplicate families are not quality-uniform,
+    * so removal is not either). Read next to q142 (which changes the
+    * keeper policy precisely because of this bias) and q220 (policy
+    * agreement).
+    *
+    * Scale shape: CC labels are the shared memoized table; role is a
+    * row-local comparison; everything else is one (source, role)
+    * aggregate of row-local quality arithmetic. */
+  def q264DedupBias(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d)
+    val roles = graft.text.TextOps.withQuality(documents(s, d))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("source"), col("n_tok"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q_micro"),
+        when(coalesce(col("root"), col("doc_id")) === col("doc_id"),
+          lit("keeper")).otherwise(lit("duplicate")).as("role"))
+    roles.groupBy(col("source"), col("role"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("sum(q_micro) div count(1)").as("mean_quality_micro"))
+      .orderBy(col("source"), col("role"))
+  }
+
+  val o264 = s"""
+    WITH RECURSIVE ${Dedup.ORA_PAIR_CTES},
+    pr AS (SELECT i, j FROM jac WHERE jac >= ${Dedup.JACCARD_THRESHOLD}),
+    ${Dedup.ORA_CC_CTES},
+    roles AS (
+      SELECT d.source,
+        ${graft.text.TextOps.ORA_N_TOK} AS n_tok,
+        CAST(ROUND(${graft.text.TextOps.ORA_QUALITY} * 1000000) AS BIGINT)
+          AS q_micro,
+        CASE WHEN COALESCE(LEAST(lab.mr, d.doc_id), d.doc_id) = d.doc_id
+          THEN 'keeper' ELSE 'duplicate' END AS role
+      FROM documents d LEFT JOIN lab ON lab.n = d.doc_id)
+    SELECT source, role, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(q_micro) // COUNT(*) AS BIGINT) AS mean_quality_micro
+    FROM roles GROUP BY 1, 2 ORDER BY source, role"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_dedup_components" -> (q76DedupComponents _),
     "q142_best_keeper"     -> (q142BestKeeper _),
+    "q264_dedup_bias"      -> (q264DedupBias _),
     "q148_leakfree_split"  -> (q148LeakFreeSplit _))
 
   val oracles: Map[String, String] = Map(
     "q76_dedup_components" -> o76,
+    "q264_dedup_bias" -> o264,
     "q142_best_keeper" -> o142,
     "q148_leakfree_split" -> o148)
 }

@@ -322,6 +322,50 @@ class Batch7Spec extends AnyFunSuite {
     assert(rows.head._4 == expU2, s"u2 ${rows.head._4} != $expU2")
   }
 
+  test("q264 dedup bias: role masses reconcile with q76's clusters") {
+    val rows = text.DedupCluster.q264DedupBias(spark, TestSpark.SF)
+      .select("source", "role", "n_docs", "n_tokens", "mean_quality_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, TestSpark.SF).count()
+    assert(rows.map(_._3).sum == nDocs, "every doc has exactly one role")
+    // keepers must equal the number of distinct q76 clusters
+    val comp = text.DedupCluster.q76DedupComponents(spark, TestSpark.SF)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val nKeepers = comp.map(_._2).distinct.length
+    assert(rows.filter(_._2 == "keeper").map(_._3).sum == nKeepers)
+    rows.foreach { case (src, role, n, toks, q) =>
+      assert(n >= 1 && toks >= n, s"$src/$role")
+      assert(q >= 0 && q <= 1000000, s"$src/$role quality=$q")
+    }
+  }
+
+  test("q265 weekly profile: shares sum per type, peaks belong to cells") {
+    val rows = ops.Analytics.q265WeeklyProfile(spark, TestSpark.SF)
+      .select("event_type", "dow", "n_events", "share_ppm", "peak_hour",
+        "peak_hour_n")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), col("ts")).as[(String, Long)].collect()
+    assert(rows.map(_._3).sum == ev.length)
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      assert(g.map(_._2).sorted.toSeq == (0L to 6L), s"$et dows")
+      // ppm shares sum to 1e6 within integer-division slack (< 7)
+      val tot = g.map(_._4).sum
+      assert(tot > 1000000 - 7 && tot <= 1000000, s"$et shares=$tot")
+      g.foreach { case (_, dow, n, _, ph, phn) =>
+        assert(ph >= 0 && ph <= 23 && phn >= 1 && phn <= n, s"$et/$dow")
+        // exact recompute of the peak for this (type, dow)
+        val cells = ev.filter(_._1 == et)
+          .map(e => ((e._2 / 86400000000000L + 4) % 7,
+            (e._2 / 3600000000000L) % 24))
+          .filter(_._1 == dow).groupBy(_._2)
+          .map { case (h, xs) => (h, xs.size.toLong) }
+        val best = cells.toSeq.sortBy { case (h, c) => (-c, h) }.head
+        assert((ph, phn) == best, s"$et/$dow peak $ph/$phn != $best")
+      }
+    }
+  }
+
   test("q254 linkage: true links conserved across classes + blocking") {
     val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
       .select("verdict", "n_pairs", "n_true", "precision_ppm")
