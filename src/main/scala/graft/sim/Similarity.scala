@@ -718,6 +718,65 @@ object Similarity {
     FROM rk WHERE rk = 1 ORDER BY cluster"""
   }
 
+  // ---- q266: embedding norm hygiene audit ----
+
+  /** q266: per-label audit of the squared-norm distribution of the
+    * quantized embeddings — median, MAD and the 3-MAD outlier count
+    * (q192's integer-exact fence: med2 = 2·median of int64 norms² is
+    * integral, mad4 = 2·median of |2x − med2|, outlier ⇔
+    * 2·dev2 > 3·mad4). Degenerate vectors (near-zero or blown-up
+    * norms) silently poison cosine ANN and centroid math — this is
+    * the pre-flight check before q43/q55/q204 trust the column.
+    *
+    * Scale shape: norms are row-local folds over the already-quantized
+    * coords; per-label exact percentiles are single-pass grouped
+    * accumulators; the fence count is conditional aggregation — no
+    * joins beyond the |labels|-row broadcast of the fences. */
+  def q266NormAudit(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("label").cast("long").as("label"),
+      expr(s"""aggregate(transform(embedding,
+           x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint)),
+           0L, (acc, c) -> acc + c * c)""").as("n2"))
+    val med = base.groupBy(col("label").as("ml"))
+      .agg((expr("percentile(n2, 0.5)") * 2).cast("long").as("med2"))
+    val dev = base.join(broadcast(med), col("label") === col("ml"))
+      .withColumn("dev2", abs(col("n2") * 2 - col("med2")))
+    val mad = dev.groupBy(col("label").as("gl"))
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), col("label") === col("gl"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("med2")).as("med2"),
+        min(col("mad4")).as("mad4"),
+        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"),
+        sum(when(col("dev2") * 2 > lit(3L) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
+  val o266 = s"""
+    WITH base AS (
+      SELECT CAST(label AS BIGINT) AS label,
+        (SELECT SUM(c * c) FROM (
+           SELECT CAST(ROUND(CAST(e AS DOUBLE) * ${Pca.PCA_SCALE}) AS BIGINT) AS c
+           FROM unnest(embedding) u(e))) AS n2
+      FROM embeddings),
+    med AS (
+      SELECT label AS ml, CAST(quantile_cont(n2, 0.5) * 2 AS BIGINT) AS med2
+      FROM base GROUP BY 1),
+    dev AS (
+      SELECT label, n2, med2, abs(n2 * 2 - med2) AS dev2
+      FROM base JOIN med ON label = ml),
+    mad AS (
+      SELECT label AS gl, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      FROM dev GROUP BY 1)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      MIN(med2) AS med2, MIN(mad4) AS mad4,
+      CAST(MIN(n2) AS BIGINT) AS min_n2, CAST(MAX(n2) AS BIGINT) AS max_n2,
+      CAST(SUM(CASE WHEN dev2 * 2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers
+    FROM dev JOIN mad ON label = gl
+    GROUP BY 1 ORDER BY label"""
+
   private val embedPairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -1306,7 +1365,8 @@ object Similarity {
     "q220_dedup_agreement" -> (q220DedupAgreement _),
     "q236_srp_lsh"        -> (q236SrpLsh _),
     "q252_cluster_ari"    -> (q252ClusterAri _),
-    "q255_bucket_medoid"  -> (q255BucketMedoid _))
+    "q255_bucket_medoid"  -> (q255BucketMedoid _),
+    "q266_norm_audit"     -> (q266NormAudit _))
 
   /** q220: cross-signal dedup AUDIT — how often do the text near-dup
     * signal (q40's exact shingle-Jaccard pairs) and the embedding
@@ -1351,6 +1411,7 @@ object Similarity {
     "q220_dedup_agreement" -> o220,
     "q236_srp_lsh" -> o236,
     "q252_cluster_ari" -> o252,
-    "q255_bucket_medoid" -> o255)
+    "q255_bucket_medoid" -> o255,
+    "q266_norm_audit" -> o266)
 
 }

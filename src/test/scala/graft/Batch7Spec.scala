@@ -366,6 +366,24 @@ class Batch7Spec extends AnyFunSuite {
     }
   }
 
+  test("q266 norm audit: mass conserved, fences bound the extremes") {
+    val rows = sim.Similarity.q266NormAudit(spark, TestSpark.SF)
+      .select("label", "n_vecs", "med2", "mad4", "min_n2", "max_n2",
+        "n_outliers")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum ==
+      Tables.embeddings(spark, TestSpark.SF).count())
+    rows.foreach { case (l, n, med2, mad4, lo, hi, out) =>
+      assert(lo <= med2 / 2 + 1 && med2 / 2 <= hi + 1, s"label $l median")
+      assert(mad4 >= 0 && out >= 0 && out <= n, s"label $l")
+      // if nothing is flagged, the extremes must sit inside the fence
+      if (out == 0) {
+        assert(math.abs(2 * lo - med2) * 2 <= 3 * mad4, s"label $l lo")
+        assert(math.abs(2 * hi - med2) * 2 <= 3 * mad4, s"label $l hi")
+      }
+    }
+  }
+
   test("q254 linkage: true links conserved across classes + blocking") {
     val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
       .select("verdict", "n_pairs", "n_true", "precision_ppm")
