@@ -603,24 +603,30 @@ object Graph {
       .orderBy(col("part_id"))
   }
 
+  /** o235's CTEs are forced MATERIALIZED: each unrolled round reads
+    * the previous survivor set TWICE (degree join + membership), and
+    * DuckDB inlines plain CTEs — without the keyword the base
+    * co-purchase build re-evaluates ~2^rounds times and its spill
+    * exhausted the gate host's disk at sf0.1. Results are identical;
+    * this is purely an oracle-cost pin. */
   val o235: String = {
     val sb = new StringBuilder(s"""
-    WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
-    ep AS (SELECT a.p p1, b2.p p2 FROM b a
+    WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    ep AS MATERIALIZED (SELECT a.p p1, b2.p p2 FROM b a
            JOIN b b2 ON a.o = b2.o AND a.p < b2.p
            GROUP BY 1, 2 HAVING count(*) >= 2),
-    e AS (SELECT p1 src, p2 dst FROM ep UNION ALL SELECT p2, p1 FROM ep),
-    a0 AS (SELECT DISTINCT src AS v FROM e)""")
+    e AS MATERIALIZED (SELECT p1 src, p2 dst FROM ep UNION ALL SELECT p2, p1 FROM ep),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e)""")
     for (r <- 1 to CORE_ROUNDS) {
       val p = r - 1
       sb.append(s""",
-    d$r AS (SELECT e.dst AS v, COUNT(*) AS deg
+    d$r AS MATERIALIZED (SELECT e.dst AS v, COUNT(*) AS deg
             FROM e JOIN a$p s ON s.v = e.src JOIN a$p t ON t.v = e.dst
             GROUP BY 1),
-    w$r AS (SELECT a.v, COALESCE(d.deg, 0) AS deg
+    w$r AS MATERIALIZED (SELECT a.v, COALESCE(d.deg, 0) AS deg
             FROM a$p a LEFT JOIN d$r d ON d.v = a.v),
-    p$r AS (SELECT v, deg FROM w$r WHERE deg < $K_CORE),
-    a$r AS (SELECT v FROM w$r WHERE deg >= $K_CORE)""")
+    p$r AS MATERIALIZED (SELECT v, deg FROM w$r WHERE deg < $K_CORE),
+    a$r AS MATERIALIZED (SELECT v FROM w$r WHERE deg >= $K_CORE)""")
     }
     sb.append(s""",
     df AS (SELECT e.dst AS v, COUNT(*) AS deg
