@@ -923,12 +923,15 @@ object Analytics {
     * (map-side combined, 5·7·24 cells max); the dow rollup, shares
     * and argmax-hour all derive from that cell ledger. */
   def q265WeeklyProfile(s: SparkSession, d: String): DataFrame = {
-    val cells = events(s, d)
+    // the ≤ |types|·168 cell ledger feeds the dow rollup, the type
+    // totals AND the peak argmax — materialize it once instead of
+    // re-scanning the fact table per consumer
+    val cells = graft.Tables.checkpointCycled("weekly-cells", events(s, d)
       .select(col("event_type"),
         expr("(ts div 86400000000000 + 4) % 7").as("dow"),
         expr("(ts div 3600000000000) % 24").as("hod"))
       .groupBy(col("event_type"), col("dow"), col("hod"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val byDow = cells.groupBy(col("event_type"), col("dow"))
       .agg(sum(col("c")).as("n_events"))
     val tot = byDow.groupBy(col("event_type").as("et"))
