@@ -646,7 +646,76 @@ object Graph {
     sb.toString
   }
 
+  // ---- q268: degree assortativity of the co-purchase graph ----
+
+  /** q268: degree assortativity — the Pearson correlation of endpoint
+    * degrees over the (symmetric) co-purchase edge list. Positive r:
+    * hubs link to hubs (a rich-club graph where LSH/CC work piles
+    * onto few partitions); negative: hub-and-spoke. The structural
+    * number to read NEXT TO q113/q149's key-skew reports when
+    * deciding salting. Moments are exact decimal(38,0) integers; the
+    * final r applies two IEEE sqrt/divisions to exact operands (the
+    * q221 sqrt stance), emitted in milli units.
+    *
+    * Scale shape: degrees are one aggregate over the shared
+    * checkpointed edge table; the edge-end join is degree-table ⋈
+    * edges on each endpoint; the whole statistic collapses to 6
+    * moments. */
+  def q268Assortativity(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ep = pairs2Shared(s, d).select(col("p1"), col("p2"))
+    val edges = ep.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(ep.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+    val xy = edges
+      .join(deg.select(col("v").as("src"), col("dg").as("x")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("dg").as("y")), Seq("dst"))
+    xy.agg(count(lit(1)).as("n_edges"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("y").cast(d38) * col("y")).as("syy"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
+      .select(col("n_edges"), col("n_vertices"),
+        expr("""cast(round(
+            cast(n_edges * sxy - sx * sy as double)
+            / sqrt(cast(n_edges * sxx - sx * sx as double))
+            / sqrt(cast(n_edges * syy - sy * sy as double)) * 1000)
+          as bigint)""").as("assort_milli"))
+  }
+
+  val o268 = """
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    ep AS MATERIALIZED (
+      SELECT a.p p1, b2.p p2 FROM b a
+      JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS MATERIALIZED (
+      SELECT p1 src, p2 dst FROM ep UNION ALL SELECT p2, p1 FROM ep),
+    deg AS MATERIALIZED (
+      SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+    xy AS (
+      SELECT dx.dg AS x, dy.dg AS y
+      FROM e JOIN deg dx ON dx.v = e.src JOIN deg dy ON dy.v = e.dst),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM xy)
+    SELECT n_edges,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+      CAST(ROUND(
+          CAST(n_edges * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))
+          / sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)) * 1000)
+        AS BIGINT) AS assort_milli
+    FROM mom"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_assortativity" -> (q268Assortativity _),
     "q156_assoc_rules"  -> (q156AssocRules _),
     "q157_triangles"    -> (q157Triangles _),
     "q158_pagerank"     -> (q158PageRank _),
@@ -657,6 +726,7 @@ object Graph {
     "q235_kcore"        -> (q235KCore _))
 
   val oracles: Map[String, String] = Map(
+    "q268_assortativity" -> o268,
     "q156_assoc_rules" -> o156,
     "q157_triangles"   -> o157,
     "q158_pagerank"    -> o158,

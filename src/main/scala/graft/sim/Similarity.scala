@@ -718,6 +718,58 @@ object Similarity {
     FROM rk WHERE rk = 1 ORDER BY cluster"""
   }
 
+  // ---- q269: SRP sketch bit-bias health audit ----
+
+  /** q269: per-bit health of the SRP sketch the q236/q252/q255 stack
+    * hashes by — each of the $SRP_BITS hyperplane bits should split
+    * the corpus ~50/50; a biased bit means its hyperplane barely cuts
+    * the data (correlated features, mean offset) and the effective
+    * sketch entropy is < $SRP_BITS bits, quietly inflating LSH bucket
+    * collisions. Reports ones-count, share and |deviation from half|
+    * per bit in exact ppm. The sketch-side companion to q266's norm
+    * audit and q229's banding sweep.
+    *
+    * Scale shape: rides the one-pass JL projection; one (bit)
+    * aggregate over posexploded sign rows; output is $SRP_BITS rows. */
+  def q269SketchBitBias(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"), expr(
+      s"transform(embedding, x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint))")
+      .as("c"))
+    Pca.jlProjectFrame(base)
+      .select(posexplode(expr(s"slice(y, 1, $SRP_BITS)")).as(Seq("j", "yj")))
+      .groupBy(col("j").cast("long").as("bit"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("yj") > 0, 1L).otherwise(0L)).as("n_ones"))
+      .select(col("bit"), col("n"), col("n_ones"),
+        expr("n_ones * 1000000 div n").as("ones_ppm"),
+        expr("abs(2 * n_ones - n) * 1000000 div (2 * n)").as("bias_ppm"))
+      .orderBy(col("bit"))
+  }
+
+  val o269: String = {
+    val D = Pca.PCA_DIM
+    s"""
+    WITH e AS (
+      SELECT vec_id, i,
+        CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE}) AS BIGINT) AS c
+      FROM embeddings, unnest(range(0, $D)) u(i)),
+    sg AS (
+      SELECT i, j,
+        CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
+          THEN 1 ELSE -1 END AS s
+      FROM unnest(range(0, $D)) a(i), unnest(range(0, $SRP_BITS)) b(j)),
+    y AS (
+      SELECT vec_id, j, CAST(SUM(s * c) AS BIGINT) AS y
+      FROM e JOIN sg USING (i) GROUP BY 1, 2)
+    SELECT CAST(j AS BIGINT) AS bit, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ones,
+      CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*) AS BIGINT) AS ones_ppm,
+      CAST(abs(2 * SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) - COUNT(*))
+        * 1000000 // (2 * COUNT(*)) AS BIGINT) AS bias_ppm
+    FROM y GROUP BY 1 ORDER BY bit"""
+  }
+
   // ---- q266: embedding norm hygiene audit ----
 
   /** q266: per-label audit of the squared-norm distribution of the
@@ -1366,7 +1418,8 @@ object Similarity {
     "q236_srp_lsh"        -> (q236SrpLsh _),
     "q252_cluster_ari"    -> (q252ClusterAri _),
     "q255_bucket_medoid"  -> (q255BucketMedoid _),
-    "q266_norm_audit"     -> (q266NormAudit _))
+    "q266_norm_audit"     -> (q266NormAudit _),
+    "q269_sketch_bit_bias" -> (q269SketchBitBias _))
 
   /** q220: cross-signal dedup AUDIT — how often do the text near-dup
     * signal (q40's exact shingle-Jaccard pairs) and the embedding
@@ -1412,6 +1465,7 @@ object Similarity {
     "q236_srp_lsh" -> o236,
     "q252_cluster_ari" -> o252,
     "q255_bucket_medoid" -> o255,
-    "q266_norm_audit" -> o266)
+    "q266_norm_audit" -> o266,
+    "q269_sketch_bit_bias" -> o269)
 
 }

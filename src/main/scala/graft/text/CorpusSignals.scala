@@ -1424,10 +1424,57 @@ object CorpusSignals {
         // (2 * CAST(n1 AS HUGEINT) * (nn - n1)) AS BIGINT) AS cles_ppm
     FROM per CROSS JOIN tot ORDER BY source"""
 
+  // ---- q267: Good–Turing unseen-mass estimate per source ----
+
+  /** q267: the Good–Turing coverage ledger per source — frequency-of-
+    * frequencies N₁/N₂, hapax share of the vocabulary, and the
+    * Good–Turing missing-mass estimate P(next token is a NEW type) ≈
+    * N₁/N in exact ppm. Where q259's Heaps fit extrapolates vocabulary
+    * GROWTH, this is the instantaneous coverage answer ("how much of
+    * this source's distribution have we simply not seen yet?") that
+    * smoothing, dedup-rate and crawl-stopping decisions read. All
+    * integers: one final ppm division per column.
+    *
+    * Scale shape: term frequencies are the (source, term) aggregate;
+    * frequency-of-frequencies re-aggregates that vocabulary-sized
+    * table; output is |sources| rows. */
+  def q267GoodTuring(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("f"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        expr("n1 * 1000000 div n_tokens").as("gt_missing_ppm"),
+        expr("n1 * 1000000 div vocab").as("hapax_share_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o267 = """
+    WITH tf AS (
+      SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2)
+    SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) AS BIGINT) AS vocab,
+      CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000
+        // SUM(f) AS BIGINT) AS gt_missing_ppm,
+      CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*) AS BIGINT) AS hapax_share_ppm
+    FROM tf GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
     "q260_topk_overlap" -> (q260TopkOverlap _),
     "q263_mann_whitney" -> (q263MannWhitney _),
+    "q267_good_turing" -> (q267GoodTuring _),
     "q251_bleu_eval"   -> (q251BleuEval _),
     "q253_ccnet_buckets" -> (q253CcnetBuckets _),
     "q256_spearman_signals" -> (q256SpearmanSignals _),
@@ -1455,6 +1502,7 @@ object CorpusSignals {
     "q259_heaps_fit"   -> o259,
     "q260_topk_overlap" -> o260,
     "q263_mann_whitney" -> o263,
+    "q267_good_turing" -> o267,
     "q237_zipf_fit"    -> o237,
     "q239_psi_drift"   -> o239,
     "q240_nucleus_size" -> o240,

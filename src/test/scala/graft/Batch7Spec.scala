@@ -384,6 +384,50 @@ class Batch7Spec extends AnyFunSuite {
     }
   }
 
+  test("q267 Good-Turing: ledger identities vs q259's exact recounts") {
+    val rows = text.CorpusSignals.q267GoodTuring(spark, TestSpark.SF)
+      .select("source", "n_tokens", "vocab", "n1", "n2", "gt_missing_ppm",
+        "hapax_share_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val heaps = text.CorpusSignals.q259HeapsFit(spark, TestSpark.SF)
+      .select("source", "n_tokens", "vocab").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (src, nTok, vocab, n1, n2, gt, hapax) =>
+      // totals agree with the independently-derived growth-curve tails
+      assert((nTok, vocab) == heaps(src), s"$src totals")
+      assert(n1 + n2 <= vocab && n1 >= 0 && n2 >= 0, s"$src freq-of-freq")
+      assert(gt == n1 * 1000000 / nTok && hapax == n1 * 1000000 / vocab)
+      assert(gt <= 1000000 && hapax <= 1000000)
+    }
+  }
+
+  test("q268 assortativity: bounded correlation, consistent masses") {
+    val r = ops.Graph.q268Assortativity(spark, TestSpark.SF).collect().head
+    val nE = r.getAs[Long]("n_edges"); val nV = r.getAs[Long]("n_vertices")
+    val a = r.getAs[Long]("assort_milli")
+    // symmetric edge list: even count, at least a vertex pair each
+    assert(nE > 0 && nE % 2 == 0, s"n_edges=$nE")
+    assert(nV >= 2 && nV <= nE, s"n_vertices=$nV")
+    assert(a >= -1000 && a <= 1000, s"assort_milli=$a")
+  }
+
+  test("q269 bit bias: every bit present, shares consistent, unbiased-ish") {
+    val rows = sim.Similarity.q269SketchBitBias(spark, TestSpark.SF)
+      .select("bit", "n", "n_ones", "ones_ppm", "bias_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L until 16L))
+    val nEmb = Tables.embeddings(spark, TestSpark.SF).count()
+    rows.foreach { case (b, n, ones, share, bias) =>
+      assert(n == nEmb, s"bit $b n")
+      assert(ones >= 0 && ones <= n)
+      assert(share == ones * 1000000 / n)
+      assert(bias == math.abs(2 * ones - n) * 1000000 / (2 * n))
+      // md5-derived hyperplanes over this corpus: no bit should be
+      // degenerate (all-zero or all-one)
+      assert(ones > 0 && ones < n, s"bit $b degenerate")
+    }
+  }
+
   test("q254 linkage: true links conserved across classes + blocking") {
     val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
       .select("verdict", "n_pairs", "n_true", "precision_ppm")
