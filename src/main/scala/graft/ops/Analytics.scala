@@ -977,7 +977,117 @@ object Analytics {
     FROM bydow JOIN tot USING (event_type) JOIN peak USING (event_type, dow)
     ORDER BY event_type, dow"""
 
+  // ---- q270: CUPED-adjusted experiment uplift ----
+
+  /** Pre-period length (days) for the CUPED covariate split. */
+  val CUPED_PRE_DAYS = 15L
+
+  /** q270: controlled-experiment analytics — the CUPED estimator
+    * (Deng et al., WSDM'13) on a deterministically-assigned A/B split
+    * (md5(user) % 2, the engine's planted-randomization convention):
+    * per-user pre-period spend (first $CUPED_PRE_DAYS days) is the
+    * variance-reduction covariate for post-period spend. θ =
+    * cov(pre, post)/var(pre) comes from EXACT integer cent moments
+    * (decimal(38,0)); only the final adjusted means apply IEEE
+    * division/multiplication to those exact operands, mirrored
+    * op-for-op in the oracle. Reports per variant the raw and
+    * CUPED-adjusted post means plus the shared θ — the
+    * experimentation-readout operator a data platform runs
+    * continuously.
+    *
+    * Scale shape: ONE (user)-keyed conditional aggregate builds the
+    * (pre, post) panel; moments and variant rollups are tiny
+    * aggregates of it. No event-grain joins. */
+  def q270CupedUplift(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = events(s, d).select(col("user_id"), col("ts"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    val split = ev.agg((min(col("ts"))
+      + lit(CUPED_PRE_DAYS * 86400000000000L)).as("split_ns"))
+    val panel = ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < col("split_ns"), col("cents"))
+        .otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= col("split_ns"), col("cents"))
+          .otherwise(0L)).as("post"))
+      .withColumn("variant", expr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 4), 16, 10) as bigint) % 2"))
+    val mom = panel.agg(count(lit(1)).as("n"),
+      sum(col("pre").cast(d38)).as("spre"),
+      sum(col("post").cast(d38)).as("spost"),
+      sum(col("pre").cast(d38) * col("post")).as("spp"),
+      sum(col("pre").cast(d38) * col("pre")).as("sp2"))
+    panel.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pre")).as("sum_pre"), sum(col("post")).as("sum_post"))
+      .crossJoin(broadcast(mom))
+      .select(col("variant"), col("n_users"), col("sum_pre"),
+        col("sum_post"),
+        expr("cast(round(cast(sum_post as double) / n_users * 10) as bigint)")
+          .as("mean_post_milli"),
+        expr("""cast(round((cast(n as double) * cast(spp as double)
+              - cast(spre as double) * cast(spost as double))
+            / (cast(n as double) * cast(sp2 as double)
+              - cast(spre as double) * cast(spre as double))
+            * 1000000) as bigint)""").as("theta_micro"),
+        expr("""cast(round((cast(sum_post as double) / n_users
+            - (cast(n as double) * cast(spp as double)
+                - cast(spre as double) * cast(spost as double))
+              / (cast(n as double) * cast(sp2 as double)
+                - cast(spre as double) * cast(spre as double))
+              * (cast(sum_pre as double) / n_users
+                - cast(spre as double) / cast(n as double)))
+            * 10) as bigint)""").as("adj_mean_milli"))
+      .orderBy(col("variant"))
+  }
+
+  val o270 = s"""
+    WITH ev AS (
+      SELECT user_id, epoch_ns(ts) AS tns,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    split AS (
+      SELECT MIN(tns) + ${CUPED_PRE_DAYS} * 86400000000000 AS split_ns
+      FROM ev),
+    panel AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN tns < split_ns THEN cents ELSE 0 END) AS BIGINT)
+          AS pre,
+        CAST(SUM(CASE WHEN tns >= split_ns THEN cents ELSE 0 END) AS BIGINT)
+          AS post,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+          AS variant
+      FROM ev CROSS JOIN split GROUP BY user_id),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(pre) AS HUGEINT) AS spre,
+        CAST(SUM(post) AS HUGEINT) AS spost,
+        CAST(SUM(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS spp,
+        CAST(SUM(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sp2
+      FROM panel)
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(pre) AS BIGINT) AS sum_pre,
+      CAST(SUM(post) AS BIGINT) AS sum_post,
+      CAST(ROUND(CAST(SUM(post) AS DOUBLE) / COUNT(*) * 10) AS BIGINT)
+        AS mean_post_milli,
+      CAST(ROUND((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+            - CAST(spre AS DOUBLE) * CAST(spost AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sp2 AS DOUBLE)
+            - CAST(spre AS DOUBLE) * CAST(spre AS DOUBLE))
+          * 1000000) AS BIGINT) AS theta_micro,
+      CAST(ROUND((CAST(SUM(post) AS DOUBLE) / COUNT(*)
+          - (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+              - CAST(spre AS DOUBLE) * CAST(spost AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sp2 AS DOUBLE)
+              - CAST(spre AS DOUBLE) * CAST(spre AS DOUBLE))
+            * (CAST(SUM(pre) AS DOUBLE) / COUNT(*)
+              - CAST(spre AS DOUBLE) / CAST(n AS DOUBLE)))
+          * 10) AS BIGINT) AS adj_mean_milli
+    FROM panel CROSS JOIN mom GROUP BY variant, n, spre, spost, spp, sp2
+    ORDER BY variant"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_cuped_uplift"      -> (q270CupedUplift _),
     "q265_weekly_profile"    -> (q265WeeklyProfile _),
     "q261_fano_burstiness"   -> (q261FanoBurstiness _),
     "q175_info_gain"         -> (q175InfoGain _),
@@ -998,6 +1108,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q261_fano_burstiness" -> o261,
     "q265_weekly_profile" -> o265,
+    "q270_cuped_uplift" -> o270,
     "q175_info_gain" -> o175,
     "q172_seq_pairs" -> o172,
     "q160_markov" -> o160,

@@ -428,6 +428,48 @@ class Batch7Spec extends AnyFunSuite {
     }
   }
 
+  test("q270 CUPED: panel masses, shared theta, exact driver recompute") {
+    val rows = ops.Analytics.q270CupedUplift(spark, TestSpark.SF)
+      .select("variant", "n_users", "sum_pre", "sum_post",
+        "mean_post_milli", "theta_micro", "adj_mean_milli")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq(0L, 1L))
+    // both variants report the SAME pooled theta
+    assert(rows.map(_._6).distinct.length == 1)
+    // driver-side exact recompute of the whole estimator
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("user_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)"))
+      .as[(Long, Long, Long)].collect()
+    val splitNs = ev.map(_._2).min +
+      ops.Analytics.CUPED_PRE_DAYS * 86400000000000L
+    val panel = ev.groupBy(_._1).map { case (u, g) =>
+      val pre = g.filter(_._2 < splitNs).map(_._3).sum
+      val post = g.filter(_._2 >= splitNs).map(_._3).sum
+      val variant = BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes).take(2).map("%02x".format(_))
+        .mkString, 16).toLong % 2
+      (u, pre, post, variant)
+    }.toSeq
+    val n = panel.length.toLong
+    val spre = panel.map(_._2).sum; val spost = panel.map(_._3).sum
+    val spp = panel.map(r => BigInt(r._2) * r._3).sum
+    val sp2 = panel.map(r => BigInt(r._2) * r._2).sum
+    val theta = (n.toDouble * spp.toDouble - spre.toDouble * spost.toDouble) /
+      (n.toDouble * sp2.toDouble - spre.toDouble * spre.toDouble)
+    rows.foreach { case (v, nu, sp, spo, meanMilli, thetaMicro, adjMilli) =>
+      val mine = panel.filter(_._4 == v)
+      assert(nu == mine.length && sp == mine.map(_._2).sum
+        && spo == mine.map(_._3).sum, s"variant $v panel")
+      assert(meanMilli == math.round(spo.toDouble / nu * 10))
+      assert(thetaMicro == math.round(theta * 1000000))
+      val adj = spo.toDouble / nu -
+        theta * (sp.toDouble / nu - spre.toDouble / n.toDouble)
+      assert(adjMilli == math.round(adj * 10), s"variant $v adjusted")
+    }
+    assert(rows.map(_._2).sum == n)
+  }
+
   test("q254 linkage: true links conserved across classes + blocking") {
     val rows = ops.Reconcile.q254RecordLinkage(spark, TestSpark.SF)
       .select("verdict", "n_pairs", "n_true", "precision_ppm")
