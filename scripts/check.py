@@ -62,12 +62,16 @@ def compare(got, exp):
         return False, f"row count: got {len(got)} vs oracle {len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
+        # The driver's hasher is dtype-sensitive (round 9: DuckDB HUGEINT
+        # vs Spark int64 hashed differently despite equal values). A dtype
+        # mismatch is therefore a hard FAIL here too — no string fallback.
+        if g.dtype != e.dtype:
+            return False, f"col {c} dtype mismatch: got {g.dtype} vs oracle {e.dtype}"
         if g.dtype == object and len(g) and isinstance(g.iloc[0], np.ndarray):
             eq = all(np.array_equal(a, b) for a, b in zip(g, e))
         else:
             try:
-                eq = g.equals(e) or bool((g.fillna(-1e307) == e.fillna(-1e307)).all()) \
-                    if g.dtype == e.dtype else bool((g.astype(str) == e.astype(str)).all())
+                eq = g.equals(e) or bool((g.fillna(-1e307) == e.fillna(-1e307)).all())
             except Exception:
                 eq = bool((g.astype(str) == e.astype(str)).all())
         if not eq:

@@ -17,6 +17,9 @@ for sf in sf0.001 sf0.01 sf0.1; do
   python3 scripts/check.py "/root/testdata/$sf" "$out" | tail -1
 done
 
+echo "== oracle output-type audit =="
+python3 scripts/oracle_types.py /root/testdata/sf0.001 /tmp/gate_sf0.001 | tail -1
+
 echo "== test-report artifact =="
 python3 scripts/test_report.py "${ROUND:-0}"
 

@@ -1086,7 +1086,202 @@ object Analytics {
     FROM panel CROSS JOIN mom GROUP BY variant, n, spre, spost, spp, sp2
     ORDER BY variant"""
 
+  // ---- q272: exact permutation test for the A/B spend difference ----
+
+  /** Number of label permutations (md5-salted re-assignments). 199 so
+    * the Monte-Carlo p-value denominator (K+1) is a round 200. */
+  val PERM_K = 199
+
+  /** q272: permutation test of the q270 experiment's raw spend
+    * difference — the nonparametric companion readout: instead of a
+    * normal-theory interval, re-assign every user to a variant under
+    * $PERM_K md5-salted permutations of the SAME deterministic coin
+    * and ask how often a permuted |mean difference| reaches the
+    * observed one. p = (1 + #{perm ≥ obs}) / (K + 1), the standard
+    * add-one Monte-Carlo estimator (Phipson & Smyth 2010) — exact
+    * given the permutation set, no distributional assumption.
+    *
+    * Determinism: permutation p assigns md5(p:user_id) % 2 (p = 0 IS
+    * the observed md5(user_id) % 2 assignment, same coin as q270), so
+    * both engines enumerate the identical permutation set. The |mean
+    * diff| statistic is IEEE double over exact int64 cent sums and
+    * counts, rounded to milli-cents once, mirrored op-for-op (the
+    * q270 stance); the ≥ comparison then runs on exact int64.
+    *
+    * Scale shape: the corpus-sized work is ONE user-keyed aggregate
+    * (the panel — needed by any readout); the ×(K+1) explode is
+    * map-side over the panel and collapses immediately into a
+    * (K+1)-group partial aggregate, so no shuffle grows with K·users;
+    * everything after is a (K+1)-row ledger vs a broadcast 1-row
+    * observed statistic. */
+  def q272PermTest(s: SparkSession, d: String): DataFrame = {
+    val panel = events(s, d)
+      .select(col("user_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
+    val stats = panel
+      .select(col("user_id"), col("cents"),
+        explode(expr(s"sequence(0, $PERM_K)")).as("p"))
+      .withColumn("g", expr(
+        """case when p = 0
+          then cast(conv(substr(md5(cast(user_id as string)), 1, 4), 16, 10)
+            as bigint) % 2
+          else cast(conv(substr(md5(concat(cast(p as string), ':',
+            cast(user_id as string))), 1, 4), 16, 10) as bigint) % 2 end"""))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("n1"),
+        sum(col("cents")).as("s"),
+        sum(when(col("g") === 1L, col("cents")).otherwise(0L)).as("s1"))
+      .select(col("p"), expr(
+        """cast(round(abs(cast(s1 as double) / n1
+             - cast(s - s1 as double) / (n - n1)) * 1000) as bigint)""")
+        .as("diff_milli"))
+    val obs = stats.filter(col("p") === 0)
+      .select(col("diff_milli").as("obs_milli"))
+    stats.filter(col("p") > 0)
+      .crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        max(col("obs_milli")).as("obs_diff_milli"),
+        sum(when(col("diff_milli") >= col("obs_milli"), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("n_perms"), col("obs_diff_milli"), col("n_ge"),
+        expr("(n_ge + 1) * 1000000L div (n_perms + 1)").as("p_value_ppm"))
+  }
+
+  val o272 = s"""
+    WITH panel AS (
+      SELECT user_id,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1),
+    perms AS (
+      SELECT p.p, user_id, cents,
+        CASE WHEN p.p = 0
+          THEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+          ELSE ('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' ||
+            CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 END AS g
+      FROM panel CROSS JOIN (
+        SELECT UNNEST(generate_series(0, $PERM_K)) AS p) p),
+    stats AS (
+      SELECT p,
+        CAST(ROUND(ABS(CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END)
+              AS DOUBLE) / SUM(g)
+            - CAST(SUM(cents) - SUM(CASE WHEN g = 1 THEN cents ELSE 0 END)
+              AS DOUBLE) / (COUNT(*) - SUM(g))) * 1000) AS BIGINT)
+          AS diff_milli
+      FROM perms GROUP BY 1),
+    obs AS (SELECT diff_milli AS obs_milli FROM stats WHERE p = 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+      CAST(MAX(obs_milli) AS BIGINT) AS obs_diff_milli,
+      CAST(SUM(CASE WHEN diff_milli >= obs_milli THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_ge,
+      CAST((SUM(CASE WHEN diff_milli >= obs_milli THEN 1 ELSE 0 END) + 1)
+        * 1000000 // (COUNT(*) + 1) AS BIGINT) AS p_value_ppm
+    FROM stats CROSS JOIN obs WHERE p > 0"""
+
+  // ---- q273: Simpson's-paradox audit over segment pairs ----
+
+  /** q273: pooled-vs-stratified direction audit — for every unordered
+    * customer-segment pair, compare mean order value pooled across all
+    * nations and within each nation, and count strata whose direction
+    * AGREES with / FLIPS against the pooled sign. A pair whose pooled
+    * winner loses in most nations is Simpson's paradox in the data —
+    * the canonical trap when a curation or pricing decision is made on
+    * a pooled mean that a confounder (here: nation mix) reverses. The
+    * audit belongs IN the engine for the same reason q126's
+    * chi-square does: it must re-run on every snapshot, not in a
+    * notebook.
+    *
+    * All directions are exact-integer: sign(sa·nb − sb·na) compares
+    * mean cents by cross-multiplication in decimal(38,0) (cent sums ×
+    * order counts exceed int64 at corpus scale — the q252 stance); no
+    * division ever happens.
+    *
+    * Scale shape: ONE (segment, nation) cell aggregate over the
+    * orders⋈customer join (the join is the corpus-sized work; the
+    * ledger is |segments|·|nations| ≤ a few hundred rows); the pair
+    * table is a self-join OF THE LEDGER, never of the facts. */
+  def q273SimpsonFlip(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "orders")
+      .join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(o_totalprice as decimal(12,2)) * 100").cast("long"))
+          .as("s"))
+    val cc = graft.Tables.checkpointCycled(s"simpson-cells:$d", cells)
+    val a = cc.select(col("seg").as("seg_a"), col("nat"),
+      col("n").as("na"), col("s").as("sa"))
+    val b = cc.select(col("seg").as("seg_b"), col("nat"),
+      col("n").as("nb"), col("s").as("sb"))
+    val strata = a.join(b, Seq("nat")).filter(col("seg_a") < col("seg_b"))
+      .withColumn("dir", expr(
+        """case when cast(sa as decimal(38,0)) * nb > cast(sb as decimal(38,0)) * na then 1L
+                when cast(sa as decimal(38,0)) * nb < cast(sb as decimal(38,0)) * na then -1L
+                else 0L end"""))
+    val pooled = cc.groupBy(col("seg"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val pa = pooled.select(col("seg").as("seg_a"), col("n").as("pna"),
+      col("s").as("psa"))
+    val pb = pooled.select(col("seg").as("seg_b"), col("n").as("pnb"),
+      col("s").as("psb"))
+    val pdir = pa.crossJoin(pb).filter(col("seg_a") < col("seg_b"))
+      .withColumn("pooled_dir", expr(
+        """case when cast(psa as decimal(38,0)) * pnb > cast(psb as decimal(38,0)) * pna then 1L
+                when cast(psa as decimal(38,0)) * pnb < cast(psb as decimal(38,0)) * pna then -1L
+                else 0L end"""))
+      .select(col("seg_a"), col("seg_b"), col("pooled_dir"))
+    strata.join(pdir, Seq("seg_a", "seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"), col("pooled_dir"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(when(col("dir") === col("pooled_dir"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("dir") === -col("pooled_dir") && col("dir") =!= 0L,
+          1L).otherwise(0L)).as("n_flip"),
+        sum(when(col("dir") === 0L, 1L).otherwise(0L)).as("n_tied"))
+      .withColumn("simpson_flag", col("n_flip") * 2 > col("n_strata"))
+      .select(col("seg_a"), col("seg_b"), col("pooled_dir"),
+        col("n_strata"), col("n_agree"), col("n_flip"), col("n_tied"),
+        col("simpson_flag"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
+  val o273 = """
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS s
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    strata AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+        CASE WHEN a.s::HUGEINT * b.n > b.s::HUGEINT * a.n THEN 1
+             WHEN a.s::HUGEINT * b.n < b.s::HUGEINT * a.n THEN -1
+             ELSE 0 END AS dir
+      FROM cells a JOIN cells b ON a.nat = b.nat AND a.seg < b.seg),
+    pooled AS (
+      SELECT seg, SUM(n) AS n, SUM(s) AS s FROM cells GROUP BY 1),
+    pdir AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+        CASE WHEN a.s::HUGEINT * b.n > b.s::HUGEINT * a.n THEN 1
+             WHEN a.s::HUGEINT * b.n < b.s::HUGEINT * a.n THEN -1
+             ELSE 0 END AS pooled_dir
+      FROM pooled a JOIN pooled b ON a.seg < b.seg)
+    SELECT seg_a, seg_b, CAST(pooled_dir AS BIGINT) AS pooled_dir,
+      CAST(COUNT(*) AS BIGINT) AS n_strata,
+      CAST(SUM(CASE WHEN dir = pooled_dir THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_agree,
+      CAST(SUM(CASE WHEN dir = -pooled_dir AND dir <> 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_flip,
+      CAST(SUM(CASE WHEN dir = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+      SUM(CASE WHEN dir = -pooled_dir AND dir <> 0 THEN 1 ELSE 0 END) * 2
+        > COUNT(*) AS simpson_flag
+    FROM strata JOIN pdir USING (seg_a, seg_b)
+    GROUP BY seg_a, seg_b, pooled_dir
+    ORDER BY seg_a, seg_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_perm_test"         -> (q272PermTest _),
+    "q273_simpson_flip"      -> (q273SimpsonFlip _),
     "q270_cuped_uplift"      -> (q270CupedUplift _),
     "q265_weekly_profile"    -> (q265WeeklyProfile _),
     "q261_fano_burstiness"   -> (q261FanoBurstiness _),
@@ -1109,6 +1304,8 @@ object Analytics {
     "q261_fano_burstiness" -> o261,
     "q265_weekly_profile" -> o265,
     "q270_cuped_uplift" -> o270,
+    "q272_perm_test" -> o272,
+    "q273_simpson_flip" -> o273,
     "q175_info_gain" -> o175,
     "q172_seq_pairs" -> o172,
     "q160_markov" -> o160,

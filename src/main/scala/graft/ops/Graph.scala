@@ -55,10 +55,25 @@ object Graph {
   // and Verify/Bench each build their own. compute() revalidates under
   // the map lock and rebuilds on a session change (the stale entry's
   // checkpoint RDDs die with their stopped session; nothing to unpersist).
-  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.compute(key, (k, cached) =>
+  private val memoLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // Serialize per KEY on a dedicated monitor, not the memo map's bin
+    // lock: the build runs Spark jobs, and map.compute would block
+    // every unrelated key hashing to the same bin for the duration.
+    // Same-key waiters SHOULD block (get-or-build-once semantics — a
+    // racing duplicate build would also let checkpointCycled's per-tag
+    // cycling unpersist the winner's blocks). The lock objects are
+    // key-count-bounded driver objects, never evicted — fine for the
+    // handful of shared graph artifacts this memo serves.
+    val lock = memoLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val cached = memo.get(key)
       if (cached != null && (cached.sparkSession eq s)) cached
-      else checkpointCycled(k, build))
+      else { val built = checkpointCycled(key, build); memo.put(key, built); built }
+    }
+  }
 
   def basketsShared(s: SparkSession, d: String): DataFrame =
     memoized(s, s"graph_baskets:$d")(baskets(s, d))
@@ -178,18 +193,24 @@ object Graph {
     * every triangle is counted exactly once and the count is
     * orientation-invariant — which is what lets the oracle run the
     * naive a<b<c three-way self-join instead. */
-  def triangleStats(ep: DataFrame): DataFrame = {
-    val deg = ep.select(col("p1").as("v")).unionAll(ep.select(col("p2").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+  def triangleStats(ep: DataFrame, tag: String = "tri"): DataFrame = {
+    // deg is read FOUR times (two orientation joins, the wedge-count
+    // aggregate) and oe THREE times (both wedge sides + the closing-
+    // edge probe, each under a different projection so ReuseExchange
+    // can't unify them) — materialize each once instead of re-running
+    // the degree aggregate / orientation joins per consumer.
+    val deg = graft.Tables.checkpointCycled(s"$tag-deg",
+      ep.select(col("p1").as("v")).unionAll(ep.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg")))
     val withDeg = ep
       .join(deg.select(col("v").as("p1"), col("dg").as("d1")), "p1")
       .join(deg.select(col("v").as("p2"), col("dg").as("d2")), "p2")
     val k1 = struct(col("d1").as("dg"), col("p1").as("v"))
     val k2 = struct(col("d2").as("dg"), col("p2").as("v"))
-    val oe = withDeg.select(
+    val oe = graft.Tables.checkpointCycled(s"$tag-oe", withDeg.select(
       when(k1 < k2, col("p1")).otherwise(col("p2")).as("src"),
       when(k1 < k2, k2).otherwise(k1).as("kd"))
-      .withColumn("dst", col("kd.v"))
+      .withColumn("dst", col("kd.v")))
     val e1 = oe.select(col("src"), col("kd").as("ka"))
     val e2 = oe.select(col("src").as("src2"), col("kd").as("kb"))
     val e3 = oe.select(col("src").as("a3"), col("dst").as("b3"))
@@ -210,7 +231,8 @@ object Graph {
     * (pair support >= 2). One row out; the closing-edge probe is the
     * only join proportional to wedge count. */
   def q157Triangles(s: SparkSession, d: String): DataFrame =
-    triangleStats(pairs2Shared(s, d).select(col("p1"), col("p2")))
+    triangleStats(pairs2Shared(s, d).select(col("p1"), col("p2")),
+      tag = s"tri:$d")
 
   val o157 = """
     WITH b AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),

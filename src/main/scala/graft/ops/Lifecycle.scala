@@ -169,15 +169,15 @@ object Lifecycle {
         quantile_cont(m, 0.75) AS m3
       FROM rfm)
     SELECT
-      5 - (1 + CASE WHEN r > r1 THEN 1 ELSE 0 END
+      CAST(5 - (1 + CASE WHEN r > r1 THEN 1 ELSE 0 END
              + CASE WHEN r > r2 THEN 1 ELSE 0 END
-             + CASE WHEN r > r3 THEN 1 ELSE 0 END) AS r_score,
-      1 + CASE WHEN f > f1 THEN 1 ELSE 0 END
+             + CASE WHEN r > r3 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+      CAST(1 + CASE WHEN f > f1 THEN 1 ELSE 0 END
         + CASE WHEN f > f2 THEN 1 ELSE 0 END
-        + CASE WHEN f > f3 THEN 1 ELSE 0 END AS f_score,
-      1 + CASE WHEN m > m1 THEN 1 ELSE 0 END
+        + CASE WHEN f > f3 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+      CAST(1 + CASE WHEN m > m1 THEN 1 ELSE 0 END
         + CASE WHEN m > m2 THEN 1 ELSE 0 END
-        + CASE WHEN m > m3 THEN 1 ELSE 0 END AS m_score,
+        + CASE WHEN m > m3 THEN 1 ELSE 0 END AS BIGINT) AS m_score,
       count(*) AS n_customers
     FROM rfm, fences
     GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""

@@ -302,9 +302,12 @@ object StatShapes {
     * ledger lists every released class with its level and size, so
     * min(n_rows) over the output IS the k of the released set.
     *
-    * Balance bands are exact-integer: `(cents + 100000) div 100000`
-    * (the shift keeps the dividend non-negative, where Spark's
-    * truncating `div` and DuckDB's flooring `//` agree).
+    * Balance bands are exact-integer: `(round(cents) + 100000) div
+    * 100000` (the shift keeps the dividend non-negative, where Spark's
+    * truncating `div` and DuckDB's flooring `//` agree; the explicit
+    * round() is required because a bare double→bigint CAST truncates
+    * in Spark but rounds in DuckDB, so x.4999/x.5 representations of
+    * the same cents value could band-shift between engines).
     *
     * Scale shape: ONE row-level exchange (the level-0 aggregate); every
     * later rung re-aggregates the previous remainder LEDGER (class-
@@ -314,7 +317,7 @@ object StatShapes {
     val c0 = t(s, d, "customer")
       .select(col("c_nationkey").cast("long").as("nat"),
         col("c_mktsegment").as("seg"),
-        expr("(cast(c_acctbal * 100 as bigint) + 100000L) div 100000L")
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000L) div 100000L")
           .as("band"))
       .groupBy(col("nat"), col("seg"), col("band"))
       .agg(count(lit(1)).as("n"))
@@ -344,7 +347,7 @@ object StatShapes {
   val o227 = s"""
     WITH c0 AS (
       SELECT c_nationkey AS nat, c_mktsegment AS seg,
-        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000 AS band,
+        (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band,
         COUNT(*) AS n
       FROM customer GROUP BY 1, 2, 3),
     ok0 AS (SELECT 0 AS level, nat, seg, band, n FROM c0 WHERE n >= $K_ANON),
@@ -386,7 +389,7 @@ object StatShapes {
     // feeds four derived aggregates — materialize once
     val cells = graft.Tables.checkpointCycled("ldiv-cells", t(s, d, "customer")
       .select(col("c_nationkey").cast("long").as("nat"),
-        expr("(cast(c_acctbal * 100 as bigint) + 100000L) div 100000L")
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000L) div 100000L")
           .as("band"),
         col("c_mktsegment").as("sv"))
       .groupBy(col("nat"), col("band"), col("sv"))
@@ -420,7 +423,7 @@ object StatShapes {
   val o258 = """
     WITH cells AS (
       SELECT CAST(c_nationkey AS BIGINT) AS nat,
-        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000 AS band,
+        (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band,
         c_mktsegment AS sv, CAST(COUNT(*) AS BIGINT) AS nv
       FROM customer GROUP BY 1, 2, 3),
     cls AS (

@@ -533,11 +533,14 @@ object Similarity {
       sum(col("nij")).as("n"),
       countDistinct(col("cluster")).as("n_clusters"),
       countDistinct(col("label")).as("n_labels"),
-      sum(expr("nij * (nij - 1) div 2")).cast("long").as("p_pairs"))
+      sum(expr("cast(nij as decimal(38,0)) * (nij - 1) div 2"))
+        .cast("long").as("p_pairs"))
     val aPairs = cont.groupBy(col("cluster")).agg(sum(col("nij")).as("ai"))
-      .agg(sum(expr("ai * (ai - 1) div 2")).cast("long").as("a_pairs"))
+      .agg(sum(expr("cast(ai as decimal(38,0)) * (ai - 1) div 2"))
+        .cast("long").as("a_pairs"))
     val bPairs = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
-      .agg(sum(expr("bj * (bj - 1) div 2")).cast("long").as("b_pairs"))
+      .agg(sum(expr("cast(bj as decimal(38,0)) * (bj - 1) div 2"))
+        .cast("long").as("b_pairs"))
     val purity = cont
       .withColumn("rk", row_number().over(Window.partitionBy(col("cluster"))
         .orderBy(col("nij").desc, col("label"))))
@@ -842,7 +845,12 @@ object Similarity {
     if (hit != null) return hit
     val built = q47EmbedNearDup(s, d).localCheckpoint()
     val prev = embedPairCache.putIfAbsent(key, built)
-    if (prev != null) prev else built
+    if (prev != null) {
+      // racer lost: free its checkpoint blocks instead of leaking them
+      // for the application's lifetime
+      graft.Tables.checkpointedRdds(built).foreach(_.unpersist(blocking = false))
+      prev
+    } else built
   }
 
   /** The 1-bucket-theta exact pair engine behind q47, parameterized on
@@ -1029,6 +1037,21 @@ object Similarity {
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Double])]]()
 
+  /** Memoized KMeans fit, built OUTSIDE the map's bin lock (the fit
+    * runs Spark jobs; computeIfAbsent would hold a ConcurrentHashMap
+    * bin across them, blocking every other thread hashing to that bin
+    * for the duration). A concurrent racer may fit twice; the result
+    * is deterministic driver-side data, so the duplicate is garbage,
+    * not a leak. */
+  private def fitQuantizer(key: String, fit: => Seq[(Int, Array[Double])])
+      : Seq[(Int, Array[Double])] = {
+    val hit = quantizerCache.get(key)
+    if (hit != null) return hit
+    val built = fit
+    val prev = quantizerCache.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
+
   /** IVF search without the evidence wrapper — parameterized so the
     * recall/cost curve is measurable (tools.AnnTune) without editing
     * the graded constants. */
@@ -1036,9 +1059,9 @@ object Similarity {
                              iters: Int, sample: Int,
                              nCells: Int = N_CELLS): DataFrame = {
     val e = embeddings(s, d)
-    val cents = quantizerCache.computeIfAbsent(
+    val cents = fitQuantizer(
       s"$d|$nCells|$iters|$sample",
-      _ => KMeans.fit(e.filter(col("vec_id") < sample), nCells, iters))
+      KMeans.fit(e.filter(col("vec_id") < sample), nCells, iters))
     import graft.functions.VectorFunctions.top_cells
     val base = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       .withColumn("cell", top_cells(col("nv"), cents, 1)(0))
@@ -1067,13 +1090,13 @@ object Similarity {
     * caches on first use. */
   def ensureAnnIndexes(s: SparkSession, d: String): Unit = {
     val e = embeddings(s, d)
-    quantizerCache.computeIfAbsent(
+    fitQuantizer(
       s"$d|$N_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
-      _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), N_CELLS, KMEANS_ITERS))
+      KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), N_CELLS, KMEANS_ITERS))
     // q204's SemDeDup quantizer: same train-once lifecycle, finer grid.
-    quantizerCache.computeIfAbsent(
+    fitQuantizer(
       s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
-      _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), SEM_CELLS, KMEANS_ITERS))
+      KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), SEM_CELLS, KMEANS_ITERS))
     pqCodes(s, d)
     ()
   }
@@ -1176,20 +1199,27 @@ object Similarity {
     * train-then-broadcast stance as the IVF coarse quantizer — only
     * M·K·(dim/M) centroid doubles ever reach the driver). */
   private def pqCodebooks(s: SparkSession, d: String)
-      : (Int, IndexedSeq[Seq[(Int, Array[Double])]]) =
-    pqCache.computeIfAbsent(s"$d|$PQ_M|$PQ_K", _ => {
-      val u = unitEmbeddings(s, d)
-      val dim = u.select(size(col("nv"))).head().getInt(0)
-      require(dim % PQ_M == 0, s"dim $dim not divisible by $PQ_M subspaces")
-      val sub = dim / PQ_M
-      val sample = u.filter(col("vec_id") < FIT_SAMPLE)
-      val books = (0 until PQ_M).map { m =>
-        KMeans.fit(sample.select(col("vec_id"),
-          slice(col("nv"), m * sub + 1, sub).as("sv")),
-          PQ_K, KMEANS_ITERS, "sv")
-      }
-      (dim, books)
-    })
+      : (Int, IndexedSeq[Seq[(Int, Array[Double])]]) = {
+    // Built outside the bin lock (fitQuantizer rationale): M KMeans
+    // fits are Spark jobs; a racing duplicate is deterministic driver
+    // data, discarded, never leaked.
+    val key = s"$d|$PQ_M|$PQ_K"
+    val hit = pqCache.get(key)
+    if (hit != null) return hit
+    val u = unitEmbeddings(s, d)
+    val dim = u.select(size(col("nv"))).head().getInt(0)
+    require(dim % PQ_M == 0, s"dim $dim not divisible by $PQ_M subspaces")
+    val sub = dim / PQ_M
+    val sample = u.filter(col("vec_id") < FIT_SAMPLE)
+    val books = (0 until PQ_M).map { m =>
+      KMeans.fit(sample.select(col("vec_id"),
+        slice(col("nv"), m * sub + 1, sub).as("sv")),
+        PQ_K, KMEANS_ITERS, "sv")
+    }
+    val built = (dim, books)
+    val prev = pqCache.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
 
   /** PQ search: encode the base once (M argmins per row, all codegen
     * DotWithConst projections), score every (query, code-row) pair with
@@ -1328,10 +1358,10 @@ object Similarity {
   def q204SemDedup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, top_cells}
     val e = embeddings(s, d)
-    val cents = quantizerCache.computeIfAbsent(
+    val cents = fitQuantizer(
       s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
-      _ => KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE),
-                      SEM_CELLS, KMEANS_ITERS))
+      KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE),
+                 SEM_CELLS, KMEANS_ITERS))
     // The multi-probe assignment projection feeds BOTH sides of the
     // cell join below; materialize it once (probed: the old 64-struct
     // sort_array projection cost 0.75 s at sf0.1 and the join was

@@ -349,9 +349,9 @@ object ChunkPlan {
     v AS (SELECT COUNT(*) AS vocab FROM fb)
     SELECT batch_id, distinct_grams, novel_grams,
       novel_grams * 1000000 // distinct_grams AS novelty_ppm,
-      SUM(novel_grams) OVER (ORDER BY batch_id
+      CAST(SUM(novel_grams) OVER (ORDER BY batch_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        * 1000000 // vocab AS cum_vocab_ppm
+        * 1000000 // vocab AS BIGINT) AS cum_vocab_ppm
     FROM pb, v ORDER BY batch_id"""
 
   // ---- q234: padding-waste audit (length-bucketed batching) ----
@@ -372,9 +372,14 @@ object ChunkPlan {
     * row_numbers + a ≤|distinct lengths|-row broadcast offset table).
     * Per-batch max/sum/count and the 2-row rollup are ledger-sized. */
   def q234PaddingAudit(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // materialized once: the (doc_id, n_tok) frame feeds the shuffled
+    // ordering (scan + banded positions), the length-offset table AND
+    // the by-length ordering — without the checkpoint each consumer
+    // re-reads documents and re-tokenizes (20 exchanges measured vs 8)
+    val docs = graft.Tables.checkpointCycled(s"padding-docs:$d",
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")))
     val shuffled = shufflePositions(docs, 1)
       .select(col("doc_id"), col("n_tok"), col("pos"))
     val wLen = Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))
@@ -430,7 +435,8 @@ object ChunkPlan {
       CAST(COUNT(*) AS BIGINT) AS n_batches,
       CAST(SUM(st) AS BIGINT) AS real_tokens,
       CAST(SUM(mx * n) AS BIGINT) AS padded_tokens,
-      (SUM(mx * n) - SUM(st)) * 1000000 // SUM(mx * n) AS waste_ppm
+      CAST((SUM(mx * n) - SUM(st)) * 1000000 // SUM(mx * n) AS BIGINT)
+        AS waste_ppm
     FROM u GROUP BY strategy ORDER BY strategy"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -994,10 +994,15 @@ object CorpusSignals {
              case when cast(conv(substr(md5(concat(doc_id, ':', i)), 1, 4),
                    16, 10) as bigint) % $BLEU_SUB_MOD = 0
                then reverse(t) else t end)"""))
+    // size($c) < 2 must yield an EMPTY gram list: sequence(0, -1) is
+    // [0, -1] in Spark (descending), which would fabricate one null
+    // bigram via $c[-1] where the oracle's positional self-join
+    // produces no row (same guard as q215's bigram stage).
     def grams(c: String, n: Int) = expr(
       if (n == 1) s"transform($c, t -> t)"
-      else s"""transform(sequence(0, size($c) - 2),
-               i -> concat($c[i], chr(1), $c[i + 1]))""")
+      else s"""case when size($c) < 2 then array()
+               else transform(sequence(0, size($c) - 2),
+                 i -> concat($c[i], chr(1), $c[i + 1])) end""")
     def clipped(n: Int) = {
       val ref = base.select(col("doc_id"), explode(grams("rt", n)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cr"))

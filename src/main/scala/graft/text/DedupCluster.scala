@@ -139,16 +139,33 @@ object DedupCluster {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private val labelLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
     // Keyed on applicationId, not object identity: identity hashes can
     // collide or recur after a session is GC'd, which could serve a
     // cached DataFrame bound to a dead session. applicationId is unique
-    // per SparkContext lifetime.
-    labelCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$d",
-      key => connectedComponents(
-        Dedup.cachedTextPairs(s, d).select(col("i"), col("j")),
-        tag = s"cc-labels|$key"))
+    // per SparkContext lifetime. Serialized on a per-key MONITOR, not
+    // the cache map's bin lock: the CC build is a multi-job iteration
+    // (computeIfAbsent would block unrelated keys in the same bin), and
+    // a racing duplicate build must not happen at all — the CC result
+    // rides checkpointCycled, whose per-tag cycling would unpersist the
+    // winner's blocks if a loser rebuilt the same tag.
+    val key = s"${s.sparkContext.applicationId}|$d"
+    val lock = labelLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val hit = labelCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = connectedComponents(
+          Dedup.cachedTextPairs(s, d).select(col("i"), col("j")),
+          tag = s"cc-labels|$key")
+        labelCache.put(key, built)
+        built
+      }
+    }
+  }
 
   /** Bench-setup hook (mirrors Similarity.ensureAnnIndexes). */
   def ensureClusterLabels(s: SparkSession, d: String): Unit = {
@@ -341,15 +358,99 @@ object DedupCluster {
       CAST(SUM(q_micro) // COUNT(*) AS BIGINT) AS mean_quality_micro
     FROM roles GROUP BY 1, 2 ORDER BY source, role"""
 
+  // ---- q274: duplicate-cluster token-inflation ROI ledger ----
+
+  /** q274: the top duplicate clusters by WASTED training tokens —
+    * q264 answers "does dedup skew sources?"; this answers "which
+    * template families cost the most": per near-dup cluster (size ≥ 2)
+    * its doc count, source spread, total token mass, the tokens the
+    * min-id keeper policy (q76's) retains, and the wasted remainder as
+    * an exact ppm share of the corpus. The top-20 ledger is the
+    * prioritized work queue a curation team actually triages —
+    * quarantine the boilerplate family at rank 1 before tuning
+    * thresholds for the tail.
+    *
+    * Scale shape: CC labels are the memoized q76 artifact; one
+    * cluster-keyed aggregate over the labeled docs, then a top-k
+    * (TakeOrderedAndProject — never a global sort of the cluster
+    * ledger); the corpus token total joins as a broadcast 1-row
+    * aggregate. The waste·1e6 product runs in decimal(38,0) (a
+    * pathological giant cluster times 1e6 can pass int64 — q252
+    * stance). Rank is a row_number over the 20 collected survivors
+    * only. */
+  val INFLATION_TOP_K = 20
+
+  def q274DupeInflation(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d)
+    val cl = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val tot = cl.agg(sum(col("n_tok")).as("corpus_tok"))
+    val clusters = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
+          .otherwise(0L)).as("keeper_tokens"))
+      .filter(col("cluster_size") >= 2)
+      .withColumn("wasted_tokens", col("total_tokens") - col("keeper_tokens"))
+      .orderBy(desc("wasted_tokens"), col("cluster_id"))
+      .limit(INFLATION_TOP_K)
+    clusters.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("wasted_tokens"), col("cluster_id"))).cast("long"))
+      .select(col("rank"), col("cluster_id"), col("cluster_size"),
+        col("n_sources"), col("total_tokens"), col("wasted_tokens"),
+        expr("""cast(cast(wasted_tokens as decimal(38,0)) * 1000000
+          div corpus_tok as bigint)""").as("waste_share_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  val o274 = s"""
+    WITH RECURSIVE ${Dedup.ORA_PAIR_CTES},
+    pr AS (SELECT i, j FROM jac WHERE jac >= ${Dedup.JACCARD_THRESHOLD}),
+    ${Dedup.ORA_CC_CTES},
+    cl AS (
+      SELECT d.doc_id, d.source,
+        ${graft.text.TextOps.ORA_N_TOK} AS n_tok,
+        CAST(COALESCE(LEAST(lab.mr, d.doc_id), d.doc_id) AS BIGINT)
+          AS cluster_id
+      FROM documents d LEFT JOIN lab ON lab.n = d.doc_id),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS corpus_tok FROM cl),
+    c AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_tok ELSE 0 END)
+          AS BIGINT) AS keeper_tokens
+      FROM cl GROUP BY 1 HAVING COUNT(*) >= 2),
+    r AS (
+      SELECT *, total_tokens - keeper_tokens AS wasted_tokens,
+        row_number() OVER (ORDER BY total_tokens - keeper_tokens DESC,
+          cluster_id) AS rnk
+      FROM c)
+    SELECT CAST(rnk AS BIGINT) AS rank, cluster_id, cluster_size,
+      n_sources, total_tokens, CAST(wasted_tokens AS BIGINT)
+        AS wasted_tokens,
+      CAST(wasted_tokens::HUGEINT * 1000000 // corpus_tok AS BIGINT)
+        AS waste_share_ppm
+    FROM r CROSS JOIN tot WHERE rnk <= $INFLATION_TOP_K ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_dedup_components" -> (q76DedupComponents _),
     "q142_best_keeper"     -> (q142BestKeeper _),
     "q264_dedup_bias"      -> (q264DedupBias _),
+    "q274_dupe_inflation"  -> (q274DupeInflation _),
     "q148_leakfree_split"  -> (q148LeakFreeSplit _))
 
   val oracles: Map[String, String] = Map(
     "q76_dedup_components" -> o76,
     "q264_dedup_bias" -> o264,
     "q142_best_keeper" -> o142,
+    "q274_dupe_inflation" -> o274,
     "q148_leakfree_split" -> o148)
 }

@@ -299,11 +299,18 @@ object Scrub {
     String, Seq[(Long, String, String, Long)]]()
 
   private[graft] def trainedMerges(s: SparkSession, d: String)
-      : Seq[(Long, String, String, Long)] =
-    mergeCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$d|$BPE_ROUNDS",
-      _ => q207BpeTrain(s, d).collect().toSeq
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+      : Seq[(Long, String, String, Long)] = {
+    // Built outside the map's bin lock (the train is a multi-round
+    // Spark job); a concurrent racer may train twice — deterministic
+    // driver data, the duplicate is discarded.
+    val key = s"${s.sparkContext.applicationId}|$d|$BPE_ROUNDS"
+    val hit = mergeCache.get(key)
+    if (hit != null) return hit
+    val built = q207BpeTrain(s, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val prev = mergeCache.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
 
   /** Warm the merge cache outside any timed region (Bench setup). */
   def ensureBpeMerges(s: SparkSession, d: String): Unit = {

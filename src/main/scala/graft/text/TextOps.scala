@@ -212,8 +212,10 @@ object TextOps {
   def q63Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     // TF is row-local (codegen TokenCounts — no groupBy(doc_id, term)
-    // shuffle); DF aggregates the vocabulary and is broadcast back, so
-    // the only full-corpus shuffle left is the top-k window by doc_id.
+    // shuffle); DF aggregates the vocabulary and joins back without a
+    // pinned broadcast hint (AQE broadcasts it when the runtime vocab
+    // is small, shuffles when unbounded — same stance as q205), so the
+    // only full-corpus shuffle left is the top-k window by doc_id.
     val tf = docs.select(col("doc_id"),
         explode(graft.functions.TokenCounts.token_counts(col("text"))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
@@ -221,7 +223,7 @@ object TextOps {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(desc("tf"), col("df"), col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TFIDF_TOP_K)
@@ -265,15 +267,14 @@ object TextOps {
     *
     * Scale shape: TF is row-local (codegen TokenCounts — no
     * (doc, term) shuffle); the corpus unigram table is ONE term-keyed
-    * aggregate whose result broadcasts back. NOTE: the explicit
-    * broadcast(cf) hint PINS the broadcast regardless of size — right
-    * for a tokenizer-bounded vocab (≤ a few 100k terms), but over raw
-    * space-split tokens of an unbounded corpus the hint must be
-    * dropped (let autoBroadcastJoinThreshold decide, falling back to a
-    * shuffled join) or the driver OOMs building the broadcast — same
-    * caveat as q63); the corpus total enters as a broadcast single-row
-    * aggregate, not a driver collect. The only remaining corpus-sized
-    * shuffle is the per-doc collapse. */
+    * aggregate joined back WITHOUT a pinned broadcast hint: AQE sees
+    * the aggregate's actual runtime size and converts to a broadcast
+    * join when the vocab is tokenizer-bounded (the common case), but
+    * falls back to a shuffled join over an unbounded raw-token vocab
+    * instead of OOMing the driver building a forced broadcast. The
+    * corpus total enters as a broadcast single-row aggregate, not a
+    * driver collect. The only remaining corpus-sized shuffle is the
+    * per-doc collapse. */
   def q205UnigramSurprisal(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val tf = docs.select(col("doc_id"),
@@ -281,7 +282,7 @@ object TextOps {
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
     val tot = cf.agg(sum(col("cf")).as("tot"))
-    tf.join(broadcast(cf), Seq("term"))
+    tf.join(cf, Seq("term"))
       .crossJoin(broadcast(tot))
       .withColumn("q", round(col("tf") * log(col("tot").cast("double")
           / col("cf")) * SURPRISAL_SCALE).cast("long"))
@@ -689,13 +690,147 @@ object TextOps {
         LEFT JOIN fp USING (lang))
     SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
       CAST(fn AS BIGINT) AS fn,
-      CASE WHEN tp + fp = 0 THEN 0
-        ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
-      CASE WHEN tp + fn = 0 THEN 0
-        ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
-      CASE WHEN 2 * tp + fp + fn = 0 THEN 0
-        ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+      CAST(CASE WHEN tp + fp = 0 THEN 0
+        ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+      CAST(CASE WHEN tp + fn = 0 THEN 0
+        ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+      CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
     FROM j ORDER BY lang"""
+
+  // ---- q271: inter-rater agreement (Cohen's kappa) ----
+
+  /** The four Latin stopword sets the vote rater scores. Kept tiny and
+    * hard-coded so the DuckDB mirror is a literal IN-list, not a
+    * broadcast table. */
+  private val VOTE_SETS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "las"),
+    "fr" -> Seq("le", "les", "des", "une"))
+
+  /** Rater B: per-language stopword-hit counts with argmax vote, ties
+    * resolved by the fixed en>de>es>fr priority (a pure nested CASE so
+    * both engines share one definition). Zero hits everywhere →
+    * 'unknown'. Deliberately DIFFERENT machinery from `langGuess`
+    * (first-match regex) — the point of q271 is to measure how much
+    * two plausible raters disagree. */
+  private def voteCnt(lang: String): String = {
+    val set = VOTE_SETS.find(_._1 == lang).get._2
+      .map("'" + _ + "'").mkString(", ")
+    s"size(filter(split(text, ' '), t -> t IN ($set)))"
+  }
+
+  def langVote(text: Column): Column = expr(s"""
+    CASE WHEN ${voteCnt("en")} = 0 AND ${voteCnt("de")} = 0
+           AND ${voteCnt("es")} = 0 AND ${voteCnt("fr")} = 0 THEN 'unknown'
+         WHEN ${voteCnt("en")} >= ${voteCnt("de")}
+           AND ${voteCnt("en")} >= ${voteCnt("es")}
+           AND ${voteCnt("en")} >= ${voteCnt("fr")} THEN 'en'
+         WHEN ${voteCnt("de")} >= ${voteCnt("es")}
+           AND ${voteCnt("de")} >= ${voteCnt("fr")} THEN 'de'
+         WHEN ${voteCnt("es")} >= ${voteCnt("fr")} THEN 'es'
+         ELSE 'fr' END""")
+
+  private def oraVoteCnt(lang: String): String = {
+    val set = VOTE_SETS.find(_._1 == lang).get._2
+      .map("'" + _ + "'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+  }
+
+  val ORA_VOTE_CASE: String = s"""
+    CASE WHEN ${oraVoteCnt("en")} = 0 AND ${oraVoteCnt("de")} = 0
+           AND ${oraVoteCnt("es")} = 0 AND ${oraVoteCnt("fr")} = 0
+           THEN 'unknown'
+         WHEN ${oraVoteCnt("en")} >= ${oraVoteCnt("de")}
+           AND ${oraVoteCnt("en")} >= ${oraVoteCnt("es")}
+           AND ${oraVoteCnt("en")} >= ${oraVoteCnt("fr")} THEN 'en'
+         WHEN ${oraVoteCnt("de")} >= ${oraVoteCnt("es")}
+           AND ${oraVoteCnt("de")} >= ${oraVoteCnt("fr")} THEN 'de'
+         WHEN ${oraVoteCnt("es")} >= ${oraVoteCnt("fr")} THEN 'es'
+         ELSE 'fr' END"""
+
+  /** q271: Cohen's kappa between two independent in-engine language
+    * raters (q35's first-match regex vs the stopword-vote argmax), per
+    * source. Chance-corrected agreement is the standard way to decide
+    * whether two cheap classifiers are redundant or complementary
+    * before gating a corpus on their intersection — raw agreement
+    * alone is inflated by the majority class (here: 'en'-heavy
+    * sources agree by luck).
+    *
+    * Exact integer identity: with N docs, A observed agreements and
+    * S = Σ_k rowmarg_k·colmarg_k, kappa = (A·N − S) / (N² − S), so
+    * kappa_ppm = (A·N − S)·1e6 div (N² − S) needs no intermediate
+    * float at all. Marginal products run in decimal(38,0) (N² at
+    * corpus scale exceeds int64 — the q252 stance). pe = 1 (every
+    * marginal mass on one class, N² = S) degenerates to kappa = 0.
+    *
+    * Scale shape: ONE (source, a, b) corpus aggregate (both raters are
+    * row-local codegen expressions over one scan); marginals, products
+    * and kappa all derive from that |sources|·|classes|²-bounded
+    * ledger. */
+  def q271RaterKappa(s: SparkSession, d: String): DataFrame = {
+    val cm = documents(s, d)
+      .groupBy(col("source"), langGuess(col("text")).as("a"),
+        langVote(col("text")).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val cmc = graft.Tables.checkpointCycled(s"kappa-cm:$d", cm)
+    val tot = cmc.groupBy(col("source")).agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+    val ma = cmc.groupBy(col("source"), col("a").as("k"))
+      .agg(sum(col("n")).as("na"))
+    val mb = cmc.groupBy(col("source"), col("b").as("k"))
+      .agg(sum(col("n")).as("nb"))
+    val se = ma.join(mb, Seq("source", "k"))
+      .groupBy(col("source"))
+      .agg(sum(expr("cast(na as decimal(38,0)) * nb")).as("s_e"))
+    tot.join(se, Seq("source"))
+      .select(col("source"), col("n_docs"), col("agree"),
+        expr("agree * 1000000L div n_docs").as("po_ppm"),
+        expr("cast(s_e * 1000000 div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)")
+          .as("pe_ppm"),
+        // kappa may be negative (systematic disagreement); Spark div
+        // truncates toward zero while DuckDB // floors, so divide the
+        // |numerator| (keeping the dividend non-negative, where both
+        // agree) and re-apply the sign — the StatShapes q227 stance.
+        expr("""case when cast(n_docs as decimal(38,0)) * n_docs = s_e then 0L
+          when cast(agree as decimal(38,0)) * n_docs >= s_e
+          then cast((cast(agree as decimal(38,0)) * n_docs - s_e) * 1000000
+            div (cast(n_docs as decimal(38,0)) * n_docs - s_e) as bigint)
+          else -cast((s_e - cast(agree as decimal(38,0)) * n_docs) * 1000000
+            div (cast(n_docs as decimal(38,0)) * n_docs - s_e) as bigint) end""")
+          .as("kappa_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o271: String = s"""
+    WITH cm AS (
+      SELECT source, $ORA_LANG_CASE AS a, $ORA_VOTE_CASE AS b,
+        COUNT(*) AS n
+      FROM documents GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT source, SUM(n) AS n_docs,
+        SUM(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+      FROM cm GROUP BY 1),
+    ma AS (SELECT source, a AS k, SUM(n) AS na FROM cm GROUP BY 1, 2),
+    mb AS (SELECT source, b AS k, SUM(n) AS nb FROM cm GROUP BY 1, 2),
+    se AS (
+      SELECT ma.source, SUM(na::HUGEINT * nb) AS s_e
+      FROM ma JOIN mb ON ma.source = mb.source AND ma.k = mb.k
+      GROUP BY 1)
+    SELECT tot.source, CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(agree AS BIGINT) AS agree,
+      CAST(agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
+      CAST(s_e * 1000000 // (n_docs::HUGEINT * n_docs) AS BIGINT) AS pe_ppm,
+      CAST(CASE WHEN n_docs::HUGEINT * n_docs = s_e THEN 0
+        WHEN agree::HUGEINT * n_docs >= s_e
+        THEN (agree::HUGEINT * n_docs - s_e) * 1000000
+          // (n_docs::HUGEINT * n_docs - s_e)
+        ELSE -((s_e - agree::HUGEINT * n_docs) * 1000000
+          // (n_docs::HUGEINT * n_docs - s_e)) END AS BIGINT) AS kappa_ppm
+    FROM tot JOIN se ON tot.source = se.source
+    ORDER BY tot.source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_unigram_surprisal" -> (q205UnigramSurprisal _),
@@ -707,6 +842,7 @@ object TextOps {
     "q34_token_stats"   -> (q34TokenStats _),
     "q35_lang_id"       -> (q35LangId _),
     "q245_langid_eval"  -> (q245LangidEval _),
+    "q271_rater_kappa"  -> (q271RaterKappa _),
     "q257_retrieval_eval" -> (q257RetrievalEval _),
     "q36_quality_score" -> (q36QualityScore _),
     "q37_fingerprint"   -> (q37Fingerprint _),
@@ -717,6 +853,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
     "q245_langid_eval" -> o245,
+    "q271_rater_kappa" -> o271,
     "q257_retrieval_eval" -> o257,
     "q36_quality_score" -> o36, "q37_fingerprint" -> o37,
     "q38_doc_stats" -> o38, "q48_rolling_fingerprint" -> o48,

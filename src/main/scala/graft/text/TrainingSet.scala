@@ -1317,7 +1317,99 @@ object TrainingSet {
     FROM g WHERE alloc > 0
     GROUP BY source ORDER BY source"""
 
+  // ---- q275: quality-curriculum phase schedule ----
+
+  /** q275: curriculum schedule ledger — documents are staged into four
+    * quality-quartile phases (phase 1 = cleanest quartile, trained
+    * first; the anti-curriculum flips the phase order for free) and
+    * the schedule is reported per (phase, source): doc and token mass,
+    * the phase's global position range in the curriculum ordering, and
+    * each source's exact token share of its phase. This is the
+    * schedule a curriculum-training run consumes — the decision ledger
+    * ("is phase 1 all wiki? did the tail phase swallow source X?")
+    * rather than a per-doc dump.
+    *
+    * Quartile fences are percentile() over q_micro = round(quality·1e6)
+    * int64 (integer operands, the q202 fence stance — both engines
+    * interpolate the same IEEE doubles from identical integer
+    * multisets); phase membership is an exact bigint-vs-double
+    * comparison. Token-share ppm runs in decimal(38,0) (corpus-scale
+    * phase token mass × 1e6 exceeds int64 — the q252 stance).
+    *
+    * Scale shape: quality is row-local (q36's expression); fences are
+    * a broadcast 1-row aggregate; the corpus-sized work is ONE
+    * (phase, source) cell aggregate; phase offsets derive from the
+    * 4-row phase ledger (the q98 offset pattern) and broadcast back to
+    * the ≤ 4·|sources|-row cell table. No per-doc global ordering is
+    * ever materialized — position ranges come from phase mass alone. */
+  def q275CurriculumSchedule(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.withQuality(documents(s, d))
+      .select(col("source"), col("n_tok"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q_micro"))
+    val fences = docs.agg(
+      expr("percentile(q_micro, 0.75)").as("f75"),
+      expr("percentile(q_micro, 0.5)").as("f50"),
+      expr("percentile(q_micro, 0.25)").as("f25"))
+    val cells = graft.Tables.checkpointCycled(s"curriculum-cells:$d",
+      docs.crossJoin(broadcast(fences))
+        .withColumn("phase",
+          lit(1L) + when(col("q_micro") < col("f75"), 1L).otherwise(0L)
+            + when(col("q_micro") < col("f50"), 1L).otherwise(0L)
+            + when(col("q_micro") < col("f25"), 1L).otherwise(0L))
+        .groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
+    val wBefore = Window.orderBy(col("phase"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpto = Window.orderBy(col("phase"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val off = cells.groupBy(col("phase"))
+      .agg(sum(col("n_docs")).as("pd"), sum(col("n_tokens")).as("pt"))
+      .withColumn("before", coalesce(sum(col("pd")).over(wBefore), lit(0L)))
+      .withColumn("upto", sum(col("pd")).over(wUpto))
+      .select(col("phase"), col("pt"), col("before"), col("upto"))
+    cells.join(broadcast(off), Seq("phase"))
+      .select(col("phase"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("before") + 1L).as("phase_start"),
+        col("upto").as("phase_end"),
+        expr("""cast(cast(n_tokens as decimal(38,0)) * 1000000
+          div pt as bigint)""").as("tok_share_ppm"))
+      .orderBy(col("phase"), col("source"))
+  }
+
+  val o275 = s"""
+    WITH q AS (
+      SELECT source,
+        CAST(ROUND(${TextOps.ORA_QUALITY} * 1000000) AS BIGINT) AS q_micro,
+        ${TextOps.ORA_N_TOK} AS n_tok
+      FROM documents),
+    f AS (
+      SELECT quantile_cont(q_micro, 0.75) AS f75,
+        quantile_cont(q_micro, 0.5) AS f50,
+        quantile_cont(q_micro, 0.25) AS f25
+      FROM q),
+    cells AS (
+      SELECT CAST(1 + (CASE WHEN q_micro < f75 THEN 1 ELSE 0 END)
+           + (CASE WHEN q_micro < f50 THEN 1 ELSE 0 END)
+           + (CASE WHEN q_micro < f25 THEN 1 ELSE 0 END) AS BIGINT) AS phase,
+        source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM q CROSS JOIN f GROUP BY 1, 2),
+    off AS (
+      SELECT phase, SUM(n_tokens) AS pt,
+        COALESCE(SUM(SUM(n_docs)) OVER (ORDER BY phase
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+        SUM(SUM(n_docs)) OVER (ORDER BY phase
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS upto
+      FROM cells GROUP BY phase)
+    SELECT cells.phase AS phase, source, n_docs, n_tokens,
+      CAST(before + 1 AS BIGINT) AS phase_start,
+      CAST(upto AS BIGINT) AS phase_end,
+      CAST(n_tokens::HUGEINT * 1000000 // pt AS BIGINT) AS tok_share_ppm
+    FROM cells JOIN off ON cells.phase = off.phase
+    ORDER BY phase, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_curriculum_schedule" -> (q275CurriculumSchedule _),
     "q219_crop_pairs"      -> (q219CropPairs _),
     "q216_perceptron"      -> (q216PerceptronQuality _),
     "q262_uncertainty_sample" -> (q262UncertaintySample _),
@@ -1339,6 +1431,7 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q275_curriculum_schedule" -> o275,
     "q219_crop_pairs"      -> o219,
     "q216_perceptron"      -> o216,
     "q262_uncertainty_sample" -> o262,

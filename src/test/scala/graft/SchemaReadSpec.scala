@@ -85,6 +85,23 @@ class SchemaReadSpec extends AnyFunSuite {
     assert(r.getLong(1) == micros)
   }
 
+  test("withEventTime: TIMESTAMP_NTZ under a non-UTC session fails loudly") {
+    // the NTZ→LTZ cast is wall-clock-preserving, so a non-UTC session
+    // would silently shift every epoch-nano; the guard must throw
+    // instead of corrupting.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ntz = Seq((1L, 1704067200123456L)).toDF("event_id", "us")
+        .select(col("event_id"),
+          timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      val ex = intercept[IllegalArgumentException] {
+        Tables.withEventTime(ntz)
+      }
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("events loader on the real file matches the canonical surface") {
     val df = Tables.events(spark, TestSpark.SF)
     assert(df.schema("ts").dataType == LongType)
