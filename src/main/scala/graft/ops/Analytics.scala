@@ -1119,7 +1119,7 @@ object Analytics {
       .select(col("user_id"),
         expr("cast(round(value * 100) as bigint)").as("cents"))
       .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
-    val stats = panel
+    val stats = graft.Tables.checkpointCycled(s"perm-stats:$d", panel
       .select(col("user_id"), col("cents"),
         explode(expr(s"sequence(0, $PERM_K)")).as("p"))
       .withColumn("g", expr(
@@ -1133,9 +1133,12 @@ object Analytics {
         sum(col("cents")).as("s"),
         sum(when(col("g") === 1L, col("cents")).otherwise(0L)).as("s1"))
       .select(col("p"), expr(
-        """cast(round(abs(cast(s1 as double) / n1
-             - cast(s - s1 as double) / (n - n1)) * 1000) as bigint)""")
-        .as("diff_milli"))
+        """case when n1 = 0 or n1 = n
+             then cast(raise_error(concat('q272: degenerate permutation (one-sided label) at p=',
+               cast(p as string))) as bigint)
+             else cast(round(abs(cast(s1 as double) / n1
+               - cast(s - s1 as double) / (n - n1)) * 1000) as bigint) end""")
+        .as("diff_milli")))
     val obs = stats.filter(col("p") === 0)
       .select(col("diff_milli").as("obs_milli"))
     stats.filter(col("p") > 0)
@@ -1163,10 +1166,13 @@ object Analytics {
         SELECT UNNEST(generate_series(0, $PERM_K)) AS p) p),
     stats AS (
       SELECT p,
-        CAST(ROUND(ABS(CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END)
+        CASE WHEN SUM(g) = 0 OR SUM(g) = COUNT(*)
+          THEN CAST(error('q272: degenerate permutation (one-sided label) at p='
+            || CAST(p AS VARCHAR)) AS BIGINT)
+          ELSE CAST(ROUND(ABS(CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END)
               AS DOUBLE) / SUM(g)
             - CAST(SUM(cents) - SUM(CASE WHEN g = 1 THEN cents ELSE 0 END)
-              AS DOUBLE) / (COUNT(*) - SUM(g))) * 1000) AS BIGINT)
+              AS DOUBLE) / (COUNT(*) - SUM(g))) * 1000) AS BIGINT) END
           AS diff_milli
       FROM perms GROUP BY 1),
     obs AS (SELECT diff_milli AS obs_milli FROM stats WHERE p = 0)
@@ -1224,7 +1230,7 @@ object Analytics {
       col("s").as("psa"))
     val pb = pooled.select(col("seg").as("seg_b"), col("n").as("pnb"),
       col("s").as("psb"))
-    val pdir = pa.crossJoin(pb).filter(col("seg_a") < col("seg_b"))
+    val pdir = pa.crossJoin(broadcast(pb)).filter(col("seg_a") < col("seg_b"))
       .withColumn("pooled_dir", expr(
         """case when cast(psa as decimal(38,0)) * pnb > cast(psb as decimal(38,0)) * pna then 1L
                 when cast(psa as decimal(38,0)) * pnb < cast(psb as decimal(38,0)) * pna then -1L

@@ -193,7 +193,7 @@ object Graph {
     * every triangle is counted exactly once and the count is
     * orientation-invariant — which is what lets the oracle run the
     * naive a<b<c three-way self-join instead. */
-  def triangleStats(ep: DataFrame, tag: String = "tri"): DataFrame = {
+  def triangleStats(ep: DataFrame, tag: String): DataFrame = {
     // deg is read FOUR times (two orientation joins, the wedge-count
     // aggregate) and oe THREE times (both wedge sides + the closing-
     // edge probe, each under a different projection so ReuseExchange

@@ -208,26 +208,33 @@ object Skew {
       .withColumn("ch5", expr(owner(ringLit(CH_NODES + 1))))
       .withColumn("mod4", expr(s"concat('n', pmod(ipos, $CH_NODES))"))
       .withColumn("mod5", expr(s"concat('n', pmod(ipos, ${CH_NODES + 1}))"))
-    val nodes = docs.select(col("ch5").as("node")).distinct()
-    nodes
-      .join(docs.groupBy(col("ch4").as("node"))
-        .agg(count(lit(1)).as("ch_before")), Seq("node"), "left")
-      .join(docs.groupBy(col("ch5").as("node"))
-        .agg(count(lit(1)).as("ch_after")), Seq("node"), "left")
-      .join(docs.filter(col("ch4") =!= col("ch5"))
-        .groupBy(col("ch5").as("node"))
-        .agg(count(lit(1)).as("ch_gained")), Seq("node"), "left")
-      .join(docs.groupBy(col("mod5").as("node"))
-        .agg(count(lit(1)).as("mod_after")), Seq("node"), "left")
-      .join(docs.filter(col("mod4") =!= col("mod5"))
-        .groupBy(col("mod5").as("node"))
-        .agg(count(lit(1)).as("mod_gained")), Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("ch_before"), lit(0L)).as("ch_before"),
-        coalesce(col("ch_after"), lit(0L)).as("ch_after"),
-        coalesce(col("ch_gained"), lit(0L)).as("ch_gained"),
-        coalesce(col("mod_after"), lit(0L)).as("mod_after"),
-        coalesce(col("mod_gained"), lit(0L)).as("mod_gained"))
+    // ONE corpus pass (the q260 pattern): each doc contributes ≤5
+    // (node, metric) cells which collapse in a single conditional-count
+    // aggregate — replaces five independent groupBy scans that each
+    // re-evaluated the 320-entry ring-owner filter per row. The
+    // ch4/ch5 projection stays a separate Project node (owner() is
+    // non-cheap, so CollapseProject won't duplicate it into the
+    // explode), so each ring is walked exactly once per doc.
+    docs
+      .select(explode(filter(array(
+        struct(col("ch4").as("node"), lit(0).as("m")),
+        struct(col("ch5").as("node"), lit(1).as("m")),
+        when(col("ch4") =!= col("ch5"),
+          struct(col("ch5").as("node"), lit(2).as("m"))),
+        struct(col("mod5").as("node"), lit(3).as("m")),
+        when(col("mod4") =!= col("mod5"),
+          struct(col("mod5").as("node"), lit(4).as("m")))),
+        c => c.isNotNull)).as("c"))
+      .groupBy(col("c.node").as("node"))
+      .agg(
+        sum(when(col("c.m") === 0, 1L).otherwise(0L)).as("ch_before"),
+        sum(when(col("c.m") === 1, 1L).otherwise(0L)).as("ch_after"),
+        sum(when(col("c.m") === 2, 1L).otherwise(0L)).as("ch_gained"),
+        sum(when(col("c.m") === 3, 1L).otherwise(0L)).as("mod_after"),
+        sum(when(col("c.m") === 4, 1L).otherwise(0L)).as("mod_gained"))
+      // node universe = distinct ch5 owners, as before: a node is in
+      // the ledger iff it owns >= 1 doc on the 5-node ring.
+      .filter(col("ch_after") > 0)
       .orderBy(col("node"))
   }
 

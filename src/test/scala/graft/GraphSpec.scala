@@ -30,7 +30,7 @@ class GraphSpec extends AnyFunSuite {
     val brute = edges.map { case (a, b) =>
       (nbr(a) & nbr(b)).count(c => c > b).toLong
     }.sum
-    val got = Graph.triangleStats(edges.toSeq.toDF("p1", "p2"))
+    val got = Graph.triangleStats(edges.toSeq.toDF("p1", "p2"), "tri-spec-brute")
       .select("n_triangles", "n_edges", "n_vertices", "wedges")
       .as[(Long, Long, Long, Long)].head()
     assert(got._1 == brute, s"degree-ordered ${got._1} != brute $brute")
@@ -47,9 +47,10 @@ class GraphSpec extends AnyFunSuite {
       .toDF("x", "y")
       .select(least(col("x"), col("y")).as("p1"),
               greatest(col("x"), col("y")).as("p2"))
-    val a = Graph.triangleStats(edges.toSeq.toDF("p1", "p2"))
+    val a = Graph.triangleStats(edges.toSeq.toDF("p1", "p2"), "tri-spec-fwd")
       .select("n_triangles").as[Long].head()
-    val b = Graph.triangleStats(flipped).select("n_triangles").as[Long].head()
+    val b = Graph.triangleStats(flipped, "tri-spec-rev")
+      .select("n_triangles").as[Long].head()
     assert(a == b)
   }
 
