@@ -30,7 +30,7 @@ object SparkEntry {
       text.Scrub.queries ++ text.CorpusStats.queries ++
       text.CorpusSignals.queries ++
       sim.Similarity.queries ++ sim.Pca.queries ++
-      multimodal.Multimodal.queries ++
+      multimodal.Multimodal.queries ++ multimodal.Codecs.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.PartitionedScan.queries
 
@@ -70,7 +70,7 @@ object SparkEntry {
       text.Scrub.oracles ++ text.CorpusStats.oracles ++
       text.CorpusSignals.oracles ++
       sim.Similarity.oracles ++ sim.Pca.oracles ++
-      multimodal.Multimodal.oracles ++
+      multimodal.Multimodal.oracles ++ multimodal.Codecs.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles
 }

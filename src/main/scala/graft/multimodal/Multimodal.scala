@@ -14,11 +14,13 @@ import graft.Tables._
   * a partition-wise iterator, and gate format/width/height/pixel-
   * checksum against a DuckDB oracle that recomputes the planted pixel
   * function arithmetically — a fake decode cannot hash-match it.
-  * Audio/video codecs remain absent from the container, so
-  * `decodeStub`/`fakeDecode` stay as the clearly-marked deterministic
-  * stand-ins for those modalities; everything around them — binary
-  * schema, batch shape, partition-wise execution, metadata struct —
-  * is the same plumbing the real image path exercises.
+  * As of round 11 the audio/video modalities have REAL codecs too —
+  * see `Codecs.scala` (q276 G.711 μ-law in RIFF/WAVE, q277 stateful
+  * IMA ADPCM, q278 multi-frame animated-GIF LZW video). The
+  * `decodeStub`/`fakeDecode` pair below remains only as the documented
+  * slot-shape for codecs the JVM cannot host (MP3/H.264); everything
+  * around it — binary schema, batch shape, partition-wise execution,
+  * metadata struct — is the same plumbing the real paths exercise.
   */
 object Multimodal {
 

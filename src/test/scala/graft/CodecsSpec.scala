@@ -1,0 +1,166 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Codecs
+
+/** Real-codec gates: G.711 μ-law, IMA ADPCM, animated GIF. Each test
+  * proves a property the DuckDB oracle relies on, independently of the
+  * oracle (exhaustive domain sweeps and hand replays, not SQL). */
+class CodecsSpec extends AnyFunSuite {
+
+  test("mu-law: exhaustive 16-bit sweep matches the oracle's integer formula") {
+    // The oracle's CASE-chain replay of compress→expand, written
+    // independently here: any drift between codec and oracle shows up
+    // on one of the 65536 inputs.
+    def oracleDec(x: Int): Int = {
+      val sgn = if (x < 0) -1 else 1
+      val s = math.min(math.abs(x), 32635) + 132
+      val e =
+        if (s >= 16384) 7 else if (s >= 8192) 6 else if (s >= 4096) 5
+        else if (s >= 2048) 4 else if (s >= 1024) 3 else if (s >= 512) 2
+        else if (s >= 256) 1 else 0
+      val m = (s / (1 << (e + 3))) % 16
+      sgn * ((m * 8 + 132) * (1 << e) - 132)
+    }
+    var x = -32768
+    while (x <= 32767) {
+      val dec = Codecs.ulawDecode(Codecs.ulawEncode(x))
+      assert(dec == oracleDec(x), s"x=$x codec=$dec oracle=${oracleDec(x)}")
+      x += 1
+    }
+  }
+
+  test("mu-law: quantization error bounded by the segment step size") {
+    var x = -32635
+    while (x <= 32635) {
+      val dec = Codecs.ulawDecode(Codecs.ulawEncode(x))
+      val s = math.abs(x) + 132
+      val e =
+        if (s >= 16384) 7 else if (s >= 8192) 6 else if (s >= 4096) 5
+        else if (s >= 2048) 4 else if (s >= 1024) 3 else if (s >= 512) 2
+        else if (s >= 256) 1 else 0
+      assert(math.abs(dec - x) < (1 << (e + 3)),
+        s"x=$x dec=$dec step=${1 << (e + 3)}")
+      // sign is always preserved (two μ-law zeros both decode to 0)
+      assert(dec == 0 || math.signum(dec) == math.signum(x))
+      x += 7
+    }
+  }
+
+  test("RIFF walk: JUNK chunk skipped, fmt parsed, bad magic rejected") {
+    val wav = Codecs.encodeWavUlaw(5L)
+    val chunks = Codecs.riffChunks(wav)
+    assert(chunks.keySet == Set("fmt ", "JUNK", "data"))
+    val (rate, n, _, _, peak) = Codecs.decodeWavUlaw(wav)
+    assert(rate == Codecs.ULAW_RATE && n == Codecs.ULAW_N)
+    assert(peak > 0 && peak <= 32124) // μ-law's maximum decode magnitude
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Codecs.riffChunks(bad))
+  }
+
+  test("ADPCM: container decode equals a direct nibble replay; header sign-extends") {
+    for (id <- Seq(0L, 3L, 7L, 42L, 119L)) {
+      val xs = Array.tabulate(Codecs.ADPCM_N)(i => Codecs.adpcmSample(id, i))
+      // independent replay: run the decoder recurrence straight off the
+      // encoder's nibble stream, bypassing the WAV container entirely
+      val nibbles = Codecs.adpcmEncodeNibbles(xs)
+      var pred = xs(0); var idx = 0
+      val replay = new Array[Int](Codecs.ADPCM_N)
+      replay(0) = pred
+      for (i <- 1 until Codecs.ADPCM_N) {
+        val nib = nibbles(i - 1)
+        val step = Codecs.StepTable(idx)
+        val delta = nib & 7
+        var vp = step >> 3
+        if ((delta & 4) != 0) vp += step
+        if ((delta & 2) != 0) vp += step >> 1
+        if ((delta & 1) != 0) vp += step >> 2
+        val raw = if ((nib & 8) != 0) pred - vp else pred + vp
+        pred = math.max(-32768, math.min(32767, raw))
+        idx = math.max(0, math.min(88, idx + Codecs.IndexTable(delta)))
+        replay(i) = pred
+      }
+      val dec = Codecs.decodeWavAdpcm(Codecs.encodeWavAdpcm(id))
+      assert(dec.sameElements(replay), s"id=$id container != nibble replay")
+      assert(dec(0) == xs(0), s"id=$id header predictor ${dec(0)} != ${xs(0)}")
+    }
+    // at least one clip must start negative, or the sign-extension
+    // branch in the header read is untested
+    assert((0L until Codecs.ADPCM_DOCS)
+      .exists(id => Codecs.adpcmSample(id, 0) < 0))
+  }
+
+  test("ADPCM: decoder tracks a slow ramp closely (codec sanity, not identity)") {
+    // For a gentle signal the 4-bit codec should track within a few
+    // steps — a decode that ignores the nibbles cannot do this.
+    val xs = Array.tabulate(64)(i => i * 40)
+    val nibbles = Codecs.adpcmEncodeNibbles(xs)
+    var pred = xs(0); var idx = 0
+    var maxErr = 0
+    for (i <- 1 until xs.length) {
+      val nib = nibbles(i - 1)
+      val step = Codecs.StepTable(idx)
+      val delta = nib & 7
+      var vp = step >> 3
+      if ((delta & 4) != 0) vp += step
+      if ((delta & 2) != 0) vp += step >> 1
+      if ((delta & 1) != 0) vp += step >> 2
+      pred = math.max(-32768, math.min(32767, if ((nib & 8) != 0) pred - vp else pred + vp))
+      idx = math.max(0, math.min(88, idx + Codecs.IndexTable(delta)))
+      maxErr = math.max(maxErr, math.abs(pred - xs(i)))
+    }
+    assert(maxErr < 200, s"ramp tracking error $maxErr")
+  }
+
+  test("gzip: DEFLATE round trip, trailer CRC32/ISIZE validated, corruption rejected") {
+    val raw = ("the quick brown fox " * 40).getBytes("UTF-8")
+    val gz = Codecs.gzipBytes(raw)
+    assert(gz.length < raw.length, "DEFLATE must actually compress repetitive text")
+    assert(Codecs.gunzipChecked(gz).sameElements(raw))
+    // flip one bit in the trailer CRC → the decode must throw (the JDK
+    // stream verifies the trailer itself and raises ZipException before
+    // our belt-and-braces require can)
+    val badCrc = gz.clone(); badCrc(gz.length - 6) = (badCrc(gz.length - 6) ^ 1).toByte
+    val ex = intercept[Exception](Codecs.gunzipChecked(badCrc))
+    assert(ex.isInstanceOf[java.util.zip.ZipException] ||
+      ex.isInstanceOf[IllegalArgumentException], s"unexpected: $ex")
+    // truncate the magic → rejected before inflate
+    val badMagic = gz.clone(); badMagic(0) = 0
+    intercept[IllegalArgumentException](Codecs.gunzipChecked(badMagic))
+    // empty input round-trips too (zero-length member)
+    assert(Codecs.gunzipChecked(Codecs.gzipBytes(Array.empty[Byte])).isEmpty)
+  }
+
+  test("GIF: multi-frame round trip is pixel-exact and order-preserving") {
+    for (id <- Seq(0L, 1L, 13L, 99L)) {
+      val (fmt, n, w, h, pix, ord) = Codecs.decodeGif(Codecs.encodeGif(id))
+      val (ew, eh) = Codecs.gifDims(id)
+      assert(fmt == "gif" && n == Codecs.GIF_FRAMES)
+      assert(w == ew && h == eh, s"id=$id dims ($w,$h) != ($ew,$eh)")
+      var ePix = 0L; var eOrd = 0L
+      for (f <- 0 until Codecs.GIF_FRAMES) {
+        var fs = 0L
+        for (y <- 0 until eh; x <- 0 until ew) fs += Codecs.gifPixel(id, f, x, y)
+        ePix += fs; eOrd += (f + 1) * fs
+      }
+      assert(pix == ePix, s"id=$id pix_sum $pix != $ePix")
+      assert(ord == eOrd, s"id=$id ord_sum $ord != $eOrd")
+    }
+    // full per-pixel equality on one clip, frame by frame, straight
+    // through ImageIO (not just checksums)
+    val id = 7L
+    val bytes = Codecs.encodeGif(id)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val (w, h) = Codecs.gifDims(id)
+    for (f <- 0 until Codecs.GIF_FRAMES) {
+      val img = reader.read(f)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xff) == Codecs.gifPixel(id, f, x, y),
+          s"frame $f pixel ($x,$y)")
+    }
+    reader.dispose(); iis.close()
+  }
+}
