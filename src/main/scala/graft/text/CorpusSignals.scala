@@ -535,6 +535,162 @@ object CorpusSignals {
         AS avg_nll_micro
     FROM sc GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- q281: Kneser–Ney smoothed bigram NLL (CCNet-style filter) ----
+
+  /** q281: per-document average conditional NLL under an interpolated
+    * KNESER–NEY bigram model — the smoothing family the CCNet/KenLM
+    * perplexity filters actually use, and a genuinely different
+    * estimator from q215's add-one: absolute discounting (D = 3/4)
+    * redistributes mass to a CONTINUATION unigram — P_cont(w2) counts
+    * in how many distinct left-contexts w2 appears, not how often —
+    * so boilerplate tokens that are frequent but context-locked
+    * ("Francisco" after "San") stop looking probable everywhere.
+    *
+    *   p(w2|w1) = (c12 − D)/c1 + D·r1/c1 · r2/T      (c12 ≥ 1 here)
+    *
+    * with r1 = |{w : c(w1,w)>0}|, r2 = |{w : c(w,w2)>0}|, T = distinct
+    * bigram types. With D = 3/4 the probability is the exact rational
+    *   num/den = ((4·c12 − 3)·T + 3·r1·r2) / (4·c1·T),
+    * all-integer; each occurrence contributes
+    * floor(ln(den/num)·1e7) — one ln whose argument is a single
+    * division of exact int64s (the q215 stance), so both engines feed
+    * libm the identical double. Interpolation sums to exactly 1 over
+    * the vocabulary (Σ r2 = T), so den ≥ num and every contribution
+    * is ≥ 0 — the final integer division agrees across floor/trunc.
+    *
+    * Scale shape: the model is the SAME one (w1,w2) aggregate as q215;
+    * c1 and r1 come from one grouped pass over that types table (not
+    * another corpus scan), r2 from a second types-table pass, T from
+    * its 1-row count. All four broadcast back (bigram-vocab-sized; over
+    * an unbounded vocabulary drop the hints and the join key-shuffles —
+    * no other plan change). Exactness caveat at extreme scale: den =
+    * 4·c1·T must stay below 2^53 for the double to be exact — at
+    * 100 TB with a web vocabulary, score per SHARD (c1, T per shard)
+    * or widen the fixed-point to decimal before the ln. */
+  def q281KnBigram(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // one pass over the types table gives BOTH the prefix marginal c1
+    // and the distinct-continuation count r1
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("r1"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("r2"))
+    val t = c12.agg(count(lit(1)).as("t"))
+    bg.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(t))
+      .withColumn("n7", floor(
+        log((lit(4L) * col("c1") * col("t")).cast("double")
+          / ((lit(4L) * col("c12") - lit(3L)) * col("t")
+             + lit(3L) * col("r1") * col("r2")).cast("double"))
+          * BIGRAM_SCALE).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("n7")).as("t7"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("t7 div (10 * n_bigrams)").as("avg_nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val o281 = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, unnest(range(1, len(toks))) u(i)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS r1 FROM c12 GROUP BY 1),
+    rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS r2 FROM c12 GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c12),
+    sc AS (
+      SELECT doc_id,
+        CAST(FLOOR(ln((4 * c1 * t)::DOUBLE
+          / ((4 * c12 - 3) * t + 3 * r1 * r2)::DOUBLE) * 1e7) AS BIGINT)
+          AS n7
+      FROM bg JOIN c12 USING (w1, w2) JOIN lft USING (w1)
+        JOIN rgt USING (w2) CROSS JOIN tt)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(n7) AS BIGINT) // CAST(10 * COUNT(*) AS BIGINT)
+        AS avg_nll_micro
+    FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---- q282: vocabulary-truncation OOV curve ----
+
+  /** q282: UNK-rate curve under frequency-truncated vocabularies — for
+    * each candidate vocab size V, freeze the top-V unigrams (count
+    * desc, token asc — a total deterministic order) and report what
+    * share of token OCCURRENCES and of DOCUMENTS fall outside it, per
+    * V: the tokenizer-budget sizing table a pipeline reads before
+    * committing to a vocab size (distinct from q120, which scores
+    * rarity per document, and q209, which measures compression of a
+    * FIXED learned vocab). A doc counts as hit if ANY of its
+    * occurrences is OOV at that V.
+    *
+    * Scale shape: term frequencies are one map-side-combined aggregate;
+    * the rank is a window over the VOCABULARY table (31 rows here,
+    * ≤ a few million on a web corpus — never corpus rows); the
+    * vocab×V membership grid broadcasts back to one occurrence-level
+    * pass shared by all Vs (the curve costs one corpus scan, not one
+    * per V). All shares are exact integer ppm. */
+  val OOV_SIZES: Seq[Int] = Seq(8, 16, 24)
+
+  def q282OovCurve(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val ranked = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .select(col("tok"), col("rk"))
+    val sizes = s.createDataFrame(
+      OOV_SIZES.map(v => Tuple1(v.toLong))).toDF("v")
+    occ.join(broadcast(ranked), Seq("tok"))
+      .crossJoin(broadcast(sizes))
+      .groupBy(col("v"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(when(col("rk") > col("v"), 1L).otherwise(0L)).as("n_oov"))
+      .groupBy(col("v"))
+      .agg(sum(col("n_tok")).as("n_occ"),
+           sum(col("n_oov")).as("oov_occ"),
+           count(lit(1)).as("n_docs"),
+           sum(when(col("n_oov") > 0, 1L).otherwise(0L)).as("docs_hit"))
+      .select(col("v"),
+        expr("cast(oov_occ * 1000000 div n_occ as bigint)").as("oov_occ_ppm"),
+        expr("cast(docs_hit * 1000000 div n_docs as bigint)").as("docs_hit_ppm"),
+        col("n_occ"), col("oov_occ"), col("docs_hit"))
+      .orderBy(col("v"))
+  }
+
+  val o282: String = s"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    ranked AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+        AS BIGINT) AS rk
+      FROM occ GROUP BY tok),
+    sizes AS (SELECT CAST(unnest([${OOV_SIZES.mkString(", ")}]) AS BIGINT) AS v),
+    perdoc AS (
+      SELECT v, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        CAST(SUM(CASE WHEN rk > v THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM occ JOIN ranked USING (tok) CROSS JOIN sizes
+      GROUP BY v, doc_id)
+    SELECT v,
+      CAST(SUM(n_oov) * 1000000 // SUM(n_tok) AS BIGINT) AS oov_occ_ppm,
+      CAST(SUM(CASE WHEN n_oov > 0 THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*) AS BIGINT) AS docs_hit_ppm,
+      CAST(SUM(n_tok) AS BIGINT) AS n_occ,
+      CAST(SUM(n_oov) AS BIGINT) AS oov_occ,
+      CAST(SUM(CASE WHEN n_oov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit
+    FROM perdoc GROUP BY v ORDER BY v"""
+
   // ---- q237: rank-frequency (Zipf) diagnostic per source ----
 
   /** q237: per-source rank–frequency power-law fit — OLS of ln(freq)
@@ -1477,6 +1633,8 @@ object CorpusSignals {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
+    "q281_kn_bigram"   -> (q281KnBigram _),
+    "q282_oov_curve"   -> (q282OovCurve _),
     "q260_topk_overlap" -> (q260TopkOverlap _),
     "q263_mann_whitney" -> (q263MannWhitney _),
     "q267_good_turing" -> (q267GoodTuring _),
@@ -1501,6 +1659,8 @@ object CorpusSignals {
 
   val oracles: Map[String, String] = Map(
     "q215_bigram_lm"   -> o215,
+    "q281_kn_bigram"   -> o281,
+    "q282_oov_curve"   -> o282,
     "q251_bleu_eval"   -> o251,
     "q253_ccnet_buckets" -> o253,
     "q256_spearman_signals" -> o256,

@@ -981,7 +981,115 @@ object Dedup {
     WHERE levenshtein(pr.probe, s.s_name) <= 1
     ORDER BY pr.probe, s.s_suppkey"""
 
+  // ---- q283: sorted-neighborhood (SNM) dedup ----
+
+  /** Neighborhood width: each record is compared with the next
+    * SNM_WINDOW−1 records of its block's sorted order, the classic
+    * linear-candidate guarantee (≤ (w−1)·N pairs, NO quadratic
+    * blow-up inside a hot block — contrast LSH, whose worst-case
+    * bucket is unbounded). */
+  val SNM_WINDOW = 4
+  /** Sorting-key width (tokens) and the verify threshold. */
+  val SNM_KEY_TOKS = 4
+  val SNM_MIN_PPM = 500000L
+
+  /** One SNM pass: build the sorting key (the first — or, reversed,
+    * the last — SNM_KEY_TOKS of the doc's sorted distinct tokens;
+    * word-order-insensitive, so shuffled near-dups still sort
+    * together), slide a width-SNM_WINDOW window down each block's
+    * sorted order, and exact-verify candidates with whole-set Jaccard.
+    * The window partitions BY BLOCK (the key's first token), never
+    * globally — block counts are vocabulary-bounded, so the sort is
+    * distributed; a pathological block (every doc sharing its rarest
+    * token) degrades to that block only. */
+  private def snmPass(s: SparkSession, d: String, reversed: Boolean)
+      : DataFrame = {
+    val sorted = "array_sort(array_distinct(split(text, ' ')))"
+    val keyArr =
+      if (reversed) s"slice(reverse($sorted), 1, $SNM_KEY_TOKS)"
+      else s"slice($sorted, 1, $SNM_KEY_TOKS)"
+    val base = documents(s, d).select(
+      col("doc_id"),
+      expr("array_distinct(split(text, ' '))").as("ts"),
+      expr(s"array_join($keyArr, ' ')").as("k"))
+      .withColumn("blk", split(col("k"), " ").getItem(0))
+    val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
+    val leads = base.select(col("doc_id"), col("ts"),
+      array((1 until SNM_WINDOW).map(i => struct(
+        lead(col("doc_id"), i).over(w).as("b"),
+        lead(col("ts"), i).over(w).as("tb"))): _*).as("nbs"))
+    leads
+      .select(col("doc_id").as("a"), col("ts").as("ta"),
+        explode(col("nbs")).as("nb"))
+      .filter(col("nb.b").isNotNull)
+      .select(least(col("a"), col("nb.b")).as("a_id"),
+        greatest(col("a"), col("nb.b")).as("b_id"),
+        col("ta"), col("nb.tb").as("tb"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("un", size(array_union(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jacc_ppm", expr("inter * 1000000 div un"))
+      .filter(col("jacc_ppm") >= SNM_MIN_PPM)
+      .select(col("a_id"), col("b_id"), col("jacc_ppm"))
+  }
+
+  /** q283: MULTI-PASS sorted-neighborhood dedup — the third classic
+    * candidate-generation family next to LSH banding (q41) and prefix
+    * filtering (q80): sort once, compare only a fixed-width window.
+    * Two passes with independent keys (prefix and suffix of the sorted
+    * distinct-token list) union their candidates, the standard
+    * multi-pass SNM answer to single-key sort-order blindness. Output
+    * is the verified pair ledger (normalized a<b, exact whole-set
+    * Jaccard in ppm).
+    *
+    * Scale shape: per pass, ONE shuffle on the block key, a sort that
+    * is distributed across blocks, and ≤ (w−1)·N candidate rows
+    * verified row-local — no inverted index, no signature table. The
+    * recall/cost trade vs q41 is explicit: SNM misses pairs whose keys
+    * land > w apart (mitigated by more passes), but its candidate
+    * count is LINEAR by construction, the property that matters when a
+    * hot shingle would otherwise flood an LSH bucket. */
+  def q283SortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    snmPass(s, d, reversed = false)
+      .union(snmPass(s, d, reversed = true))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def oSnmPass(reversed: Boolean): String = {
+    val keyExpr =
+      if (reversed) s"list_reverse(list_sort(ts))[1:$SNM_KEY_TOKS]"
+      else s"list_sort(ts)[1:$SNM_KEY_TOKS]"
+    val leads = (1 until SNM_WINDOW).map(i =>
+      s"{'b': lead(doc_id, $i) OVER w, 'tb': lead(ts, $i) OVER w}")
+      .mkString(",\n          ")
+    s"""
+      SELECT least(a, nb.b) AS a_id, greatest(a, nb.b) AS b_id,
+        CAST(len(list_intersect(ta, nb.tb)) * 1000000
+          // len(list_distinct(list_concat(ta, nb.tb))) AS BIGINT) AS jacc_ppm
+      FROM (
+        SELECT doc_id AS a, ts AS ta,
+          unnest([$leads]) AS nb
+        FROM (
+          SELECT doc_id, ts, array_to_string($keyExpr, ' ') AS k,
+            ($keyExpr)[1] AS blk
+          FROM dd)
+        WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id))
+      WHERE nb.b IS NOT NULL
+        AND len(list_intersect(ta, nb.tb)) * 1000000
+          // len(list_distinct(list_concat(ta, nb.tb))) >= $SNM_MIN_PPM"""
+  }
+
+  val o283: String = s"""
+    WITH dd AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      FROM documents)
+    SELECT DISTINCT a_id, b_id, jacc_ppm FROM (
+      ${oSnmPass(false)}
+      UNION ALL
+      ${oSnmPass(true)})
+    ORDER BY a_id, b_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_sorted_neighborhood" -> (q283SortedNeighborhood _),
     "q153_fuzzy_join"       -> (q153FuzzyJoin _),
     "q99_incremental_dedup" -> (q99IncrementalDedup _),
     "q39_dedup_exact"    -> (q39DedupExact _),
@@ -995,6 +1103,7 @@ object Dedup {
     "q80_ppjoin_jaccard" -> (ppjoinJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "q283_sorted_neighborhood" -> o283,
     "q153_fuzzy_join" -> o153,
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,
     "q41_minhash_lsh" -> o41, "q42_simhash" -> o42,

@@ -74,6 +74,99 @@ object TextOps {
     SELECT lang, $ORA_LANG_CASE AS predicted, COUNT(*) AS n
     FROM documents GROUP BY lang, predicted ORDER BY lang, predicted"""
 
+  // ---- q284: code-switching / intra-document language-mix audit ----
+
+  /** Segment width for sub-document language ID — small enough that a
+    * spliced foreign passage dominates its own segment, large enough
+    * that the stopword-marker heuristic has signal. */
+  val SEG_TOKS = 16
+
+  /** q284: CODE-SWITCHING audit — q35 labels whole documents, which is
+    * exactly wrong for the mixed-language pages (boilerplate-wrapped
+    * translations, forum quotes, spliced crawls) a monolingual filter
+    * should flag rather than mislabel. Split each document into fixed
+    * SEG_TOKS-token segments, run the q35 heuristic per SEGMENT, and
+    * report the per-doc language-mix ledger: segment count, distinct
+    * segment languages, the dominant language (most segments, ties to
+    * the lexicographically first — deterministic) with its share, the
+    * language-distribution entropy, and a mixed flag (≥2 languages and
+    * dominant share ≤ 80%).
+    *
+    * Entropy engine-parity: per language class, n7 =
+    * floor(ln(n_segs/c)·1e7) — exact-int ratio into libm (the q215
+    * stance), then H = Σ c·n7 div (10·n_segs) in micro-nats, exact
+    * integer arithmetic after the per-class floor; every n7 ≥ 0 so
+    * floor/trunc agree.
+    *
+    * Scale shape: segmentation is row-local (one generalized-explode
+    * projection); the ONLY corpus shuffle is the (doc_id, seg_lang)
+    * aggregate; the dominant-pick and entropy windows partition BY
+    * doc_id over the ≤|languages|-row per-doc ledger — never over
+    * segments. */
+  def q284CodeSwitch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $SEG_TOKS)," +
+          s" i -> array_join(slice(toks, i * $SEG_TOKS + 1, $SEG_TOKS), ' '))"))
+        .as("seg"))
+      .groupBy(col("doc_id"), langGuess(col("seg")).as("seg_lang"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+    val wr = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("seg_lang"))
+    perLang
+      .withColumn("n_segs", sum(col("c")).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n7", floor(
+        log(col("n_segs").cast("double") / col("c").cast("double")) * lit(1e7))
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_segs")).as("n_segs"),
+           count(lit(1)).as("n_langs"),
+           max(when(col("rn") === 1, col("seg_lang"))).as("dom_lang"),
+           max(when(col("rn") === 1, col("c"))).as("dom_c"),
+           sum(col("c") * col("n7")).as("t7"))
+      .select(col("doc_id"), col("n_segs"), col("n_langs"), col("dom_lang"),
+        expr("dom_c * 1000000 div n_segs").as("dom_share_ppm"),
+        expr("t7 div (10 * n_segs)").as("ent_micro"))
+      .withColumn("mixed",
+        when(col("n_langs") >= 2 && col("dom_share_ppm") <= 800000L, 1L)
+          .otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val o284: String = s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, array_to_string(
+        toks[i * $SEG_TOKS + 1 : i * $SEG_TOKS + $SEG_TOKS], ' ') AS text
+      FROM d, unnest(range(0, (len(toks) - 1) // $SEG_TOKS + 1)) u(i)),
+    pl AS (
+      SELECT doc_id, $ORA_LANG_CASE AS seg_lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM segs GROUP BY 1, 2),
+    en AS (
+      SELECT doc_id, seg_lang, c,
+        CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_segs,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, seg_lang) AS rn
+      FROM pl),
+    en2 AS (
+      SELECT *, CAST(FLOOR(ln(n_segs::DOUBLE / c::DOUBLE) * 1e7) AS BIGINT)
+        AS n7
+      FROM en)
+    SELECT doc_id,
+      CAST(MAX(n_segs) AS BIGINT) AS n_segs,
+      CAST(COUNT(*) AS BIGINT) AS n_langs,
+      MAX(CASE WHEN rn = 1 THEN seg_lang END) AS dom_lang,
+      CAST(MAX(CASE WHEN rn = 1 THEN c END) * 1000000 // MAX(n_segs)
+        AS BIGINT) AS dom_share_ppm,
+      CAST(SUM(c * n7) // (10 * MAX(n_segs)) AS BIGINT) AS ent_micro,
+      CAST(CASE WHEN COUNT(*) >= 2
+        AND MAX(CASE WHEN rn = 1 THEN c END) * 1000000 // MAX(n_segs) <= 800000
+        THEN 1 ELSE 0 END AS BIGINT) AS mixed
+    FROM en2 GROUP BY doc_id ORDER BY doc_id"""
+
   /** Adds `toks`, `n_tok`, `n_stop`, `quality` columns to a DataFrame
     * with a `text` column — the one definition of the quality formula
     * (stopword ratio + length band), shared by q36 and the corpus
@@ -841,6 +934,7 @@ object TextOps {
     "q56_regex_tokens"  -> (q56RegexTokens _),
     "q34_token_stats"   -> (q34TokenStats _),
     "q35_lang_id"       -> (q35LangId _),
+    "q284_code_switch"  -> (q284CodeSwitch _),
     "q245_langid_eval"  -> (q245LangidEval _),
     "q271_rater_kappa"  -> (q271RaterKappa _),
     "q257_retrieval_eval" -> (q257RetrievalEval _),
@@ -852,6 +946,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q34_token_stats" -> o34, "q35_lang_id" -> o35,
+    "q284_code_switch" -> o284,
     "q245_langid_eval" -> o245,
     "q271_rater_kappa" -> o271,
     "q257_retrieval_eval" -> o257,
