@@ -1433,7 +1433,117 @@ object Similarity {
       CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM f GROUP BY 1 ORDER BY 1"""
 
+  // ---- q286: kernel two-sample test (MMD², quadratic kernel) ----
+
+  /** Fixed-point scale for q286's coordinates — coarser than
+    * PCA_SCALE on purpose: MMD's numerator sums squares of
+    * moment×count products, and 1e3 keeps the worst case inside
+    * decimal(38,0) at corpus scale (bound audited in the Scaladoc
+    * below). */
+  val MMD_SCALE = 1000L
+
+  /** q286: distribution-level two-sample test between label cohorts —
+    * biased MMD² with the QUADRATIC kernel k(x,y) = (x·y)². The trick
+    * that makes this a 100 TB operator: for polynomial kernels the
+    * expectation factorizes through moments,
+    *   E[(x·y)²] = Σ_ij E[x_i x_j]·E[y_i y_j],
+    * so MMD²_b(A,B) = Σ_ij (M^A_ij/n_A − M^B_ij/n_B)² needs only each
+    * cohort's d×d SECOND-MOMENT matrix — ONE map-side-combinable
+    * (label, cell) aggregate whose partials are |labels|·d² longs per
+    * partition regardless of row count, and ZERO pair enumeration
+    * (contrast the naive U-statistic: n_A·n_B kernel evaluations).
+    * The pairwise label matrix then runs over |labels|·d² ledger rows.
+    * This is the q100-centroid audit one moment up: two cohorts can
+    * share a mean yet differ in covariance shape; MMD² with the
+    * quadratic kernel is exactly the Frobenius distance of their
+    * normalized second moments.
+    *
+    * Exactness: coords quantize to round(x·1e3) int64; every cell
+    * product, moment sum, and cross-label difference is exact integer
+    * arithmetic in decimal(38,0) — no float ever forms. Worst-case
+    * bound: |q| ≤ 4e3 ⇒ |cell| ≤ 1.6e7, |M| ≤ 1.6e7·n; with n ≤ 1e4
+    * per label the summed numerator stays < 1e33 ≪ 1e38. The two
+    * integer divisions (by n_A²n_B², then by scale⁴ after the ppm
+    * lift) are mirrored order-for-order in the oracle. At larger n,
+    * raise MMD_SCALE-granularity loss by shard-and-average — the
+    * moment matrices are mergeable by construction.
+    *
+    * Scale shape: the d² cell explode is row-local (no shuffle); the
+    * only corpus shuffle is the (label, cell) aggregate; the label-pair
+    * join is |labels|²·d² on broadcast-joined 1-row counts. */
+  def q286MmdTwoSample(s: SparkSession, d: String): DataFrame = {
+    val moments = embeddings(s, d)
+      .select(col("label"), expr(
+        s"transform(embedding, x -> cast(round(cast(x as double) * $MMD_SCALE) as bigint))")
+        .as("q"))
+      .select(col("label"), posexplode(expr(
+        "flatten(transform(q, x -> transform(q, y -> x * y)))"))
+        .as(Seq("idx", "v")))
+      .groupBy(col("label"), col("idx"))
+      .agg(sum(col("v")).as("m"))
+    val nPer = embeddings(s, d).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+    val a = moments.select(col("label").as("label_a"), col("idx"),
+      col("m").as("ma"))
+    val b = moments.select(col("label").as("label_b"), col("idx"),
+      col("m").as("mb"))
+    a.join(b, Seq("idx"))
+      .filter(col("label_a") < col("label_b"))
+      .join(broadcast(nPer.select(col("label").as("label_a"), col("n").as("na"))),
+        Seq("label_a"))
+      .join(broadcast(nPer.select(col("label").as("label_b"), col("n").as("nb"))),
+        Seq("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(expr(
+          """(cast(ma as decimal(38,0)) * nb - cast(mb as decimal(38,0)) * na)
+             * (cast(ma as decimal(38,0)) * nb - cast(mb as decimal(38,0)) * na)"""))
+          .as("num"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr(
+          s"""cast((num div (cast(n_a as decimal(38,0)) * n_a * n_b * n_b))
+              * 1000000 div ${MMD_SCALE * MMD_SCALE * MMD_SCALE * MMD_SCALE}L
+              as bigint)""").as("mmd2_micro"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val o286: String = {
+    val D = Pca.PCA_DIM
+    s"""
+    WITH e AS (
+      SELECT vec_id, label, i,
+        CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * $MMD_SCALE) AS BIGINT)
+          AS q
+      FROM embeddings, unnest(range(0, $D)) u(i)),
+    cells AS (
+      SELECT a.label, a.i * $D + b.i AS idx,
+        CAST(a.q * b.q AS BIGINT) AS v
+      FROM e a JOIN e b USING (vec_id, label)),
+    moments AS (
+      SELECT label, idx, CAST(SUM(v) AS BIGINT) AS m
+      FROM cells GROUP BY 1, 2),
+    np AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+        na.n AS n_a, nb.n AS n_b,
+        SUM((CAST(a.m AS HUGEINT) * nb.n - CAST(b.m AS HUGEINT) * na.n)
+          * (CAST(a.m AS HUGEINT) * nb.n - CAST(b.m AS HUGEINT) * na.n))
+          AS num
+      FROM moments a JOIN moments b USING (idx)
+        JOIN np na ON na.label = a.label
+        JOIN np nb ON nb.label = b.label
+      WHERE a.label < b.label
+      GROUP BY 1, 2, 3, 4)
+    SELECT label_a, label_b, n_a, n_b,
+      CAST((num // (CAST(n_a AS HUGEINT) * n_a * n_b * n_b)) * 1000000
+        // ${MMD_SCALE * MMD_SCALE * MMD_SCALE * MMD_SCALE} AS BIGINT)
+        AS mmd2_micro
+    FROM pairs ORDER BY label_a, label_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_mmd_two_sample" -> (q286MmdTwoSample _),
     "q204_semdedup"       -> (q204SemDedup _),
     "q100_label_centroids" -> (q100LabelCentroids _),
     "q43_knn_bruteforce"  -> (q43KnnBruteForce _),
@@ -1485,6 +1595,7 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q286_mmd_two_sample" -> o286,
     "q100_label_centroids" -> o100,
     "q43_knn_bruteforce" -> o43,
     "q47_embed_near_dup" -> o47,

@@ -1408,7 +1408,126 @@ object TrainingSet {
     FROM cells JOIN off ON cells.phase = off.phase
     ORDER BY phase, source"""
 
+  // ---- q285: multinomial Naive-Bayes source classifier ----
+
+  /** q285: in-engine multinomial NAIVE BAYES over unigram counts —
+    * the fastText-family generative counterpart to q216's
+    * discriminative perceptron, and the model the classic quality /
+    * domain filters (CCNet's fastText langid, GPT-3's WebText-vs-
+    * CommonCrawl filter) actually are: class-conditional token
+    * likelihoods with Laplace smoothing, argmin total NLL. Trained on
+    * the corpus's own `source` labels, scored by resubstitution, and
+    * reported as the source×source CONFUSION MATRIX — the separability
+    * audit read before trusting a provenance classifier to route
+    * documents.
+    *
+    * Engine parity: every term is floor(ln(r)·1e7) with r one division
+    * of exact int64s — n7(tok,s) = ln((N_s+V)/(c+1)) for seen tokens,
+    * u7_s = ln(N_s+V) for unseen, prior7_s = ln(D/D_s) — so per-doc
+    * per-class NLL is an exact long sum; argmin ties break to the
+    * lexicographically smallest source via (nll, source) ordering.
+    * All terms are ≥ 0 (c ≤ N_s, D_s ≤ D), so floor/trunc agree.
+    *
+    * Scale shape: the model is ONE (tok, source) aggregate (vocab-
+    * bounded, broadcast back) + a |sources|-row class ledger; scoring
+    * is one occurrence-level broadcast join + ONE (doc, source)
+    * aggregate; the argmin window runs over the ≤|sources|-row per-doc
+    * ledger, never over occurrences. Nothing driver-side. At 100 TB
+    * with an unbounded vocabulary, drop the broadcast hint and the
+    * scoring join key-shuffles on `tok` — no other change. */
+  def q285NbSource(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val cnt = occ.groupBy(col("tok"), col("source").as("cls"))
+      .agg(count(lit(1)).as("c"))
+    // class ledger: token mass N_s, doc count D_s; vocab V and doc
+    // total D ride along as 1-row cross joins
+    val classes = occ.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("ns"),
+        countDistinct(col("doc_id")).as("ds"))
+    val vocab = cnt.agg(countDistinct(col("tok")).as("v"))
+    val dtot = documents(s, d).agg(count(lit(1)).as("dd"))
+    val clsLedger = classes.crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(dtot))
+      .withColumn("u7", floor(log((col("ns") + col("v")).cast("double"))
+        * lit(1e7)).cast("long"))
+      .withColumn("prior7", floor(log(col("dd").cast("double")
+        / col("ds").cast("double")) * lit(1e7)).cast("long"))
+      .select(col("cls"), col("ns"), col("v"), col("u7"), col("prior7"))
+    val scored = cnt.join(broadcast(clsLedger.select(col("cls"), col("ns"), col("v"))),
+        Seq("cls"))
+      .withColumn("n7", floor(log((col("ns") + col("v")).cast("double")
+        / (col("c") + lit(1L)).cast("double")) * lit(1e7)).cast("long"))
+      .select(col("tok"), col("cls"), col("n7"))
+    val seen = occ.join(broadcast(scored), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("n7")).as("s7"), count(lit(1)).as("n_seen"))
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val wArg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("nll7"), col("cls"))
+    perDoc.crossJoin(broadcast(clsLedger.select(col("cls"), col("u7"), col("prior7"))))
+      .join(seen, Seq("doc_id", "cls"), "left")
+      .withColumn("nll7", coalesce(col("s7"), lit(0L))
+        + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
+        + col("prior7"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("source"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("predicted"))
+  }
+
+  val o285: String = """
+    WITH occ AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT tok, source AS cls, CAST(COUNT(*) AS BIGINT) AS c
+      FROM occ GROUP BY 1, 2),
+    classes AS (
+      SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS ns,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ds
+      FROM occ GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM documents),
+    ledger AS (
+      SELECT cls, ns, v,
+        CAST(FLOOR(ln((ns + v)::DOUBLE) * 1e7) AS BIGINT) AS u7,
+        CAST(FLOOR(ln(dd::DOUBLE / ds::DOUBLE) * 1e7) AS BIGINT) AS prior7
+      FROM classes CROSS JOIN vocab CROSS JOIN dtot),
+    scored AS (
+      SELECT tok, cnt.cls,
+        CAST(FLOOR(ln((ns + v)::DOUBLE / (c + 1)::DOUBLE) * 1e7) AS BIGINT)
+          AS n7
+      FROM cnt JOIN ledger ON cnt.cls = ledger.cls),
+    seen AS (
+      SELECT doc_id, cls, CAST(SUM(n7) AS BIGINT) AS s7,
+        CAST(COUNT(*) AS BIGINT) AS n_seen
+      FROM occ JOIN scored USING (tok) GROUP BY 1, 2),
+    perdoc AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    nll AS (
+      SELECT perdoc.doc_id AS doc_id, source, ledger.cls,
+        COALESCE(s7, 0) + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7
+          AS nll7
+      FROM perdoc CROSS JOIN ledger
+      LEFT JOIN seen ON seen.doc_id = perdoc.doc_id
+        AND seen.cls = ledger.cls),
+    pick AS (
+      SELECT doc_id, source, cls,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nll7, cls) AS rn
+      FROM nll)
+    SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pick WHERE rn = 1
+    GROUP BY source, cls ORDER BY source, predicted"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_nb_source"       -> (q285NbSource _),
     "q275_curriculum_schedule" -> (q275CurriculumSchedule _),
     "q219_crop_pairs"      -> (q219CropPairs _),
     "q216_perceptron"      -> (q216PerceptronQuality _),
@@ -1431,6 +1550,7 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q285_nb_source"       -> o285,
     "q275_curriculum_schedule" -> o275,
     "q219_crop_pairs"      -> o219,
     "q216_perceptron"      -> o216,
