@@ -1526,8 +1526,201 @@ object TrainingSet {
     FROM pick WHERE rn = 1
     GROUP BY source, cls ORDER BY source, predicted"""
 
+  // ---- q287: K-fold cross-validated NB smoothing sweep ----
+
+  /** q287's fold count and Laplace-α candidate grid. */
+  val CV_FOLDS = 5L
+  val CV_ALPHAS: Seq[Long] = Seq(1L, 2L, 4L)
+
+  /** q287: IN-ENGINE MODEL SELECTION — K-fold cross-validated accuracy
+    * of the q285 Naive-Bayes source classifier across a Laplace-α
+    * grid, reported per (α, fold). The point is the scale trick: a
+    * count-based model is a SUBTRACTABLE LEDGER, so fold f's training
+    * model is just global − fold cells (c_train = c − c_f, N_train =
+    * N_s − N_{s,f}, V_f = tokens with any out-of-fold occurrence, …) —
+    * K folds × |α| candidates cost ONE corpus count pass plus ledger
+    * arithmetic, not K·|α| retraining scans. This is how
+    * hyperparameter sweeps should run at 100 TB: factor the sufficient
+    * statistics once, evaluate every candidate against them.
+    *
+    * Semantics: fold = md5-draw mod K (the q84/q109 uniform; doc_id mod K would be
+    * degenerate here - source is doc_id mod 20, so residue folds put
+    * every class in one fold); for a doc in fold
+    * f, P(tok|s) = (c_train + α)/(N_train + α·V_f); classes whose
+    * out-of-fold doc count is zero are excluded from that fold's
+    * candidate set (both engines, same rule). Every NLL term is
+    * floor(ln of one exact-int64 division)·1e7, all ≥ 0 (c_train ≤
+    * N_train, α ≤ α·V_f), priors ln(D_train/D_{s,train}) ≥ 0; ties
+    * break to the lexicographically smallest source.
+    *
+    * Scale shape: two corpus aggregates — the (tok, cls, fold) cell
+    * ledger and the (doc, cls, α) score aggregate; everything else is
+    * ledger arithmetic on |cls|·K·|α| rows broadcast back. The scoring
+    * fan-out is |cls|·|α| per occurrence — the price of a JOINT sweep;
+    * at larger grids prescreen the candidate classes per doc first. */
+  def q287NbCv(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .select(col("doc_id"), (expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"),
+        col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cell = occ.groupBy(col("tok"), col("source").as("cls"))
+      .agg(count(lit(1)).as("c"))
+    val cellF = occ.groupBy(col("tok"), col("source").as("cls"), col("f"))
+      .agg(count(lit(1)).as("cf"))
+    // per-fold training vocabulary: tokens with any out-of-fold mass
+    val tokTot = occ.groupBy(col("tok")).agg(count(lit(1)).as("t"))
+    val tokF = occ.groupBy(col("tok"), col("f")).agg(count(lit(1)).as("tf"))
+    val folds = s.range(CV_FOLDS).select(col("id").as("f"))
+    val vf = tokTot.crossJoin(broadcast(folds))
+      .join(tokF, Seq("tok", "f"), "left")
+      .filter(col("t") - coalesce(col("tf"), lit(0L)) > 0)
+      .groupBy(col("f")).agg(count(lit(1)).as("vtrain"))
+    // per-(class, fold) training totals; per-fold doc totals
+    val clsTot = occ.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("ns"), countDistinct(col("doc_id")).as("ds"))
+    val clsF = occ.groupBy(col("source").as("cls"), col("f"))
+      .agg(count(lit(1)).as("nsf"), countDistinct(col("doc_id")).as("dsf"))
+    val dTot = documents(s, d)
+      .select((expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("df"))
+      .withColumn("dd", sum(col("df")).over(Window.partitionBy()))
+    val alphas = s.createDataFrame(CV_ALPHAS.map(Tuple1(_))).toDF("alpha")
+    // the (cls, fold, alpha) model ledger: |cls|·K·|alpha| rows
+    val ledger = clsTot.crossJoin(broadcast(folds))
+      .join(clsF, Seq("cls", "f"), "left")
+      .withColumn("ns_tr", col("ns") - coalesce(col("nsf"), lit(0L)))
+      .withColumn("ds_tr", col("ds") - coalesce(col("dsf"), lit(0L)))
+      .filter(col("ds_tr") > 0)
+      .join(broadcast(vf), Seq("f"))
+      .join(broadcast(dTot), Seq("f"))
+      .crossJoin(broadcast(alphas))
+      .withColumn("den", col("ns_tr") + col("alpha") * col("vtrain"))
+      .withColumn("u7", floor(log(col("den").cast("double")
+        / col("alpha").cast("double")) * lit(1e7)).cast("long"))
+      .withColumn("prior7", floor(log((col("dd") - col("df")).cast("double")
+        / col("ds_tr").cast("double")) * lit(1e7)).cast("long"))
+      .select(col("cls"), col("f"), col("alpha"), col("den"),
+        col("u7"), col("prior7"))
+    // occurrence-level scoring: seen-in-train terms only; unseen terms
+    // fold into the (n_tok − n_seen)·u7 remainder
+    val seen = occ.select(col("doc_id"), col("f"), col("tok"))
+      .join(broadcast(cell), Seq("tok"))
+      .join(broadcast(cellF), Seq("tok", "cls", "f"), "left")
+      .withColumn("c_tr", col("c") - coalesce(col("cf"), lit(0L)))
+      .filter(col("c_tr") > 0)
+      .join(broadcast(ledger), Seq("cls", "f"))
+      .withColumn("n7", floor(log(col("den").cast("double")
+        / (col("c_tr") + col("alpha")).cast("double")) * lit(1e7)).cast("long"))
+      .groupBy(col("doc_id"), col("cls"), col("alpha"))
+      .agg(sum(col("n7")).as("s7"), count(lit(1)).as("n_seen"))
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), (expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"),
+        col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val wArg = Window.partitionBy(col("doc_id"), col("alpha"))
+      .orderBy(col("nll7"), col("cls"))
+    perDoc.join(broadcast(ledger), Seq("f"))
+      .join(seen, Seq("doc_id", "cls", "alpha"), "left")
+      .withColumn("nll7", coalesce(col("s7"), lit(0L))
+        + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
+        + col("prior7"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("alpha"), col("f"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls") === col("source"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("alpha"), col("f"), col("n_docs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_docs").as("acc_ppm"))
+      .orderBy(col("alpha"), col("f"))
+  }
+
+  val o287: String = s"""
+    WITH occ AS (
+      SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $CV_FOLDS AS f, source,
+        unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    cell AS (
+      SELECT tok, source AS cls, CAST(COUNT(*) AS BIGINT) AS c
+      FROM occ GROUP BY 1, 2),
+    cellf AS (
+      SELECT tok, source AS cls, f, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM occ GROUP BY 1, 2, 3),
+    toktot AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS t FROM occ GROUP BY 1),
+    tokf AS (SELECT tok, f, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM occ GROUP BY 1, 2),
+    folds AS (SELECT CAST(unnest(range(0, $CV_FOLDS)) AS BIGINT) AS f),
+    vf AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS vtrain
+      FROM toktot CROSS JOIN folds
+      LEFT JOIN tokf USING (tok, f)
+      WHERE t - COALESCE(tf, 0) > 0 GROUP BY f),
+    clstot AS (
+      SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS ns,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ds
+      FROM occ GROUP BY 1),
+    clsf AS (
+      SELECT source AS cls, f, CAST(COUNT(*) AS BIGINT) AS nsf,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dsf
+      FROM occ GROUP BY 1, 2),
+    dtot AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS df,
+        CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS dd
+      FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $CV_FOLDS AS f FROM documents) GROUP BY f),
+    alphas AS (SELECT CAST(unnest([${CV_ALPHAS.mkString(", ")}]) AS BIGINT)
+               AS alpha),
+    ledger AS (
+      SELECT cls, f, alpha, ns_tr + alpha * vtrain AS den,
+        CAST(FLOOR(ln((ns_tr + alpha * vtrain)::DOUBLE / alpha::DOUBLE)
+          * 1e7) AS BIGINT) AS u7,
+        CAST(FLOOR(ln((dd - df)::DOUBLE / ds_tr::DOUBLE) * 1e7) AS BIGINT)
+          AS prior7
+      FROM (
+        SELECT cls, f, ns - COALESCE(nsf, 0) AS ns_tr,
+          ds - COALESCE(dsf, 0) AS ds_tr
+        FROM clstot CROSS JOIN folds LEFT JOIN clsf USING (cls, f))
+      JOIN vf USING (f) JOIN dtot USING (f) CROSS JOIN alphas
+      WHERE ds_tr > 0),
+    seen AS (
+      SELECT doc_id, cls, alpha, CAST(SUM(n7) AS BIGINT) AS s7,
+        CAST(COUNT(*) AS BIGINT) AS n_seen
+      FROM (
+        SELECT o.doc_id, lg.cls, lg.alpha,
+          CAST(FLOOR(ln(lg.den::DOUBLE
+            / (c - COALESCE(cf, 0) + lg.alpha)::DOUBLE) * 1e7) AS BIGINT)
+            AS n7
+        FROM occ o
+        JOIN cell ON cell.tok = o.tok
+        LEFT JOIN cellf ON cellf.tok = o.tok AND cellf.cls = cell.cls
+          AND cellf.f = o.f
+        JOIN ledger lg ON lg.cls = cell.cls AND lg.f = o.f
+        WHERE c - COALESCE(cf, 0) > 0)
+      GROUP BY 1, 2, 3),
+    perdoc AS (
+      SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $CV_FOLDS AS f, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    nll AS (
+      SELECT perdoc.doc_id AS doc_id, perdoc.f AS f, source, ledger.cls,
+        ledger.alpha AS alpha,
+        COALESCE(s7, 0) + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7
+          AS nll7
+      FROM perdoc JOIN ledger USING (f)
+      LEFT JOIN seen ON seen.doc_id = perdoc.doc_id
+        AND seen.cls = ledger.cls AND seen.alpha = ledger.alpha),
+    pick AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, alpha
+        ORDER BY nll7, cls) AS rn
+      FROM nll)
+    SELECT alpha, f, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN cls = source THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      CAST(SUM(CASE WHEN cls = source THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM pick WHERE rn = 1
+    GROUP BY alpha, f ORDER BY alpha, f"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q285_nb_source"       -> (q285NbSource _),
+    "q287_nb_cv"           -> (q287NbCv _),
     "q275_curriculum_schedule" -> (q275CurriculumSchedule _),
     "q219_crop_pairs"      -> (q219CropPairs _),
     "q216_perceptron"      -> (q216PerceptronQuality _),
@@ -1551,6 +1744,7 @@ object TrainingSet {
 
   val oracles: Map[String, String] = Map(
     "q285_nb_source"       -> o285,
+    "q287_nb_cv"           -> o287,
     "q275_curriculum_schedule" -> o275,
     "q219_crop_pairs"      -> o219,
     "q216_perceptron"      -> o216,

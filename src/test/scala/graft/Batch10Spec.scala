@@ -97,4 +97,80 @@ class Batch10Spec extends AnyFunSuite {
     // distribution-level signal exists: not all pairs identical
     assert(rows.map(_.getAs[Long]("mmd2_micro")).distinct.length > 1)
   }
+
+  test("q287 NB CV: fold census, accuracy identity, full α=1 held-out replay") {
+    val rows = text.TrainingSet.q287NbCv(spark, TestSpark.SF).collect()
+    val K = text.TrainingSet.CV_FOLDS.toInt
+    val alphas = text.TrainingSet.CV_ALPHAS
+    assert(rows.length == K * alphas.length)
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    // the md5 fold draw, replayed driver-side
+    def fold(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % K
+    }
+    val foldCensus = docs.groupBy(d => fold(d._1)).map { case (f, a) =>
+      f -> a.length.toLong }
+    alphas.foreach { a =>
+      val perA = rows.filter(_.getAs[Long]("alpha") == a)
+      assert(perA.map(_.getAs[Long]("n_docs")).sum == docs.length)
+      perA.foreach { r =>
+        assert(r.getAs[Long]("n_docs") == foldCensus(r.getAs[Long]("f")))
+        assert(r.getAs[Long]("acc_ppm") ==
+          r.getAs[Long]("n_correct") * 1000000L / r.getAs[Long]("n_docs"))
+      }
+    }
+    // full held-out replay at α = 1: per fold, train on the ledger
+    // complement and classify the fold's docs with the identical
+    // integer arithmetic
+    def f7(x: Double): Long = math.floor(math.log(x) * 1e7).toLong
+    val withFold = docs.map { case (id, s, t) => (id, fold(id), s, t) }
+    val occ = withFold.flatMap { case (id, f, s, toks) =>
+      toks.map(t => (t, s, f)) }
+    val cellAll = occ.groupBy(o => (o._1, o._2))
+      .map { case (k, v) => k -> v.size.toLong }
+    val cellByFold = occ.groupBy(o => (o._1, o._2, o._3))
+      .map { case (k, v) => k -> v.size.toLong }
+    val tokTot = occ.groupBy(_._1).map { case (t, v) => t -> v.size.toLong }
+    val tokByFold = occ.groupBy(o => (o._1, o._3))
+      .map { case (k, v) => k -> v.size.toLong }
+    val nsAll = occ.groupBy(_._2).map { case (s, v) => s -> v.size.toLong }
+    val nsByFold = occ.groupBy(o => (o._2, o._3))
+      .map { case (k, v) => k -> v.size.toLong }
+    val dsAll = withFold.groupBy(_._3).map { case (s, v) => s -> v.size.toLong }
+    val dsByFold = withFold.groupBy(w => (w._3, w._2))
+      .map { case (k, v) => k -> v.size.toLong }
+    val dd = docs.length.toLong
+    val dByFold = withFold.groupBy(_._2).map { case (f, v) => f -> v.size.toLong }
+    val a1 = 1L
+    val correctByFold = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    withFold.foreach { case (id, f, src, toks) =>
+      val vTrain = tokTot.count { case (t, c) =>
+        c - tokByFold.getOrElse((t, f), 0L) > 0 }.toLong
+      val cands = nsAll.keys.toSeq.sorted.filter(s =>
+        dsAll(s) - dsByFold.getOrElse((s, f), 0L) > 0)
+      val best = cands.map { s =>
+        val nsTr = nsAll(s) - nsByFold.getOrElse((s, f), 0L)
+        val den = nsTr + a1 * vTrain
+        val u7 = f7(den.toDouble / a1.toDouble)
+        val nll = toks.map { t =>
+          val cTr = cellAll.getOrElse((t, s), 0L) -
+            cellByFold.getOrElse((t, s, f), 0L)
+          if (cTr > 0) f7(den.toDouble / (cTr + a1).toDouble) else u7
+        }.sum + f7((dd - dByFold(f)).toDouble /
+          (dsAll(s) - dsByFold.getOrElse((s, f), 0L)).toDouble)
+        (nll, s)
+      }.min
+      if (best._2 == src) correctByFold(f) += 1L
+    }
+    rows.filter(_.getAs[Long]("alpha") == a1).foreach { r =>
+      assert(r.getAs[Long]("n_correct") == correctByFold(r.getAs[Long]("f")),
+        s"fold ${r.getAs[Long]("f")} α=1 replay")
+    }
+  }
 }
