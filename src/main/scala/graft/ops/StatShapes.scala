@@ -448,7 +448,94 @@ object StatShapes {
         AS tvd_ppm
     FROM term ORDER BY nat, band"""
 
+  // ---- q288: differentially-private histogram release audit ----
+
+  /** q288's privacy knobs: ε = 1/DP_EPS_INV per released statistic,
+    * and the per-document token-contribution CLIP — the quantity that
+    * actually controls token-sum sensitivity (unclipped, one huge doc
+    * makes the sum's sensitivity unbounded and the mechanism
+    * meaningless at any ε). */
+  val DP_EPS_INV = 2L
+  val DP_CLIP = 256L
+
+  /** q288: the DP data-card release — per-source document counts and
+    * CLIPPED token sums through the Laplace mechanism, released next
+    * to their true values and realized errors (an AUDIT of the
+    * mechanism's calibration, same stance as q232's JL audit — a real
+    * release would drop the true columns). The two scale lessons a
+    * 100 TB pipeline needs are both here: (1) sensitivity comes from
+    * BOUNDED CONTRIBUTION — tokens clip at DP_CLIP per doc row-locally
+    * in the scan, so the token sum has sensitivity DP_CLIP and noise
+    * scale DP_CLIP/ε, while doc counts have sensitivity 1; (2) noise
+    * is applied to the |sources|-row AGGREGATE ledger, never per row.
+    *
+    * Determinism/parity: the Laplace draw is the house md5 uniform —
+    * k = h − 2³¹ with h the first 8 md5 hex digits of source:metric;
+    * noise = sign(k)·⌊b·ln(2³¹ / max(2³¹−|k|, 1))·1e6⌋ micro-units
+    * (inverse-CDF of Laplace(b), the |k|=2³¹ atom clamped). The ln
+    * argument is one division of exact int64s, the floor applies to
+    * the magnitude, and the sign multiplies after — mirrored
+    * op-for-op in the oracle, so both engines agree bit-for-bit. */
+  def q288DpRelease(s: SparkSession, d: String): DataFrame = {
+    def draw(tag: String) = expr(
+      s"cast(conv(substr(md5(concat(source, '$tag')), 1, 8), 16, 10) as bigint)") -
+      lit(2147483648L)
+    def noise6(k: org.apache.spark.sql.Column, b: Long) =
+      signum(k).cast("long") * floor(
+        log(lit(2147483648.0) /
+          greatest(lit(2147483648L) - abs(k), lit(1L)).cast("double"))
+          * lit(b * 1e6)).cast("long")
+    documents(s, d)
+      .select(col("source"),
+        least(size(split(col("text"), " ")).cast("long"), lit(DP_CLIP))
+          .as("tokc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokc")).as("tok_clipped"))
+      .withColumn("noise_d6", noise6(draw(":docs"), DP_EPS_INV))
+      .withColumn("noise_t6", noise6(draw(":toks"), DP_CLIP * DP_EPS_INV))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") * lit(1000000L) + col("noise_d6"))
+          .as("docs_release_micro"),
+        abs(col("noise_d6")).as("docs_err_micro"),
+        col("tok_clipped"),
+        (col("tok_clipped") * lit(1000000L) + col("noise_t6"))
+          .as("toks_release_micro"),
+        abs(col("noise_t6")).as("toks_err_micro"))
+      .orderBy(col("source"))
+  }
+
+  val o288: String = s"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(LEAST(len(string_split(text, ' ')), $DP_CLIP)) AS BIGINT)
+          AS tok_clipped
+      FROM documents GROUP BY source),
+    h AS (
+      SELECT *,
+        ('0x' || substr(md5(source || ':docs'), 1, 8))::BIGINT
+          - 2147483648 AS hd,
+        ('0x' || substr(md5(source || ':toks'), 1, 8))::BIGINT
+          - 2147483648 AS ht
+      FROM per),
+    n AS (
+      SELECT *,
+        CAST(sign(hd) AS BIGINT) * CAST(FLOOR(ln(2147483648.0
+          / GREATEST(2147483648 - abs(hd), 1)::DOUBLE)
+          * ${DP_EPS_INV * 1000000L}) AS BIGINT) AS noise_d6,
+        CAST(sign(ht) AS BIGINT) * CAST(FLOOR(ln(2147483648.0
+          / GREATEST(2147483648 - abs(ht), 1)::DOUBLE)
+          * ${DP_CLIP * DP_EPS_INV * 1000000L}) AS BIGINT) AS noise_t6
+      FROM h)
+    SELECT source, n_docs,
+      n_docs * 1000000 + noise_d6 AS docs_release_micro,
+      abs(noise_d6) AS docs_err_micro,
+      tok_clipped,
+      tok_clipped * 1000000 + noise_t6 AS toks_release_micro,
+      abs(noise_t6) AS toks_err_micro
+    FROM n ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_dp_release"      -> (q288DpRelease _),
     "q189_ols_trend"       -> (q189OlsTrend _),
     "q192_mad_outliers"    -> (q192MadOutliers _),
     "q193_benford"         -> (q193BenfordAudit _),
@@ -457,6 +544,7 @@ object StatShapes {
     "q258_l_diversity"     -> (q258LDiversity _))
 
   val oracles: Map[String, String] = Map(
+    "q288_dp_release"      -> o288,
     "q189_ols_trend"       -> o189,
     "q192_mad_outliers"    -> o192,
     "q193_benford"         -> o193,

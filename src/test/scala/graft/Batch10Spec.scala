@@ -173,4 +173,49 @@ class Batch10Spec extends AnyFunSuite {
         s"fold ${r.getAs[Long]("f")} α=1 replay")
     }
   }
+
+  test("q288 DP release: clip law, release identities, exact Laplace replay") {
+    val rows = ops.StatShapes.q288DpRelease(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val clip = ops.StatShapes.DP_CLIP
+    val epsInv = ops.StatShapes.DP_EPS_INV
+    val truth = Tables.documents(spark, TestSpark.SF)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"),
+        sum(least(size(split(col("text"), " ")).cast("long"), lit(clip)))
+          .as("tc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.length == truth.size)
+    def md5k(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16) -
+        2147483648L
+    }
+    def noise6(k: Long, b: Long): Long = {
+      val mag = math.floor(math.log(2147483648.0 /
+        math.max(2147483648L - math.abs(k), 1L).toDouble) * (b * 1e6)).toLong
+      java.lang.Long.signum(k) * mag
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nd, tc) = truth(src)
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("tok_clipped") == tc)
+      // bounded contribution: the clipped sum can never exceed n·CLIP
+      assert(tc <= nd * clip)
+      val nD = noise6(md5k(src + ":docs"), epsInv)
+      val nT = noise6(md5k(src + ":toks"), clip * epsInv)
+      assert(r.getAs[Long]("docs_release_micro") == nd * 1000000L + nD)
+      assert(r.getAs[Long]("docs_err_micro") == math.abs(nD))
+      assert(r.getAs[Long]("toks_release_micro") == tc * 1000000L + nT)
+      assert(r.getAs[Long]("toks_err_micro") == math.abs(nT))
+    }
+    // the mechanism actually perturbs: some noise is nonzero, and both
+    // signs occur across 2·|sources| draws
+    val noises = rows.flatMap(r => Seq(
+      r.getAs[Long]("docs_release_micro") - r.getAs[Long]("n_docs") * 1000000L,
+      r.getAs[Long]("toks_release_micro") - r.getAs[Long]("tok_clipped") * 1000000L))
+    assert(noises.exists(_ > 0) && noises.exists(_ < 0))
+  }
 }
