@@ -691,6 +691,64 @@ object CorpusSignals {
       CAST(SUM(CASE WHEN n_oov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit
     FROM perdoc GROUP BY v ORDER BY v"""
 
+  // ---- q289: excess-loss mixture reweighting (DoReMi-flavored) ----
+
+  /** q289: per-source EXCESS-LOSS mixture weights — the DoReMi idea
+    * (Xie et al. 2023: upweight domains where a better model still
+    * loses vs a reference) re-expressed over the engine's own two
+    * bigram LMs: q281's Kneser–Ney is the stronger "proxy", q215's
+    * add-one the weaker "reference", and a source's excess is the mean
+    * clamped per-doc NLL gap max(0, nll_ref − nll_proxy) — large where
+    * smoothing structure helps most, i.e. where the source has
+    * learnable non-boilerplate statistics. Weights are LINEAR in
+    * excess (mix_ppm = excess·1e6 div Σ excess) rather than DoReMi's
+    * softmax — exp() parity across engines is not established in this
+    * repo (only ln-of-exact-ratio is), and a monotone reweighting
+    * preserves the ordering a mixture designer consumes while keeping
+    * the whole ledger exact-integer.
+    *
+    * Scale shape: a composition query — both LM scorers are the graded
+    * q281/q215 plans (each: one bigram aggregate + broadcast model
+    * joins); their per-doc outputs join on doc_id (doc-count sized),
+    * then ONE (source) aggregate + a 1-row total broadcast. */
+  def q289ExcessMix(s: SparkSession, d: String): DataFrame = {
+    val kn = q281KnBigram(s, d)
+      .select(col("doc_id"), col("avg_nll_micro").as("nll_kn"))
+    val a1 = q215BigramLm(s, d)
+      .select(col("doc_id"), col("avg_nll_micro").as("nll_a1"))
+    val perSrc = documents(s, d).select(col("doc_id"), col("source"))
+      .join(kn, Seq("doc_id"))
+      .join(a1, Seq("doc_id"))
+      .withColumn("exc", greatest(lit(0L), col("nll_a1") - col("nll_kn")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("exc")).as("exc_sum"))
+      .withColumn("excess_micro", expr("exc_sum div n_docs"))
+    val tot = perSrc.agg(sum(col("excess_micro")).as("exc_tot"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("excess_micro"),
+        // exc_tot = 0 (KN never beats add-one anywhere) makes the
+        // mixture undefined: fail loudly rather than emit NULL weights
+        // (DuckDB's `//` errors on 0 on its own — same loud outcome).
+        expr("""case when exc_tot = 0
+             then cast(raise_error('q289: zero total excess - mixture undefined') as bigint)
+             else excess_micro * 1000000 div exc_tot end""").as("mix_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o289: String = s"""
+    WITH kn AS (SELECT doc_id, avg_nll_micro AS nll_kn FROM ($o281)),
+    a1 AS (SELECT doc_id, avg_nll_micro AS nll_a1 FROM ($o215)),
+    src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(GREATEST(0, nll_a1 - nll_kn)) AS BIGINT)
+          // CAST(COUNT(*) AS BIGINT) AS excess_micro
+      FROM documents JOIN kn USING (doc_id) JOIN a1 USING (doc_id)
+      GROUP BY source),
+    tot AS (SELECT CAST(SUM(excess_micro) AS BIGINT) AS exc_tot FROM src)
+    SELECT source, n_docs, excess_micro,
+      CAST(excess_micro * 1000000 // exc_tot AS BIGINT) AS mix_ppm
+    FROM src CROSS JOIN tot ORDER BY source"""
+
   // ---- q237: rank-frequency (Zipf) diagnostic per source ----
 
   /** q237: per-source rank–frequency power-law fit — OLS of ln(freq)
@@ -1633,6 +1691,7 @@ object CorpusSignals {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_bigram_lm"   -> (q215BigramLm _),
+    "q289_excess_mix"  -> (q289ExcessMix _),
     "q281_kn_bigram"   -> (q281KnBigram _),
     "q282_oov_curve"   -> (q282OovCurve _),
     "q260_topk_overlap" -> (q260TopkOverlap _),
@@ -1659,6 +1718,7 @@ object CorpusSignals {
 
   val oracles: Map[String, String] = Map(
     "q215_bigram_lm"   -> o215,
+    "q289_excess_mix"  -> o289,
     "q281_kn_bigram"   -> o281,
     "q282_oov_curve"   -> o282,
     "q251_bleu_eval"   -> o251,

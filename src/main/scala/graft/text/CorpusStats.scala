@@ -360,7 +360,100 @@ object CorpusStats {
       UNION ALL SELECT 'mean_ttr_ppm', mean_ttr_ppm FROM card)
     ORDER BY metric"""
 
+  // ---- q291: bottom-k (KMV) cardinality sketch, exact-verified ----
+
+  /** Sketch size for q291. Relative error of the KMV estimator is
+    * ~1/√(k−2) ≈ 12.7% at k=64; the tripwire below fences 4σ. */
+  val KMV_K = 64
+
+  /** q291: per-source distinct-SHINGLE cardinality via the BOTTOM-K
+    * (KMV / k-minimum-values) sketch — the third cardinality estimator
+    * beside exact countDistinct (q13) and HLL (q49/q90), and the one
+    * that is fully HASH-CHECKABLE cross-engine: the sketch state is
+    * just the k smallest distinct 32-bit hashes, so DuckDB can replay
+    * the estimator bit-for-bit (est = (k−1)·2³² div kth-min,
+    * Bar-Yossef et al. 2002) — no engine-private register layout like
+    * HLL's. The estimated universe is the dedup-family one: distinct
+    * 3-gram shingles per source (the q40/q79 `ShingleSet` tokenizer) —
+    * the cardinality a near-dup index planner actually sizes against
+    * (raw-token vocabulary is both tiny and the wrong unit). Output
+    * keeps the exact distinct count alongside the estimate with
+    * err_ppm (sketch-calibration audit, q232 stance) and a 4σ
+    * raise_error tripwire (σ ≈ 1/√(k−2)).
+    *
+    * Scale shape: shingling is row-local (codegen ShingleSet), then one
+    * (source, hash) distinct (the hash dedupe IS the KMV contract —
+    * collisions merge by design), then the custom TopKPerGroup plan
+    * (map-side k-bounded heaps + clustered merge, the q52 node) keeps
+    * only k rows per source — the shingle universe never sorts
+    * globally; the exact count rides the same distinct. A source with
+    * < k distinct hashes degenerates to est = exact by rule in both
+    * engines. */
+  def q291BottomkDistinct(s: SparkSession, d: String): DataFrame = {
+    val hh = documents(s, d)
+      .select(col("source"),
+        graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
+      .select(col("source"), explode(col("sgs")).as("sg"))
+      .select(col("source"),
+        expr("cast(conv(substr(md5(sg), 1, 8), 16, 10) as bigint)").as("h"))
+      .distinct()
+    val exact = hh.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    val bottomK = graft.plans.TopKPerGroup(
+        hh, groupCols = Seq("source"), sortCols = Seq("h" -> false), k = KMV_K)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+    exact.join(bottomK, Seq("source"))
+      .withColumn("est", expr(
+        s"case when n_sketch < $KMV_K then n_sketch " +
+        s"else ($KMV_K - 1) * 4294967296 div kth_hash end"))
+      .withColumn("err_ppm", expr(
+        "abs(est - n_distinct) * 1000000 div n_distinct"))
+      .select(col("source"), col("n_distinct"), col("n_sketch"),
+        col("kth_hash"), col("est"),
+        // 4σ fence: k=64 ⇒ σ≈12.7% ⇒ trip beyond 508000 ppm — a miss
+        // this wide means the estimator (not the data) is broken.
+        expr("""case when err_ppm > 508000
+             then cast(raise_error(concat('q291: KMV error beyond 4 sigma: ',
+               cast(err_ppm as string))) as bigint)
+             else err_ppm end""").as("err_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o291: String = s"""
+    WITH sg AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+           , unnest(range(1, len(t) - 1)) u(i)
+      WHERE len(t) >= 3),
+    hh AS (
+      SELECT DISTINCT source,
+        ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+      FROM sg),
+    bk AS (
+      SELECT source, h,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM hh),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+        CAST(MAX(h) AS BIGINT) AS kth_hash
+      FROM bk WHERE rn <= $KMV_K GROUP BY source),
+    ex AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM hh GROUP BY source),
+    est AS (
+      SELECT source, n_distinct, n_sketch, kth_hash,
+        CAST(CASE WHEN n_sketch < $KMV_K THEN n_sketch
+          ELSE ($KMV_K - 1) * 4294967296 // kth_hash END AS BIGINT) AS est
+      FROM ex JOIN agg USING (source))
+    SELECT source, n_distinct, n_sketch, kth_hash, est,
+      CAST(CASE WHEN abs(est - n_distinct) * 1000000 // n_distinct > 508000
+        THEN error('q291: KMV error beyond 4 sigma')
+        ELSE abs(est - n_distinct) * 1000000 // n_distinct END AS BIGINT)
+        AS err_ppm
+    FROM est ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_bottomk_distinct" -> (q291BottomkDistinct _),
     "q116_source_drift" -> (q116SourceDrift _),
     "q94_source_overlap" -> (q94SourceOverlap _),
     "q95_heavy_hitters"  -> (q95HeavyHitters _),
@@ -368,6 +461,7 @@ object CorpusStats {
     "q238_dataset_card"  -> (q238DatasetCard _))
 
   val oracles: Map[String, String] = Map(
+    "q291_bottomk_distinct" -> o291,
     "q94_source_overlap" -> o94,
     "q95_heavy_hitters"  -> o95,
     "q116_source_drift"  -> o116,

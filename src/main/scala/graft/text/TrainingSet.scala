@@ -1557,7 +1557,10 @@ object TrainingSet {
     * ledger and the (doc, cls, α) score aggregate; everything else is
     * ledger arithmetic on |cls|·K·|α| rows broadcast back. The scoring
     * fan-out is |cls|·|α| per occurrence — the price of a JOINT sweep;
-    * at larger grids prescreen the candidate classes per doc first. */
+    * at larger grids prescreen the candidate classes per doc first.
+    * Over an unbounded web vocabulary the cell/cellF broadcasts become
+    * key-shuffles on `tok` (drop the hints; q285 stance) — no other
+    * plan change. */
   def q287NbCv(s: SparkSession, d: String): DataFrame = {
     val occ = documents(s, d)
       .select(col("doc_id"), (expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"),
@@ -1718,7 +1721,365 @@ object TrainingSet {
     FROM pick WHERE rn = 1
     GROUP BY alpha, f ORDER BY alpha, f"""
 
+  // ---- q292: leave-one-source-out data valuation ----
+
+  /** q292: LEAVE-ONE-SOURCE-OUT data valuation — the data-attribution
+    * primitive (Ghorbani & Zou's data-Shapley family, restricted to
+    * the |S| marginal coalitions a curation team actually acts on):
+    * for every source S, retrain the q285-style multinomial NB — here
+    * predicting LANG, so dropping a source never drops a class — on
+    * the train split minus S and score a FIXED md5-10% eval split;
+    * delta_ppm = acc_loso − acc_full is S's marginal contribution
+    * (negative ⇒ the source was load-bearing, positive ⇒ it was
+    * hurting the classifier — the "which domain do I cut" readout).
+    *
+    * The scale trick is q287's, one axis over: count models are
+    * SUBTRACTABLE ledgers, so |S| retrained models cost ONE (tok,
+    * lang, source) count pass — every per-holdout quantity (cell
+    * counts, class token mass, vocab size, doc priors) is the full
+    * ledger minus S's contribution, never a re-scan. Zero-doc classes
+    * are excluded per holdout by rule in both engines (q287 stance);
+    * a source with no train docs keeps delta = 0 by rule (removing
+    * nothing changes nothing). Ledger size is vocab·|langs|·(|S|+1) —
+    * vocabulary-bounded, not corpus-bounded; the eval-side scoring
+    * join fans out |langs|·(|S|+1) per EVAL occurrence only (the
+    * md5-10% split). Same floor(ln·1e7) integer stance as q285/q287.
+    */
+  def q292LosoValue(s: SparkSession, d: String): DataFrame = {
+    val FULL = "__full__"
+    val docs = documents(s, d).withColumn("ev",
+      expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10 = 0"))
+    val train = docs.filter(!col("ev"))
+    val evl = docs.filter(col("ev"))
+    val occ = train.select(col("doc_id"), col("source"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    // one count pass: per-source cells + their roll-up
+    val cellS = occ.groupBy(col("tok"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("cs"))
+    val cell = cellS.groupBy(col("tok"), col("lang")).agg(sum(col("cs")).as("c"))
+    val hs = train.select(col("source").as("h")).distinct()
+      .unionAll(s.range(1).select(lit(FULL).as("h")))
+    // per-holdout cell counts by subtraction; rows that vanish drop out
+    val cellH = cell.crossJoin(broadcast(hs))
+      .join(cellS.select(col("tok"), col("lang"), col("source").as("h"),
+        col("cs")), Seq("tok", "lang", "h"), "left")
+      .withColumn("ch", col("c") - coalesce(col("cs"), lit(0L)))
+      .filter(col("ch") > 0)
+      .select(col("tok"), col("lang"), col("h"), col("ch"))
+    // per-holdout class ledger by subtraction
+    val clsAll = train.select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val clsTot = clsAll.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds"))
+    val clsBySrc = clsAll.groupBy(col("lang"), col("source").as("h"))
+      .agg(sum(col("n_tok")).as("nsh"), count(lit(1)).as("dsh"))
+    val vH = cellH.groupBy(col("h")).agg(countDistinct(col("tok")).as("v"))
+    val ddH = hs
+      .join(clsBySrc.groupBy(col("h")).agg(sum(col("dsh")).as("dh")),
+        Seq("h"), "left")
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("dd"))))
+      .select(col("h"), (col("dd") - when(col("h") === FULL, 0L)
+        .otherwise(coalesce(col("dh"), lit(0L)))).as("ddh"))
+    // (lang, h) ledger; zero-doc classes excluded per holdout by rule
+    val ledger = clsTot.crossJoin(broadcast(hs))
+      .join(clsBySrc, Seq("lang", "h"), "left")
+      .withColumn("nsl", col("ns") - when(col("h") === FULL, 0L)
+        .otherwise(coalesce(col("nsh"), lit(0L))))
+      .withColumn("dsl", col("ds") - when(col("h") === FULL, 0L)
+        .otherwise(coalesce(col("dsh"), lit(0L))))
+      .filter(col("dsl") > 0)
+      .join(vH, Seq("h"))
+      .join(ddH, Seq("h"))
+      .withColumn("u7", floor(log((col("nsl") + col("v")).cast("double"))
+        * lit(1e7)).cast("long"))
+      .withColumn("prior7", floor(log(col("ddh").cast("double")
+        / col("dsl").cast("double")) * lit(1e7)).cast("long"))
+      .select(col("lang").as("cls"), col("h"), col("nsl"), col("v"),
+        col("u7"), col("prior7"))
+    val scored = cellH.withColumnRenamed("lang", "cls")
+      .join(broadcast(ledger.select(col("cls"), col("h"), col("nsl"),
+        col("v"))), Seq("cls", "h"))
+      .withColumn("n7", floor(log((col("nsl") + col("v")).cast("double")
+        / (col("ch") + lit(1L)).cast("double")) * lit(1e7)).cast("long"))
+      .select(col("tok"), col("cls"), col("h"), col("n7"))
+    val eocc = evl.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val seen = eocc.join(broadcast(scored), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"), col("h"))
+      .agg(sum(col("n7")).as("s7"), count(lit(1)).as("n_seen"))
+    val perDoc = evl.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val wArg = Window.partitionBy(col("doc_id"), col("h"))
+      .orderBy(col("nll7"), col("cls"))
+    val acc = perDoc.crossJoin(broadcast(ledger.select(col("cls"), col("h"),
+        col("u7"), col("prior7"))))
+      .join(seen, Seq("doc_id", "cls", "h"), "left")
+      .withColumn("nll7", coalesce(col("s7"), lit(0L))
+        + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
+        + col("prior7"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("cls") === col("lang"), 1L).otherwise(0L)).as("n_corr"))
+      // an empty eval split makes accuracy undefined: fail loudly
+      // (DuckDB's // errors on 0 on its own — same loud outcome)
+      .withColumn("acc_ppm", expr(
+        """case when n_eval = 0
+             then cast(raise_error('q292: empty eval split') as bigint)
+             else n_corr * 1000000 div n_eval end"""))
+    val accFull = acc.filter(col("h") === FULL)
+      .select(col("acc_ppm").as("acc_full_ppm"))
+    val trainBySrc = train.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"))
+    documents(s, d).select(col("source")).distinct()
+      .join(trainBySrc, Seq("source"), "left")
+      .join(acc.select(col("h").as("source"), col("acc_ppm")
+        .as("acc_loso_raw")), Seq("source"), "left")
+      .crossJoin(broadcast(accFull))
+      .select(col("source"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        col("acc_full_ppm"),
+        // no train docs ⇒ removing the source is a no-op by rule
+        coalesce(col("acc_loso_raw"), col("acc_full_ppm")).as("acc_loso_ppm"),
+        (coalesce(col("acc_loso_raw"), col("acc_full_ppm"))
+          - col("acc_full_ppm")).as("delta_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o292: String = """
+    WITH docs AS (
+      SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0
+        AS ev
+      FROM documents),
+    train AS (SELECT * FROM docs WHERE NOT ev),
+    evl AS (SELECT * FROM docs WHERE ev),
+    occ AS (
+      SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
+      FROM train),
+    cellS AS (
+      SELECT tok, lang, source, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM occ GROUP BY 1, 2, 3),
+    cell AS (
+      SELECT tok, lang, CAST(SUM(cs) AS BIGINT) AS c
+      FROM cellS GROUP BY 1, 2),
+    hs AS (
+      SELECT DISTINCT source AS h FROM train
+      UNION ALL SELECT '__full__'),
+    cellH AS (
+      SELECT cell.tok, cell.lang, hs.h,
+        c - COALESCE(cs, 0) AS ch
+      FROM cell CROSS JOIN hs
+      LEFT JOIN cellS ON cellS.tok = cell.tok AND cellS.lang = cell.lang
+        AND cellS.source = hs.h
+      WHERE c - COALESCE(cs, 0) > 0),
+    clsall AS (
+      SELECT doc_id, lang, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM train),
+    clstot AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS ns,
+        CAST(COUNT(*) AS BIGINT) AS ds
+      FROM clsall GROUP BY 1),
+    clsbysrc AS (
+      SELECT lang, source AS h, CAST(SUM(n_tok) AS BIGINT) AS nsh,
+        CAST(COUNT(*) AS BIGINT) AS dsh
+      FROM clsall GROUP BY 1, 2),
+    vh AS (
+      SELECT h, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM cellH GROUP BY 1),
+    ddh AS (
+      SELECT hs.h,
+        (SELECT COUNT(*) FROM train)
+          - CASE WHEN hs.h = '__full__' THEN 0
+            ELSE COALESCE(dh, 0) END AS ddh
+      FROM hs LEFT JOIN (
+        SELECT h, CAST(SUM(dsh) AS BIGINT) AS dh FROM clsbysrc GROUP BY 1
+      ) agg ON agg.h = hs.h),
+    ledger AS (
+      SELECT clstot.lang AS cls, hs.h,
+        ns - CASE WHEN hs.h = '__full__' THEN 0
+          ELSE COALESCE(nsh, 0) END AS nsl,
+        ds - CASE WHEN hs.h = '__full__' THEN 0
+          ELSE COALESCE(dsh, 0) END AS dsl,
+        v, ddh.ddh AS ddh
+      FROM clstot CROSS JOIN hs
+      LEFT JOIN clsbysrc ON clsbysrc.lang = clstot.lang
+        AND clsbysrc.h = hs.h
+      JOIN vh ON vh.h = hs.h
+      JOIN ddh ON ddh.h = hs.h
+      WHERE ds - CASE WHEN hs.h = '__full__' THEN 0
+        ELSE COALESCE(dsh, 0) END > 0),
+    ledger7 AS (
+      SELECT cls, h, nsl, v,
+        CAST(FLOOR(ln((nsl + v)::DOUBLE) * 1e7) AS BIGINT) AS u7,
+        CAST(FLOOR(ln(ddh::DOUBLE / dsl::DOUBLE) * 1e7) AS BIGINT) AS prior7
+      FROM ledger),
+    scored AS (
+      SELECT tok, cls, ledger7.h AS h,
+        CAST(FLOOR(ln((nsl + v)::DOUBLE / (ch + 1)::DOUBLE) * 1e7) AS BIGINT)
+          AS n7
+      FROM cellH JOIN ledger7 ON cellH.lang = ledger7.cls
+        AND cellH.h = ledger7.h),
+    eocc AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM evl),
+    seen AS (
+      SELECT doc_id, cls, h, CAST(SUM(n7) AS BIGINT) AS s7,
+        CAST(COUNT(*) AS BIGINT) AS n_seen
+      FROM eocc JOIN scored USING (tok) GROUP BY 1, 2, 3),
+    perdoc AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM evl),
+    nll AS (
+      SELECT perdoc.doc_id, perdoc.lang, ledger7.cls, ledger7.h,
+        COALESCE(s7, 0) + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7
+          AS nll7
+      FROM perdoc CROSS JOIN ledger7
+      LEFT JOIN seen ON seen.doc_id = perdoc.doc_id
+        AND seen.cls = ledger7.cls AND seen.h = ledger7.h),
+    pick AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, h
+        ORDER BY nll7, cls) AS rn
+      FROM nll),
+    acc AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        CAST(SUM(CASE WHEN cls = lang THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) AS BIGINT) AS acc_ppm
+      FROM pick WHERE rn = 1 GROUP BY h),
+    accfull AS (
+      SELECT acc_ppm AS acc_full_ppm FROM acc WHERE h = '__full__'),
+    trainbysrc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+      FROM train GROUP BY 1)
+    SELECT src.source AS source,
+      CAST(COALESCE(n_train_docs, 0) AS BIGINT) AS n_train_docs,
+      CAST(acc_full_ppm AS BIGINT) AS acc_full_ppm,
+      CAST(COALESCE(acc.acc_ppm, acc_full_ppm) AS BIGINT) AS acc_loso_ppm,
+      CAST(COALESCE(acc.acc_ppm, acc_full_ppm) - acc_full_ppm AS BIGINT)
+        AS delta_ppm
+    FROM (SELECT DISTINCT source FROM documents) src
+    LEFT JOIN trainbysrc USING (source)
+    LEFT JOIN acc ON acc.h = src.source
+    CROSS JOIN accfull
+    ORDER BY source"""
+
+  // ---- q290: pairwise-preference data card (Copeland / Borda) ----
+
+  /** Neighbor-pairing hash blocks for q290. The knob is the window
+    * parallelism control: a block is one executor-local sort, so
+    * production sizes it to ~1e6 docs/block; it is part of the query
+    * definition (like SNM_WINDOW) — comparisons change with it, the
+    * tournament laws (conservation, antisymmetry) do not. */
+  val PREF_BLOCKS = 16L
+
+  /** q290: source-level PREFERENCE data card — the RLHF-dataset audit
+    * shape: deterministic pairwise matches between documents of
+    * DIFFERENT sources, winner = higher q36 quality (exact q_micro
+    * integers; equal → tie), tallied into a source tournament ledger:
+    * wins / losses / ties (Borda count ≡ wins), Copeland score
+    * (2·opponents-beaten + head-to-head draws, over opponents actually
+    * drawn), and win-rate ppm. Matches are generated SNM-style (q283):
+    * md5-shuffled order inside PREF_BLOCKS hash blocks, each doc
+    * compared to its lead(1) neighbor — ≤ n−B comparisons, LINEAR in
+    * the corpus, never the all-pairs round-robin. Same-source neighbor
+    * pairs are dropped (a source playing itself says nothing about
+    * mixture preference).
+    *
+    * Scale shape: ONE window over hash blocks, one (s, o) aggregate
+    * (≤|sources|² rows), ledger arithmetic after; the final
+    * all-sources left join keeps never-drawn sources visible with
+    * win_ppm = −1 (legitimately-empty sentinel, not an error). */
+  def q290PreferenceCard(s: SparkSession, d: String): DataFrame = {
+    val docs = TextOps.withQuality(documents(s, d))
+      .select(col("doc_id"), col("source"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q_micro"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("blk",
+        expr(s"cast(conv(substr(h, 1, 6), 16, 10) as bigint) % $PREF_BLOCKS"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("h"), col("doc_id"))
+    val pairs = docs
+      .withColumn("o", lead(col("source"), 1).over(w))
+      .withColumn("oq", lead(col("q_micro"), 1).over(w))
+      .filter(col("o").isNotNull && col("o") =!= col("source"))
+    val cells = pairs.select(col("source").as("s"), col("o"),
+        when(col("q_micro") > col("oq"), 1L).otherwise(0L).as("win"),
+        when(col("q_micro") < col("oq"), 1L).otherwise(0L).as("loss"),
+        when(col("q_micro") === col("oq"), 1L).otherwise(0L).as("tie"))
+      .unionAll(pairs.select(col("o").as("s"), col("source").as("o"),
+        when(col("oq") > col("q_micro"), 1L).otherwise(0L).as("win"),
+        when(col("oq") < col("q_micro"), 1L).otherwise(0L).as("loss"),
+        when(col("oq") === col("q_micro"), 1L).otherwise(0L).as("tie")))
+    val duo = cells.groupBy(col("s"), col("o"))
+      .agg(count(lit(1)).as("n"), sum(col("win")).as("w"),
+        sum(col("loss")).as("l"), sum(col("tie")).as("t"))
+    val card = duo.groupBy(col("s"))
+      .agg(sum(col("n")).as("n_cmp"), sum(col("w")).as("wins"),
+        sum(col("l")).as("losses"), sum(col("t")).as("ties"),
+        sum(when(col("w") > col("l"), 2L)
+          .when(col("w") === col("l"), 1L).otherwise(0L)).as("copeland2"))
+    documents(s, d).select(col("source")).distinct()
+      .join(card, col("source") === col("s"), "left")
+      .select(col("source"),
+        coalesce(col("n_cmp"), lit(0L)).as("n_cmp"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("losses"), lit(0L)).as("losses"),
+        coalesce(col("ties"), lit(0L)).as("ties"),
+        coalesce(col("copeland2"), lit(0L)).as("copeland2"),
+        coalesce(expr("wins * 1000000 div n_cmp"), lit(-1L)).as("win_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val o290: String = s"""
+    WITH dd AS (
+      SELECT doc_id, source,
+        CAST(ROUND(${TextOps.ORA_QUALITY} * 1000000) AS BIGINT) AS q_micro,
+        md5(doc_id::VARCHAR) AS h
+      FROM documents),
+    bb AS (
+      SELECT *, ('0x' || substr(h, 1, 6))::BIGINT % $PREF_BLOCKS AS blk
+      FROM dd),
+    pr AS (
+      SELECT source AS sa, q_micro AS qa,
+        lead(source) OVER w AS sb, lead(q_micro) OVER w AS qb
+      FROM bb WINDOW w AS (PARTITION BY blk ORDER BY h, doc_id)),
+    pf AS (SELECT * FROM pr WHERE sb IS NOT NULL AND sb <> sa),
+    cells AS (
+      SELECT sa AS s, sb AS o,
+        CASE WHEN qa > qb THEN 1 ELSE 0 END AS win,
+        CASE WHEN qa < qb THEN 1 ELSE 0 END AS loss,
+        CASE WHEN qa = qb THEN 1 ELSE 0 END AS tie
+      FROM pf
+      UNION ALL
+      SELECT sb, sa,
+        CASE WHEN qb > qa THEN 1 ELSE 0 END,
+        CASE WHEN qb < qa THEN 1 ELSE 0 END,
+        CASE WHEN qa = qb THEN 1 ELSE 0 END
+      FROM pf),
+    duo AS (
+      SELECT s, o, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(win) AS BIGINT) AS w, CAST(SUM(loss) AS BIGINT) AS l,
+        CAST(SUM(tie) AS BIGINT) AS t
+      FROM cells GROUP BY s, o),
+    card AS (
+      SELECT s, SUM(n) AS n_cmp, SUM(w) AS wins, SUM(l) AS losses,
+        SUM(t) AS ties,
+        SUM(CASE WHEN w > l THEN 2 WHEN w = l THEN 1 ELSE 0 END) AS copeland2
+      FROM duo GROUP BY s)
+    SELECT src.source AS source,
+      CAST(COALESCE(n_cmp, 0) AS BIGINT) AS n_cmp,
+      CAST(COALESCE(wins, 0) AS BIGINT) AS wins,
+      CAST(COALESCE(losses, 0) AS BIGINT) AS losses,
+      CAST(COALESCE(ties, 0) AS BIGINT) AS ties,
+      CAST(COALESCE(copeland2, 0) AS BIGINT) AS copeland2,
+      CAST(COALESCE(wins * 1000000 // n_cmp, -1) AS BIGINT) AS win_ppm
+    FROM (SELECT DISTINCT source FROM documents) src
+    LEFT JOIN card ON src.source = card.s
+    ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_loso_value"      -> (q292LosoValue _),
+    "q290_preference_card" -> (q290PreferenceCard _),
     "q285_nb_source"       -> (q285NbSource _),
     "q287_nb_cv"           -> (q287NbCv _),
     "q275_curriculum_schedule" -> (q275CurriculumSchedule _),
@@ -1743,6 +2104,8 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q292_loso_value"      -> o292,
+    "q290_preference_card" -> o290,
     "q285_nb_source"       -> o285,
     "q287_nb_cv"           -> o287,
     "q275_curriculum_schedule" -> o275,

@@ -218,4 +218,52 @@ class Batch10Spec extends AnyFunSuite {
       r.getAs[Long]("toks_release_micro") - r.getAs[Long]("tok_clipped") * 1000000L))
     assert(noises.exists(_ > 0) && noises.exists(_ < 0))
   }
+
+  test("q289 excess mix: source census, per-source replay from the graded LMs, weight laws") {
+    val rows = text.CorpusSignals.q289ExcessMix(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    // source census: one row per source, n_docs conserved
+    val nBySrc = Tables.documents(spark, TestSpark.SF)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == nBySrc.keySet)
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") ==
+      nBySrc(r.getAs[String]("source"))))
+    // replay excess_micro from the two graded per-doc LM frames (q281
+    // and q215 are independently hash-proven, so joining their outputs
+    // driver-side is a ground-truth reconstruction of the gap ledger)
+    val kn = text.CorpusSignals.q281KnBigram(spark, TestSpark.SF)
+      .select(col("doc_id"), col("avg_nll_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a1 = text.CorpusSignals.q215BigramLm(spark, TestSpark.SF)
+      .select(col("doc_id"), col("avg_nll_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val excBySrc = srcOf.toSeq.groupBy(_._2).map { case (s, ds) =>
+      val tot = ds.map { case (id, _) => math.max(0L, a1(id) - kn(id)) }.sum
+      s -> tot / ds.size // BIGINT div = floor for non-negative operands
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("excess_micro") == excBySrc(r.getAs[String]("source")),
+        s"excess replay for ${r.getAs[String]("source")}")
+    }
+    // weight laws: linear weights are a floor-division of a conserved
+    // total, so 0 <= mix_ppm, sum <= 1e6 with deficit < |sources|, and
+    // ordering by weight == ordering by excess
+    val excTot = rows.map(_.getAs[Long]("excess_micro")).sum
+    assert(excTot > 0L, "test corpus must show some KN advantage")
+    rows.foreach { r =>
+      val w = r.getAs[Long]("mix_ppm")
+      assert(w >= 0L)
+      assert(w == r.getAs[Long]("excess_micro") * 1000000L / excTot)
+    }
+    val wSum = rows.map(_.getAs[Long]("mix_ppm")).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - rows.length)
+    val byExc = rows.sortBy(_.getAs[Long]("excess_micro")).map(_.getAs[String]("source"))
+    val byW = rows.sortBy(r => (r.getAs[Long]("mix_ppm"), r.getAs[Long]("excess_micro")))
+      .map(_.getAs[String]("source"))
+    assert(byExc.sameElements(byW), "monotone reweighting")
+  }
 }

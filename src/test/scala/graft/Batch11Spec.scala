@@ -1,0 +1,191 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property checks for the round-11 additions past Batch10: q290
+  * (pairwise-preference data card). The tournament is replayed in full
+  * driver-side from the raw documents table — block assignment,
+  * md5-shuffle ordering, neighbor pairing, win/loss/tie tallies,
+  * Copeland — so the spec proves the distributed formulation. */
+class Batch11Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q290 preference card: tournament laws and full driver-side replay") {
+    val rows = text.TrainingSet.q290PreferenceCard(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r).toMap
+    // census: one row per distinct source
+    val sources = Tables.documents(spark, TestSpark.SF)
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(bySrc.keySet == sources)
+    // conservation: every win is someone's loss; ties are mutual, so
+    // the tie column sums even; comparisons partition into w+l+t
+    assert(rows.map(_.getAs[Long]("wins")).sum ==
+      rows.map(_.getAs[Long]("losses")).sum)
+    assert(rows.map(_.getAs[Long]("ties")).sum % 2 == 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cmp") == r.getAs[Long]("wins") +
+        r.getAs[Long]("losses") + r.getAs[Long]("ties"))
+    }
+    // full replay: blocks, md5 order, lead(1) pairing, tallies
+    val docs = text.TextOps.withQuality(Tables.documents(spark, TestSpark.SF))
+      .select(col("doc_id"), col("source"),
+        expr("cast(round(quality * 1000000) as bigint)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val withH = docs.map { case (id, src, q) =>
+      val h = md5hex(id.toString)
+      (java.lang.Long.parseLong(h.substring(0, 6), 16) %
+        text.TrainingSet.PREF_BLOCKS, h, id, src, q)
+    }
+    val pairs = withH.groupBy(_._1).values.flatMap { blk =>
+      val ord = blk.sortBy(t => (t._2, t._3))
+      ord.zip(ord.drop(1))
+    }.filter { case (a, b) => a._4 != b._4 }.toSeq
+    // duo tallies from both perspectives
+    case class T(var n: Long = 0, var w: Long = 0, var l: Long = 0,
+                 var t: Long = 0)
+    val duo = scala.collection.mutable.Map[(String, String), T]()
+    pairs.foreach { case (a, b) =>
+      val x = duo.getOrElseUpdate((a._4, b._4), T())
+      val y = duo.getOrElseUpdate((b._4, a._4), T())
+      x.n += 1; y.n += 1
+      if (a._5 > b._5) { x.w += 1; y.l += 1 }
+      else if (a._5 < b._5) { x.l += 1; y.w += 1 }
+      else { x.t += 1; y.t += 1 }
+    }
+    val expCard = duo.toSeq.groupBy(_._1._1).map { case (s, es) =>
+      s -> (es.map(_._2.n).sum, es.map(_._2.w).sum, es.map(_._2.l).sum,
+        es.map(_._2.t).sum,
+        es.map { case (_, t) =>
+          if (t.w > t.l) 2L else if (t.w == t.l) 1L else 0L }.sum)
+    }
+    sources.foreach { s =>
+      val r = bySrc(s)
+      expCard.get(s) match {
+        case Some((n, w, l, t, cope)) =>
+          assert(r.getAs[Long]("n_cmp") == n, s"n_cmp $s")
+          assert(r.getAs[Long]("wins") == w, s"wins $s")
+          assert(r.getAs[Long]("losses") == l, s"losses $s")
+          assert(r.getAs[Long]("ties") == t, s"ties $s")
+          assert(r.getAs[Long]("copeland2") == cope, s"copeland $s")
+          assert(r.getAs[Long]("win_ppm") == w * 1000000L / n)
+        case None =>
+          assert(r.getAs[Long]("n_cmp") == 0L)
+          assert(r.getAs[Long]("win_ppm") == -1L)
+      }
+    }
+    // the tournament must be non-trivial on the test corpus
+    assert(pairs.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("wins") > 0))
+  }
+
+  test("q291 KMV sketch: estimator replay, degenerate rule, error fence") {
+    val rows = text.CorpusStats.q291BottomkDistinct(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val k = text.CorpusStats.KMV_K
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // full replay: distinct 3-gram shingles per source → 32-bit
+    // hashes → bottom-k → KMV
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val hBySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap { case (_, txt) =>
+        val t = txt.split(" ", -1)
+        if (t.length < 3) Seq.empty[String]
+        else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+      }.distinct
+        .map(g => java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16))
+        .distinct.sorted
+    }
+    assert(rows.map(_.getAs[String]("source")).toSet == hBySrc.keySet)
+    rows.foreach { r =>
+      val hs = hBySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_distinct") == hs.length)
+      val sk = hs.take(k)
+      assert(r.getAs[Long]("n_sketch") == sk.length)
+      assert(r.getAs[Long]("kth_hash") == sk.last)
+      val est = if (sk.length < k) sk.length.toLong
+                else (k - 1).toLong * 4294967296L / sk.last
+      assert(r.getAs[Long]("est") == est,
+        s"KMV estimate for ${r.getAs[String]("source")}")
+      val err = math.abs(est - hs.length) * 1000000L / hs.length
+      assert(r.getAs[Long]("err_ppm") == err)
+      // the shipped fence: anything past 4σ would have raise_error'd
+      assert(err <= 508000L)
+    }
+    // the sketch path must actually engage on the test corpus: at
+    // least one source has more than k distinct hashes
+    assert(rows.exists(_.getAs[Long]("n_distinct") > k))
+  }
+
+  test("q292 LOSO valuation: split census, no-op rule, full NB retrain replay") {
+    val rows = text.TrainingSet.q292LosoValue(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).toSeq))
+    val (evl, train) = docs.partition { case (id, _, _, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 10 == 0
+    }
+    assert(evl.nonEmpty && train.nonEmpty)
+    // census: one row per source; n_train_docs matches the split
+    val trainBySrc = train.groupBy(_._2).map { case (s, d) => s -> d.size.toLong }
+    val allSrc = docs.map(_._2).toSet
+    assert(rows.map(_.getAs[String]("source")).toSet == allSrc)
+    rows.foreach(r => assert(r.getAs[Long]("n_train_docs") ==
+      trainBySrc.getOrElse(r.getAs[String]("source"), 0L)))
+    // driver-side NB (predicting lang) trained on an arbitrary doc
+    // subset, scored on the eval split — the ground-truth retrainer
+    def f7(x: Double): Long = math.floor(math.log(x) * 1e7).toLong
+    def accOf(tr: Seq[(Long, String, String, Seq[String])]): Long = {
+      val occ = tr.flatMap { case (_, _, l, ts) => ts.map(t => (t, l)) }
+      val cnt = occ.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+      val ns = occ.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+      val ds = tr.groupBy(_._3).map { case (l, v) => l -> v.size.toLong }
+      val v = cnt.keys.map(_._1).toSet.size.toLong
+      val dd = tr.size.toLong
+      val classes = ds.filter(_._2 > 0).keys.toSeq.sorted
+      val correct = evl.count { case (_, _, lTrue, ts) =>
+        val best = classes.map { l =>
+          val u7 = f7((ns(l) + v).toDouble)
+          val nll = ts.map { t =>
+            cnt.get((t, l)) match {
+              case Some(c) => f7((ns(l) + v).toDouble / (c + 1).toDouble)
+              case None    => u7
+            }
+          }.sum + f7(dd.toDouble / ds(l).toDouble)
+          (nll, l)
+        }.min
+        best._2 == lTrue
+      }
+      correct.toLong * 1000000L / evl.size
+    }
+    val accFull = accOf(train)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("acc_full_ppm") == accFull, s"full acc ($src row)")
+      val expLoso =
+        if (trainBySrc.getOrElse(src, 0L) == 0L) accFull // no-op rule
+        else accOf(train.filterNot(_._2 == src))
+      assert(r.getAs[Long]("acc_loso_ppm") == expLoso, s"LOSO acc for $src")
+      assert(r.getAs[Long]("delta_ppm") == expLoso - accFull)
+    }
+    // the valuation must be non-trivial: some source moves the needle
+    // (tiny corpora can be flat — only require internal consistency
+    // plus at least one engaged holdout)
+    assert(rows.exists(_.getAs[Long]("n_train_docs") > 0))
+  }
+}
