@@ -1285,7 +1285,118 @@ object Analytics {
     GROUP BY seg_a, seg_b, pooled_dir
     ORDER BY seg_a, seg_b"""
 
+  // ---- q293: SPRT sequential A/B conversion monitor ----
+
+  /** q293: Wald's SEQUENTIAL PROBABILITY RATIO TEST as an in-engine
+    * experiment monitor — the sequential-analysis counterpart to the
+    * fixed-horizon readouts (q270 CUPED, q272 permutation): users are
+    * md5-split into two arms, each arm's purchase-conversion stream is
+    * walked in event order, and the Bernoulli log-likelihood ratio for
+    * H0 p=1/5 vs H1 p=1/4 accumulates until it exits the ±ln(19)
+    * Wald boundaries (α=β=0.05; the lower bound is −A by DESIGN —
+    * symmetric scaled integers, so no floor-of-negative asymmetry).
+    * Output per arm: event/conversion totals, the first boundary
+    * decision and the sample size n_decide at which it fired (the
+    * whole point of sequential testing: a decision at ~n/10 of the
+    * fixed-horizon sample), and the end-of-stream LLR.
+    *
+    * Exactness: per-event increments are CONSTANT design integers
+    * c1 = ⌊ln(5/4)·1e7⌋, c0 = ⌊ln(15/16)·1e7⌋ — floor(ln of one exact
+    * ratio) both engines feed libm identically — so the LLR ladder is
+    * pure int64 arithmetic and the crossing index is deterministic.
+    *
+    * Scale shape: the global per-arm running count is the q83 hazard
+    * (a naive per-arm window is one task walking the whole stream);
+    * same cure — day-local cumsums in parallel + a tiny (arm, day)
+    * offset ledger broadcast back (day is monotone in the event
+    * order, so local + offset == global exactly). Crossing detection
+    * is then row-local; the first crossing is a min-struct aggregate,
+    * never a sorted scan. */
+  def q293SprtMonitor(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      (expr("cast(conv(substr(md5(cast(user_id as string)), 1, 4), 16, 10) as bigint)") % 2).as("arm"),
+      expr("ts div 1000").as("tus"), col("event_id"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"),
+      expr("(ts div 1000) div 86400000000").as("day"))
+    val wIn = Window.partitionBy(col("arm"), col("day"))
+      .orderBy(col("tus"), col("event_id"))
+    val local = e
+      .withColumn("i_in", row_number().over(wIn))
+      .withColumn("c_in", sum(col("conv")).over(wIn))
+    val wDay = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = e.groupBy(col("arm"), col("day"))
+      .agg(count(lit(1)).as("n_d"), sum(col("conv")).as("c_d"))
+      .withColumn("n_off", coalesce(sum(col("n_d")).over(wDay), lit(0L)))
+      .withColumn("c_off", coalesce(sum(col("c_d")).over(wDay), lit(0L)))
+      .select(col("arm"), col("day"), col("n_off"), col("c_off"))
+    val c1 = floor(log(lit(5.0) / lit(4.0)) * lit(1e7)).cast("long")
+    val c0 = floor(log(lit(15.0) / lit(16.0)) * lit(1e7)).cast("long")
+    val a7 = floor(log(lit(19.0)) * lit(1e7)).cast("long")
+    val scored = local.join(broadcast(offsets), Seq("arm", "day"))
+      .withColumn("i", col("n_off") + col("i_in"))
+      .withColumn("c", col("c_off") + col("c_in"))
+      .withColumn("llr", col("c") * c1 + (col("i") - col("c")) * c0)
+      .withColumn("crs", when(col("llr") >= a7, lit("reject_h0"))
+        .when(col("llr") <= -a7, lit("accept_h0")))
+    val firstCross = scored.filter(col("crs").isNotNull)
+      .groupBy(col("arm"))
+      .agg(min(struct(col("i"), col("crs"))).as("fc"))
+      .select(col("arm"), col("fc").getField("i").as("n_decide"),
+        col("fc").getField("crs").as("decision"))
+    scored.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_events"), sum(col("conv")).as("n_conv"),
+        max(struct(col("i"), col("llr"))).as("e"))
+      .select(col("arm"), col("n_events"), col("n_conv"),
+        col("e").getField("llr").as("llr_end_e7"))
+      .join(firstCross, Seq("arm"), "left")
+      .select(col("arm"), col("n_events"), col("n_conv"),
+        coalesce(col("decision"), lit("continue")).as("decision"),
+        coalesce(col("n_decide"), lit(-1L)).as("n_decide"),
+        col("llr_end_e7"))
+      .orderBy(col("arm"))
+  }
+
+  val o293: String = """
+    WITH e AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT % 2
+          AS arm,
+        epoch_ns(ts) // 1000 AS tus, event_id,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events),
+    k AS (
+      SELECT CAST(FLOOR(ln(5.0 / 4.0) * 1e7) AS BIGINT) AS c1,
+        CAST(FLOOR(ln(15.0 / 16.0) * 1e7) AS BIGINT) AS c0,
+        CAST(FLOOR(ln(19.0) * 1e7) AS BIGINT) AS a7),
+    sc AS (
+      SELECT arm, conv,
+        ROW_NUMBER() OVER w AS i,
+        SUM(conv) OVER w AS c
+      FROM e WINDOW w AS (PARTITION BY arm ORDER BY tus, event_id)),
+    ll AS (
+      SELECT arm, conv, i, c * c1 + (i - c) * c0 AS llr,
+        CASE WHEN c * c1 + (i - c) * c0 >= a7 THEN 'reject_h0'
+             WHEN c * c1 + (i - c) * c0 <= -a7 THEN 'accept_h0' END AS crs
+      FROM sc CROSS JOIN k),
+    fc AS (
+      SELECT arm, i AS n_decide, crs AS decision,
+        ROW_NUMBER() OVER (PARTITION BY arm ORDER BY i) AS rn
+      FROM ll WHERE crs IS NOT NULL),
+    fin AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(conv) AS BIGINT) AS n_conv,
+        CAST(arg_max(llr, i) AS BIGINT) AS llr_end_e7
+      FROM ll GROUP BY arm)
+    SELECT fin.arm AS arm, n_events, n_conv,
+      COALESCE(decision, 'continue') AS decision,
+      CAST(COALESCE(n_decide, -1) AS BIGINT) AS n_decide,
+      llr_end_e7
+    FROM fin LEFT JOIN (SELECT * FROM fc WHERE rn = 1) f
+      ON f.arm = fin.arm
+    ORDER BY arm"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_sprt_monitor"      -> (q293SprtMonitor _),
     "q272_perm_test"         -> (q272PermTest _),
     "q273_simpson_flip"      -> (q273SimpsonFlip _),
     "q270_cuped_uplift"      -> (q270CupedUplift _),
@@ -1307,6 +1418,7 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q293_sprt_monitor" -> o293,
     "q261_fano_burstiness" -> o261,
     "q265_weekly_profile" -> o265,
     "q270_cuped_uplift" -> o270,

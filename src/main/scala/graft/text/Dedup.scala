@@ -1088,7 +1088,176 @@ object Dedup {
       ${oSnmPass(true)})
     ORDER BY a_id, b_id"""
 
+  // ---- q294: Fellegi–Sunter probabilistic record linkage ----
+
+  /** Hash blocks for the q294 unmatched-pair sample (the q290 pairing
+    * knob — block count is the window-parallelism control). */
+  val LINK_BLOCKS = 16L
+
+  /** q294: FELLEGI–SUNTER probabilistic record linkage (the Splink
+    * model family) — the missing fourth member of the dedup stack:
+    * where q40/q41/q283 DETECT near-identical text, FS learns how much
+    * each cheap field comparison is WORTH and scores arbitrary pairs
+    * without reading full text. Labeled sets are engine-internal and
+    * deterministic: matches M = the q40 exact-Jaccard verdict pairs
+    * (jac ≥ 0.5), non-matches U = md5-block neighbor pairs (q290
+    * pairing) not in M — the standard "random pairs are almost surely
+    * non-matches" estimator. Four binary comparators (same lang, same
+    * source, same n_tok÷16 band, same first token) give m_k/u_k with
+    * +1/+2 Laplace smoothing; agreement/disagreement weights are
+    * ⌊ln of one exact-int64 ratio · 1e7⌋ (libm parity, q285 stance).
+    * Every pair in M ∪ U is scored Σ_k (agree ? wa_k : wd_k) and
+    * banded at ±1e7 (≈ likelihood ratio e^±1): the output is the
+    * (decision × is_match) confusion ledger with score ranges — the
+    * resubstitution audit a linkage team reads before setting
+    * production thresholds.
+    *
+    * Scale shape: M is the graded pair table, U is linear neighbor
+    * pairing (ONE block window); featurization is two doc-id equi-joins
+    * (the verifyPairs shape); m/u estimation is ONE 1-row aggregate
+    * per labeled set; weights broadcast back as a 1-row frame. Nothing
+    * enumerates all pairs anywhere. */
+  def q294FellegiSunter(s: SparkSession, d: String): DataFrame = {
+    val feat = documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"),
+      expr("cast(size(split(text, ' ')) as bigint) div 16").as("band"),
+      expr("split(text, ' ')[0]").as("tok0"))
+    val m = cachedTextPairs(s, d)
+      .select(col("i").as("a"), col("j").as("b"))
+    val docsH = documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("blk",
+        expr(s"cast(conv(substr(h, 1, 6), 16, 10) as bigint) % $LINK_BLOCKS"))
+      .select(col("doc_id"), col("h"), col("blk"))
+    val wN = Window.partitionBy(col("blk")).orderBy(col("h"), col("doc_id"))
+    val neigh = docsH
+      .withColumn("nb", lead(col("doc_id"), 1).over(wN))
+      .filter(col("nb").isNotNull)
+      .select(least(col("doc_id"), col("nb")).as("a"),
+        greatest(col("doc_id"), col("nb")).as("b"))
+      .distinct()
+    val u = neigh.join(m, Seq("a", "b"), "left_anti")
+    val pop = m.withColumn("is_match", lit(1L))
+      .unionAll(u.withColumn("is_match", lit(0L)))
+    val pairs = pop
+      .join(feat.select(col("doc_id").as("a"), col("lang").as("la"),
+        col("source").as("sa"), col("band").as("ba"), col("tok0").as("ta")),
+        Seq("a"))
+      .join(feat.select(col("doc_id").as("b"), col("lang").as("lb"),
+        col("source").as("sb"), col("band").as("bb"), col("tok0").as("tb")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("is_match"),
+        when(col("la") === col("lb"), 1L).otherwise(0L).as("g1"),
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("g2"),
+        when(col("ba") === col("bb"), 1L).otherwise(0L).as("g3"),
+        when(col("ta") === col("tb"), 1L).otherwise(0L).as("g4"))
+    // m/u estimation: one 1-row ledger per labeled set, then the
+    // 8 weight constants in a single broadcast row
+    val led = pairs.groupBy(col("is_match"))
+      .agg(count(lit(1)).as("n"), sum(col("g1")).as("a1"),
+        sum(col("g2")).as("a2"), sum(col("g3")).as("a3"),
+        sum(col("g4")).as("a4"))
+    val wts = led.filter(col("is_match") === 1L)
+      .select(col("n").as("nm"), col("a1").as("m1"), col("a2").as("m2"),
+        col("a3").as("m3"), col("a4").as("m4"))
+      .crossJoin(broadcast(led.filter(col("is_match") === 0L)
+        .select(col("n").as("nu"), col("a1").as("u1"), col("a2").as("u2"),
+          col("a3").as("u3"), col("a4").as("u4"))))
+    val wCols = (1 to 4).flatMap { k =>
+      Seq(
+        expr(s"cast(floor(ln(cast((m$k + 1) * (nu + 2) as double)" +
+          s" / cast((nm + 2) * (u$k + 1) as double)) * 1e7) as bigint)")
+          .as(s"wa$k"),
+        expr(s"cast(floor(ln(cast((nm + 1 - m$k) * (nu + 2) as double)" +
+          s" / cast((nm + 2) * (nu + 1 - u$k) as double)) * 1e7) as bigint)")
+          .as(s"wd$k"))
+    }
+    val w = wts.select(wCols: _*)
+    pairs.crossJoin(broadcast(w))
+      .withColumn("score_e7",
+        expr("case when g1 = 1 then wa1 else wd1 end" +
+          " + case when g2 = 1 then wa2 else wd2 end" +
+          " + case when g3 = 1 then wa3 else wd3 end" +
+          " + case when g4 = 1 then wa4 else wd4 end"))
+      .withColumn("decision",
+        when(col("score_e7") >= 10000000L, "link")
+          .when(col("score_e7") <= -10000000L, "nonlink")
+          .otherwise("possible"))
+      .groupBy(col("decision"), col("is_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("score_e7")).as("min_score_e7"),
+        max(col("score_e7")).as("max_score_e7"))
+      .orderBy(col("decision"), col("is_match"))
+  }
+
+  val o294: String = s"""
+    WITH $ORA_PAIR_CTES,
+    m AS (SELECT i AS a, j AS b FROM jac WHERE jac >= 0.5),
+    feat AS (
+      SELECT doc_id, lang, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) // 16 AS band,
+        string_split(text, ' ')[1] AS tok0
+      FROM documents),
+    dh AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % $LINK_BLOCKS
+          AS blk
+      FROM documents),
+    neigh AS (
+      SELECT DISTINCT least(doc_id, nb) AS a, greatest(doc_id, nb) AS b
+      FROM (SELECT doc_id, lead(doc_id) OVER w AS nb
+            FROM dh WINDOW w AS (PARTITION BY blk ORDER BY h, doc_id))
+      WHERE nb IS NOT NULL),
+    u AS (SELECT a, b FROM neigh ANTI JOIN m USING (a, b)),
+    pop AS (
+      SELECT a, b, 1 AS is_match FROM m
+      UNION ALL SELECT a, b, 0 FROM u),
+    prs AS (
+      SELECT pop.a, pop.b, is_match,
+        CASE WHEN fa.lang = fb.lang THEN 1 ELSE 0 END AS g1,
+        CASE WHEN fa.source = fb.source THEN 1 ELSE 0 END AS g2,
+        CASE WHEN fa.band = fb.band THEN 1 ELSE 0 END AS g3,
+        CASE WHEN fa.tok0 = fb.tok0 THEN 1 ELSE 0 END AS g4
+      FROM pop JOIN feat fa ON fa.doc_id = pop.a
+        JOIN feat fb ON fb.doc_id = pop.b),
+    led AS (
+      SELECT is_match, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(g1) AS BIGINT) AS a1, CAST(SUM(g2) AS BIGINT) AS a2,
+        CAST(SUM(g3) AS BIGINT) AS a3, CAST(SUM(g4) AS BIGINT) AS a4
+      FROM prs GROUP BY 1),
+    wts AS (
+      SELECT mm.n AS nm, mm.a1 AS m1, mm.a2 AS m2, mm.a3 AS m3,
+        mm.a4 AS m4, uu.n AS nu, uu.a1 AS u1, uu.a2 AS u2, uu.a3 AS u3,
+        uu.a4 AS u4
+      FROM (SELECT * FROM led WHERE is_match = 1) mm
+      CROSS JOIN (SELECT * FROM led WHERE is_match = 0) uu),
+    w AS (
+      SELECT
+        ${(1 to 4).map(k =>
+          s"""CAST(FLOOR(ln(((m$k + 1) * (nu + 2))::DOUBLE
+            / ((nm + 2) * (u$k + 1))::DOUBLE) * 1e7) AS BIGINT) AS wa$k,
+          CAST(FLOOR(ln(((nm + 1 - m$k) * (nu + 2))::DOUBLE
+            / ((nm + 2) * (nu + 1 - u$k))::DOUBLE) * 1e7) AS BIGINT)
+            AS wd$k""").mkString(",\n        ")}
+      FROM wts),
+    scored AS (
+      SELECT is_match,
+        (CASE WHEN g1 = 1 THEN wa1 ELSE wd1 END
+          + CASE WHEN g2 = 1 THEN wa2 ELSE wd2 END
+          + CASE WHEN g3 = 1 THEN wa3 ELSE wd3 END
+          + CASE WHEN g4 = 1 THEN wa4 ELSE wd4 END) AS score_e7
+      FROM prs CROSS JOIN w)
+    SELECT CASE WHEN score_e7 >= 10000000 THEN 'link'
+        WHEN score_e7 <= -10000000 THEN 'nonlink'
+        ELSE 'possible' END AS decision,
+      CAST(is_match AS BIGINT) AS is_match,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(MIN(score_e7) AS BIGINT) AS min_score_e7,
+      CAST(MAX(score_e7) AS BIGINT) AS max_score_e7
+    FROM scored GROUP BY 1, 2 ORDER BY decision, is_match"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_fellegi_sunter" -> (q294FellegiSunter _),
     "q283_sorted_neighborhood" -> (q283SortedNeighborhood _),
     "q153_fuzzy_join"       -> (q153FuzzyJoin _),
     "q99_incremental_dedup" -> (q99IncrementalDedup _),
@@ -1103,6 +1272,7 @@ object Dedup {
     "q80_ppjoin_jaccard" -> (ppjoinJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "q294_fellegi_sunter" -> o294,
     "q283_sorted_neighborhood" -> o283,
     "q153_fuzzy_join" -> o153,
     "q39_dedup_exact" -> o39, "q40_ngram_jaccard" -> o40,

@@ -188,4 +188,112 @@ class Batch11Spec extends AnyFunSuite {
     // plus at least one engaged holdout)
     assert(rows.exists(_.getAs[Long]("n_train_docs") > 0))
   }
+
+  test("q293 SPRT: full ladder replay — census, crossing index, end LLR") {
+    val rows = ops.Analytics.q293SprtMonitor(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (java.lang.Long.parseLong(
+        md5hex(r.getLong(0).toString).substring(0, 4), 16) % 2,
+        r.getLong(1), r.getLong(2), r.getString(3) == "purchase"))
+    val c1 = math.floor(math.log(5.0 / 4.0) * 1e7).toLong
+    val c0 = math.floor(math.log(15.0 / 16.0) * 1e7).toLong
+    val a7 = math.floor(math.log(19.0) * 1e7).toLong
+    val byArm = ev.groupBy(_._1)
+    assert(rows.map(_.getAs[Long]("arm")).toSet == byArm.keySet)
+    rows.foreach { r =>
+      val arm = r.getAs[Long]("arm")
+      val stream = byArm(arm).sortBy(t => (t._2, t._3))
+      assert(r.getAs[Long]("n_events") == stream.length)
+      assert(r.getAs[Long]("n_conv") == stream.count(_._4))
+      var llr = 0L
+      var cross: Option[(Long, String)] = None
+      stream.zipWithIndex.foreach { case ((_, _, _, conv), idx) =>
+        llr += (if (conv) c1 else c0)
+        if (cross.isEmpty) {
+          if (llr >= a7) cross = Some((idx + 1L, "reject_h0"))
+          else if (llr <= -a7) cross = Some((idx + 1L, "accept_h0"))
+        }
+      }
+      assert(r.getAs[Long]("llr_end_e7") == llr, s"end LLR arm $arm")
+      cross match {
+        case Some((i, dec)) =>
+          assert(r.getAs[String]("decision") == dec, s"decision arm $arm")
+          assert(r.getAs[Long]("n_decide") == i, s"n_decide arm $arm")
+        case None =>
+          assert(r.getAs[String]("decision") == "continue")
+          assert(r.getAs[Long]("n_decide") == -1L)
+      }
+    }
+  }
+
+  test("q294 Fellegi-Sunter: population census and full weight/score replay") {
+    val rows = text.Dedup.q294FellegiSunter(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // labeled sets: M from the graded q40 pair engine (independently
+    // hash-proven), U replayed from raw block-neighbor pairing
+    val m = text.Dedup.cachedTextPairs(spark, TestSpark.SF)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map { r =>
+        val t = r.getString(3).split(" ", -1)
+        (r.getLong(0), (r.getString(1), r.getString(2),
+          t.length.toLong / 16L, t(0)))
+      }.toMap
+    val withH = docs.keys.toSeq.map { id =>
+      val h = md5hex(id.toString)
+      (java.lang.Long.parseLong(h.substring(0, 6), 16) %
+        text.Dedup.LINK_BLOCKS, h, id)
+    }
+    val neigh = withH.groupBy(_._1).values.flatMap { blk =>
+      val ord = blk.sortBy(t => (t._2, t._3))
+      ord.zip(ord.drop(1)).map { case (x, y) =>
+        (math.min(x._3, y._3), math.max(x._3, y._3))
+      }
+    }.toSet
+    val u = neigh -- m
+    val pop = m.toSeq.map((_, 1L)) ++ u.toSeq.map((_, 0L))
+    def gs(p: (Long, Long)): Seq[Long] = {
+      val (fa, fb) = (docs(p._1), docs(p._2))
+      Seq(if (fa._1 == fb._1) 1L else 0L, if (fa._2 == fb._2) 1L else 0L,
+        if (fa._3 == fb._3) 1L else 0L, if (fa._4 == fb._4) 1L else 0L)
+    }
+    val nm = m.size.toLong
+    val nu = u.size.toLong
+    val aM = (0 to 3).map(k => m.toSeq.map(p => gs(p)(k)).sum)
+    val aU = (0 to 3).map(k => u.toSeq.map(p => gs(p)(k)).sum)
+    def f7(x: Double): Long = math.floor(math.log(x) * 1e7).toLong
+    val wa = (0 to 3).map(k =>
+      f7((aM(k) + 1).toDouble * (nu + 2) / ((nm + 2).toDouble * (aU(k) + 1))))
+    val wd = (0 to 3).map(k =>
+      f7((nm + 1 - aM(k)).toDouble * (nu + 2)
+        / ((nm + 2).toDouble * (nu + 1 - aU(k)))))
+    val exp = pop.map { case (p, im) =>
+      val g = gs(p)
+      val sc = (0 to 3).map(k => if (g(k) == 1L) wa(k) else wd(k)).sum
+      val dec = if (sc >= 10000000L) "link"
+                else if (sc <= -10000000L) "nonlink" else "possible"
+      ((dec, im), sc)
+    }.groupBy(_._1).map { case (k2, vs) =>
+      k2 -> (vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max)
+    }
+    val got = rows.map(r => (r.getAs[String]("decision"),
+      r.getAs[Long]("is_match")) ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("min_score_e7"),
+        r.getAs[Long]("max_score_e7"))).toMap
+    assert(got == exp, "FS confusion ledger replay")
+    // census: every labeled pair is banded exactly once
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nm + nu)
+  }
 }
