@@ -1395,7 +1395,187 @@ object Analytics {
       ON f.arm = fin.arm
     ORDER BY arm"""
 
+  // ---- q295: CUSUM changepoint monitor (prefix-min identity) ----
+
+  /** q295: one-sided CUSUM changepoint detection over each event
+    * type's daily-count series — the drift-monitoring companion to
+    * q293's hypothesis test: S_d = max(0, S_{d−1} + x_d − k) alarms
+    * when any sustained upward shift accumulates past h. The recursion
+    * is the scale trap (a stateful scan); the cure is the CLOSED FORM
+    * S_d = P_d − min_{j≤d} P_j with P = cumsum(x − k) — two stacked
+    * windows (running sum + running min), no recursion, no
+    * mapPartitions. Design constants derive from the series itself:
+    * baseline μ = first-7-day mean (integer div), allowance
+    * k = μ + max(1, μ÷10) (alarm only on >10% drift), threshold
+    * h = 5·max(1, μ÷10) (five allowance units of accumulated excess).
+    * Missing days scaffold to 0 via an explicit day sequence — a gap
+    * IS evidence under CUSUM and both engines must see it.
+    *
+    * Scale shape: one (type, day) count aggregate; windows partition
+    * by event_type over a DOMAIN-BOUNDED ledger (days × types, never
+    * event-sized); the per-type baseline/alarm reads are ledger
+    * aggregates. Output: the monitor card per type — baseline, knobs,
+    * first alarm day (−1 = never), peak statistic. */
+  def q295CusumMonitor(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("(ts div 1000) div 86400000000").as("day"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = types.crossJoin(broadcast(days))
+      .join(counts, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val base = grid.crossJoin(broadcast(span))
+      .filter(col("day") < col("d0") + 7)
+      .groupBy(col("event_type"))
+      .agg(expr("sum(x) div 7").as("mu"))
+      .withColumn("slack", greatest(lit(1L), expr("mu div 10")))
+      .select(col("event_type"), col("mu"),
+        (col("mu") + col("slack")).as("k_allow"),
+        (lit(5L) * col("slack")).as("h_thresh"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ladder = grid.join(broadcast(base), Seq("event_type"))
+      .withColumn("p", sum(col("x") - col("k_allow")).over(wCum))
+      .withColumn("s", col("p") - least(min(col("p")).over(wCum), lit(0L)))
+      .withColumn("alarm", col("s") >= col("h_thresh"))
+    val firstAlarm = ladder.filter(col("alarm"))
+      .groupBy(col("event_type")).agg(min(col("day")).as("alarm_day"))
+    ladder.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("s")).as("s_max"),
+        max(col("mu")).as("mu"), max(col("k_allow")).as("k_allow"),
+        max(col("h_thresh")).as("h_thresh"))
+      .join(firstAlarm, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("mu"), col("k_allow"),
+        col("h_thresh"), col("s_max"),
+        coalesce(col("alarm_day"), lit(-1L)).as("alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val o295: String = """
+    WITH ev AS (
+      SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day
+      FROM events),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+    days AS (
+      SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    counts AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM ev GROUP BY 1, 2),
+    grid AS (
+      SELECT types.event_type, days.day, COALESCE(x, 0) AS x
+      FROM types CROSS JOIN days
+      LEFT JOIN counts ON counts.event_type = types.event_type
+        AND counts.day = days.day),
+    base AS (
+      SELECT event_type, mu, mu + slack AS k_allow, 5 * slack AS h_thresh
+      FROM (
+        SELECT event_type, CAST(SUM(x) // 7 AS BIGINT) AS mu,
+          GREATEST(1, CAST(SUM(x) // 7 AS BIGINT) // 10) AS slack
+        FROM grid CROSS JOIN span
+        WHERE day < d0 + 7 GROUP BY event_type)),
+    pfx AS (
+      SELECT grid.event_type, day, mu, k_allow, h_thresh,
+        SUM(x - k_allow) OVER w AS p
+      FROM grid JOIN base ON base.event_type = grid.event_type
+      WINDOW w AS (PARTITION BY grid.event_type ORDER BY day)),
+    ladder AS (
+      SELECT event_type, day, mu, k_allow, h_thresh,
+        p - LEAST(MIN(p) OVER w2, 0) AS s
+      FROM pfx
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day)),
+    fa AS (
+      SELECT event_type, MIN(day) AS alarm_day
+      FROM ladder WHERE s >= h_thresh GROUP BY event_type)
+    SELECT ladder.event_type AS event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_days,
+      CAST(MAX(mu) AS BIGINT) AS mu,
+      CAST(MAX(k_allow) AS BIGINT) AS k_allow,
+      CAST(MAX(h_thresh) AS BIGINT) AS h_thresh,
+      CAST(MAX(s) AS BIGINT) AS s_max,
+      CAST(COALESCE(MAX(alarm_day), -1) AS BIGINT) AS alarm_day
+    FROM ladder LEFT JOIN fa ON fa.event_type = ladder.event_type
+    GROUP BY 1 ORDER BY event_type"""
+
+  // ---- q296: seasonal-naive forecast backtest (MASE) ----
+
+  /** q296: forecast-skill backtest over each event type's daily-count
+    * series — the eval card a capacity planner reads before trusting
+    * any model: the SEASONAL-naive forecast (x̂_d = x_{d−7}) scored
+    * against the naive random-walk (x̂_d = x_{d−1}) via MASE
+    * (Hyndman–Koehler 2006), the scale-free skill ratio that needs no
+    * model fitting and no floats: mase_ppm = SAE₇·n₁·10⁶ div (n₇·SAE₁)
+    * over exact integer absolute-error sums (term counts differ — n₁ =
+    * days−1, n₇ = days−7 — so both sides normalize inside the integer
+    * expression). < 10⁶ means weekly structure is real and a seasonal
+    * model earns its keep; a zero naive denominator (a constant
+    * series) raise_errors rather than emitting NULL.
+    *
+    * Scale shape: the q295 scaffold — one (type, day) aggregate onto
+    * an explicit day sequence (gaps forecast as 0, both engines), two
+    * lag() windows per type over the DOMAIN-BOUNDED day ledger, one
+    * final per-type aggregate. */
+  def q296ForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("(ts div 1000) div 86400000000").as("day"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(days))
+      .join(ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x")), Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    grid
+      .withColumn("e1", abs(col("x") - lag(col("x"), 1).over(w)))
+      .withColumn("e7", abs(col("x") - lag(col("x"), 7).over(w)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e1")).as("sae_naive"),
+        count(col("e1")).as("n1"),
+        sum(col("e7")).as("sae_snaive"),
+        count(col("e7")).as("n7"))
+      .select(col("event_type"), col("n_days"), col("sae_naive"),
+        col("sae_snaive"),
+        expr("""case when sae_naive = 0
+             then cast(raise_error('q296: constant series - MASE undefined') as bigint)
+             else sae_snaive * n1 * 1000000 div (n7 * sae_naive) end""")
+          .as("mase_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val o296: String = """
+    WITH ev AS (
+      SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day
+      FROM events),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+    days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (
+      SELECT types.event_type, days.day, COALESCE(x, 0) AS x
+      FROM types CROSS JOIN days
+      LEFT JOIN (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+                 FROM ev GROUP BY 1, 2) c
+        ON c.event_type = types.event_type AND c.day = days.day),
+    err AS (
+      SELECT event_type,
+        abs(x - lag(x, 1) OVER w) AS e1,
+        abs(x - lag(x, 7) OVER w) AS e7
+      FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      CAST(SUM(e1) AS BIGINT) AS sae_naive,
+      CAST(SUM(e7) AS BIGINT) AS sae_snaive,
+      CAST(CASE WHEN SUM(e1) = 0
+        THEN error('q296: constant series - MASE undefined')
+        ELSE SUM(e7) * COUNT(e1) * 1000000 // (COUNT(e7) * SUM(e1)) END
+        AS BIGINT) AS mase_ppm
+    FROM err GROUP BY 1 ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_forecast_backtest" -> (q296ForecastBacktest _),
+    "q295_cusum_monitor"     -> (q295CusumMonitor _),
     "q293_sprt_monitor"      -> (q293SprtMonitor _),
     "q272_perm_test"         -> (q272PermTest _),
     "q273_simpson_flip"      -> (q273SimpsonFlip _),
@@ -1418,6 +1598,8 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q296_forecast_backtest" -> o296,
+    "q295_cusum_monitor" -> o295,
     "q293_sprt_monitor" -> o293,
     "q261_fano_burstiness" -> o261,
     "q265_weekly_profile" -> o265,

@@ -296,4 +296,70 @@ class Batch11Spec extends AnyFunSuite {
     // census: every labeled pair is banded exactly once
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == nm + nu)
   }
+
+  test("q295 CUSUM: stateful recursion replay proves the prefix-min closed form") {
+    val rows = ops.Analytics.q295CusumMonitor(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000")
+        .as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    val types = ev.map(_._1).distinct.sorted
+    assert(rows.map(_.getAs[String]("event_type")).toSeq == types.toSeq)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val byDay = ev.filter(_._1 == t).groupBy(_._2)
+        .map { case (d2, v) => d2 -> v.size.toLong }
+      val series = (d0 to d1).map(d2 => d2 -> byDay.getOrElse(d2, 0L))
+      assert(r.getAs[Long]("n_days") == series.length)
+      // knobs from the first-7-day baseline
+      val mu = series.filter(_._1 < d0 + 7).map(_._2).sum / 7
+      val slack = math.max(1L, mu / 10)
+      assert(r.getAs[Long]("mu") == mu)
+      assert(r.getAs[Long]("k_allow") == mu + slack)
+      assert(r.getAs[Long]("h_thresh") == 5 * slack)
+      // ground truth: the literal stateful recursion
+      // S_d = max(0, S_{d-1} + x_d - k)
+      var sRec = 0L
+      var sMax = 0L
+      var alarm = -1L
+      series.foreach { case (d2, x) =>
+        sRec = math.max(0L, sRec + x - (mu + slack))
+        sMax = math.max(sMax, sRec)
+        if (alarm == -1L && sRec >= 5 * slack) alarm = d2
+      }
+      assert(r.getAs[Long]("s_max") == sMax, s"s_max for $t")
+      assert(r.getAs[Long]("alarm_day") == alarm, s"alarm_day for $t")
+    }
+    // the ladder must actually move on the test stream
+    assert(rows.exists(_.getAs[Long]("s_max") > 0))
+  }
+
+  test("q296 MASE backtest: lag-error replay and normalization identity") {
+    val rows = ops.Analytics.q296ForecastBacktest(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000")
+        .as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val byDay = ev.filter(_._1 == t).groupBy(_._2)
+        .map { case (d2, v) => d2 -> v.size.toLong }
+      val xs = (d0 to d1).map(d2 => byDay.getOrElse(d2, 0L))
+      assert(r.getAs[Long]("n_days") == xs.length)
+      val sae1 = xs.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+      val sae7 = (7 until xs.length).map(i => math.abs(xs(i) - xs(i - 7))).sum
+      assert(r.getAs[Long]("sae_naive") == sae1, s"naive SAE for $t")
+      assert(r.getAs[Long]("sae_snaive") == sae7, s"seasonal SAE for $t")
+      val n1 = xs.length - 1L
+      val n7 = xs.length - 7L
+      assert(sae1 > 0L) // constant series would have raise_error'd
+      assert(r.getAs[Long]("mase_ppm") == sae7 * n1 * 1000000L / (n7 * sae1))
+    }
+  }
 }
