@@ -534,7 +534,54 @@ object StatShapes {
       abs(noise_t6) AS toks_err_micro
     FROM n ORDER BY source"""
 
+  // ---- q298: Benford first-digit forensics ----
+
+  /** q298: BENFORD'S-LAW audit of lineitem extended prices — the
+    * data-forensics shape (fabricated or unit-mangled numeric columns
+    * flunk the log-uniform first-digit law long before any model
+    * notices): per leading digit d ∈ 1..9, the observed share vs the
+    * Benford expectation log₁₀(1+1/d), both in ppm, plus the absolute
+    * deviation. The expectation is ⌊ln(1+1/d)/ln(10)·10⁶⌋ — two libm
+    * lns of exact small ratios and one IEEE division, the identical op
+    * sequence in both engines (q270's IEEE-op-parity stance). The
+    * leading digit comes from the exact integer CENTS value (q258
+    * round-then-cast), so float formatting can never leak in.
+    *
+    * Scale shape: one map-side-combinable 9-group aggregate over a
+    * row-local projection; the 1-row total broadcasts back. */
+  def q298Benford(s: SparkSession, d: String): DataFrame = {
+    val digits = lineitem(s, d)
+      .select(expr("cast(substr(cast(cast(round(l_extendedprice * 100, 0)" +
+        " as decimal(18,0)) as string), 1, 1) as bigint)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("nn"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("n * 1000000 div nn"))
+      .withColumn("benford_ppm",
+        expr("cast(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e6) as bigint)"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("benford_ppm"),
+        abs(col("obs_ppm") - col("benford_ppm")).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val o298: String = """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100, 0)
+          AS DECIMAL(18,0)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM digits)
+    SELECT digit, n,
+      CAST(n * 1000000 // nn AS BIGINT) AS obs_ppm,
+      CAST(FLOOR(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e6) AS BIGINT)
+        AS benford_ppm,
+      CAST(abs(n * 1000000 // nn
+        - CAST(FLOOR(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e6) AS BIGINT))
+        AS BIGINT) AS dev_ppm
+    FROM digits CROSS JOIN tot ORDER BY digit"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_benford" -> (q298Benford _),
     "q288_dp_release"      -> (q288DpRelease _),
     "q189_ols_trend"       -> (q189OlsTrend _),
     "q192_mad_outliers"    -> (q192MadOutliers _),
@@ -544,6 +591,7 @@ object StatShapes {
     "q258_l_diversity"     -> (q258LDiversity _))
 
   val oracles: Map[String, String] = Map(
+    "q298_benford" -> o298,
     "q288_dp_release"      -> o288,
     "q189_ols_trend"       -> o189,
     "q192_mad_outliers"    -> o192,

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -452,7 +452,94 @@ object CorpusStats {
         AS err_ppm
     FROM est ORDER BY source"""
 
+  // ---- q297: exact 1-D Wasserstein (earth-mover) drift per source ----
+
+  /** q297: WASSERSTEIN-1 distance between each source's document-length
+    * distribution and the pooled corpus — the transport-cost drift
+    * ranking, complementing q116's χ² (which is support-overlap-blind:
+    * χ² cannot say a source is "long-doc shifted by 40 tokens", W1
+    * can). In 1-D, W1 has the exact closed form
+    * ∫|F_s(v) − F_pool(v)| dv; over an integer-valued variable that is
+    * a FINITE SUM over the observed value grid — no transport solver,
+    * no floats: w1_micro = 10⁶·Σ_i |cumS_i·N − cumG_i·n_s|·Δv_i
+    * div (n_s·N), all int64/decimal products of counts.
+    *
+    * Scale shape: one (source, n_tok) count aggregate, densified to
+    * the |sources|×|distinct values| grid (domain-bounded ledger, the
+    * q116 stance), cumulatives via per-source windows ORDER BY value
+    * over that ledger — never a per-document sort. */
+  def q297Wasserstein(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus aggregate; every other frame (grid, cumulatives,
+    // totals) derives from this domain-bounded ledger — materialized
+    // so no branch re-plans the scan (the q287 exchange lesson)
+    val cnt = graft.Tables.checkpointCycled(s"w1-cnt:$d",
+      documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("v"))
+        .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c")))
+    val vals = cnt.select(col("v")).distinct()
+    val grid = cnt.select(col("source")).distinct()
+      .crossJoin(broadcast(vals))
+      .join(cnt, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+    val wNext = Window.partitionBy(col("source")).orderBy(col("v"))
+    val nTot = cnt.agg(sum(col("c")).as("nn"))
+    val nSrc = cnt.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    // the global CDF window runs over the ≤|distinct lengths| ledger —
+    // the allowed single-partition-window shape (domain-bounded)
+    val gCum = cnt.groupBy(col("v")).agg(sum(col("c")).as("cg"))
+      .withColumn("cumg", sum(col("cg")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("cumg"))
+    grid
+      .withColumn("cums", sum(col("c")).over(wCum))
+      .withColumn("dv", lead(col("v"), 1).over(wNext) - col("v"))
+      .filter(col("dv").isNotNull) // the last grid point carries no mass gap
+      .join(broadcast(gCum), Seq("v"))
+      .join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"), max(col("nn")).as("nn"),
+        sum(abs(col("cums") * col("nn") - col("cumg") * col("ns"))
+          * col("dv")).as("num"))
+      .select(col("source"), col("n_docs"),
+        expr("num * 1000000 div (n_docs * nn)").as("w1_micro"))
+      .orderBy(col("source"))
+  }
+
+  val o297: String = """
+    WITH docs AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents),
+    cnt AS (
+      SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM docs GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, vals.v, COALESCE(c, 0) AS c
+      FROM (SELECT DISTINCT source FROM cnt) s
+      CROSS JOIN (SELECT DISTINCT v FROM cnt) vals
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.v = vals.v),
+    gcum AS (
+      SELECT v, SUM(SUM(c)) OVER (ORDER BY v) AS cumg
+      FROM grid GROUP BY v),
+    scum AS (
+      SELECT source, v, SUM(c) OVER w AS cums,
+        lead(v) OVER w - v AS dv
+      FROM grid WINDOW w AS (PARTITION BY source ORDER BY v)),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM docs GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM docs)
+    SELECT scum.source AS source, ns.ns AS n_docs,
+      CAST(SUM(abs(cums * nn - cumg * ns.ns) * dv) * 1000000
+        // (ns.ns * nn) AS BIGINT) AS w1_micro
+    FROM scum
+    JOIN gcum ON gcum.v = scum.v
+    JOIN ns ON ns.source = scum.source
+    CROSS JOIN nn
+    WHERE dv IS NOT NULL
+    GROUP BY 1, 2, nn ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_wasserstein"      -> (q297Wasserstein _),
     "q291_bottomk_distinct" -> (q291BottomkDistinct _),
     "q116_source_drift" -> (q116SourceDrift _),
     "q94_source_overlap" -> (q94SourceOverlap _),
@@ -461,6 +548,7 @@ object CorpusStats {
     "q238_dataset_card"  -> (q238DatasetCard _))
 
   val oracles: Map[String, String] = Map(
+    "q297_wasserstein"      -> o297,
     "q291_bottomk_distinct" -> o291,
     "q94_source_overlap" -> o94,
     "q95_heavy_hitters"  -> o95,

@@ -1094,11 +1094,13 @@ object Dedup {
     * knob — block count is the window-parallelism control). */
   val LINK_BLOCKS = 16L
 
-  /** q294: FELLEGI–SUNTER probabilistic record linkage (the Splink
-    * model family) — the missing fourth member of the dedup stack:
-    * where q40/q41/q283 DETECT near-identical text, FS learns how much
-    * each cheap field comparison is WORTH and scores arbitrary pairs
-    * without reading full text. Labeled sets are engine-internal and
+  /** q294: FELLEGI–SUNTER weight ESTIMATION (the Splink model family).
+    * q254 scores a blocked linkage with DECLARED log-odds weights (its
+    * Scaladoc: "in a trained deployment these come from EM over the
+    * comparison-vector frequencies; here they are declared constants");
+    * q294 is that missing training step — it LEARNS the m/u
+    * probabilities in-engine from deterministic labeled sets and
+    * produces the weights plus their resubstitution confusion audit. Labeled sets are engine-internal and
     * deterministic: matches M = the q40 exact-Jaccard verdict pairs
     * (jac ≥ 0.5), non-matches U = md5-block neighbor pairs (q290
     * pairing) not in M — the standard "random pairs are almost surely

@@ -1436,11 +1436,15 @@ object TrainingSet {
     * with an unbounded vocabulary, drop the broadcast hint and the
     * scoring join key-shuffles on `tok` — no other change. */
   def q285NbSource(s: SparkSession, d: String): DataFrame = {
-    val occ = documents(s, d)
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("tok"))
-    val cnt = occ.groupBy(col("tok"), col("source").as("cls"))
-      .agg(count(lit(1)).as("c"))
+    // three aggregates consume the exploded corpus and two consume the
+    // count cells — materialize both once (the q287 exchange lesson)
+    val occ = graft.Tables.checkpointCycled(s"nb-occ:$d",
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok")))
+    val cnt = graft.Tables.checkpointCycled(s"nb-cnt:$d",
+      occ.groupBy(col("tok"), col("source").as("cls"))
+        .agg(count(lit(1)).as("c")))
     // class ledger: token mass N_s, doc count D_s; vocab V and doc
     // total D ride along as 1-row cross joins
     val classes = occ.groupBy(col("source").as("cls"))

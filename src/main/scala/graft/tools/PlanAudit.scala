@@ -19,7 +19,13 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional name filter: any non-flag arg past the sfDir restricts
+    // the audit to the named queries (incremental re-audit after a
+    // registry addition)
+    val only = args.drop(1).filterNot(_.startsWith("--")).toSet
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       // execute this exact plan so AQE finalizes and codegen ids
       // appear (.count()/.write wrap it in a different QueryExecution)

@@ -362,4 +362,65 @@ class Batch11Spec extends AnyFunSuite {
       assert(r.getAs[Long]("mase_ppm") == sae7 * n1 * 1000000L / (n7 * sae1))
     }
   }
+
+  test("q297 Wasserstein: exact 1-D transport replay and metric laws") {
+    val rows = text.CorpusStats.q297Wasserstein(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), size(split(col("text"), " ")).cast("long")
+        .as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val vals = docs.map(_._2).distinct.sorted
+    val nn = docs.length.toLong
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySrc.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val vs = bySrc(src).map(_._2)
+      val ns = vs.length.toLong
+      assert(r.getAs[Long]("n_docs") == ns)
+      // exact W1: sum over the value grid of |F_s - F_pool| * gap,
+      // in counts-cross-multiplied integer form
+      val num = vals.sliding(2).map { pair =>
+        val v = pair(0); val dv = pair(1) - pair(0)
+        val cums = vs.count(_ <= v).toLong
+        val cumg = docs.count(_._2 <= v).toLong
+        math.abs(cums * nn - cumg * ns) * dv
+      }.sum
+      assert(r.getAs[Long]("w1_micro") == num * 1000000L / (ns * nn),
+        s"W1 for $src")
+      assert(r.getAs[Long]("w1_micro") >= 0L)
+    }
+    // identity law: a source identical to the pool would be 0; the
+    // test corpus must show real drift somewhere
+    assert(rows.exists(_.getAs[Long]("w1_micro") > 0))
+  }
+
+  test("q298 Benford: digit census, Benford constants, mass conservation") {
+    val rows = ops.StatShapes.q298Benford(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.lineitem(spark, TestSpark.SF)
+      .select(expr("cast(round(l_extendedprice * 100, 0) as decimal(18,0))")
+        .cast("long").as("c")).collect().map(_.getLong(0))
+    val expByDigit = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d2, v) => d2 -> v.size.toLong }
+    assert(rows.map(_.getAs[Long]("digit")).toSet == expByDigit.keySet)
+    val nn = cents.length.toLong
+    rows.foreach { r =>
+      val d2 = r.getAs[Long]("digit")
+      assert(d2 >= 1L && d2 <= 9L) // a leading 0 would mean a 0 price
+      assert(r.getAs[Long]("n") == expByDigit(d2))
+      assert(r.getAs[Long]("obs_ppm") == expByDigit(d2) * 1000000L / nn)
+      val ben = math.floor(math.log(1.0 + 1.0 / d2) / math.log(10.0) * 1e6)
+        .toLong
+      assert(r.getAs[Long]("benford_ppm") == ben)
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - ben))
+    }
+    // Benford expectations are a probability mass: they sum to ~1e6
+    // (floor deficit < 9)
+    val benSum = rows.map(_.getAs[Long]("benford_ppm")).sum
+    assert(benSum <= 1000000L && benSum > 1000000L - 9L)
+    assert(rows.map(_.getAs[Long]("n")).sum == nn)
+  }
 }
