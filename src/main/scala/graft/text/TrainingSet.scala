@@ -2009,6 +2009,252 @@ object TrainingSet {
     CROSS JOIN accfull
     ORDER BY source"""
 
+  // ---- q299: Neyman allocation with largest-remainder apportionment ----
+
+  /** Total sample budget q299 apportions across sources. */
+  val NEYMAN_BUDGET = 1000L
+
+  /** q299: NEYMAN-OPTIMAL stratified sampling design — given a fixed
+    * annotation/eval budget B, how many documents to draw from each
+    * source to minimize the variance of the corpus-level estimate:
+    * n_h ∝ N_h·S_h (big and internally-varied strata earn more
+    * samples). The identity that keeps it exact: N_h·S_h =
+    * √(N_h·Σy² − (Σy)²) — ONE IEEE sqrt of one exact int64 per
+    * stratum (the q221 allowance), scaled ⌊·10³⌋ into an integer
+    * weight. Fractional quotas become integer counts by HAMILTON'S
+    * largest-remainder method — the apportionment primitive shard
+    * balancers and seat allocators share: base = ⌊B·w_h/Σw⌋, the
+    * B − Σbase leftover seats go to the largest remainders (ties by
+    * source name), so Σ alloc == B EXACTLY, by construction, in both
+    * engines.
+    *
+    * Scale shape: one (source) moment aggregate (count/Σy/Σy²), then
+    * pure |sources|-row ledger arithmetic — the remainder rank is a
+    * window over that ledger. A degenerate all-constant stratum gets
+    * w = 0 and can only receive leftover seats (documented; never a
+    * divide-by-zero because Σw = 0 trips raise_error — a corpus where
+    * NO stratum varies has no Neyman design). */
+  def q299NeymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val mom = documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("w", expr(
+        "cast(floor(sqrt(cast(n_docs * syy - sy * sy as double)) * 1000) as bigint)"))
+    val tot = mom.agg(sum(col("w")).as("sw"))
+    val quota = mom.crossJoin(broadcast(tot))
+      .withColumn("base", expr(
+        s"""case when sw = 0
+             then cast(raise_error('q299: zero total weight - no Neyman design') as bigint)
+             else $NEYMAN_BUDGET * w div sw end"""))
+      .withColumn("rem", expr(s"$NEYMAN_BUDGET * w % sw"))
+    val leftover = quota.agg((lit(NEYMAN_BUDGET) - sum(col("base")))
+      .as("seats"))
+    val wRank = Window.orderBy(col("rem").desc, col("source"))
+    quota.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("extra", when(col("rk") <= col("seats"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("w"), col("base"),
+        col("extra"), (col("base") + col("extra")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val o299: String = s"""
+    WITH mom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+            FROM documents)
+      GROUP BY 1),
+    wtab AS (
+      SELECT source, n_docs,
+        CAST(FLOOR(sqrt((n_docs * syy - sy * sy)::DOUBLE) * 1000) AS BIGINT)
+          AS w
+      FROM mom),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM wtab),
+    quota AS (
+      SELECT source, n_docs, w,
+        CAST(CASE WHEN sw = 0
+          THEN error('q299: zero total weight - no Neyman design')
+          ELSE $NEYMAN_BUDGET * w // sw END AS BIGINT) AS base,
+        CAST($NEYMAN_BUDGET * w % sw AS BIGINT) AS rem
+      FROM wtab CROSS JOIN tot),
+    seats AS (
+      SELECT $NEYMAN_BUDGET - CAST(SUM(base) AS BIGINT) AS seats FROM quota),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM quota)
+    SELECT source, n_docs, w, base,
+      CAST(CASE WHEN rk <= seats THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      CAST(base + CASE WHEN rk <= seats THEN 1 ELSE 0 END AS BIGINT)
+        AS alloc
+    FROM ranked CROSS JOIN seats
+    ORDER BY source"""
+
+  // ---- q300: McNemar paired model comparison ----
+
+  /** The two Laplace strengths q300 compares (endpoints of q287's
+    * sweep grid). */
+  val MCN_A1 = 1L
+  val MCN_A4 = 4L
+
+  /** q300: McNEMAR'S paired test between two classifiers — the
+    * model-COMPARISON eval card the accuracy tables (q245, q287)
+    * can't give: two models with identical accuracy can disagree on
+    * many documents, and only the DISCORDANT pairs b (model A right,
+    * B wrong) and c (the reverse) carry evidence that one is better.
+    * Compares the q285 NB source classifier at α=1 vs α=4 (both
+    * trained and scored on the full corpus — a resubstitution
+    * comparison, q294 stance), emits the full 2×2 concordance ledger
+    * and the McNemar statistic (b−c)²·10³ div (b+c) in milli (χ²₁
+    * under H0); two models that never disagree have no testable
+    * difference — mcnemar_milli = −1 sentinel, not an error.
+    *
+    * Scale shape: q287's subtractable-ledger machinery with K=1,
+    * |α|=2 — ONE count pass, a |cls|·2 model ledger, a vocab-bounded
+    * precomputed score table, one fan-out join, one argmin window per
+    * (doc, α), one 1-row concordance aggregate. */
+  def q300Mcnemar(s: SparkSession, d: String): DataFrame = {
+    val occ = graft.Tables.checkpointCycled(s"mcn-occ:$d",
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok")))
+    val cnt = graft.Tables.checkpointCycled(s"mcn-cnt:$d",
+      occ.groupBy(col("tok"), col("source").as("cls"))
+        .agg(count(lit(1)).as("c")))
+    val docLedger = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val clsTot = docLedger.groupBy(col("source").as("cls"))
+      .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds"))
+    val vocab = cnt.agg(countDistinct(col("tok")).as("v"))
+    val dtot = documents(s, d).agg(count(lit(1)).as("dd"))
+    val alphas = s.createDataFrame(Seq(Tuple1(MCN_A1), Tuple1(MCN_A4)))
+      .toDF("alpha")
+    val ledger = graft.Tables.checkpointCycled(s"mcn-ledger:$d",
+      clsTot.crossJoin(broadcast(vocab)).crossJoin(broadcast(dtot))
+        .crossJoin(broadcast(alphas))
+        .withColumn("den", col("ns") + col("alpha") * col("v"))
+        .withColumn("u7", floor(log(col("den").cast("double")
+          / col("alpha").cast("double")) * lit(1e7)).cast("long"))
+        .withColumn("prior7", floor(log(col("dd").cast("double")
+          / col("ds").cast("double")) * lit(1e7)).cast("long"))
+        .select(col("cls"), col("alpha"), col("den"), col("u7"),
+          col("prior7")))
+    val scored = cnt
+      .join(broadcast(ledger.select(col("cls"), col("alpha"), col("den"))),
+        Seq("cls"))
+      .withColumn("n7", floor(log(col("den").cast("double")
+        / (col("c") + col("alpha")).cast("double")) * lit(1e7)).cast("long"))
+      .select(col("tok"), col("cls"), col("alpha"), col("n7"))
+    val docTok = occ.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val seen = docTok.join(broadcast(scored), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"), col("alpha"))
+      .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
+    val wArg = Window.partitionBy(col("doc_id"), col("alpha"))
+      .orderBy(col("nll7"), col("cls"))
+    val pred = docLedger
+      .crossJoin(broadcast(ledger.select(col("cls"), col("alpha"),
+        col("u7"), col("prior7"))))
+      .join(seen, Seq("doc_id", "cls", "alpha"), "left")
+      .withColumn("nll7", coalesce(col("s7"), lit(0L))
+        + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
+        + col("prior7"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("alpha") === MCN_A1 &&
+        col("cls") === col("source"), 1L).otherwise(0L)).as("r1"),
+        max(when(col("alpha") === MCN_A4 &&
+          col("cls") === col("source"), 1L).otherwise(0L)).as("r4"))
+    pred.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r1") === 1L && col("r4") === 1L, 1L).otherwise(0L))
+          .as("n_both_right"),
+        sum(when(col("r1") === 0L && col("r4") === 0L, 1L).otherwise(0L))
+          .as("n_both_wrong"),
+        sum(when(col("r1") === 1L && col("r4") === 0L, 1L).otherwise(0L))
+          .as("b_a1_only"),
+        sum(when(col("r1") === 0L && col("r4") === 1L, 1L).otherwise(0L))
+          .as("c_a4_only"))
+      .withColumn("mcnemar_milli", expr(
+        """case when b_a1_only + c_a4_only = 0 then -1
+             else (b_a1_only - c_a4_only) * (b_a1_only - c_a4_only) * 1000
+               div (b_a1_only + c_a4_only) end"""))
+  }
+
+  val o300: String = s"""
+    WITH occ AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT tok, source AS cls, CAST(COUNT(*) AS BIGINT) AS c
+      FROM occ GROUP BY 1, 2),
+    docledger AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    clstot AS (
+      SELECT source AS cls, CAST(SUM(n_tok) AS BIGINT) AS ns,
+        CAST(COUNT(*) AS BIGINT) AS ds
+      FROM docledger GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM documents),
+    alphas AS (SELECT CAST(unnest([$MCN_A1, $MCN_A4]) AS BIGINT) AS alpha),
+    ledger AS (
+      SELECT cls, alpha, ns + alpha * v AS den,
+        CAST(FLOOR(ln((ns + alpha * v)::DOUBLE / alpha::DOUBLE) * 1e7)
+          AS BIGINT) AS u7,
+        CAST(FLOOR(ln(dd::DOUBLE / ds::DOUBLE) * 1e7) AS BIGINT) AS prior7
+      FROM clstot CROSS JOIN vocab CROSS JOIN dtot CROSS JOIN alphas),
+    scored AS (
+      SELECT tok, cnt.cls, alpha,
+        CAST(FLOOR(ln(den::DOUBLE / (c + alpha)::DOUBLE) * 1e7) AS BIGINT)
+          AS n7
+      FROM cnt JOIN ledger ON cnt.cls = ledger.cls),
+    doctok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM occ GROUP BY 1, 2),
+    seen AS (
+      SELECT doc_id, cls, alpha, CAST(SUM(n * n7) AS BIGINT) AS s7,
+        CAST(SUM(n) AS BIGINT) AS n_seen
+      FROM doctok JOIN scored USING (tok) GROUP BY 1, 2, 3),
+    nll AS (
+      SELECT docledger.doc_id, docledger.source, ledger.cls, ledger.alpha,
+        COALESCE(s7, 0) + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7
+          AS nll7
+      FROM docledger CROSS JOIN ledger
+      LEFT JOIN seen ON seen.doc_id = docledger.doc_id
+        AND seen.cls = ledger.cls AND seen.alpha = ledger.alpha),
+    pick AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, alpha
+        ORDER BY nll7, cls) AS rn
+      FROM nll),
+    pred AS (
+      SELECT doc_id,
+        MAX(CASE WHEN alpha = $MCN_A1 AND cls = source THEN 1 ELSE 0 END)
+          AS r1,
+        MAX(CASE WHEN alpha = $MCN_A4 AND cls = source THEN 1 ELSE 0 END)
+          AS r4
+      FROM pick WHERE rn = 1 GROUP BY doc_id),
+    cc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN r1 = 1 AND r4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_both_right,
+        CAST(SUM(CASE WHEN r1 = 0 AND r4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_both_wrong,
+        CAST(SUM(CASE WHEN r1 = 1 AND r4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS b_a1_only,
+        CAST(SUM(CASE WHEN r1 = 0 AND r4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS c_a4_only
+      FROM pred)
+    SELECT *, CAST(CASE WHEN b_a1_only + c_a4_only = 0 THEN -1
+      ELSE (b_a1_only - c_a4_only) * (b_a1_only - c_a4_only) * 1000
+        // (b_a1_only + c_a4_only) END AS BIGINT) AS mcnemar_milli
+    FROM cc"""
+
   // ---- q290: pairwise-preference data card (Copeland / Borda) ----
 
   /** Neighbor-pairing hash blocks for q290. The knob is the window
@@ -2123,6 +2369,8 @@ object TrainingSet {
     ORDER BY source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_neyman_alloc"    -> (q299NeymanAlloc _),
+    "q300_mcnemar"         -> (q300Mcnemar _),
     "q292_loso_value"      -> (q292LosoValue _),
     "q290_preference_card" -> (q290PreferenceCard _),
     "q285_nb_source"       -> (q285NbSource _),
@@ -2149,6 +2397,8 @@ object TrainingSet {
     "q86_trainset_build"   -> (q86TrainsetBuild _))
 
   val oracles: Map[String, String] = Map(
+    "q299_neyman_alloc"    -> o299,
+    "q300_mcnemar"         -> o300,
     "q292_loso_value"      -> o292,
     "q290_preference_card" -> o290,
     "q285_nb_source"       -> o285,

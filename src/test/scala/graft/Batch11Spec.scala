@@ -423,4 +423,73 @@ class Batch11Spec extends AnyFunSuite {
     assert(benSum <= 1000000L && benSum > 1000000L - 9L)
     assert(rows.map(_.getAs[Long]("n")).sum == nn)
   }
+
+  test("q299 Neyman: weight identity, Hamilton conservation, full replay") {
+    val rows = text.TrainingSet.q299NeymanAlloc(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val B = text.TrainingSet.NEYMAN_BUDGET
+    // THE apportionment law: the budget is conserved exactly
+    assert(rows.map(_.getAs[Long]("alloc")).sum == B)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") ==
+        r.getAs[Long]("base") + r.getAs[Long]("extra"))
+      assert(r.getAs[Long]("extra") == 0L || r.getAs[Long]("extra") == 1L)
+    }
+    // full replay: moments, N_h*S_h = sqrt(n*syy - sy^2), Hamilton
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), size(split(col("text"), " ")).cast("long")
+        .as("y")).collect().map(r => (r.getString(0), r.getLong(1)))
+    val mom = docs.groupBy(_._1).map { case (s2, ds) =>
+      val ys = ds.map(_._2)
+      val n = ys.length.toLong
+      val sy = ys.sum
+      val syy = ys.map(y => y * y).sum
+      s2 -> (n, math.floor(math.sqrt((n * syy - sy * sy).toDouble) * 1000)
+        .toLong)
+    }
+    val sw = mom.values.map(_._2).sum
+    assert(sw > 0L)
+    val quota = mom.map { case (s2, (n, w)) =>
+      (s2, n, w, B * w / sw, B * w % sw)
+    }.toSeq
+    val seats = B - quota.map(_._4).sum
+    val extras = quota.sortBy(q => (-q._5, q._1)).take(seats.toInt)
+      .map(_._1).toSet
+    val expected = quota.map { case (s2, n, w, base, _) =>
+      s2 -> (n, w, base, if (extras(s2)) 1L else 0L)
+    }.toMap
+    rows.foreach { r =>
+      val s2 = r.getAs[String]("source")
+      val (n, w, base, extra) = expected(s2)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("w") == w, s"weight for $s2")
+      assert(r.getAs[Long]("base") == base, s"base for $s2")
+      assert(r.getAs[Long]("extra") == extra, s"extra for $s2")
+    }
+  }
+
+  test("q300 McNemar: concordance conservation and consistency with q285") {
+    val rows = text.TrainingSet.q300Mcnemar(spark, TestSpark.SF).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = r.getAs[Long]("n_docs")
+    val cells = Seq("n_both_right", "n_both_wrong", "b_a1_only", "c_a4_only")
+      .map(r.getAs[Long])
+    // 2x2 concordance partitions the corpus
+    assert(cells.sum == n)
+    assert(cells.forall(_ >= 0L))
+    val b = r.getAs[Long]("b_a1_only")
+    val c = r.getAs[Long]("c_a4_only")
+    val stat = r.getAs[Long]("mcnemar_milli")
+    if (b + c == 0L) assert(stat == -1L)
+    else assert(stat == (b - c) * (b - c) * 1000L / (b + c))
+    // cross-check against the graded q285 confusion matrix: the α=1
+    // model here IS q285's model, so α=1 accuracy must match its
+    // diagonal mass exactly
+    val diag = text.TrainingSet.q285NbSource(spark, TestSpark.SF).collect()
+      .filter(x => x.getAs[String]("source") == x.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(r.getAs[Long]("n_both_right") + b == diag,
+      "alpha=1 accuracy must equal q285 diagonal")
+  }
 }
