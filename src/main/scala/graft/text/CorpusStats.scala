@@ -538,7 +538,158 @@ object CorpusStats {
     WHERE dv IS NOT NULL
     GROUP BY 1, 2, nn ORDER BY source"""
 
+  // ---- q301: KMV sketch MERGE — pairwise vocabulary overlap ----
+
+  /** q301: the property that makes sketches worth shipping — MERGE:
+    * pairwise source-vocabulary union/intersection/Jaccard estimated
+    * from the per-source q291 bottom-k sketches ALONE (k smallest
+    * hashes of A ∪ B = k smallest of bottomk(A) ∪ bottomk(B), and for
+    * any hash under that cut, membership in A is decidable from A's
+    * sketch because kth(A∪B) ≤ kth(A)) — no second corpus pass, the
+    * exact union/intersection computed alongside as the calibration
+    * audit (q291/q232 stance) with the same 4σ union fence. The
+    * intersection estimator is the matched-fraction form:
+    * est∩ = matched·est∪ div min(k, |merged|); a merged set smaller
+    * than k IS the whole union, so the estimate degenerates to exact
+    * by rule in both engines.
+    *
+    * Scale shape: sketches are k rows per source (the TopKPerGroup
+    * heap output); every pair frame is ≤|sources|²·2k ledger rows.
+    * The exact side is the q94-shape hash-equi self-join over the
+    * per-source distinct-hash sets — the audit, not the scale path. */
+  def q301KmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val hh = graft.Tables.checkpointCycled(s"kmvov-hh:$d",
+      documents(s, d)
+        .select(col("source"),
+          graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
+        .select(col("source"), explode(col("sgs")).as("sg"))
+        .select(col("source"),
+          expr("cast(conv(substr(md5(sg), 1, 8), 16, 10) as bigint)").as("h"))
+        .distinct())
+    val bk = graft.Tables.checkpointCycled(s"kmvov-bk:$d",
+      graft.plans.TopKPerGroup(hh, groupCols = Seq("source"),
+        sortCols = Seq("h" -> false), k = KMV_K))
+    val srcs = bk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(broadcast(srcs.select(col("source").as("sb"))))
+      .filter(col("sa") < col("sb"))
+    // merged sketch rows, tagged with which side's sketch holds each hash
+    val merged = pairs
+      .join(bk.select(col("source").as("sa"), col("h")), Seq("sa"))
+      .withColumn("ta", lit(1L)).withColumn("tb", lit(0L))
+      .unionAll(pairs
+        .join(bk.select(col("source").as("sb"), col("h")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("h"))
+        .withColumn("ta", lit(0L)).withColumn("tb", lit(1L)))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("ta")).as("ina"), max(col("tb")).as("inb"))
+    val wRank = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val sk = merged
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= KMV_K)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("m"), max(col("h")).as("kth"),
+        sum(col("ina") * col("inb")).as("matched"))
+      .withColumn("est_union", expr(
+        s"case when m < $KMV_K then m else ($KMV_K - 1) * 4294967296 div kth end"))
+      .withColumn("est_inter",
+        expr("matched * est_union div m"))
+      .withColumn("jacc_est_ppm", expr("matched * 1000000 div m"))
+    // exact audit: per-source set sizes + pairwise hash intersection
+    val sizes = hh.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val inter = hh.select(col("source").as("sa"), col("h"))
+      .join(hh.select(col("source").as("sb"), col("h")), Seq("h"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("ni"))
+    sk
+      .join(broadcast(sizes.select(col("source").as("sa"), col("nd").as("na"))),
+        Seq("sa"))
+      .join(broadcast(sizes.select(col("source").as("sb"), col("nd").as("nb"))),
+        Seq("sb"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("n_inter", coalesce(col("ni"), lit(0L)))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_union"), col("est_union"), col("n_inter"), col("est_inter"),
+        col("jacc_est_ppm"),
+        // same 4σ fence as q291 — a union estimate this far off means
+        // the merge logic (not the data) broke
+        expr("""case when abs(est_union - n_union) * 1000000 div n_union > 508000
+             then cast(raise_error(concat('q301: KMV union error beyond 4 sigma: ',
+               cast(abs(est_union - n_union) * 1000000 div n_union as string))) as bigint)
+             else abs(est_union - n_union) * 1000000 div n_union end""")
+          .as("err_union_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val o301: String = s"""
+    WITH sg AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+           , unnest(range(1, len(t) - 1)) u(i)
+      WHERE len(t) >= 3),
+    hh AS (
+      SELECT DISTINCT source,
+        ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+      FROM sg),
+    bk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hh) WHERE rn <= $KMV_K),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM bk) a
+      JOIN (SELECT DISTINCT source FROM bk) b ON a.source < b.source),
+    merged AS (
+      SELECT sa, sb, h, MAX(ta) AS ina, MAX(tb) AS inb
+      FROM (
+        SELECT pairs.sa, pairs.sb, bk.h, 1 AS ta, 0 AS tb
+        FROM pairs JOIN bk ON bk.source = pairs.sa
+        UNION ALL
+        SELECT pairs.sa, pairs.sb, bk.h, 0, 1
+        FROM pairs JOIN bk ON bk.source = pairs.sb)
+      GROUP BY 1, 2, 3),
+    sk AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS m,
+        CAST(MAX(h) AS BIGINT) AS kth,
+        CAST(SUM(ina * inb) AS BIGINT) AS matched
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+        FROM merged)
+      WHERE rk <= $KMV_K GROUP BY 1, 2),
+    est AS (
+      SELECT sa, sb, matched,
+        CAST(CASE WHEN m < $KMV_K THEN m
+          ELSE ($KMV_K - 1) * 4294967296 // kth END AS BIGINT) AS est_union,
+        CAST(matched * CASE WHEN m < $KMV_K THEN m
+          ELSE ($KMV_K - 1) * 4294967296 // kth END // m AS BIGINT)
+          AS est_inter,
+        CAST(matched * 1000000 // m AS BIGINT) AS jacc_est_ppm
+      FROM sk),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM hh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT est.sa AS source_a, est.sb AS source_b,
+      CAST(za.nd + zb.nd - COALESCE(ni, 0) AS BIGINT) AS n_union,
+      est_union,
+      CAST(COALESCE(ni, 0) AS BIGINT) AS n_inter, est_inter, jacc_est_ppm,
+      CAST(CASE WHEN abs(est_union - (za.nd + zb.nd - COALESCE(ni, 0)))
+          * 1000000 // (za.nd + zb.nd - COALESCE(ni, 0)) > 508000
+        THEN error('q301: KMV union error beyond 4 sigma')
+        ELSE abs(est_union - (za.nd + zb.nd - COALESCE(ni, 0)))
+          * 1000000 // (za.nd + zb.nd - COALESCE(ni, 0)) END AS BIGINT)
+        AS err_union_ppm
+    FROM est
+    JOIN sizes za ON za.source = est.sa
+    JOIN sizes zb ON zb.source = est.sb
+    LEFT JOIN inter ON inter.sa = est.sa AND inter.sb = est.sb
+    ORDER BY source_a, source_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_kmv_overlap"      -> (q301KmvOverlap _),
     "q297_wasserstein"      -> (q297Wasserstein _),
     "q291_bottomk_distinct" -> (q291BottomkDistinct _),
     "q116_source_drift" -> (q116SourceDrift _),
@@ -548,6 +699,7 @@ object CorpusStats {
     "q238_dataset_card"  -> (q238DatasetCard _))
 
   val oracles: Map[String, String] = Map(
+    "q301_kmv_overlap"      -> o301,
     "q297_wasserstein"      -> o297,
     "q291_bottomk_distinct" -> o291,
     "q94_source_overlap" -> o94,

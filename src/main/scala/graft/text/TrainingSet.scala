@@ -2093,6 +2093,199 @@ object TrainingSet {
     FROM ranked CROSS JOIN seats
     ORDER BY source"""
 
+  // ---- q302: split-conformal prediction sets ----
+
+  /** Miscoverage grid for q302, in milli (α = 0.1, 0.2). */
+  val CONF_ALPHAS: Seq[Long] = Seq(100L, 200L)
+
+  /** q302: SPLIT-CONFORMAL prediction — the distribution-free
+    * uncertainty quantifier: calibrate a nonconformity threshold on a
+    * held-out split so that eval-time prediction SETS {class : score ≤
+    * τ_α} cover the true label with probability ≥ 1−α (marginal,
+    * Vovk/Papadopoulos; no model assumptions). The classifier is the
+    * q292-style NB over LANG trained on the 60% remainder of a
+    * three-way md5 split (cal 20% / eval 20% / train 60%);
+    * nonconformity = per-token integer NLL (nll7 div n_tok — length
+    * normalization keeps the score exchangeable across doc sizes);
+    * τ_α = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration score with
+    * ceiling done in exact integer arithmetic. Output per α: the
+    * threshold ledger, realized coverage ppm and mean prediction-set
+    * size (the efficiency/coverage trade a deployment reads).
+    *
+    * Scale shape: ONE trained model (vocab-bounded ledgers, the q287
+    * machinery), scored over the two held-out splits only; the
+    * calibration rank is a single window over the calibration scores —
+    * bounded BY DESIGN (split-conformal's whole point is that a few
+    * thousand calibration points suffice; the split fraction is the
+    * knob). A calibration doc whose class vanished from training
+    * would carry ∞ nonconformity — excluded by the ledger join by
+    * rule in both engines (can't fire while every lang survives the
+    * 60% split). */
+  def q302Conformal(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).withColumn("sp",
+      expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 5"))
+    val train = docs.filter(col("sp") >= 2)
+    val held = docs.filter(col("sp") <= 1)
+    val occ = train.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val cnt = graft.Tables.checkpointCycled(s"conf-cnt:$d",
+      occ.groupBy(col("tok"), col("lang").as("cls"))
+        .agg(count(lit(1)).as("c")))
+    val clsTot = train
+      .select(col("lang").as("cls"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("cls"))
+      .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds"))
+    val vocab = cnt.agg(countDistinct(col("tok")).as("v"))
+    val dtot = train.agg(count(lit(1)).as("dd"))
+    val ledger = graft.Tables.checkpointCycled(s"conf-ledger:$d",
+      clsTot.crossJoin(broadcast(vocab)).crossJoin(broadcast(dtot))
+        .withColumn("u7", floor(log((col("ns") + col("v")).cast("double"))
+          * lit(1e7)).cast("long"))
+        .withColumn("prior7", floor(log(col("dd").cast("double")
+          / col("ds").cast("double")) * lit(1e7)).cast("long"))
+        .select(col("cls"), col("ns"), col("v"), col("u7"), col("prior7")))
+    val scored = cnt
+      .join(broadcast(ledger.select(col("cls"), col("ns"), col("v"))),
+        Seq("cls"))
+      .withColumn("n7", floor(log((col("ns") + col("v")).cast("double")
+        / (col("c") + lit(1L)).cast("double")) * lit(1e7)).cast("long"))
+      .select(col("tok"), col("cls"), col("n7"))
+    val hDocs = held.select(col("doc_id"), col("sp"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val hTok = held.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    val seen = hTok.join(broadcast(scored), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
+    // per-token nonconformity score for every (held doc, class)
+    val scores = graft.Tables.checkpointCycled(s"conf-scores:$d",
+      hDocs.crossJoin(broadcast(ledger.select(col("cls"), col("u7"),
+          col("prior7"))))
+        .join(seen, Seq("doc_id", "cls"), "left")
+        .withColumn("nll7", coalesce(col("s7"), lit(0L))
+          + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
+          + col("prior7"))
+        .withColumn("score", expr("nll7 div n_tok"))
+        .select(col("doc_id"), col("sp"), col("lang"), col("cls"),
+          col("score")))
+    // calibration ranks: true-class scores, single window BY DESIGN
+    val cal = scores.filter(col("sp") === 0 && col("cls") === col("lang"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val alphas = s.createDataFrame(CONF_ALPHAS.map(Tuple1(_)))
+      .toDF("alpha_milli")
+    val kTab = alphas.crossJoin(broadcast(nCal))
+      .withColumn("k_rank", expr(
+        "((n_cal + 1) * (1000 - alpha_milli) + 999) div 1000"))
+    val thresh = graft.Tables.checkpointCycled(s"conf-thresh:$d",
+      kTab.join(cal.select(col("rn").as("k_rank"), col("score")
+          .as("thresh_score")), Seq("k_rank"))
+        .select(col("alpha_milli"), col("n_cal"), col("k_rank"),
+          col("thresh_score")))
+    val evalSets = scores.filter(col("sp") === 1)
+      .crossJoin(broadcast(thresh.select(col("alpha_milli"),
+        col("thresh_score"))))
+      .withColumn("inc", when(col("score") <= col("thresh_score"), 1L)
+        .otherwise(0L))
+      .groupBy(col("doc_id"), col("alpha_milli"))
+      .agg(sum(col("inc")).as("set_size"),
+        max(when(col("cls") === col("lang"), col("inc")).otherwise(0L))
+          .as("covered"))
+    evalSets.groupBy(col("alpha_milli"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("covered")).as("n_covered"),
+        sum(col("set_size")).as("tot_set"))
+      .join(broadcast(thresh), Seq("alpha_milli"))
+      .select(col("alpha_milli"), col("n_cal"), col("k_rank"),
+        col("thresh_score"), col("n_eval"),
+        expr("n_covered * 1000000 div n_eval").as("coverage_ppm"),
+        expr("tot_set * 1000 div n_eval").as("avg_set_milli"))
+      .orderBy(col("alpha_milli"))
+  }
+
+  val o302: String = s"""
+    WITH docs AS (
+      SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5
+        AS sp
+      FROM documents),
+    train AS (SELECT * FROM docs WHERE sp >= 2),
+    held AS (SELECT * FROM docs WHERE sp <= 1),
+    occ AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM train),
+    cnt AS (
+      SELECT tok, lang AS cls, CAST(COUNT(*) AS BIGINT) AS c
+      FROM occ GROUP BY 1, 2),
+    clstot AS (
+      SELECT lang AS cls, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+          AS ns,
+        CAST(COUNT(*) AS BIGINT) AS ds
+      FROM train GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM train),
+    ledger AS (
+      SELECT cls, ns, v,
+        CAST(FLOOR(ln((ns + v)::DOUBLE) * 1e7) AS BIGINT) AS u7,
+        CAST(FLOOR(ln(dd::DOUBLE / ds::DOUBLE) * 1e7) AS BIGINT) AS prior7
+      FROM clstot CROSS JOIN vocab CROSS JOIN dtot),
+    scored AS (
+      SELECT tok, cnt.cls,
+        CAST(FLOOR(ln((ns + v)::DOUBLE / (c + 1)::DOUBLE) * 1e7) AS BIGINT)
+          AS n7
+      FROM cnt JOIN ledger ON cnt.cls = ledger.cls),
+    hdocs AS (
+      SELECT doc_id, sp, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM held),
+    htok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM held)
+      GROUP BY 1, 2),
+    seen AS (
+      SELECT doc_id, cls, CAST(SUM(n * n7) AS BIGINT) AS s7,
+        CAST(SUM(n) AS BIGINT) AS n_seen
+      FROM htok JOIN scored USING (tok) GROUP BY 1, 2),
+    scores AS (
+      SELECT hdocs.doc_id, sp, lang, ledger.cls,
+        CAST((COALESCE(s7, 0) + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7)
+          // n_tok AS BIGINT) AS score
+      FROM hdocs CROSS JOIN ledger
+      LEFT JOIN seen ON seen.doc_id = hdocs.doc_id
+        AND seen.cls = ledger.cls),
+    cal AS (
+      SELECT score, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn
+      FROM scores WHERE sp = 0 AND cls = lang),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    alphas AS (SELECT CAST(unnest([${CONF_ALPHAS.mkString(", ")}])
+      AS BIGINT) AS alpha_milli),
+    ktab AS (
+      SELECT alpha_milli, n_cal,
+        ((n_cal + 1) * (1000 - alpha_milli) + 999) // 1000 AS k_rank
+      FROM alphas CROSS JOIN ncal),
+    thresh AS (
+      SELECT alpha_milli, n_cal, k_rank, score AS thresh_score
+      FROM ktab JOIN cal ON cal.rn = ktab.k_rank),
+    evalsets AS (
+      SELECT doc_id, alpha_milli,
+        CAST(SUM(CASE WHEN score <= thresh_score THEN 1 ELSE 0 END)
+          AS BIGINT) AS set_size,
+        CAST(MAX(CASE WHEN cls = lang AND score <= thresh_score
+          THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM scores CROSS JOIN thresh
+      WHERE sp = 1
+      GROUP BY 1, 2)
+    SELECT thresh.alpha_milli AS alpha_milli,
+      CAST(n_cal AS BIGINT) AS n_cal, CAST(k_rank AS BIGINT) AS k_rank,
+      CAST(thresh_score AS BIGINT) AS thresh_score,
+      CAST(COUNT(*) AS BIGINT) AS n_eval,
+      CAST(SUM(covered) * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm,
+      CAST(SUM(set_size) * 1000 // COUNT(*) AS BIGINT) AS avg_set_milli
+    FROM evalsets JOIN thresh ON thresh.alpha_milli = evalsets.alpha_milli
+    GROUP BY 1, 2, 3, 4 ORDER BY alpha_milli"""
+
   // ---- q300: McNemar paired model comparison ----
 
   /** The two Laplace strengths q300 compares (endpoints of q287's
@@ -2371,6 +2564,7 @@ object TrainingSet {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q299_neyman_alloc"    -> (q299NeymanAlloc _),
     "q300_mcnemar"         -> (q300Mcnemar _),
+    "q302_conformal"       -> (q302Conformal _),
     "q292_loso_value"      -> (q292LosoValue _),
     "q290_preference_card" -> (q290PreferenceCard _),
     "q285_nb_source"       -> (q285NbSource _),
@@ -2399,6 +2593,7 @@ object TrainingSet {
   val oracles: Map[String, String] = Map(
     "q299_neyman_alloc"    -> o299,
     "q300_mcnemar"         -> o300,
+    "q302_conformal"       -> o302,
     "q292_loso_value"      -> o292,
     "q290_preference_card" -> o290,
     "q285_nb_source"       -> o285,

@@ -492,4 +492,117 @@ class Batch11Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_both_right") + b == diag,
       "alpha=1 accuracy must equal q285 diagonal")
   }
+
+  test("q301 KMV merge: mergeability identity and full estimator replay") {
+    val rows = text.CorpusStats.q301KmvOverlap(spark, TestSpark.SF).collect()
+    assert(rows.nonEmpty)
+    val k = text.CorpusStats.KMV_K
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val full = docs.groupBy(_._1).map { case (s2, ds) =>
+      s2 -> ds.flatMap { case (_, txt) =>
+        val t = txt.split(" ", -1)
+        if (t.length < 3) Seq.empty[String]
+        else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+      }.distinct
+        .map(g => java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16))
+        .toSet
+    }
+    val sketch = full.map { case (s2, hs) => s2 -> hs.toSeq.sorted.take(k) }
+    val srcs = full.keys.toSeq.sorted
+    val expPairs = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield (srcs(i), srcs(j))
+    assert(rows.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b"))).toSeq.sorted == expPairs.sorted)
+    rows.foreach { r =>
+      val (a, b2) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      // MERGEABILITY: bottom-k of (sketchA ∪ sketchB) == bottom-k of
+      // the FULL union — the law that lets sketches ship instead of sets
+      val mergedFromSketch =
+        (sketch(a) ++ sketch(b2)).distinct.sorted.take(k)
+      val fromFullUnion = (full(a) ++ full(b2)).toSeq.sorted.take(k)
+      assert(mergedFromSketch == fromFullUnion, s"mergeability $a/$b2")
+      // estimator replay from the sketches alone
+      val m = mergedFromSketch.length.toLong
+      val estU = if (m < k) m
+                 else (k - 1).toLong * 4294967296L / mergedFromSketch.last
+      val matched = mergedFromSketch
+        .count(h => sketch(a).contains(h) && sketch(b2).contains(h)).toLong
+      assert(r.getAs[Long]("est_union") == estU, s"est_union $a/$b2")
+      assert(r.getAs[Long]("est_inter") == matched * estU / m)
+      assert(r.getAs[Long]("jacc_est_ppm") == matched * 1000000L / m)
+      // exact audit columns
+      val ni = (full(a) & full(b2)).size.toLong
+      val nu = (full(a) | full(b2)).size.toLong
+      assert(r.getAs[Long]("n_inter") == ni)
+      assert(r.getAs[Long]("n_union") == nu)
+      assert(r.getAs[Long]("err_union_ppm") ==
+        math.abs(estU - nu) * 1000000L / nu)
+    }
+  }
+
+  test("q302 conformal: full pipeline replay — splits, threshold, coverage") {
+    val rows = text.TrainingSet.q302Conformal(spark, TestSpark.SF).collect()
+    assert(rows.length == text.TrainingSet.CONF_ALPHAS.length)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val sp = java.lang.Long.parseLong(
+          md5hex(r.getLong(0).toString).substring(0, 8), 16) % 5
+        (r.getLong(0), sp, r.getString(1), r.getString(2).split(" ", -1).toSeq)
+      }
+    val train = docs.filter(_._2 >= 2)
+    // driver-side NB on the train split (q285-style integer terms)
+    val occ = train.flatMap { case (_, _, l, ts) => ts.map(t => (t, l)) }
+    val cnt = occ.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val ns = occ.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    val ds = train.groupBy(_._3).map { case (l, v) => l -> v.size.toLong }
+    val v = cnt.keys.map(_._1).toSet.size.toLong
+    val dd = train.size.toLong
+    def f7(x: Double): Long = math.floor(math.log(x) * 1e7).toLong
+    val classes = ds.keys.toSeq.sorted
+    def score(doc: (Long, Long, String, Seq[String]), l: String): Long = {
+      val u7 = f7((ns(l) + v).toDouble)
+      val nll = doc._4.map { t =>
+        cnt.get((t, l)) match {
+          case Some(c) => f7((ns(l) + v).toDouble / (c + 1).toDouble)
+          case None    => u7
+        }
+      }.sum + f7(dd.toDouble / ds(l).toDouble)
+      // floorDiv semantics match BIGINT div for positive nll
+      Math.floorDiv(nll, doc._4.size.toLong)
+    }
+    val cal = docs.filter(_._2 == 0).map(d2 => (score(d2, d2._3), d2._1))
+      .sortBy(identity)
+    val evl = docs.filter(_._2 == 1)
+    rows.foreach { r =>
+      val aM = r.getAs[Long]("alpha_milli")
+      assert(r.getAs[Long]("n_cal") == cal.length)
+      val k = ((cal.length + 1) * (1000 - aM) + 999) / 1000
+      assert(r.getAs[Long]("k_rank") == k)
+      val tau = cal(k.toInt - 1)._1
+      assert(r.getAs[Long]("thresh_score") == tau, s"threshold at α=$aM")
+      val sets = evl.map { d2 =>
+        val inc = classes.filter(l => score(d2, l) <= tau)
+        (inc.size.toLong, if (inc.contains(d2._3)) 1L else 0L)
+      }
+      assert(r.getAs[Long]("n_eval") == evl.length)
+      assert(r.getAs[Long]("coverage_ppm") ==
+        sets.map(_._2).sum * 1000000L / evl.length, s"coverage at α=$aM")
+      assert(r.getAs[Long]("avg_set_milli") ==
+        sets.map(_._1).sum * 1000L / evl.length)
+    }
+    // thresholds tighten monotonically as α grows (k_rank decreases)
+    val sorted = rows.sortBy(_.getAs[Long]("alpha_milli"))
+    assert(sorted.sliding(2).forall(p => p.length < 2 ||
+      p(0).getAs[Long]("thresh_score") >= p(1).getAs[Long]("thresh_score")))
+  }
 }
