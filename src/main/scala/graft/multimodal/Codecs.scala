@@ -556,7 +556,7 @@ object Codecs {
   def q280ZipArchiveIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
-      .select((col("doc_id") / ZIP_ARC).cast("long").as("arc_id"),
+      .select(expr(s"doc_id div $ZIP_ARC").as("arc_id"),
         col("doc_id"), col("text"))
       .groupBy(col("arc_id"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))

@@ -1539,7 +1539,7 @@ object Analytics {
         count(col("e7")).as("n7"))
       .select(col("event_type"), col("n_days"), col("sae_naive"),
         col("sae_snaive"),
-        expr("""case when sae_naive = 0
+        expr("""case when sae_naive is null or sae_naive = 0 or n7 = 0
              then cast(raise_error('q296: constant series - MASE undefined') as bigint)
              else sae_snaive * n1 * 1000000 div (n7 * sae_naive) end""")
           .as("mase_ppm"))
@@ -1567,7 +1567,7 @@ object Analytics {
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
       CAST(SUM(e1) AS BIGINT) AS sae_naive,
       CAST(SUM(e7) AS BIGINT) AS sae_snaive,
-      CAST(CASE WHEN SUM(e1) = 0
+      CAST(CASE WHEN SUM(e1) IS NULL OR SUM(e1) = 0 OR COUNT(e7) = 0
         THEN error('q296: constant series - MASE undefined')
         ELSE SUM(e7) * COUNT(e1) * 1000000 // (COUNT(e7) * SUM(e1)) END
         AS BIGINT) AS mase_ppm

@@ -500,8 +500,12 @@ object CorpusStats {
       .crossJoin(broadcast(nTot))
       .groupBy(col("source"))
       .agg(max(col("ns")).as("n_docs"), max(col("nn")).as("nn"),
-        sum(abs(col("cums") * col("nn") - col("cumg") * col("ns"))
-          * col("dv")).as("num"))
+        // decimal(38,0) accumulation (the q286 stance): n_docs²·Σdv can
+        // approach 2⁶³ at web scale, where DuckDB's hugeint SUM would
+        // keep going while an int64 sum here silently wraps
+        sum((abs(col("cums").cast("decimal(38,0)") * col("nn") -
+            col("cumg").cast("decimal(38,0)") * col("ns"))
+          * col("dv")).cast("decimal(38,0)")).as("num"))
       .select(col("source"), col("n_docs"),
         expr("num * 1000000 div (n_docs * nn)").as("w1_micro"))
       .orderBy(col("source"))
