@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -1536,6 +1536,11 @@ object TrainingSet {
   val CV_FOLDS = 5L
   val CV_ALPHAS: Seq[Long] = Seq(1L, 2L, 4L)
 
+  /** q287's prescreen width: larger-α candidates are evaluated only on
+    * each doc's top-CV_BEAM classes under the screening α (= CV_ALPHAS
+    * .head, which is itself scored against ALL classes). */
+  val CV_BEAM = 2L
+
   /** q287: IN-ENGINE MODEL SELECTION — K-fold cross-validated accuracy
     * of the q285 Naive-Bayes source classifier across a Laplace-α
     * grid, reported per (α, fold). The point is the scale trick: a
@@ -1559,66 +1564,81 @@ object TrainingSet {
     *
     * Scale shape: two corpus aggregates — the (tok, cls, fold) cell
     * ledger and the (doc, cls, α) score aggregate; everything else is
-    * ledger arithmetic on |cls|·K·|α| rows broadcast back. The scoring
-    * fan-out is |cls|·|α| per occurrence — the price of a JOINT sweep;
-    * at larger grids prescreen the candidate classes per doc first.
+    * ledger arithmetic on |cls|·K·|α| rows broadcast back. The naive
+    * scoring fan-out is |cls|·|α| per distinct (doc, tok) — the price
+    * of a JOINT sweep — so the sweep runs retrieval-then-rerank: the
+    * screening α (CV_ALPHAS.head) scores ALL classes, and the larger
+    * α candidates rerank only each doc's top-CV_BEAM screening classes
+    * (mirrored exactly in the oracle). Fan-out drops |cls|·|α| →
+    * |cls| + (|α|−1)·CV_BEAM per (doc, tok) — 60× → 24× here, and the
+    * gap widens with the grid, which is what makes a wide α sweep
+    * affordable at 100 TB. The beam join (docTok ⋈ per-doc beam on
+    * doc_id) carries no hint: AQE broadcasts the beam at bench scale
+    * and falls back to a key-shuffle when the doc count outgrows it.
     * Over an unbounded web vocabulary the cell/cellF broadcasts become
     * key-shuffles on `tok` (drop the hints; q285 stance) — no other
     * plan change. */
   def q287NbCv(s: SparkSession, d: String): DataFrame = {
-    // seven aggregates consume the exploded corpus — materialize it
-    // once (cycled local checkpoint) instead of re-running the
-    // scan+md5+explode per consumer
-    val occ = graft.Tables.checkpointCycled(s"nbcv-occ:$d",
+    val foldE = expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS
+    // ONE corpus explode pass, collapsed straight to the minimal
+    // sufficient statistic: distinct (doc, fold, class, token) with
+    // in-doc multiplicity. Every downstream frame — cells, vocab, the
+    // scoring passes — derives from this table or the row-local docs
+    // scan; nothing re-reads the exploded corpus. (The previous shape
+    // eagerly materialized the raw explode PLUS per-(tok,cls[,f]) cell
+    // tables — four checkpoint jobs over corpus-sized frames whose
+    // fixed cost dominated the query once the fan-out was beamed.)
+    val docTok = graft.Tables.checkpointCycled(s"nbcv-doctok:$d",
       documents(s, d)
-        .select(col("doc_id"), (expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"),
-          col("source"), explode(split(col("text"), " ")).as("tok")))
-    // the (tok, cls[, f]) count cells are read by several downstream
-    // ledgers — materialize the vocab-bounded frames so each branch is
-    // a read, not a re-aggregation of the exploded corpus (the 44→
-    // ~1/3 exchange cut that brought q287 under the bench line)
-    val cell = graft.Tables.checkpointCycled(s"nbcv-cell:$d",
-      occ.groupBy(col("tok"), col("source").as("cls"))
-        .agg(count(lit(1)).as("c")))
+        .select(col("doc_id"), foldE.as("f"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("f"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("n")))
+    // the (tok, cls, fold) count cells — |V|·|cls|·K rows; cell/tokF/
+    // tokTot re-aggregate these, not the corpus
     val cellF = graft.Tables.checkpointCycled(s"nbcv-cellf:$d",
-      occ.groupBy(col("tok"), col("source").as("cls"), col("f"))
-        .agg(count(lit(1)).as("cf")))
+      docTok.groupBy(col("tok"), col("source").as("cls"), col("f"))
+        .agg(sum(col("n")).as("cf")))
+    val cell = cellF.groupBy(col("tok"), col("cls"))
+      .agg(sum(col("cf")).as("c"))
     // per-fold training vocabulary: tokens with any out-of-fold mass.
-    // Derived from the vocab-bounded cell tables (|V| / |V|·K rows),
-    // not by re-aggregating the exploded corpus
-    val tokTot = cell.groupBy(col("tok")).agg(sum(col("c")).as("t"))
+    // Fold/alpha densification uses inline explode(sequence/array)
+    // generators, NOT crossJoin(broadcast(...)): a generator is free
+    // inside the row pipeline, while every broadcast build is its own
+    // Spark job — at this frame size the job overhead WAS the cost
+    val foldGen = explode(sequence(lit(0L), lit(CV_FOLDS - 1))).as("f")
+    val alphaGen = explode(array(CV_ALPHAS.map(a => lit(a)): _*)).as("alpha")
+    val tokTot = cellF.groupBy(col("tok")).agg(sum(col("cf")).as("t"))
     val tokF = cellF.groupBy(col("tok"), col("f")).agg(sum(col("cf")).as("tf"))
-    val folds = s.range(CV_FOLDS).select(col("id").as("f"))
-    val vf = tokTot.crossJoin(broadcast(folds))
+    val vf = tokTot.select(col("tok"), col("t"), foldGen)
       .join(tokF, Seq("tok", "f"), "left")
       .filter(col("t") - coalesce(col("tf"), lit(0L)) > 0)
       .groupBy(col("f")).agg(count(lit(1)).as("vtrain"))
     // per-(class, fold) training totals from the raw docs table (token
     // mass is row-local size(split); no explode needed)
     val docLedger = documents(s, d)
-      .select(col("doc_id"), (expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"),
+      .select(col("doc_id"), foldE.as("f"),
         col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
     val clsTot = docLedger.groupBy(col("source").as("cls"))
       .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds"))
     val clsF = docLedger.groupBy(col("source").as("cls"), col("f"))
       .agg(sum(col("n_tok")).as("nsf"), count(lit(1)).as("dsf"))
-    val dTot = documents(s, d)
-      .select((expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"))
-      .groupBy(col("f")).agg(count(lit(1)).as("df"))
+    val dTot = docLedger.groupBy(col("f")).agg(count(lit(1)).as("df"))
       .withColumn("dd", sum(col("df")).over(Window.partitionBy()))
-    val alphas = s.createDataFrame(CV_ALPHAS.map(Tuple1(_))).toDF("alpha")
-    // the (cls, fold, alpha) model ledger: |cls|·K·|alpha| rows
-    // |cls|·K·|α| rows, read by both the score ledger and the final
-    // argmin pass — materialize once
+    // one K-row per-fold stat frame (vtrain, df, dd) → ONE broadcast
+    // into the ledger instead of two
+    val fStats = vf.join(dTot, Seq("f"))
+    // the (cls, fold, alpha) model ledger: |cls|·K·|alpha| rows, read
+    // by both the score ledger and the final argmin pass — materialize
+    // once
     val ledger = graft.Tables.checkpointCycled(s"nbcv-ledger:$d",
-      clsTot.crossJoin(broadcast(folds))
+      clsTot.select(col("cls"), col("ns"), col("ds"), foldGen)
         .join(clsF, Seq("cls", "f"), "left")
         .withColumn("ns_tr", col("ns") - coalesce(col("nsf"), lit(0L)))
         .withColumn("ds_tr", col("ds") - coalesce(col("dsf"), lit(0L)))
         .filter(col("ds_tr") > 0)
-        .join(broadcast(vf), Seq("f"))
-        .join(broadcast(dTot), Seq("f"))
-        .crossJoin(broadcast(alphas))
+        .join(broadcast(fStats), Seq("f"))
+        .select(col("*"), alphaGen)
         .withColumn("den", col("ns_tr") + col("alpha") * col("vtrain"))
         .withColumn("u7", floor(log(col("den").cast("double")
           / col("alpha").cast("double")) * lit(1e7)).cast("long"))
@@ -1628,38 +1648,67 @@ object TrainingSet {
           col("u7"), col("prior7")))
     // vocabulary-bounded score ledger: n7 once per (tok, cls, f, α) —
     // |V|·|cls|·K·|α| rows — instead of one log() per occurrence×cls×α
-    // row (the fan-out join below then carries only a precomputed long)
-    val scored = cell.crossJoin(broadcast(folds))
-      .join(cellF, Seq("tok", "cls", "f"), "left")
-      .withColumn("c_tr", col("c") - coalesce(col("cf"), lit(0L)))
-      .filter(col("c_tr") > 0)
-      .join(broadcast(ledger.select(col("cls"), col("f"), col("alpha"),
-        col("den"))), Seq("cls", "f"))
-      .withColumn("n7", floor(log(col("den").cast("double")
-        / (col("c_tr") + col("alpha")).cast("double")) * lit(1e7)).cast("long"))
-      .select(col("tok"), col("f"), col("cls"), col("alpha"), col("n7"))
-    // occurrence-level scoring: seen-in-train terms only; unseen terms
-    // fold into the (n_tok − n_seen)·u7 remainder. Tokens repeat
-    // within a doc, so collapse to (doc, tok, n) BEFORE the ×|cls|·|α|
-    // fan-out join — the fan-out then multiplies distinct-token rows,
-    // not raw occurrences
-    val docTok = occ.groupBy(col("doc_id"), col("f"), col("tok"))
-      .agg(count(lit(1)).as("n"))
-    val seen = docTok.join(broadcast(scored), Seq("tok", "f"))
+    // row (the fan-out join below then carries only a precomputed long).
+    // Materialized once; the screen and rerank passes each broadcast a
+    // slice of the checkpoint instead of rebuilding the join chain
+    val scored = graft.Tables.checkpointCycled(s"nbcv-scored:$d",
+      cell.select(col("tok"), col("cls"), col("c"), foldGen)
+        .join(cellF, Seq("tok", "cls", "f"), "left")
+        .withColumn("c_tr", col("c") - coalesce(col("cf"), lit(0L)))
+        .filter(col("c_tr") > 0)
+        .join(broadcast(ledger.select(col("cls"), col("f"), col("alpha"),
+          col("den"))), Seq("cls", "f"))
+        .withColumn("n7", floor(log(col("den").cast("double")
+          / (col("c_tr") + col("alpha")).cast("double")) * lit(1e7)).cast("long"))
+        .select(col("tok"), col("f"), col("cls"), col("alpha"), col("n7")))
+    // doc-level scoring: seen-in-train terms only; unseen terms fold
+    // into the (n_tok − n_seen)·u7 remainder. docTok already collapsed
+    // repeats to (doc, tok, n), so the fan-out joins below multiply
+    // distinct-token rows, not raw occurrences
+    val perDoc = docLedger
+    val alpha0 = CV_ALPHAS.head
+    // SCREEN: full |cls| fan-out at the screening alpha only
+    val seen1 = docTok
+      .join(broadcast(scored.filter(col("alpha") === alpha0)), Seq("tok", "f"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
+    val wBeam = Window.partitionBy(col("doc_id"))
+      .orderBy(col("nll7"), col("cls"))
+    // per-doc screening ranks: rn=1 is the alpha0 prediction, rn ≤
+    // CV_BEAM is the rerank candidate set for the other alphas
+    val nll1 = graft.Tables.checkpointCycled(s"nbcv-nll1:$d",
+      perDoc.join(broadcast(ledger.filter(col("alpha") === alpha0)), Seq("f"))
+        .join(seen1, Seq("doc_id", "cls"), "left")
+        .withColumn("nll7", coalesce(col("s7"), lit(0L))
+          + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
+          + col("prior7"))
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= CV_BEAM)
+        .select(col("doc_id"), col("f"), col("source"), col("n_tok"),
+          col("cls"), col("rn")))
+    val win1 = nll1.filter(col("rn") === 1)
+      .select(lit(alpha0).as("alpha"), col("f"), col("source"), col("cls"))
+    val beam = nll1.select(col("doc_id"), col("cls"))
+    // RERANK: remaining alphas score only the beam classes (no hint —
+    // AQE broadcasts the per-doc beam while it fits, shuffles beyond)
+    val seenR = docTok.join(beam, Seq("doc_id"))
+      .join(broadcast(scored.filter(col("alpha") =!= alpha0)),
+        Seq("tok", "f", "cls"))
       .groupBy(col("doc_id"), col("cls"), col("alpha"))
       .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
-    val perDoc = documents(s, d)
-      .select(col("doc_id"), (expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS).as("f"),
-        col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
     val wArg = Window.partitionBy(col("doc_id"), col("alpha"))
       .orderBy(col("nll7"), col("cls"))
-    perDoc.join(broadcast(ledger), Seq("f"))
-      .join(seen, Seq("doc_id", "cls", "alpha"), "left")
+    val winR = perDoc.join(beam, Seq("doc_id"))
+      .join(broadcast(ledger.filter(col("alpha") =!= alpha0)),
+        Seq("cls", "f"))
+      .join(seenR, Seq("doc_id", "cls", "alpha"), "left")
       .withColumn("nll7", coalesce(col("s7"), lit(0L))
         + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
         + col("prior7"))
       .withColumn("rn", row_number().over(wArg))
       .filter(col("rn") === 1)
+      .select(col("alpha"), col("f"), col("source"), col("cls"))
+    win1.unionByName(winR)
       .groupBy(col("alpha"), col("f"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("cls") === col("source"), 1L).otherwise(0L))
@@ -1715,43 +1764,72 @@ object TrainingSet {
         FROM clstot CROSS JOIN folds LEFT JOIN clsf USING (cls, f))
       JOIN vf USING (f) JOIN dtot USING (f) CROSS JOIN alphas
       WHERE ds_tr > 0),
-    seen AS (
-      SELECT doc_id, cls, alpha, CAST(SUM(n7) AS BIGINT) AS s7,
-        CAST(COUNT(*) AS BIGINT) AS n_seen
-      FROM (
-        SELECT o.doc_id, lg.cls, lg.alpha,
-          CAST(FLOOR(ln(lg.den::DOUBLE
-            / (c - COALESCE(cf, 0) + lg.alpha)::DOUBLE) * 1e7) AS BIGINT)
-            AS n7
-        FROM occ o
-        JOIN cell ON cell.tok = o.tok
-        LEFT JOIN cellf ON cellf.tok = o.tok AND cellf.cls = cell.cls
-          AND cellf.f = o.f
-        JOIN ledger lg ON lg.cls = cell.cls AND lg.f = o.f
-        WHERE c - COALESCE(cf, 0) > 0)
-      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT cell.tok, folds.f AS f, cell.cls, lg.alpha,
+        CAST(FLOOR(ln(lg.den::DOUBLE
+          / (c - COALESCE(cf, 0) + lg.alpha)::DOUBLE) * 1e7) AS BIGINT)
+          AS n7
+      FROM cell CROSS JOIN folds
+      LEFT JOIN cellf ON cellf.tok = cell.tok AND cellf.cls = cell.cls
+        AND cellf.f = folds.f
+      JOIN ledger lg ON lg.cls = cell.cls AND lg.f = folds.f
+      WHERE c - COALESCE(cf, 0) > 0),
+    doctok AS (
+      SELECT doc_id, f, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM occ GROUP BY 1, 2, 3),
     perdoc AS (
       SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $CV_FOLDS AS f, source,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       FROM documents),
-    nll AS (
-      SELECT perdoc.doc_id AS doc_id, perdoc.f AS f, source, ledger.cls,
-        ledger.alpha AS alpha,
-        COALESCE(s7, 0) + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7
-          AS nll7
-      FROM perdoc JOIN ledger USING (f)
-      LEFT JOIN seen ON seen.doc_id = perdoc.doc_id
-        AND seen.cls = ledger.cls AND seen.alpha = ledger.alpha),
-    pick AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, alpha
-        ORDER BY nll7, cls) AS rn
-      FROM nll)
+    seen1 AS (
+      SELECT doc_id, cls, CAST(SUM(n * n7) AS BIGINT) AS s7,
+        CAST(SUM(n) AS BIGINT) AS n_seen
+      FROM doctok JOIN scored USING (tok, f)
+      WHERE alpha = ${CV_ALPHAS.head}
+      GROUP BY 1, 2),
+    nll1 AS (
+      SELECT perdoc.doc_id AS doc_id, perdoc.f AS f, source,
+        ledger.cls AS cls,
+        ROW_NUMBER() OVER (PARTITION BY perdoc.doc_id ORDER BY
+          COALESCE(s7, 0) + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7,
+          ledger.cls) AS rn
+      FROM perdoc JOIN ledger ON ledger.f = perdoc.f
+        AND ledger.alpha = ${CV_ALPHAS.head}
+      LEFT JOIN seen1 ON seen1.doc_id = perdoc.doc_id
+        AND seen1.cls = ledger.cls),
+    beam AS (SELECT doc_id, cls FROM nll1 WHERE rn <= $CV_BEAM),
+    win1 AS (
+      SELECT CAST(${CV_ALPHAS.head} AS BIGINT) AS alpha, f, source, cls
+      FROM nll1 WHERE rn = 1),
+    seenr AS (
+      SELECT doctok.doc_id AS doc_id, beam.cls AS cls,
+        scored.alpha AS alpha,
+        CAST(SUM(n * n7) AS BIGINT) AS s7, CAST(SUM(n) AS BIGINT) AS n_seen
+      FROM doctok JOIN beam ON beam.doc_id = doctok.doc_id
+      JOIN scored ON scored.tok = doctok.tok AND scored.f = doctok.f
+        AND scored.cls = beam.cls AND scored.alpha <> ${CV_ALPHAS.head}
+      GROUP BY 1, 2, 3),
+    winr AS (
+      SELECT alpha, f, source, cls FROM (
+        SELECT ledger.alpha AS alpha, perdoc.f AS f, source,
+          ledger.cls AS cls,
+          ROW_NUMBER() OVER (PARTITION BY perdoc.doc_id, ledger.alpha
+            ORDER BY COALESCE(s7, 0)
+              + (n_tok - COALESCE(n_seen, 0)) * u7 + prior7,
+            ledger.cls) AS rn
+        FROM perdoc JOIN beam ON beam.doc_id = perdoc.doc_id
+        JOIN ledger ON ledger.cls = beam.cls AND ledger.f = perdoc.f
+          AND ledger.alpha <> ${CV_ALPHAS.head}
+        LEFT JOIN seenr ON seenr.doc_id = perdoc.doc_id
+          AND seenr.cls = ledger.cls AND seenr.alpha = ledger.alpha)
+      WHERE rn = 1),
+    allwin AS (SELECT * FROM win1 UNION ALL SELECT * FROM winr)
     SELECT alpha, f, CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(SUM(CASE WHEN cls = source THEN 1 ELSE 0 END) AS BIGINT)
         AS n_correct,
       CAST(SUM(CASE WHEN cls = source THEN 1 ELSE 0 END) * 1000000
         // COUNT(*) AS BIGINT) AS acc_ppm
-    FROM pick WHERE rn = 1
+    FROM allwin
     GROUP BY alpha, f ORDER BY alpha, f"""
 
   // ---- q292: leave-one-source-out data valuation ----

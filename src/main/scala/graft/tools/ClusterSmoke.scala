@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-JVM execution gate: re-runs one representative query per
+  * operator family under Spark's `local-cluster[2,4,2048]` master —
+  * real executor processes, so rows, broadcasts, and custom-Expression
+  * `ArrayData` payloads actually SERIALIZE across JVM boundaries — and
+  * checks row-count + order-independent content fingerprint equality
+  * against the same queries on the in-process `local[*]` master.
+  *
+  * `local[32]` structurally cannot surface closure-capture, Kryo, or
+  * codegen-expression serialization bugs (everything stays on one heap);
+  * this gate is the cheapest real evidence that the operators survive a
+  * genuine multi-executor deployment, short of a cluster.
+  *
+  * Needs SPARK_HOME=/opt/spark in the env (the Worker launches executor
+  * JVMs from the distribution's launcher). Writes cluster_smoke.json;
+  * release_gate.sh stamps it to CLUSTER_r{N}.json.
+  *
+  * Run: SPARK_HOME=/opt/spark sbt "runMain graft.tools.ClusterSmoke"
+  */
+object ClusterSmoke {
+
+  /** One query per family, biased toward the paths where cross-JVM
+    * serialization could genuinely differ from local[*]. */
+  private val QUERIES = Seq(
+    "q03_revenue_by_nation", // multiway broadcast+shuffle joins
+    "q41_minhash_lsh",       // codegen MinhashSig Expression, banded LSH
+    "q55_knn_ivf",           // ANN index build + probe (Array[Float] payloads)
+    "q76_dedup_components",  // iterative CC, localCheckpoint lineage cuts
+    "q138_image_decode",     // binary-column decode (PNG/BMP byte payloads)
+    "q158_pagerank",         // iterative graph with broadcast rank vector
+    "q204_semdedup",         // embedding clustering + cosine pruning
+    "q207_bpe_train",        // driver-loop argmax over a broadcast ledger
+    "q287_nb_cv",            // heaviest: count-ledger K-fold CV sweep
+    "q302_conformal")        // single-partition calibration window
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  /** Order-independent content fingerprint: (row count, sum of per-row
+    * xxhash64 over all columns cast to string, sorted by column name).
+    * NULL and "" are kept distinct via a sentinel coalesce. */
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000")))
+    val row = df
+      .select(xxhash64(concat_ws("\u0001", cols.toSeq: _*)).as("h"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def runAll(master: String, sfDir: String,
+                     cluster: Boolean): Map[String, (Long, Long)] = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    if (cluster) {
+      // Executor JVMs are fresh processes: they need the repo classes on
+      // their classpath and the same JDK17 module opens the driver gets
+      // from build.sbt.
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      b.config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory", "2g")
+    }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      graft.SparkEntry.benchSetup(spark, sfDir)
+      QUERIES.map { n =>
+        n -> fingerprint(graft.SparkEntry.queries(n)(spark, sfDir))
+      }.toMap
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val clusterMaster = "local-cluster[2,4,2048]"
+    if (!sys.env.contains("SPARK_HOME"))
+      System.err.println("[cluster-smoke] WARNING: SPARK_HOME unset - " +
+        "the Worker needs it to launch executor JVMs")
+    val local = runAll("local[8]", sfDir, cluster = false)
+    val clustered = runAll(clusterMaster, sfDir, cluster = true)
+    val rows = QUERIES.sorted.map { n =>
+      val (ln, lh) = local(n)
+      val (cn, ch) = clustered(n)
+      val ok = ln == cn && lh == ch
+      s""""$n":{"rows_local":$ln,"rows_cluster":$cn,"hash_local":$lh,"hash_cluster":$ch,"match":$ok}"""
+    }
+    val nMatch = QUERIES.count(n => local(n) == clustered(n))
+    val json =
+      s"""{"metric":"cluster_smoke","master":"$clusterMaster","sf":"$sfDir","n_queries":${QUERIES.size},"n_match":$nMatch,"results":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("cluster_smoke.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    if (nMatch != QUERIES.size) sys.exit(1)
+  }
+}
