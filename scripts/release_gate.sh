@@ -26,6 +26,14 @@ python3 scripts/test_report.py "${ROUND:-0}"
 echo "== streaming gate (RocksDB, file sink) =="
 sbt -batch "runMain graft.tools.StreamGate ${ROUND:-0}" 2>&1 | tail -1
 
+echo "== multi-JVM cluster smoke (local-cluster[2,4,2048]) =="
+SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  sbt -batch "runMain graft.tools.ClusterSmoke" 2>&1 \
+  | grep -F '"metric"' | cut -c1-200
+if [ -f cluster_smoke.json ]; then
+  cp cluster_smoke.json "CLUSTER_r${ROUND:-0}.json"
+fi
+
 echo "== bench @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep -F '"metric"' | sed 's/^\[info\] //'

@@ -126,8 +126,13 @@ object Tables {
     * checkpoint. */
   def checkpointCycled(tag: String, df: DataFrame): DataFrame = {
     val out = df.localCheckpoint()
+    // Try-guarded: the displaced entry may belong to a PREVIOUS, now
+    // stopped SparkSession (multi-session processes — ClusterSmoke,
+    // test harnesses); unpersist on a dead context throws and the
+    // blocks are already gone with it.
     Option(cycledCheckpoints.put(tag, checkpointedRdds(out)))
-      .foreach(_.foreach(_.unpersist(blocking = false)))
+      .foreach(_.foreach(r =>
+        scala.util.Try(r.unpersist(blocking = false))))
     out
   }
 }

@@ -47,15 +47,16 @@ object ClusterSmoke {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
-  /** Order-independent content fingerprint: (row count, sum of per-row
-    * xxhash64 over all columns cast to string, sorted by column name).
-    * NULL and "" are kept distinct via a sentinel coalesce. */
+  /** Order-independent content fingerprint: (row count, bit_xor of
+    * per-row xxhash64 over all columns cast to string, sorted by column
+    * name). bit_xor, not sum — a sum of 64-bit hashes overflows under
+    * ANSI mode. NULL and "" stay distinct via a sentinel coalesce. */
   private def fingerprint(df: DataFrame): (Long, Long) = {
     val cols = df.columns.sorted.map(c =>
       coalesce(col(c).cast("string"), lit("\u0000")))
     val row = df
       .select(xxhash64(concat_ws("\u0001", cols.toSeq: _*)).as("h"))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("s"))
+      .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(h)"), lit(0L)).as("s"))
       .head()
     (row.getLong(0), row.getLong(1))
   }
