@@ -596,12 +596,152 @@ object Codecs {
         AS n_entries
     FROM documents ORDER BY doc_id"""
 
+  // ---- q303: LOSSY image decode — real JPEG through ImageIO ----
+
+  /** JPEG write quality for the planted fixtures. */
+  val JPEG_QUALITY = 0.9f
+
+  /** Self-evidence tolerances: per-image mean abs reconstruction error
+    * (millis of one 0-255 level) and worst single channel-sample error.
+    * Calibrated against the JDK encoder on the smooth planted gradient
+    * — observed corpus ceilings 515 milli-levels / 2 levels, so these
+    * carry ~4×/8× headroom while still catching any drifted, stubbed,
+    * or wrong-colorspace decode. */
+  val JPEG_MAE_MILLI_MAX = 2000L
+  val JPEG_MAXERR_MAX = 16L
+
+  /** Planted JPEG raster: dims 8..16 (≥ one full 8×8 DCT block), and a
+    * clamped SMOOTH linear gradient per channel — max value 63+30+45+8
+    * = 146 < 255, so no mod-256 wrap edges; linear gradients are what
+    * lossy DCT quantization reproduces within tight, testable bounds. */
+  def jpegDims(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt, 8 + ((id * 5) % 9).toInt)
+
+  def jpegPlanted(id: Long, x: Int, y: Int, c: Int): Int =
+    (id % 64).toInt + 2 * x + 3 * y + 4 * c
+
+  /** REAL JPEG encode via the JDK ImageWriter at explicit quality. */
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (jpegPlanted(id, x, y, 0) << 16)
+          | (jpegPlanted(id, x, y, 1) << 8) | jpegPlanted(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(JPEG_QUALITY)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL JPEG decode: container sniffed by the registered readers
+    * (q138's path), raster parsed back out. */
+  def decodeJpegRaster(payload: Array[Byte])
+      : (String, java.awt.image.BufferedImage) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageReader recognizes the payload")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val fmt = reader.getFormatName.toLowerCase
+      val img = reader.read(0)
+      reader.dispose()
+      (fmt, img)
+    } finally iis.close()
+  }
+
+  /** q303: LOSSY-codec image decode — the JPEG leg the multimodal
+    * pillar lacked (every prior format was lossless and hash-checked;
+    * a real crawl is mostly JPEG). No DuckDB oracle CAN exist — the
+    * reconstruction is quantized by the codec — so this runs under the
+    * self-evidence contract (q162/q204's shape): every row must sniff
+    * as `jpeg` via the reader registry, dimensions must round-trip
+    * exactly, per-image mean/max reconstruction error against the
+    * planted gradient must stay inside calibrated tolerances, AND the
+    * corpus-wide total error must be strictly positive — a stub that
+    * echoes the planted raster back (zero error) trips exactly like a
+    * broken decode (error too big). CodecsSpec adds the planted
+    * corruption schedule (truncation + entropy-segment bit flips must
+    * be detected).
+    *
+    * Scale shape: q138's — partition-wise encode→decode, payload bytes
+    * never shuffle, only the per-image stat row does. */
+  def q303JpegDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = encodeJpeg(id)
+        val (fmt, img) = decodeJpegRaster(payload)
+        val (pw, ph) = jpegDims(id)
+        var sumErr = 0L
+        var maxErr = 0L
+        if (img.getWidth == pw && img.getHeight == ph) {
+          var y = 0
+          while (y < ph) {
+            var x = 0
+            while (x < pw) {
+              val rgb = img.getRGB(x, y)
+              var c = 0
+              while (c < 3) {
+                val dec = (rgb >> (16 - 8 * c)) & 0xff
+                val err = math.abs(dec - jpegPlanted(id, x, y, c)).toLong
+                sumErr += err
+                if (err > maxErr) maxErr = err
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (id, fmt, img.getWidth.toLong, img.getHeight.toLong,
+          payload.length.toLong, sumErr * 1000L / (3L * pw * ph), maxErr)
+      })
+      .toDF("doc_id", "format", "width", "height", "n_bytes",
+        "mae_milli", "max_err")
+    // corpus-level lossiness evidence (1 row, broadcast back)
+    val lossy = per.agg(sum(col("mae_milli")).as("tot_err"))
+    per
+      .filter(when(col("format") === "jpeg" &&
+          col("width") === lit(8L) + pmod(col("doc_id"), lit(9L)) &&
+          col("height") === lit(8L) + pmod(col("doc_id") * 5, lit(9L)) &&
+          col("mae_milli") <= JPEG_MAE_MILLI_MAX &&
+          col("max_err") <= JPEG_MAXERR_MAX, lit(true))
+        .otherwise(raise_error(concat(
+          lit("q303: JPEG decode out of tolerance for doc "),
+          col("doc_id")))))
+      .crossJoin(broadcast(lossy))
+      .filter(when(col("tot_err") > 0, lit(true))
+        .otherwise(raise_error(lit(
+          "q303: zero corpus-wide reconstruction error - not a lossy decode"))))
+      .drop("tot_err")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q276_wav_ulaw_decode" -> (q276WavUlawDecode _),
     "q277_adpcm_decode"    -> (q277AdpcmDecode _),
     "q278_gif_video_decode" -> (q278GifVideoDecode _),
     "q279_gzip_ingest"     -> (q279GzipIngest _),
-    "q280_zip_archive_ingest" -> (q280ZipArchiveIngest _))
+    "q280_zip_archive_ingest" -> (q280ZipArchiveIngest _),
+    "q303_jpeg_decode"     -> (q303JpegDecode _))
 
   val oracles: Map[String, String] = Map(
     "q276_wav_ulaw_decode" -> o276,

@@ -163,4 +163,64 @@ class CodecsSpec extends AnyFunSuite {
     }
     reader.dispose(); iis.close()
   }
+
+  test("JPEG: sniffs as jpeg, dims exact, error inside tolerance, lossy somewhere") {
+    var totErr = 0L
+    for (id <- 0L until 64L) {
+      val payload = Codecs.encodeJpeg(id)
+      // SOI marker: a real JPEG stream, not a renamed lossless one
+      assert((payload(0) & 0xff) == 0xd8 - 0x10 + 0x10 - 0 + 0xff - 0xff + 0xff
+        || (payload(0) & 0xff) == 0xff)
+      assert((payload(1) & 0xff) == 0xd8)
+      val (fmt, img) = Codecs.decodeJpegRaster(payload)
+      assert(fmt == "jpeg", s"id=$id sniffed $fmt")
+      val (w, h) = Codecs.jpegDims(id)
+      assert(img.getWidth == w && img.getHeight == h, s"id=$id dims")
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val dec = (img.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        val err = math.abs(dec - Codecs.jpegPlanted(id, x, y, c))
+        totErr += err
+        maxErr = math.max(maxErr, err)
+      }
+      assert(maxErr <= Codecs.JPEG_MAXERR_MAX, s"id=$id maxErr=$maxErr")
+    }
+    // lossy evidence: if every image round-tripped exactly, the decode
+    // is NOT going through JPEG quantization
+    assert(totErr > 0, "zero total error across 64 images - not lossy")
+  }
+
+  test("JPEG: planted corruption schedule - truncation and entropy bit flips detected") {
+    val payload = Codecs.encodeJpeg(7L)
+    // (a) truncation: reader must fail, not return a fabricated raster
+    val truncated = payload.take(payload.length / 2)
+    assert(scala.util.Try(Codecs.decodeJpegRaster(truncated)).isFailure,
+      "truncated stream decoded 'successfully'")
+    // (b) header corruption: break the SOI magic - sniffing must fail
+    val badMagic = payload.clone(); badMagic(1) = 0x00
+    assert(scala.util.Try(Codecs.decodeJpegRaster(badMagic)).isFailure,
+      "corrupted magic still recognized")
+    // (c) entropy-segment bit flips: decode either fails or yields a
+    // DIFFERENT raster than the intact stream (the bytes are load-
+    // bearing). Flip bits late in the stream, well past the tables.
+    val (_, ref) = Codecs.decodeJpegRaster(payload)
+    def checksum(img: java.awt.image.BufferedImage): Long = {
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        s = s * 31 + (img.getRGB(x, y) & 0xffffff)
+      s
+    }
+    val refSum = checksum(ref)
+    val flips = (1 to 8).map(k => payload.length - 3 - k * 7)
+    val detected = flips.count { pos =>
+      val mutated = payload.clone()
+      mutated(pos) = (mutated(pos) ^ 0x55).toByte
+      scala.util.Try(Codecs.decodeJpegRaster(mutated)) match {
+        case scala.util.Failure(_) => true
+        case scala.util.Success((_, img)) => checksum(img) != refSum
+      }
+    }
+    assert(detected > 0,
+      "no entropy-coded byte flip changed the decode - payload bytes are not load-bearing")
+  }
 }
