@@ -9,28 +9,48 @@ import org.apache.spark.sql.SparkSession
   * needing to fit on one stdout line.
   */
 object Bench {
-  /** (sf, per-query min) from the previously COMMITTED bench.json, read
-    * before this run overwrites it. sf is carried so a local dev run at a
-    * different SF never adjudicates against incomparable numbers. */
-  private def readPrevBench(): (Option[String], Map[String, Double]) =
-    try {
-      val f = new java.io.File("bench.json")
-      if (!f.exists()) (None, Map.empty)
+  /** (sf, per-query min, provenance) of the baseline this run adjudicates
+    * against. Prefers the COMMITTED `HEAD:bench.json` (via `git show`) so a
+    * second Bench run in the same checkout does not adjudicate against its
+    * own freshly-overwritten numbers, and a dirty working-tree bench.json
+    * never silently becomes the baseline; falls back to the working-tree
+    * file only when git is unavailable. sf is carried so a local dev run at
+    * a different SF never adjudicates against incomparable numbers. */
+  private def readPrevBench(): (Option[String], Map[String, Double], String) = {
+    def parse(bytes: Array[Byte]): (Option[String], Map[String, Double]) = {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val sf = Option(root.get("sf")).map(_.asText())
+      val q = root.get("queries")
+      if (q == null) (sf, Map.empty)
       else {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        val sf = Option(root.get("sf")).map(_.asText())
-        val q = root.get("queries")
-        if (q == null) (sf, Map.empty)
-        else {
-          val b = Map.newBuilder[String, Double]
-          val it = q.fields()
-          while (it.hasNext) {
-            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
-          }
-          (sf, b.result())
+        val b = Map.newBuilder[String, Double]
+        val it = q.fields()
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey -> e.getValue.asDouble()
         }
+        (sf, b.result())
       }
-    } catch { case _: Throwable => (None, Map.empty) }
+    }
+    val fromGit: Option[(Option[String], Map[String, Double], String)] =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:bench.json").start()
+        val bytes = p.getInputStream.readAllBytes()
+        if (p.waitFor() == 0 && bytes.nonEmpty) {
+          val (sf, m) = parse(bytes)
+          Some((sf, m, "git:HEAD"))
+        } else None
+      } catch { case _: Throwable => None }
+    fromGit.getOrElse {
+      try {
+        val f = new java.io.File("bench.json")
+        if (!f.exists()) (None, Map.empty, "none")
+        else {
+          val (sf, m) = parse(java.nio.file.Files.readAllBytes(f.toPath))
+          (sf, m, "worktree")
+        }
+      } catch { case _: Throwable => (None, Map.empty, "none") }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,36 +145,64 @@ object Bench {
     // right after the suite (no other queries interleaving — the same
     // isolation PerfProbe provided manually), and both numbers land in
     // bench_adjudication.json so the verdict needs zero manual probes.
-    val (prevSf, prevMins) = readPrevBench()
+    val (prevSf, prevMins, baselineProvenance) = readPrevBench()
     val adjMovers =
       if (!prevSf.contains(sfDir)) Seq.empty
       else ok.collect { case (n, ts, _) if prevMins.get(n).exists(p =>
         ts.min > 2 * p && ts.min - p > 0.15) => (n, prevMins(n), ts.min) }
+    // Absolute-drift panel: the 2× ratio gate misses slow creep on cheap
+    // queries (r12: seven 1.3–1.9× movers, all ≤0.5 s absolute, cleared by
+    // hand). Probe the top-N regressions by Δseconds that the ratio gate
+    // did NOT already select, so the artifact clears them without a judge
+    // session.
+    val driftN = 8
+    val ratioSelected = adjMovers.map(_._1).toSet
+    val driftMovers =
+      if (!prevSf.contains(sfDir)) Seq.empty
+      else ok.collect { case (n, ts, _) if !ratioSelected(n) &&
+        prevMins.get(n).exists(p => ts.min - p > 0.15 && ts.min > 1.25 * p) =>
+        (n, prevMins(n), ts.min)
+      }.sortBy { case (_, p, g) => p - g }.take(driftN)
     val probeReps = 7
-    val adjudicated = adjMovers.map { case (n, prev, graded) =>
-      val fn = SparkEntry.queries(n)
-      val probe = (1 to probeReps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      // Both timings measure the SAME code; the steady-state estimate is
-      // the best of them (the re-probe itself can land on a contended
-      // window — observed: graded 0.44 s, re-probe 1.10 s, idle 0.18 s).
-      val best = math.min(graded, probe)
-      val verdict =
-        if (best <= math.max(1.5 * prev, prev + 0.15)) "contention"
-        else "real"
-      (n, prev, graded, probe, verdict)
+    // A probe rep that throws must not contribute a fail-fast "timing":
+    // a query that OOMs or errors during the re-probe would otherwise get
+    // an artificially tiny min and be adjudicated 'contention'. Failed reps
+    // are excluded; all-failed ⇒ verdict 'probe_failed'.
+    def adjudicate(movers: Seq[(String, Double, Double)]) = movers.map {
+      case (n, prev, graded) =>
+        val fn = SparkEntry.queries(n)
+        val probeTimes = (1 to probeReps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val okRep = try { fn(spark, sfDir).count(); true }
+                      catch { case _: Throwable => false }
+          if (okRep) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        if (probeTimes.isEmpty) (n, prev, graded, Double.NaN, "probe_failed")
+        else {
+          val probe = probeTimes.min
+          // Both timings measure the SAME code; the steady-state estimate
+          // is the best of them (the re-probe itself can land on a
+          // contended window — observed: graded 0.44 s, re-probe 1.10 s,
+          // idle 0.18 s).
+          val best = math.min(graded, probe)
+          val verdict =
+            if (best <= math.max(1.5 * prev, prev + 0.15)) "contention"
+            else "real"
+          (n, prev, graded, probe, verdict)
+        }
     }
-    val adjJson = {
-      val rows = adjudicated.sortBy(_._1).map { case (n, p, g, pr, v) =>
-        s"""{"query":"$n","prev_min":${r3(p)},"graded_min":${r3(g)},"reprobe_min":${r3(pr)},"verdict":"$v"}"""
+    val adjudicated = adjudicate(adjMovers)
+    val drifted = adjudicate(driftMovers)
+    def moversJson(rows: Seq[(String, Double, Double, Double, String)]) =
+      rows.sortBy(_._1).map { case (n, p, g, pr, v) =>
+        val prS = if (pr.isNaN) "null" else r3(pr)
+        s"""{"query":"$n","prev_min":${r3(p)},"graded_min":${r3(g)},"reprobe_min":$prS,"verdict":"$v"}"""
       }.mkString("[", ",", "]")
+    val adjJson = {
       val nReal = adjudicated.count(_._5 == "real")
       val baseline =
         if (prevSf.contains(sfDir)) s""""$sfDir"""" else "null"
-      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps":$probeReps,"baseline_sf":$baseline,"n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.size - nReal},"movers":$rows}"""
+      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps":$probeReps,"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._5 == "contention")},"movers":${moversJson(adjudicated)},"drift":{"top_n_by_abs_delta":$driftN,"n_movers":${drifted.size},"n_real":${drifted.count(_._5 == "real")},"movers":${moversJson(drifted)}}}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_adjudication.json"),
       (adjJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

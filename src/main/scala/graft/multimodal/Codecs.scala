@@ -716,9 +716,14 @@ object Codecs {
       })
       .toDF("doc_id", "format", "width", "height", "n_bytes",
         "mae_milli", "max_err")
+    // Two consumers (the corpus-wide tot_err aggregate and the output
+    // branch) read `per`; materialize the decode ONCE so the dominant
+    // cost — ImageIO encode+decode of every payload — is not paid twice
+    // per run (the repo's standing multi-consumer pattern).
+    val perCk = graft.Tables.checkpointCycled("q303_per", per)
     // corpus-level lossiness evidence (1 row, broadcast back)
-    val lossy = per.agg(sum(col("mae_milli")).as("tot_err"))
-    per
+    val lossy = perCk.agg(sum(col("mae_milli")).as("tot_err"))
+    perCk
       .filter(when(col("format") === "jpeg" &&
           col("width") === lit(8L) + pmod(col("doc_id"), lit(9L)) &&
           col("height") === lit(8L) + pmod(col("doc_id") * 5, lit(9L)) &&

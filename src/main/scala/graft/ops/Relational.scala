@@ -394,18 +394,97 @@ object Relational {
     * CORRECTNESS artifact fails loudly instead of silently recording a
     * degraded sketch. */
   val HLL_RSD = 0.05
-  def q49ApproxDistinct(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+
+  /** Sketch size for q49's hash-checkable leg (q291's KMV estimator,
+    * σ ≈ 1/√(k−2) ≈ 12.7% at k=64; the output fence is 4σ). */
+  val Q49_KMV_K = 64
+
+  /** Approximate distinct users per event_type. Two estimators run:
+    *
+    * 1. The OUTPUT estimate is a bottom-k (KMV) sketch over
+    *    md5-hashed user_ids — engine-neutral state (the k smallest
+    *    distinct hashes), so DuckDB replays the estimator
+    *    bit-for-bit and the whole row is HASH-CHECKABLE (q291's
+    *    machinery, re-pointed at the A3 surface; est =
+    *    (k−1)·2³² div kth-min, Bar-Yossef et al. 2002).
+    * 2. Spark's HLL (`approx_count_distinct`) still executes as an
+    *    in-query TRIPWIRE — its estimate must stay within 3·rsd of
+    *    exact or the row raise_errors — but its engine-private value
+    *    is dropped before output, so it can't break the cross-engine
+    *    hash.
+    *
+    * Scale shape: one (event_type, hash) distinct, then the custom
+    * TopKPerGroup plan (map-side k-bounded heaps) keeps k rows per
+    * group — the user universe never sorts globally; the HLL leg is
+    * one partial-aggregating pass. A group with < k distinct hashes
+    * degenerates to est = exact by rule in both engines. */
+  def q49ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val hh = events(s, d)
+      .select(col("event_type"),
+        expr("cast(conv(substr(md5(cast(user_id as string)),1,8),16,10) as bigint)")
+          .as("h"))
+      .distinct()
+    val exact = hh.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_users"))
+    val bottomK = graft.plans.TopKPerGroup(
+        hh, groupCols = Seq("event_type"), sortCols = Seq("h" -> false),
+        k = Q49_KMV_K)
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"),
-           approx_count_distinct(col("user_id"), HLL_RSD).as("approx_users"),
-           count(lit(1)).as("n"))
-      .withColumn("rel_err", round(
-        abs(col("approx_users") - col("exact_users"))
-          / col("exact_users"), 4))
-      .filter(when(col("rel_err") <= 3 * HLL_RSD, lit(true)).otherwise(
-        raise_error(concat(lit("q49 HLL error beyond 3*rsd: "), col("rel_err")))))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+    // HLL tripwire leg: value verified in-query, then dropped
+    val hll = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), HLL_RSD).as("hll_users"))
+    exact.join(bottomK, Seq("event_type"))
+      .join(hll, Seq("event_type"))
+      .filter(when(abs(col("hll_users") - col("exact_users"))
+          <= lit(3 * HLL_RSD) * col("exact_users"), lit(true)).otherwise(
+        raise_error(concat(lit("q49 HLL error beyond 3*rsd for "),
+          col("event_type")))))
+      .withColumn("approx_users", expr(
+        s"case when n_sketch < $Q49_KMV_K then n_sketch " +
+        s"else ($Q49_KMV_K - 1) * 4294967296 div kth_hash end"))
+      .withColumn("err_ppm", expr(
+        "abs(approx_users - exact_users) * 1000000 div exact_users"))
+      .select(col("event_type"), col("exact_users"), col("n_sketch"),
+        col("kth_hash"), col("approx_users"),
+        // 4σ fence: k=64 ⇒ σ≈12.7% ⇒ trip beyond 508000 ppm
+        expr("""case when err_ppm > 508000
+             then cast(raise_error(concat('q49: KMV error beyond 4 sigma: ',
+               cast(err_ppm as string))) as bigint)
+             else err_ppm end""").as("err_ppm"))
       .orderBy(col("event_type"))
+  }
+
+  val o49: String = s"""
+    WITH hh AS (
+      SELECT DISTINCT event_type,
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM events),
+    bk AS (
+      SELECT event_type, h,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hh),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+        CAST(MAX(h) AS BIGINT) AS kth_hash
+      FROM bk WHERE rn <= $Q49_KMV_K GROUP BY event_type),
+    ex AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users
+      FROM hh GROUP BY event_type),
+    est AS (
+      SELECT event_type, exact_users, n_sketch, kth_hash,
+        CAST(CASE WHEN n_sketch < $Q49_KMV_K THEN n_sketch
+          ELSE ($Q49_KMV_K - 1) * 4294967296 // kth_hash END AS BIGINT)
+          AS approx_users
+      FROM ex JOIN agg USING (event_type))
+    SELECT event_type, exact_users, n_sketch, kth_hash, approx_users,
+      CAST(CASE
+        WHEN abs(approx_users - exact_users) * 1000000 // exact_users > 508000
+        THEN error('q49: KMV error beyond 4 sigma')
+        ELSE abs(approx_users - exact_users) * 1000000 // exact_users
+        END AS BIGINT) AS err_ppm
+    FROM est ORDER BY event_type"""
 
   /** A3's INCREMENTAL form: q49's approx_count_distinct yields a number
     * that cannot be combined later — re-counting a grown corpus means a
@@ -1156,7 +1235,8 @@ object Relational {
     "q07_group_stats" -> o07, "q08_cube" -> o08, "q09_rollup" -> o09,
     "q10_intersect" -> o10, "q11_except" -> o11, "q12_union_contrib" -> o12,
     "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
-    "q46_order_lines" -> o46, "q50_scalar_subquery" -> o50, "q51_pivot" -> o51,
+    "q46_order_lines" -> o46, "q49_approx_distinct" -> o49,
+    "q50_scalar_subquery" -> o50, "q51_pivot" -> o51,
     "q52_custom_topk" -> o52, "q53_quantiles" -> o53,
     "q54_edit_distance" -> o54, "q57_salted_join" -> o57,
     "q59_grouping_sets" -> o59, "q60_exists_subquery" -> o60,

@@ -1538,7 +1538,12 @@ object TrainingSet {
 
   /** q287's prescreen width: larger-α candidates are evaluated only on
     * each doc's top-CV_BEAM classes under the screening α (= CV_ALPHAS
-    * .head, which is itself scored against ALL classes). */
+    * .head, which is itself scored against ALL classes). Beam = 2 is an
+    * APPROXIMATION of the exact joint sweep (argmin restricted to the
+    * screening top-2 for α ≠ α₀), mirrored exactly in the oracle; the
+    * beam is a parameter of `q287NbCvBeam` so the exact path (beam ≥
+    * |cls|) stays runnable — `tools.Q287BeamProbe` measures the
+    * beamed-vs-exact acc_ppm delta, recorded in docs/SCALE.md. */
   val CV_BEAM = 2L
 
   /** q287: IN-ENGINE MODEL SELECTION — K-fold cross-validated accuracy
@@ -1578,7 +1583,14 @@ object TrainingSet {
     * Over an unbounded web vocabulary the cell/cellF broadcasts become
     * key-shuffles on `tok` (drop the hints; q285 stance) — no other
     * plan change. */
-  def q287NbCv(s: SparkSession, d: String): DataFrame = {
+  def q287NbCv(s: SparkSession, d: String): DataFrame =
+    q287NbCvBeam(s, d, CV_BEAM)
+
+  /** q287 with an explicit beam width: beam = CV_BEAM is the graded
+    * approximation; beam ≥ |cls| degenerates to the exact joint sweep
+    * (every class survives the prescreen), which is how the beamed
+    * accuracy numbers are audited against the exact definition. */
+  def q287NbCvBeam(s: SparkSession, d: String, beamK: Long): DataFrame = {
     val foldE = expr("cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint)") % CV_FOLDS
     // ONE corpus explode pass, collapsed straight to the minimal
     // sufficient statistic: distinct (doc, fold, class, token) with
@@ -1594,63 +1606,89 @@ object TrainingSet {
           explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("f"), col("source"), col("tok"))
         .agg(count(lit(1)).as("n")))
-    // the (tok, cls, fold) count cells — |V|·|cls|·K rows; cell/tokF/
-    // tokTot re-aggregate these, not the corpus
+    // The doc-level cube collect depends only on docTok, so its job is
+    // LAUNCHED FIRST and runs concurrently with cellF's materialization
+    // below — the two barriers overlap. n_tok = Σn over the doc's
+    // distinct tokens, so the doc ledger derives from CHECKPOINTED
+    // docTok — the corpus text is scanned exactly once per run (the
+    // raw-docs size(split) formulation re-read every byte of text a
+    // second time; at 100 TB that second scan IS the cost). ONE cube
+    // pass yields clsF (cls,f), clsTot (cls,·), dTot (·,f), and D (·,·).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perDoc = docTok.groupBy(col("doc_id"), col("f"), col("source"))
+      .agg(sum(col("n")).as("n_tok"))
+    val cubeFut = Future(perDoc.cube(col("source"), col("f"))
+      .agg(sum(col("n_tok")).as("n"), count(lit(1)).as("d")).collect())
+    // the (tok, cls, fold) count cells — |V|·|cls|·K rows; consumed by
+    // scored's build (twice: cell + the join) and the vocab collect —
+    // measured cheaper materialized than recomputed (dropping this
+    // barrier re-aggregated docTok twice inside scored's job and cost
+    // ~0.5 s net)
     val cellF = graft.Tables.checkpointCycled(s"nbcv-cellf:$d",
       docTok.groupBy(col("tok"), col("source").as("cls"), col("f"))
         .agg(sum(col("n")).as("cf")))
     val cell = cellF.groupBy(col("tok"), col("cls"))
       .agg(sum(col("cf")).as("c"))
-    // per-fold training vocabulary: tokens with any out-of-fold mass.
-    // Fold/alpha densification uses inline explode(sequence/array)
-    // generators, NOT crossJoin(broadcast(...)): a generator is free
-    // inside the row pipeline, while every broadcast build is its own
-    // Spark job — at this frame size the job overhead WAS the cost
     val foldGen = explode(sequence(lit(0L), lit(CV_FOLDS - 1))).as("f")
-    val alphaGen = explode(array(CV_ALPHAS.map(a => lit(a)): _*)).as("alpha")
-    val tokTot = cellF.groupBy(col("tok")).agg(sum(col("cf")).as("t"))
-    val tokF = cellF.groupBy(col("tok"), col("f")).agg(sum(col("cf")).as("tf"))
-    val vf = tokTot.select(col("tok"), col("t"), foldGen)
-      .join(tokF, Seq("tok", "f"), "left")
-      .filter(col("t") - coalesce(col("tf"), lit(0L)) > 0)
-      .groupBy(col("f")).agg(count(lit(1)).as("vtrain"))
-    // per-(class, fold) training totals from the raw docs table (token
-    // mass is row-local size(split); no explode needed)
-    val docLedger = documents(s, d)
-      .select(col("doc_id"), foldE.as("f"),
-        col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val clsTot = docLedger.groupBy(col("source").as("cls"))
-      .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds"))
-    val clsF = docLedger.groupBy(col("source").as("cls"), col("f"))
-      .agg(sum(col("n_tok")).as("nsf"), count(lit(1)).as("dsf"))
-    val dTot = docLedger.groupBy(col("f")).agg(count(lit(1)).as("df"))
-      .withColumn("dd", sum(col("df")).over(Window.partitionBy()))
-    // one K-row per-fold stat frame (vtrain, df, dd) → ONE broadcast
-    // into the ledger instead of two
-    val fStats = vf.join(dTot, Seq("f"))
-    // the (cls, fold, alpha) model ledger: |cls|·K·|alpha| rows, read
-    // by both the score ledger and the final argmin pass — materialize
-    // once
-    val ledger = graft.Tables.checkpointCycled(s"nbcv-ledger:$d",
-      clsTot.select(col("cls"), col("ns"), col("ds"), foldGen)
-        .join(clsF, Seq("cls", "f"), "left")
-        .withColumn("ns_tr", col("ns") - coalesce(col("nsf"), lit(0L)))
-        .withColumn("ds_tr", col("ds") - coalesce(col("dsf"), lit(0L)))
-        .filter(col("ds_tr") > 0)
-        .join(broadcast(fStats), Seq("f"))
-        .select(col("*"), alphaGen)
-        .withColumn("den", col("ns_tr") + col("alpha") * col("vtrain"))
-        .withColumn("u7", floor(log(col("den").cast("double")
-          / col("alpha").cast("double")) * lit(1e7)).cast("long"))
-        .withColumn("prior7", floor(log((col("dd") - col("df")).cast("double")
-          / col("ds_tr").cast("double")) * lit(1e7)).cast("long"))
-        .select(col("cls"), col("f"), col("alpha"), col("den"),
-          col("u7"), col("prior7")))
+    // ---- the (cls, fold, alpha) model ledger, built ON THE DRIVER ----
+    // Everything the ledger needs is CLUSTER-SIZE-INDEPENDENT: the
+    // per-fold vocabulary counts (K numbers), and the per-(class, fold)
+    // doc/token totals (|cls|·K rows). Two bounded collects replace the
+    // previous distributed ledger pyramid (tokTot/tokF/vf/clsTot/clsF/
+    // dTot/fStats + a checkpoint), and — the actual win — the ledger
+    // becomes a LocalRelation, so its three downstream broadcasts build
+    // driver-side with NO Spark job each. At 100 TB the two collects are
+    // still K and |cls|·K rows; only their INPUT aggregations scale, and
+    // those stay distributed. Double math is java.lang.Math.log / floor
+    // — bit-identical to the codegen expressions this replaces.
+    //
+    // Per-fold training vocabulary via the exclusive-fold identity:
+    // vtrain(f) = #{tok : mass outside f} = V − #{tok exclusively in f}
+    // — ONE aggregation over cellF instead of tokTot ⋈ tokF; overlaps
+    // with the still-running cube job above.
+    val exclRows = cellF.groupBy(col("tok"))
+      .agg(min(col("f")).as("fmin"), max(col("f")).as("fmax"))
+      .groupBy(when(col("fmin") === col("fmax"), col("fmin"))
+        .otherwise(lit(-1L)).as("exclf"))
+      .agg(count(lit(1)).as("n")).collect()
+    val cubeRows = Await.result(cubeFut, Duration.Inf)
+    val vTotal = exclRows.map(_.getLong(1)).sum
+    val vtrain: Map[Long, Long] = (0L until CV_FOLDS).map(f =>
+      f -> (vTotal - exclRows.find(r => r.getLong(0) == f)
+        .map(_.getLong(1)).getOrElse(0L))).toMap
+    def cellOf(src: Option[String], f: Option[Long]): Option[(Long, Long)] =
+      cubeRows.find(r =>
+          (if (src.isEmpty) r.isNullAt(0) else !r.isNullAt(0) && r.getString(0) == src.get) &&
+          (if (f.isEmpty) r.isNullAt(1) else !r.isNullAt(1) && r.getLong(1) == f.get))
+        .map(r => (r.getLong(2), r.getLong(3)))
+    val classes = cubeRows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(_.getString(0)).sorted
+    val dd = cellOf(None, None).map(_._2).getOrElse(0L)
+    val ledgerRows: Seq[(String, Long, Long, Long, Long, Long)] = for {
+      cls <- classes.toSeq
+      f <- 0L until CV_FOLDS
+      (ns, ds) = cellOf(Some(cls), None).get
+      (nsf, dsf) = cellOf(Some(cls), Some(f)).getOrElse((0L, 0L))
+      nsTr = ns - nsf
+      dsTr = ds - dsf
+      if dsTr > 0
+      df = cellOf(None, Some(f)).map(_._2).getOrElse(0L)
+      alpha <- CV_ALPHAS
+      den = nsTr + alpha * vtrain(f)
+    } yield (cls, f, alpha,
+      den,
+      math.floor(math.log(den.toDouble / alpha.toDouble) * 1e7).toLong,
+      math.floor(math.log((dd - df).toDouble / dsTr.toDouble) * 1e7).toLong)
+    import s.implicits._
+    val ledger = ledgerRows.toDF("cls", "f", "alpha", "den", "u7", "prior7")
     // vocabulary-bounded score ledger: n7 once per (tok, cls, f, α) —
     // |V|·|cls|·K·|α| rows — instead of one log() per occurrence×cls×α
     // row (the fan-out join below then carries only a precomputed long).
-    // Materialized once; the screen and rerank passes each broadcast a
-    // slice of the checkpoint instead of rebuilding the join chain
+    // Materialized once (measured: letting the two consumer broadcasts
+    // each rebuild it from cellF costs more than the one barrier); the
+    // screen and rerank passes each broadcast a slice of the checkpoint.
     val scored = graft.Tables.checkpointCycled(s"nbcv-scored:$d",
       cell.select(col("tok"), col("cls"), col("c"), foldGen)
         .join(cellF, Seq("tok", "cls", "f"), "left")
@@ -1665,7 +1703,6 @@ object TrainingSet {
     // into the (n_tok − n_seen)·u7 remainder. docTok already collapsed
     // repeats to (doc, tok, n), so the fan-out joins below multiply
     // distinct-token rows, not raw occurrences
-    val perDoc = docLedger
     val alpha0 = CV_ALPHAS.head
     // SCREEN: full |cls| fan-out at the screening alpha only
     val seen1 = docTok
@@ -1675,15 +1712,21 @@ object TrainingSet {
     val wBeam = Window.partitionBy(col("doc_id"))
       .orderBy(col("nll7"), col("cls"))
     // per-doc screening ranks: rn=1 is the alpha0 prediction, rn ≤
-    // CV_BEAM is the rerank candidate set for the other alphas
-    val nll1 = graft.Tables.checkpointCycled(s"nbcv-nll1:$d",
+    // CV_BEAM is the rerank candidate set for the other alphas.
+    // Checkpointed: three consumers (win1, the two beam joins) and the
+    // screen pyramid below is the query's heaviest sub-plan — measured,
+    // exchange reuse does NOT dedupe it across the three uses (the
+    // window/filter sit above the shared exchange but each consumer
+    // re-plans its own copy), so dropping this barrier tripled the
+    // action time. One eager materialization is the cheaper shape.
+    val nll1 = graft.Tables.checkpointCycled(s"nbcv-nll1:$beamK:$d",
       perDoc.join(broadcast(ledger.filter(col("alpha") === alpha0)), Seq("f"))
         .join(seen1, Seq("doc_id", "cls"), "left")
         .withColumn("nll7", coalesce(col("s7"), lit(0L))
           + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
           + col("prior7"))
         .withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= CV_BEAM)
+        .filter(col("rn") <= beamK)
         .select(col("doc_id"), col("f"), col("source"), col("n_tok"),
           col("cls"), col("rn")))
     val win1 = nll1.filter(col("rn") === 1)

@@ -23,19 +23,37 @@ import org.apache.spark.sql.functions._
   */
 object ClusterSmoke {
 
-  /** One query per family, biased toward the paths where cross-JVM
-    * serialization could genuinely differ from local[*]. */
-  private val QUERIES = Seq(
-    "q03_revenue_by_nation", // multiway broadcast+shuffle joins
+  /** Fixed half of the panel: one query per family where cross-JVM
+    * serialization could genuinely differ from local[*] — the custom
+    * Expression / Array[Float] / iterative-lineage paths stay covered
+    * every round. */
+  private val FIXED = Seq(
     "q41_minhash_lsh",       // codegen MinhashSig Expression, banded LSH
     "q55_knn_ivf",           // ANN index build + probe (Array[Float] payloads)
     "q76_dedup_components",  // iterative CC, localCheckpoint lineage cuts
-    "q138_image_decode",     // binary-column decode (PNG/BMP byte payloads)
-    "q158_pagerank",         // iterative graph with broadcast rank vector
-    "q204_semdedup",         // embedding clustering + cosine pruning
     "q207_bpe_train",        // driver-loop argmax over a broadcast ledger
-    "q287_nb_cv",            // heaviest: count-ledger K-fold CV sweep
-    "q302_conformal")        // single-partition calibration window
+    "q287_nb_cv")            // heaviest: count-ledger K-fold CV sweep
+
+  /** Queries that are `no_oracle` by the SparkEntry contract (sketch /
+    * approx / lossy / file-metadata) — their outputs are not guaranteed
+    * string-stable across partitionings, so they are excluded from the
+    * rotating half (the fixed half already covers q55). */
+  private val NO_ORACLE = Set(
+    "q44_knn_lsh_bucketed", "q55_knn_ivf",
+    "q75_approx_quantiles", "q77_file_sizes", "q81_osm_count_tags",
+    "q90_hll_mergeable", "q144_cms_point_queries", "q162_knn_pq",
+    "q204_semdedup", "q303_jpeg_decode")
+
+  /** Rotating half: 5 hash-green registry queries chosen deterministically
+    * from the round number, so serialization coverage extends to the whole
+    * registry over rounds at zero marginal cost. Seeded MurmurHash order —
+    * no RNG state, reproducible from ROUND alone. */
+  private def rotating(round: Int): Seq[String] = {
+    val pool = graft.SparkEntry.queries.keys.toSeq
+      .filterNot(FIXED.contains).filterNot(NO_ORACLE.contains).sorted
+    pool.sortBy(n => scala.util.hashing.MurmurHash3.stringHash(s"r$round:$n"))
+      .take(5).sorted
+  }
 
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -48,21 +66,27 @@ object ClusterSmoke {
   ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
   /** Order-independent content fingerprint: (row count, bit_xor of
-    * per-row xxhash64 over all columns cast to string, sorted by column
-    * name). bit_xor, not sum — a sum of 64-bit hashes overflows under
-    * ANSI mode. NULL and "" stay distinct via a sentinel coalesce. */
-  private def fingerprint(df: DataFrame): (Long, Long) = {
+    * per-row xxhash64 over all columns cast to string sorted by column
+    * name, modular sum of the same hashes). bit_xor alone cancels PAIRS
+    * of identical rows ({A,A,B} and {C,C,B} both xor to hash(B)), so a
+    * duplicate-multiplicity bug could pass — the modular sum breaks that
+    * degeneracy (sum of pmod(h, p) with p < 2^31 cannot overflow a long
+    * under ANSI at any realistic row count). NULL and "" stay distinct
+    * via a sentinel coalesce. */
+  private def fingerprint(df: DataFrame): (Long, Long, Long) = {
     val cols = df.columns.sorted.map(c =>
       coalesce(col(c).cast("string"), lit("\u0000")))
     val row = df
       .select(xxhash64(concat_ws("\u0001", cols.toSeq: _*)).as("h"))
-      .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(h)"), lit(0L)).as("s"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("s"),
+        coalesce(sum(pmod(col("h"), lit(2147483629L))), lit(0L)).as("m"))
       .head()
-    (row.getLong(0), row.getLong(1))
+    (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
-  private def runAll(master: String, sfDir: String,
-                     cluster: Boolean): Map[String, (Long, Long)] = {
+  private def runAll(queries: Seq[String], master: String, sfDir: String,
+                     cluster: Boolean): Map[String, (Long, Long, Long)] = {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", "8")
@@ -82,7 +106,7 @@ object ClusterSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       graft.SparkEntry.benchSetup(spark, sfDir)
-      QUERIES.map { n =>
+      queries.map { n =>
         n -> fingerprint(graft.SparkEntry.queries(n)(spark, sfDir))
       }.toMap
     } finally spark.stop()
@@ -90,25 +114,27 @@ object ClusterSmoke {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val round = sys.env.get("ROUND").flatMap(_.toIntOption).getOrElse(0)
+    val panel = FIXED ++ rotating(round)
     val clusterMaster = "local-cluster[2,4,2048]"
     if (!sys.env.contains("SPARK_HOME"))
       System.err.println("[cluster-smoke] WARNING: SPARK_HOME unset - " +
         "the Worker needs it to launch executor JVMs")
-    val local = runAll("local[8]", sfDir, cluster = false)
-    val clustered = runAll(clusterMaster, sfDir, cluster = true)
-    val rows = QUERIES.sorted.map { n =>
-      val (ln, lh) = local(n)
-      val (cn, ch) = clustered(n)
-      val ok = ln == cn && lh == ch
-      s""""$n":{"rows_local":$ln,"rows_cluster":$cn,"hash_local":$lh,"hash_cluster":$ch,"match":$ok}"""
+    val local = runAll(panel, "local[8]", sfDir, cluster = false)
+    val clustered = runAll(panel, clusterMaster, sfDir, cluster = true)
+    val rows = panel.sorted.map { n =>
+      val (ln, lh, lm) = local(n)
+      val (cn, ch, cm) = clustered(n)
+      val ok = ln == cn && lh == ch && lm == cm
+      s""""$n":{"rows_local":$ln,"rows_cluster":$cn,"hash_local":$lh,"hash_cluster":$ch,"modsum_local":$lm,"modsum_cluster":$cm,"match":$ok}"""
     }
-    val nMatch = QUERIES.count(n => local(n) == clustered(n))
+    val nMatch = panel.count(n => local(n) == clustered(n))
     val json =
-      s"""{"metric":"cluster_smoke","master":"$clusterMaster","sf":"$sfDir","n_queries":${QUERIES.size},"n_match":$nMatch,"results":{${rows.mkString(",")}}}"""
+      s"""{"metric":"cluster_smoke","master":"$clusterMaster","sf":"$sfDir","round":$round,"fixed":${FIXED.size},"rotating":${rotating(round).size},"n_queries":${panel.size},"n_match":$nMatch,"results":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("cluster_smoke.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
-    if (nMatch != QUERIES.size) sys.exit(1)
+    if (nMatch != panel.size) sys.exit(1)
   }
 }
