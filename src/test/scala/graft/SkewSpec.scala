@@ -55,4 +55,44 @@ class SkewSpec extends AnyFunSuite {
     assert(chMoves > 0 && chMoves * 2 < docs, s"CH moved $chMoves of $docs")
     assert(modMoves > chMoves * 2, s"modulo ($modMoves) should dwarf CH ($chMoves)")
   }
+
+  /** The runtime half of the skew story beside q57's manual salting:
+    * AQE's OptimizeSkewedJoin must (a) actually FIRE on a hot-key join
+    * (the executed plan carries the skew=true marker) and (b) return
+    * exactly the rows the salted mitigation returns — proving the two
+    * mitigations are interchangeable on semantics and the engine can
+    * rely on AQE first, salting only when one key overwhelms even a
+    * split partition (see docs/SCALE.md §Skew). */
+  test("AQE skew-join fires on a hot key and matches the salted join") {
+    // Dedicated session: the skew thresholds are session-wide SQLConf
+    // and must not leak into other suites sharing the context.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // hot key 0 carries 50k of 55k rows; 50 cold keys carry 100 each
+    val big = s2.range(0, 55000).select(
+      when(col("id") < 50000, 0L)
+        .otherwise(pmod(col("id"), lit(50L)) + 1).as("k"),
+      col("id").as("v"))
+    val small = s2.range(0, 51).select(col("id").as("k"),
+      (col("id") * 10).as("w"))
+    val plain = big.join(small, "k")
+    val got = plain.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val plan = plain.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("skew=true"),
+      "AQE did not mark the hot-key join skewed:\n" + plan.take(3000))
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "v", "w").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.length == 55000 && (got sameElements salted),
+      s"AQE rows ${got.length} vs salted ${salted.length}")
+  }
 }
