@@ -1573,7 +1573,56 @@ object Analytics {
         AS BIGINT) AS mase_ppm
     FROM err GROUP BY 1 ORDER BY event_type"""
 
+
+  // ---- q304: composed experiment dashboard (q293 ⊕ q295) ----
+
+  /** q304: the EXPERIMENT DASHBOARD — one normalized "monitor card"
+    * per live signal, composing the SPRT sequential A/B monitor
+    * (q293, one card per arm) and the CUSUM drift monitor (q295, one
+    * card per event type) into a single reporting surface: monitor,
+    * key, observation count, signal state, where the signal fired
+    * (sequential index n or day; −1 = never), and the monitor's
+    * terminal statistic. This is the operational view an experiment
+    * platform actually serves — "what is every monitor saying right
+    * now" — and it is pure REUSE: both legs are the hash-green
+    * monitors unchanged, reshaped and unioned; the oracle nests the
+    * two monitor oracles as subqueries.
+    *
+    * Scale shape: inherited — each leg's design is documented at its
+    * own query; the union is card-count-sized (|arms| + |types|). */
+  def q304ExperimentDashboard(s: SparkSession, d: String): DataFrame = {
+    val sprt = q293SprtMonitor(s, d).select(
+      lit("sprt").as("monitor"),
+      concat(lit("arm_"), col("arm").cast("string")).as("key"),
+      col("n_events").as("n_obs"),
+      col("decision").as("signal"),
+      col("n_decide").as("signal_at"),
+      col("llr_end_e7").as("stat"))
+    val cusum = q295CusumMonitor(s, d).select(
+      lit("cusum").as("monitor"),
+      col("event_type").as("key"),
+      col("n_days").as("n_obs"),
+      when(col("alarm_day") >= 0, lit("alarm")).otherwise(lit("ok"))
+        .as("signal"),
+      col("alarm_day").as("signal_at"),
+      col("s_max").as("stat"))
+    sprt.unionByName(cusum).orderBy(col("monitor"), col("key"))
+  }
+
+  val o304: String = s"""
+    SELECT 'sprt' AS monitor, 'arm_' || arm::VARCHAR AS key,
+      n_events AS n_obs, decision AS signal, n_decide AS signal_at,
+      llr_end_e7 AS stat
+    FROM ($o293) sprt_leg
+    UNION ALL
+    SELECT 'cusum' AS monitor, event_type AS key, n_days AS n_obs,
+      CASE WHEN alarm_day >= 0 THEN 'alarm' ELSE 'ok' END AS signal,
+      alarm_day AS signal_at, s_max AS stat
+    FROM ($o295) cusum_leg
+    ORDER BY monitor, key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_experiment_dashboard" -> (q304ExperimentDashboard _),
     "q296_forecast_backtest" -> (q296ForecastBacktest _),
     "q295_cusum_monitor"     -> (q295CusumMonitor _),
     "q293_sprt_monitor"      -> (q293SprtMonitor _),
@@ -1598,6 +1647,7 @@ object Analytics {
     "q130_expectations"      -> (q130Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q304_experiment_dashboard" -> o304,
     "q296_forecast_backtest" -> o296,
     "q295_cusum_monitor" -> o295,
     "q293_sprt_monitor" -> o293,
