@@ -42,7 +42,7 @@ object Pca {
     * eigenvalue in (1e-6·x)² units, constant across rows. */
   /** Half-away-from-zero rounding — the ROUND both engines apply (JVM
     * Math.round is half-toward-+∞, which differs at negative .5). */
-  private def roundHalfAway(v: Double): Long =
+  private[sim] def roundHalfAway(v: Double): Long =
     if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
 
   /** Fitted fixed-point PCA: the per-dimension truncated mean, the

@@ -1468,42 +1468,70 @@ object Similarity {
     * raise MMD_SCALE-granularity loss by shard-and-average — the
     * moment matrices are mergeable by construction.
     *
-    * Scale shape: the d² cell explode is row-local (no shuffle); the
-    * only corpus shuffle is the (label, cell) aggregate; the label-pair
-    * join is |labels|²·d² on broadcast-joined 1-row counts. */
+    * Scale shape: ONE partition-wise pass accumulates each label's d²
+    * moment block in tight JVM loops (the q217 PCA stance — the
+    * Catalyst HOF outer-product expansion this replaces ran the d²
+    * lambda per ROW interpreted, measured ~4× the whole query's cost);
+    * only #partitions·|labels| moment blocks (d² longs each) leave the
+    * executors, int64 addition is order-free so the merge is exact,
+    * and the |labels|²·d² pairwise matrix is CLUSTER-SIZE-INDEPENDENT
+    * driver arithmetic in BigInt (== the old decimal(38,0) plan and
+    * the oracle's HUGEINT, for the audited bound). */
   def q286MmdTwoSample(s: SparkSession, d: String): DataFrame = {
-    val moments = embeddings(s, d)
-      .select(col("label"), expr(
-        s"transform(embedding, x -> cast(round(cast(x as double) * $MMD_SCALE) as bigint))")
-        .as("q"))
-      .select(col("label"), posexplode(expr(
-        "flatten(transform(q, x -> transform(q, y -> x * y)))"))
-        .as(Seq("idx", "v")))
-      .groupBy(col("label"), col("idx"))
-      .agg(sum(col("v")).as("m"))
-    val nPer = embeddings(s, d).groupBy(col("label"))
-      .agg(count(lit(1)).as("n"))
-    val a = moments.select(col("label").as("label_a"), col("idx"),
-      col("m").as("ma"))
-    val b = moments.select(col("label").as("label_b"), col("idx"),
-      col("m").as("mb"))
-    a.join(b, Seq("idx"))
-      .filter(col("label_a") < col("label_b"))
-      .join(broadcast(nPer.select(col("label").as("label_a"), col("n").as("na"))),
-        Seq("label_a"))
-      .join(broadcast(nPer.select(col("label").as("label_b"), col("n").as("nb"))),
-        Seq("label_b"))
-      .groupBy(col("label_a"), col("label_b"))
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        sum(expr(
-          """(cast(ma as decimal(38,0)) * nb - cast(mb as decimal(38,0)) * na)
-             * (cast(ma as decimal(38,0)) * nb - cast(mb as decimal(38,0)) * na)"""))
-          .as("num"))
-      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-        expr(
-          s"""cast((num div (cast(n_a as decimal(38,0)) * n_a * n_b * n_b))
-              * 1000000 div ${MMD_SCALE * MMD_SCALE * MMD_SCALE * MMD_SCALE}L
-              as bigint)""").as("mmd2_micro"))
+    import s.implicits._
+    val dim = Pca.PCA_DIM
+    val scale = MMD_SCALE
+    val blocks = embeddings(s, d)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .mapPartitions { it =>
+        val accP = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+        val accN = scala.collection.mutable.HashMap.empty[Int, Long]
+        val q = new Array[Long](dim)
+        while (it.hasNext) {
+          val (lab, x) = it.next()
+          require(x.length == dim, s"embedding dim ${x.length} != $dim")
+          var i = 0
+          while (i < dim) {
+            q(i) = Pca.roundHalfAway(x(i).toDouble * scale); i += 1
+          }
+          val p = accP.getOrElseUpdate(lab, new Array[Long](dim * dim))
+          accN.update(lab, accN.getOrElse(lab, 0L) + 1L)
+          i = 0
+          while (i < dim) {
+            val qi = q(i); val base = i * dim
+            var j = 0
+            while (j < dim) { p(base + j) += qi * q(j); j += 1 }
+            i += 1
+          }
+        }
+        accP.iterator.map { case (lab, p) => (lab, accN(lab), p) }
+      }.collect()
+    val byLabel: Map[Int, (Long, Array[Long])] =
+      blocks.groupBy(_._1).map { case (lab, bs) =>
+        val m = new Array[Long](dim * dim)
+        bs.foreach { case (_, _, p) =>
+          var i = 0; while (i < m.length) { m(i) += p(i); i += 1 } }
+        lab -> (bs.map(_._2).sum, m)
+      }
+    val labels = byLabel.keys.toSeq.sorted
+    val out = for {
+      la <- labels; lb <- labels if la < lb
+      (na, ma) = byLabel(la)
+      (nb, mb) = byLabel(lb)
+    } yield {
+      var num = BigInt(0)
+      var idx = 0
+      while (idx < dim * dim) {
+        val t = BigInt(ma(idx)) * nb - BigInt(mb(idx)) * na
+        num += t * t
+        idx += 1
+      }
+      val mmd = num / (BigInt(na) * na * nb * nb) * 1000000 /
+        BigInt(scale * scale * scale * scale)
+      (la, lb, na, nb, mmd.toLong)
+    }
+    out.toDF("label_a", "label_b", "n_a", "n_b", "mmd2_micro")
       .orderBy(col("label_a"), col("label_b"))
   }
 

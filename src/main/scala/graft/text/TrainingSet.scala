@@ -1905,60 +1905,82 @@ object TrainingSet {
       expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10 = 0"))
     val train = docs.filter(!col("ev"))
     val evl = docs.filter(col("ev"))
-    val occ = train.select(col("doc_id"), col("source"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
-    // one count pass: per-source cells + their roll-up
-    // the count cells and their per-holdout subtractions feed several
-    // downstream ledgers — materialize the vocab-bounded frames so
-    // each branch is a read, not a re-aggregation (the q287 pattern)
+    // ONE train-corpus explode pass, collapsed to the minimal per-doc
+    // sufficient statistic — every downstream frame (cells, the doc
+    // ledger, the per-source train counts) derives from this checkpoint;
+    // the old shape re-scanned the raw text twice more (size(split) for
+    // the class ledger, a groupBy for the output's train counts), which
+    // at 100 TB is two extra corpus scans (the q287 r13 lesson).
+    val docTok = graft.Tables.checkpointCycled(s"loso-doctok:$d",
+      train.select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("n")))
+    // doc-level cube collect — launched FIRST so its job overlaps
+    // cellS's materialization (both depend only on docTok). One cube
+    // pass yields clsBySrc (lang,src), clsTot (lang,·), per-source doc
+    // counts (·,src), and D (·,·) — all CLUSTER-SIZE-INDEPENDENT
+    // (≤|langs|·|S| rows), so the (lang, h) model ledger is computed on
+    // the driver and becomes a LocalRelation whose broadcasts need no
+    // Spark job (the q287 r13 pattern).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val clsAll = docTok.groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum(col("n")).as("n_tok"))
+    val cubeFut = Future(clsAll.cube(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("n"), count(lit(1)).as("d")).collect())
     val cellS = graft.Tables.checkpointCycled(s"loso-cells:$d",
-      occ.groupBy(col("tok"), col("lang"), col("source"))
-        .agg(count(lit(1)).as("cs")))
+      docTok.groupBy(col("tok"), col("lang"), col("source"))
+        .agg(sum(col("n")).as("cs")))
     val cell = cellS.groupBy(col("tok"), col("lang")).agg(sum(col("cs")).as("c"))
-    val hs = graft.Tables.checkpointCycled(s"loso-hs:$d",
-      train.select(col("source").as("h")).distinct()
-        .unionAll(s.range(1).select(lit(FULL).as("h"))))
+    val cubeRows = Await.result(cubeFut, Duration.Inf)
+    def cubeCell(lang: Option[String], src: Option[String]): Option[(Long, Long)] =
+      cubeRows.find(r =>
+          (if (lang.isEmpty) r.isNullAt(0) else !r.isNullAt(0) && r.getString(0) == lang.get) &&
+          (if (src.isEmpty) r.isNullAt(1) else !r.isNullAt(1) && r.getString(1) == src.get))
+        .map(r => (r.getLong(2), r.getLong(3)))
+    val srcs = cubeRows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getString(1)).sorted
+    val langs = cubeRows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(_.getString(0)).sorted
+    val dd = cubeCell(None, None).map(_._2).getOrElse(0L)
+    import s.implicits._
+    val holdouts = (srcs :+ FULL).toSeq
+    val hs = broadcast(holdouts.toDF("h"))
     // per-holdout cell counts by subtraction; rows that vanish drop out
     val cellH = graft.Tables.checkpointCycled(s"loso-cellh:$d",
-      cell.crossJoin(broadcast(hs))
+      cell.crossJoin(hs)
         .join(cellS.select(col("tok"), col("lang"), col("source").as("h"),
           col("cs")), Seq("tok", "lang", "h"), "left")
         .withColumn("ch", col("c") - coalesce(col("cs"), lit(0L)))
         .filter(col("ch") > 0)
         .select(col("tok"), col("lang"), col("h"), col("ch")))
-    // per-holdout class ledger by subtraction
-    val clsAll = train.select(col("doc_id"), col("lang"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val clsTot = clsAll.groupBy(col("lang"))
-      .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds"))
-    val clsBySrc = clsAll.groupBy(col("lang"), col("source").as("h"))
-      .agg(sum(col("n_tok")).as("nsh"), count(lit(1)).as("dsh"))
-    val vH = cellH.groupBy(col("h")).agg(countDistinct(col("tok")).as("v"))
-    val ddH = hs
-      .join(clsBySrc.groupBy(col("h")).agg(sum(col("dsh")).as("dh")),
-        Seq("h"), "left")
-      .crossJoin(broadcast(train.agg(count(lit(1)).as("dd"))))
-      .select(col("h"), (col("dd") - when(col("h") === FULL, 0L)
-        .otherwise(coalesce(col("dh"), lit(0L)))).as("ddh"))
-    // (lang, h) ledger; zero-doc classes excluded per holdout by rule.
-    // ≤|langs|·(|S|+1) rows read by both the score ledger and the
-    // final argmin pass — materialize once
-    val ledger = graft.Tables.checkpointCycled(s"loso-ledger:$d",
-      clsTot.crossJoin(broadcast(hs))
-        .join(clsBySrc, Seq("lang", "h"), "left")
-        .withColumn("nsl", col("ns") - when(col("h") === FULL, 0L)
-          .otherwise(coalesce(col("nsh"), lit(0L))))
-        .withColumn("dsl", col("ds") - when(col("h") === FULL, 0L)
-          .otherwise(coalesce(col("dsh"), lit(0L))))
-        .filter(col("dsl") > 0)
-        .join(vH, Seq("h"))
-        .join(ddH, Seq("h"))
-        .withColumn("u7", floor(log((col("nsl") + col("v")).cast("double"))
-          * lit(1e7)).cast("long"))
-        .withColumn("prior7", floor(log(col("ddh").cast("double")
-          / col("dsl").cast("double")) * lit(1e7)).cast("long"))
-        .select(col("lang").as("cls"), col("h"), col("nsl"), col("v"),
-          col("u7"), col("prior7")))
+    // per-holdout training vocabulary: one bounded collect (≤|S|+1 rows)
+    val vMap = cellH.groupBy(col("h"))
+      .agg(countDistinct(col("tok")).as("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (lang, h) model ledger ON THE DRIVER; zero-doc classes excluded
+    // per holdout by rule; holdouts with no surviving vocab drop (the
+    // old inner join on vH). Double math is java.lang.Math.log/floor —
+    // bit-identical to the codegen expressions this replaces.
+    val ledgerRows: Seq[(String, String, Long, Long, Long, Long)] = for {
+      lang <- langs.toSeq
+      h <- holdouts
+      if vMap.contains(h)
+      (ns, ds) = cubeCell(Some(lang), None).get
+      (nsh, dsh) = if (h == FULL) (0L, 0L)
+                   else cubeCell(Some(lang), Some(h)).getOrElse((0L, 0L))
+      nsl = ns - nsh
+      dsl = ds - dsh
+      if dsl > 0
+      v = vMap(h)
+      ddh = dd - (if (h == FULL) 0L
+                  else cubeCell(None, Some(h)).map(_._2).getOrElse(0L))
+    } yield (lang, h, nsl, v,
+      math.floor(math.log((nsl + v).toDouble) * 1e7).toLong,
+      math.floor(math.log(ddh.toDouble / dsl.toDouble) * 1e7).toLong)
+    val ledger = ledgerRows.toDF("cls", "h", "nsl", "v", "u7", "prior7")
     val scored = cellH.withColumnRenamed("lang", "cls")
       .join(broadcast(ledger.select(col("cls"), col("h"), col("nsl"),
         col("v"))), Seq("cls", "h"))
@@ -1992,24 +2014,29 @@ object TrainingSet {
              then cast(raise_error('q292: empty eval split') as bigint)
              else n_corr * 1000000 div n_eval end"""))
     // the (|S|+1)-row accuracy ledger is read twice (full row + the
-    // per-source join) — materialize so the whole scoring pass runs once
-    val accM = graft.Tables.checkpointCycled(s"loso-acc:$d", acc)
-    val accFull = accM.filter(col("h") === FULL)
-      .select(col("acc_ppm").as("acc_full_ppm"))
-    val trainBySrc = train.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_train_docs"))
+    // per-source join) — COLLECT it (bounded by |S|+1 at any corpus
+    // scale): the whole scoring pass runs once and both consumers
+    // become LocalRelations; the raise_error tripwire executes at the
+    // collect. Per-source train counts come from the cube collect — no
+    // extra train scan.
+    val accRows = acc.select(col("h"), col("acc_ppm")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val accFullPpm = accRows(FULL)
+    val accLocal = broadcast(accRows.toSeq.sorted
+      .toDF("source", "acc_loso_raw"))
+    val trainBySrc = broadcast(srcs.map(src =>
+        src -> cubeCell(None, Some(src)).map(_._2).getOrElse(0L)).toSeq
+      .toDF("source", "n_train_docs"))
     documents(s, d).select(col("source")).distinct()
       .join(trainBySrc, Seq("source"), "left")
-      .join(accM.select(col("h").as("source"), col("acc_ppm")
-        .as("acc_loso_raw")), Seq("source"), "left")
-      .crossJoin(broadcast(accFull))
+      .join(accLocal, Seq("source"), "left")
       .select(col("source"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
-        col("acc_full_ppm"),
+        lit(accFullPpm).as("acc_full_ppm"),
         // no train docs ⇒ removing the source is a no-op by rule
-        coalesce(col("acc_loso_raw"), col("acc_full_ppm")).as("acc_loso_ppm"),
-        (coalesce(col("acc_loso_raw"), col("acc_full_ppm"))
-          - col("acc_full_ppm")).as("delta_ppm"))
+        coalesce(col("acc_loso_raw"), lit(accFullPpm)).as("acc_loso_ppm"),
+        (coalesce(col("acc_loso_raw"), lit(accFullPpm))
+          - lit(accFullPpm)).as("delta_ppm"))
       .orderBy(col("source"))
   }
 
@@ -2431,40 +2458,51 @@ object TrainingSet {
     * precomputed score table, one fan-out join, one argmin window per
     * (doc, α), one 1-row concordance aggregate. */
   def q300Mcnemar(s: SparkSession, d: String): DataFrame = {
-    val occ = graft.Tables.checkpointCycled(s"mcn-occ:$d",
+    // ONE corpus explode pass, collapsed to (doc, source, tok, n) —
+    // cnt, the doc ledger, and the seen-term pass all derive from this
+    // checkpoint; the old shape materialized the RAW occurrence explode
+    // (larger frame) and re-scanned the text for the doc ledger (a
+    // second corpus scan at 100 TB). The q287/q292 r13 pattern.
+    val docTok = graft.Tables.checkpointCycled(s"mcn-doctok:$d",
       documents(s, d)
         .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("tok")))
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("n")))
+    // class totals: one bounded collect (|cls| rows), overlapping cnt's
+    // materialization below (both depend only on docTok)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docLedger = docTok.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("n_tok"))
+    val clsFut = Future(docLedger.groupBy(col("source").as("cls"))
+      .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds")).collect())
     val cnt = graft.Tables.checkpointCycled(s"mcn-cnt:$d",
-      occ.groupBy(col("tok"), col("source").as("cls"))
-        .agg(count(lit(1)).as("c")))
-    val docLedger = documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val clsTot = docLedger.groupBy(col("source").as("cls"))
-      .agg(sum(col("n_tok")).as("ns"), count(lit(1)).as("ds"))
-    val vocab = cnt.agg(countDistinct(col("tok")).as("v"))
-    val dtot = documents(s, d).agg(count(lit(1)).as("dd"))
-    val alphas = s.createDataFrame(Seq(Tuple1(MCN_A1), Tuple1(MCN_A4)))
-      .toDF("alpha")
-    val ledger = graft.Tables.checkpointCycled(s"mcn-ledger:$d",
-      clsTot.crossJoin(broadcast(vocab)).crossJoin(broadcast(dtot))
-        .crossJoin(broadcast(alphas))
-        .withColumn("den", col("ns") + col("alpha") * col("v"))
-        .withColumn("u7", floor(log(col("den").cast("double")
-          / col("alpha").cast("double")) * lit(1e7)).cast("long"))
-        .withColumn("prior7", floor(log(col("dd").cast("double")
-          / col("ds").cast("double")) * lit(1e7)).cast("long"))
-        .select(col("cls"), col("alpha"), col("den"), col("u7"),
-          col("prior7")))
+      docTok.groupBy(col("tok"), col("source").as("cls"))
+        .agg(sum(col("n")).as("c")))
+    val v = cnt.agg(countDistinct(col("tok"))).head().getLong(0)
+    val clsRows = Await.result(clsFut, Duration.Inf)
+    val dd = clsRows.map(_.getLong(2)).sum
+    // |cls|·2 model ledger ON THE DRIVER (cluster-size-independent);
+    // java.lang.Math.log/floor is bit-identical to the codegen
+    // expressions this replaces
+    val ledgerRows: Seq[(String, Long, Long, Long, Long)] = for {
+      r <- clsRows.toSeq
+      (cls, ns, ds) = (r.getString(0), r.getLong(1), r.getLong(2))
+      alpha <- Seq(MCN_A1, MCN_A4)
+      den = ns + alpha * v
+    } yield (cls, alpha, den,
+      math.floor(math.log(den.toDouble / alpha.toDouble) * 1e7).toLong,
+      math.floor(math.log(dd.toDouble / ds.toDouble) * 1e7).toLong)
+    import s.implicits._
+    val ledger = ledgerRows.toDF("cls", "alpha", "den", "u7", "prior7")
     val scored = cnt
       .join(broadcast(ledger.select(col("cls"), col("alpha"), col("den"))),
         Seq("cls"))
       .withColumn("n7", floor(log(col("den").cast("double")
         / (col("c") + col("alpha")).cast("double")) * lit(1e7)).cast("long"))
       .select(col("tok"), col("cls"), col("alpha"), col("n7"))
-    val docTok = occ.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("n"))
     val seen = docTok.join(broadcast(scored), Seq("tok"))
       .groupBy(col("doc_id"), col("cls"), col("alpha"))
       .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
