@@ -124,13 +124,8 @@ object CorpusPipeline {
         col("quality"), col("pred"))
     val keepers = curatedKeepers(s, d).select(col("doc_id"))
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= SPAN)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(tk) - $SPAN),
-            i -> cast(conv(substr(md5(array_join(
-                   slice(tk, i + 1, $SPAN), ' ')), 1, 15),
-                 16, 10) as bigint))""")).as("h"))
+      .select(col("doc_id"), explode(
+        graft.functions.SpanHash.span_hashes(col("text"), SPAN)).as("h"))
     val ev = grams(documents(s, d).filter(col("doc_id") % mod === 0))
       .select(col("h")).distinct()
     val contaminated = grams(base.filter(col("doc_id") % mod =!= 0))

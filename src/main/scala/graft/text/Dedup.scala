@@ -613,13 +613,9 @@ object Dedup {
     * bounded by actual fingerprint reuse. */
   def q226Winnowing(s: SparkSession, d: String): DataFrame = {
     val grams = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= WIN_K)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(tk) - $WIN_K),
-            i -> cast(conv(substr(md5(array_join(
-                   slice(tk, i + 1, $WIN_K), ' ')), 1, 15),
-                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.SpanHash.span_hashes(col("text"), WIN_K))
+        .as(Seq("pos", "h")))
       .withColumn("key",
         expr("(h % 1099511627776L) * 1048576L + pos"))
     val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -537,13 +537,10 @@ object Scrub {
     val SPAN = Dedup.SPAN
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val grams = toks
-      .filter(size(col("tk")) >= SPAN)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(tk) - $SPAN),
-            i -> cast(conv(substr(md5(array_join(
-                   slice(tk, i + 1, $SPAN), ' ')), 1, 15),
-                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+    val grams = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.SpanHash.span_hashes(col("text"), SPAN))
+        .as(Seq("pos", "h")))
     val first = grams
       .groupBy(col("h"))
       .agg(min(col("doc_id") * SPAN_KEY + col("pos")).as("first_key"))

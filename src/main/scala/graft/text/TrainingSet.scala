@@ -625,13 +625,9 @@ object TrainingSet {
     * constructed-overlap case. */
   private[graft] def contamSpans(docs: DataFrame): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= Dedup.SPAN)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(tk) - ${Dedup.SPAN}),
-            i -> cast(conv(substr(md5(array_join(
-                   slice(tk, i + 1, ${Dedup.SPAN}), ' ')), 1, 15),
-                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.SpanHash.span_hashes(col("text"), Dedup.SPAN))
+        .as(Seq("pos", "h")))
     val ev = grams(docs.filter(col("doc_id") % SPAN_EVAL_MOD === 0))
       .withColumnsRenamed(Map("doc_id" -> "eval_id", "pos" -> "epos"))
     val m = grams(docs.filter(col("doc_id") % SPAN_EVAL_MOD =!= 0))
@@ -699,13 +695,9 @@ object TrainingSet {
     val SPAN = Dedup.SPAN
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= SPAN)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(tk) - $SPAN),
-            i -> cast(conv(substr(md5(array_join(
-                   slice(tk, i + 1, $SPAN), ' ')), 1, 15),
-                 16, 10) as bigint))""")).as(Seq("pos", "h")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.SpanHash.span_hashes(col("text"), SPAN))
+        .as(Seq("pos", "h")))
     val ev = grams(docs.filter(col("doc_id") % SPAN_EVAL_MOD === 0))
       .select(col("h")).distinct()
     val train = docs.filter(col("doc_id") % SPAN_EVAL_MOD =!= 0)
