@@ -135,4 +135,14 @@ object Tables {
         scala.util.Try(r.unpersist(blocking = false))))
     out
   }
+
+  /** Free a tag's previously-cycled checkpoint blocks WITHOUT creating a
+    * new checkpoint — for code paths that replace a formerly-checkpointed
+    * result with a driver-computed LocalRelation (no blocks of its own)
+    * but must keep the tag's cycling lifecycle honest: a prior
+    * distributed-path invocation's blocks still get freed. */
+  def cycleCheckpointTag(tag: String): Unit =
+    Option(cycledCheckpoints.put(tag, Seq.empty))
+      .foreach(_.foreach(r =>
+        scala.util.Try(r.unpersist(blocking = false))))
 }

@@ -34,6 +34,22 @@ object DedupCluster {
     (out, checkpointedRdds(out))
   }
 
+  /** Edge-count ceiling under which the star-contraction loop is
+    * replaced by a driver union-find over the already-materialized,
+    * already-counted edge set. The decision input is the same (count,
+    * checksum) aggregate the fixpoint test computes anyway, so no extra
+    * job is spent deciding — and the bound is enforced BEFORE any
+    * collect, the same boundedness discipline as the driver ledgers.
+    * Rationale: each distributed round costs 2 checkpoints + a fixpoint
+    * collect + 4 shuffles; on a margin-separated dedup pair graph
+    * (hundreds of edges at any tested SF) that is ~1.2 s of pure
+    * barrier latency for a graph that fits in one driver page. At 1M
+    * edges the collected set is ~16 MB — still trivially driver-safe;
+    * a corpus-scaled pair graph at 100 TB exceeds the ceiling and runs
+    * the O(log n) star contraction unchanged. */
+  val CC_LOCAL_MAX_EDGES_CONF = "spark.graft.cc.localMaxEdges"
+  private val CC_LOCAL_MAX_EDGES_DEFAULT = 1000000L
+
   /** Connected components over an undirected pair list (`i`, `j`).
     * Returns one row per node that appears in any edge: (node, root)
     * where root = min node id of the component.
@@ -73,6 +89,55 @@ object DedupCluster {
       (cnt, chk)
     }
     var prev = sig(edges) // (edge count, xxhash checksum) of round input
+    // ---- local finish: the edge set is COUNTED small (the count above
+    // is over the materialized, deduped checkpoint — no estimate), so
+    // the transitive closure is driver arithmetic, not a multi-round
+    // shuffle. Union-find with union-by-min yields exactly the star
+    // contraction's labels: (node, min node id of its component) for
+    // every node appearing in any edge. Guarded to LongType node ids
+    // (every production caller; an exotic type falls through to the
+    // type-agnostic loop).
+    val s = pairs.sparkSession
+    val localMax = s.conf.getOption(CC_LOCAL_MAX_EDGES_CONF)
+      .map(_.toLong).getOrElse(CC_LOCAL_MAX_EDGES_DEFAULT)
+    val longTyped = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longTyped && prev._1 <= localMax) {
+      val rows = edges.collect()
+      edgeRdds.foreach(_.unpersist(blocking = false))
+      val parent = new java.util.HashMap[Long, java.lang.Long](
+        math.max(16, rows.length * 2))
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (c != r) { val n: Long = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val nodes = {
+        val arr = new Array[Long](parent.size())
+        val it = parent.keySet().iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(arr) // deterministic LocalRelation row order
+        arr
+      }
+      // free any blocks a PREVIOUS (distributed-path) invocation left
+      // under this tag — the LocalRelation itself holds no blocks, but
+      // the tag-cycling lifecycle must not silently stop
+      cycleCheckpointTag(tag)
+      return s.createDataFrame(nodes.toSeq.map(n => (n, find(n))))
+        .toDF("node", "root")
+    }
     var done = false
     var iters = 0
     while (!done && iters < 50) {

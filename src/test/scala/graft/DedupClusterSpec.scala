@@ -82,6 +82,29 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("driver local-finish and distributed star contraction agree") {
+    // Below the localMaxEdges ceiling CC finishes with a driver
+    // union-find; force the distributed loop with a 0 ceiling and assert
+    // identical labels on the same adversarial + random graphs.
+    def both(pairs: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+      val local = components(pairs)
+      spark.conf.set(DedupCluster.CC_LOCAL_MAX_EDGES_CONF, "0")
+      val dist =
+        try components(pairs)
+        finally spark.conf.unset(DedupCluster.CC_LOCAL_MAX_EDGES_CONF)
+      (local, dist)
+    }
+    val chain = (0L until 40L).map(k => (k, k + 1))
+    val (lc, dc) = both(chain)
+    assert(lc == dc && lc.values.toSet == Set(0L))
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)(
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val (lr, dr) = both(pairs)
+    assert(lr == dr && lr.nonEmpty)
+  }
+
   test("q76 labels every document; clusters agree with q40 pairs") {
     val d = TestSpark.SF
     val out = DedupCluster.q76DedupComponents(spark, d)
