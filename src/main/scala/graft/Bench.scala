@@ -146,23 +146,49 @@ object Bench {
     // isolation PerfProbe provided manually), and both numbers land in
     // bench_adjudication.json so the verdict needs zero manual probes.
     val (prevSf, prevMins, baselineProvenance) = readPrevBench()
+    // ---- Host calibration (r13 judge finding: 10/10 "real" verdicts were
+    // false — the committed baseline came from a faster host era, so every
+    // comparison carried a hidden host factor). The suite itself is the
+    // calibration instrument: the MEDIAN per-query min ratio vs the
+    // baseline over all common queries is a robust host-speed estimate
+    // (a handful of genuinely changed queries among ~300 cannot move a
+    // median), costs zero extra timing, and is recorded in the artifact
+    // so a verdict can be re-derived. All mover selection and verdicts
+    // below compare host-NORMALIZED times (graded / hostFactor) against
+    // the baseline. Clamped to [0.5, 3.0]: outside that the baseline is
+    // not comparable at all and raw ratios would mislead either way.
+    val ratios =
+      if (!prevSf.contains(sfDir)) Seq.empty[Double]
+      else ok.flatMap { case (n, ts, _) =>
+        prevMins.get(n).filter(_ > 0.05).map(p => ts.min / p) }.sorted
+    val hostFactor =
+      if (ratios.size < 20) 1.0
+      else math.min(3.0, math.max(0.5,
+        if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0))
+    def norm(t: Double): Double = t / hostFactor
     val adjMovers =
       if (!prevSf.contains(sfDir)) Seq.empty
       else ok.collect { case (n, ts, _) if prevMins.get(n).exists(p =>
-        ts.min > 2 * p && ts.min - p > 0.15) => (n, prevMins(n), ts.min) }
+        norm(ts.min) > 2 * p && norm(ts.min) - p > 0.15) =>
+        (n, prevMins(n), ts.min) }
     // Absolute-drift panel: the 2× ratio gate misses slow creep on cheap
     // queries (r12: seven 1.3–1.9× movers, all ≤0.5 s absolute, cleared by
-    // hand). Probe the top-N regressions by Δseconds that the ratio gate
-    // did NOT already select, so the artifact clears them without a judge
-    // session.
+    // hand) AND on expensive ones (r13: q86's 1.20× / +0.86 s slipped
+    // under the old 1.25× floor). Queries with prev ≥ 1 s skip the ratio
+    // floor entirely — for them any normalized Δ > 0.15 s is probe-worthy;
+    // the top-N-by-Δ cap keeps the panel bounded. Probe the top-N
+    // regressions by Δseconds that the ratio gate did NOT already select,
+    // so the artifact clears them without a judge session.
     val driftN = 8
     val ratioSelected = adjMovers.map(_._1).toSet
     val driftMovers =
       if (!prevSf.contains(sfDir)) Seq.empty
       else ok.collect { case (n, ts, _) if !ratioSelected(n) &&
-        prevMins.get(n).exists(p => ts.min - p > 0.15 && ts.min > 1.25 * p) =>
+        prevMins.get(n).exists(p => norm(ts.min) - p > 0.15 &&
+          (norm(ts.min) > 1.25 * p || p >= 1.0)) =>
         (n, prevMins(n), ts.min)
-      }.sortBy { case (_, p, g) => p - g }.take(driftN)
+      }.sortBy { case (_, p, g) => p - norm(g) }.take(driftN)
     val probeReps = 7
     // A probe rep that throws must not contribute a fail-fast "timing":
     // a query that OOMs or errors during the re-probe would otherwise get
@@ -183,8 +209,9 @@ object Bench {
           // Both timings measure the SAME code; the steady-state estimate
           // is the best of them (the re-probe itself can land on a
           // contended window — observed: graded 0.44 s, re-probe 1.10 s,
-          // idle 0.18 s).
-          val best = math.min(graded, probe)
+          // idle 0.18 s). Host-normalized before comparing: "real" must
+          // mean a code-level regression, not a slower host era.
+          val best = norm(math.min(graded, probe))
           val verdict =
             if (best <= math.max(1.5 * prev, prev + 0.15)) "contention"
             else "real"
@@ -202,7 +229,7 @@ object Bench {
       val nReal = adjudicated.count(_._5 == "real")
       val baseline =
         if (prevSf.contains(sfDir)) s""""$sfDir"""" else "null"
-      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps":$probeReps,"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._5 == "contention")},"movers":${moversJson(adjudicated)},"drift":{"top_n_by_abs_delta":$driftN,"n_movers":${drifted.size},"n_real":${drifted.count(_._5 == "real")},"movers":${moversJson(drifted)}}}"""
+      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps":$probeReps,"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","host_factor":${r3(hostFactor)},"host_factor_method":"median per-query min ratio vs baseline over ${ratios.size} common queries; all mover selection and verdicts use graded/host_factor","n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._5 == "contention")},"movers":${moversJson(adjudicated)},"drift":{"top_n_by_abs_delta":$driftN,"ratio_floor":"1.25x, waived for prev>=1s","n_movers":${drifted.size},"n_real":${drifted.count(_._5 == "real")},"movers":${moversJson(drifted)}}}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_adjudication.json"),
       (adjJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

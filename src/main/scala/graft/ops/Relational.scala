@@ -406,7 +406,7 @@ object Relational {
     *    distinct hashes), so DuckDB replays the estimator
     *    bit-for-bit and the whole row is HASH-CHECKABLE (q291's
     *    machinery, re-pointed at the A3 surface; est =
-    *    (k−1)·2³² div kth-min, Bar-Yossef et al. 2002).
+    *    (k−1)·2⁶⁰ div kth-min, Bar-Yossef et al. 2002).
     * 2. Spark's HLL (`approx_count_distinct`) still executes as an
     *    in-query TRIPWIRE — its estimate must stay within 3·rsd of
     *    exact or the row raise_errors — but its engine-private value
@@ -419,9 +419,18 @@ object Relational {
     * one partial-aggregating pass. A group with < k distinct hashes
     * degenerates to est = exact by rule in both engines. */
   def q49ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    // repo-standard 60-bit fingerprint (15 hex chars), NOT 32-bit: the
+    // exact_users leg is really a distinct-HASH count, and 32-bit
+    // fingerprints undercount by birthday collisions (~1% at 1e8 users,
+    // saturating at 2^32). At 60 bits the expected undercount stays
+    // under 1 ppm up to ~2·10¹² users — document-level exact for any
+    // realistic user universe. The KMV estimate scales to the 2^60
+    // hash space in decimal(38,0) (the (k−1)·2^60 numerator overflows
+    // int64); `div` yields the same truncated integer as DuckDB's
+    // HUGEINT `//`.
     val hh = events(s, d)
       .select(col("event_type"),
-        expr("cast(conv(substr(md5(cast(user_id as string)),1,8),16,10) as bigint)")
+        expr("cast(conv(substr(md5(cast(user_id as string)),1,15),16,10) as bigint)")
           .as("h"))
       .distinct()
     val exact = hh.groupBy(col("event_type"))
@@ -443,7 +452,8 @@ object Relational {
           col("event_type")))))
       .withColumn("approx_users", expr(
         s"case when n_sketch < $Q49_KMV_K then n_sketch " +
-        s"else ($Q49_KMV_K - 1) * 4294967296 div kth_hash end"))
+        s"else cast(cast($Q49_KMV_K - 1 as decimal(38,0)) " +
+        s"* 1152921504606846976 div kth_hash as bigint) end"))
       .withColumn("err_ppm", expr(
         "abs(approx_users - exact_users) * 1000000 div exact_users"))
       .select(col("event_type"), col("exact_users"), col("n_sketch"),
@@ -459,7 +469,7 @@ object Relational {
   val o49: String = s"""
     WITH hh AS (
       SELECT DISTINCT event_type,
-        ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
       FROM events),
     bk AS (
       SELECT event_type, h,
@@ -475,7 +485,8 @@ object Relational {
     est AS (
       SELECT event_type, exact_users, n_sketch, kth_hash,
         CAST(CASE WHEN n_sketch < $Q49_KMV_K THEN n_sketch
-          ELSE ($Q49_KMV_K - 1) * 4294967296 // kth_hash END AS BIGINT)
+          ELSE CAST($Q49_KMV_K - 1 AS HUGEINT)
+            * 1152921504606846976 // kth_hash END AS BIGINT)
           AS approx_users
       FROM ex JOIN agg USING (event_type))
     SELECT event_type, exact_users, n_sketch, kth_hash, approx_users,

@@ -1611,8 +1611,12 @@ object TrainingSet {
     import scala.concurrent.ExecutionContext.Implicits.global
     val perDoc = docTok.groupBy(col("doc_id"), col("f"), col("source"))
       .agg(sum(col("n")).as("n_tok"))
+    // grouping_id (not isNullAt) tells subtotal rows from data rows: a
+    // genuinely NULL source value would otherwise be indistinguishable
+    // from the rollup rows and silently corrupt the ledger totals
     val cubeFut = Future(perDoc.cube(col("source"), col("f"))
-      .agg(sum(col("n_tok")).as("n"), count(lit(1)).as("d")).collect())
+      .agg(sum(col("n_tok")).as("n"), count(lit(1)).as("d"),
+        grouping_id().as("gid")).collect())
     // the (tok, cls, fold) count cells — |V|·|cls|·K rows; consumed by
     // scored's build (twice: cell + the join) and the vocab collect —
     // measured cheaper materialized than recomputed (dropping this
@@ -1650,13 +1654,17 @@ object TrainingSet {
     val vtrain: Map[Long, Long] = (0L until CV_FOLDS).map(f =>
       f -> (vTotal - exclRows.find(r => r.getLong(0) == f)
         .map(_.getLong(1)).getOrElse(0L))).toMap
-    def cellOf(src: Option[String], f: Option[Long]): Option[(Long, Long)] =
-      cubeRows.find(r =>
-          (if (src.isEmpty) r.isNullAt(0) else !r.isNullAt(0) && r.getString(0) == src.get) &&
-          (if (f.isEmpty) r.isNullAt(1) else !r.isNullAt(1) && r.getLong(1) == f.get))
+    def cellOf(src: Option[String], f: Option[Long]): Option[(Long, Long)] = {
+      val gid = (if (src.isEmpty) 2L else 0L) + (if (f.isEmpty) 1L else 0L)
+      cubeRows.find(r => r.getLong(4) == gid &&
+          src.forall(v => r.getString(0) == v) &&
+          f.forall(v => r.getLong(1) == v))
         .map(r => (r.getLong(2), r.getLong(3)))
-    val classes = cubeRows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    }
+    val classes = cubeRows.filter(_.getLong(4) == 1L)
       .map(_.getString(0)).sorted
+    require(!classes.contains(null),
+      "q287: NULL source value in corpus — class ledger undefined")
     val dd = cellOf(None, None).map(_._2).getOrElse(0L)
     val ledgerRows: Seq[(String, Long, Long, Long, Long, Long)] = for {
       cls <- classes.toSeq
@@ -1920,22 +1928,29 @@ object TrainingSet {
     import scala.concurrent.ExecutionContext.Implicits.global
     val clsAll = docTok.groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sum(col("n")).as("n_tok"))
+    // grouping_id (not isNullAt) tells subtotal rows from data rows —
+    // same hardening as q287's ledger cube
     val cubeFut = Future(clsAll.cube(col("lang"), col("source"))
-      .agg(sum(col("n_tok")).as("n"), count(lit(1)).as("d")).collect())
+      .agg(sum(col("n_tok")).as("n"), count(lit(1)).as("d"),
+        grouping_id().as("gid")).collect())
     val cellS = graft.Tables.checkpointCycled(s"loso-cells:$d",
       docTok.groupBy(col("tok"), col("lang"), col("source"))
         .agg(sum(col("n")).as("cs")))
     val cell = cellS.groupBy(col("tok"), col("lang")).agg(sum(col("cs")).as("c"))
     val cubeRows = Await.result(cubeFut, Duration.Inf)
-    def cubeCell(lang: Option[String], src: Option[String]): Option[(Long, Long)] =
-      cubeRows.find(r =>
-          (if (lang.isEmpty) r.isNullAt(0) else !r.isNullAt(0) && r.getString(0) == lang.get) &&
-          (if (src.isEmpty) r.isNullAt(1) else !r.isNullAt(1) && r.getString(1) == src.get))
+    def cubeCell(lang: Option[String], src: Option[String]): Option[(Long, Long)] = {
+      val gid = (if (lang.isEmpty) 2L else 0L) + (if (src.isEmpty) 1L else 0L)
+      cubeRows.find(r => r.getLong(4) == gid &&
+          lang.forall(v => r.getString(0) == v) &&
+          src.forall(v => r.getString(1) == v))
         .map(r => (r.getLong(2), r.getLong(3)))
-    val srcs = cubeRows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    }
+    val srcs = cubeRows.filter(_.getLong(4) == 2L)
       .map(_.getString(1)).sorted
-    val langs = cubeRows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val langs = cubeRows.filter(_.getLong(4) == 1L)
       .map(_.getString(0)).sorted
+    require(!srcs.contains(null) && !langs.contains(null),
+      "q292: NULL lang/source value in corpus — ledger undefined")
     val dd = cubeCell(None, None).map(_._2).getOrElse(0L)
     import s.implicits._
     val holdouts = (srcs :+ FULL).toSeq

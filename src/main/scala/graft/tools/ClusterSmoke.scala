@@ -34,25 +34,50 @@ object ClusterSmoke {
     "q207_bpe_train",        // driver-loop argmax over a broadcast ledger
     "q287_nb_cv")            // heaviest: count-ledger K-fold CV sweep
 
-  /** Queries that are `no_oracle` by the SparkEntry contract (sketch /
-    * approx / lossy / file-metadata) — their outputs are not guaranteed
-    * string-stable across partitionings, so they are excluded from the
-    * rotating half (the fixed half already covers q55). */
-  private val NO_ORACLE = Set(
-    "q44_knn_lsh_bucketed", "q55_knn_ivf",
-    "q75_approx_quantiles", "q77_file_sizes", "q81_osm_count_tags",
-    "q90_hll_mergeable", "q144_cms_point_queries", "q162_knn_pq",
-    "q204_semdedup", "q303_jpeg_decode")
+  /** Queries whose outputs are not guaranteed string-stable across
+    * partitionings (sketch / approx / lossy / file-metadata) — excluded
+    * from the rotating half (the fixed half already covers q55). Derived
+    * from the registry (a query is hash-stable iff it has an oracle), so
+    * a future no-oracle query can never silently join the pool and flake
+    * the gate. */
+  private[graft] def noOracle: Set[String] =
+    graft.SparkEntry.queries.keySet -- graft.SparkEntry.oracleSql.keySet
+
+  /** Rotating picks of rounds before the sampling-without-replacement
+    * scheme below existed (from CLUSTER_r12/13.json) — excluded so
+    * coverage keeps extending instead of re-drawing the same queries. */
+  private[graft] val COVERED_PRE_R14 = Set(
+    "q03_revenue_by_nation", "q138_image_decode", "q158_pagerank",
+    "q204_semdedup", "q302_conformal", // r12 rotation
+    "q179_forget_audit", "q190_quota_alloc", "q202_rfm_segments",
+    "q59_grouping_sets", "q69_phone_normalize") // r13 rotation
 
   /** Rotating half: 5 hash-green registry queries chosen deterministically
     * from the round number, so serialization coverage extends to the whole
     * registry over rounds at zero marginal cost. Seeded MurmurHash order —
-    * no RNG state, reproducible from ROUND alone. */
-  private def rotating(round: Int): Seq[String] = {
-    val pool = graft.SparkEntry.queries.keys.toSeq
-      .filterNot(FIXED.contains).filterNot(NO_ORACLE.contains).sorted
-    pool.sortBy(n => scala.util.hashing.MurmurHash3.stringHash(s"r$round:$n"))
-      .take(5).sorted
+    * no RNG state, reproducible from ROUND alone. Sampling is WITHOUT
+    * replacement across rounds: every earlier round's picks (recursively
+    * reconstructed from this same deterministic rule) leave the pool
+    * before seeding, so each round's panel is disjoint from all previous
+    * rounds' until the registry is exhausted, then the cycle restarts. */
+  private[graft] def rotating(round: Int): Seq[String] = {
+    val base = graft.SparkEntry.queries.keys.toSeq
+      .filterNot(FIXED.contains).filterNot(noOracle.contains).sorted
+    def picksOf(r: Int, covered: Set[String]): Seq[String] =
+      base.filterNot(covered.contains)
+        .sortBy(n => scala.util.hashing.MurmurHash3.stringHash(s"r$r:$n"))
+        .take(5).sorted
+    var covered: Set[String] = COVERED_PRE_R14
+    var r = 14
+    var out = picksOf(r, covered)
+    while (r < round) {
+      covered ++= out
+      // registry exhausted: restart the cycle with an empty covered set
+      if (base.count(n => !covered.contains(n)) < 5) covered = Set.empty
+      r += 1
+      out = picksOf(r, covered)
+    }
+    out
   }
 
   private val addOpens = Seq(

@@ -1,19 +1,25 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Bench-config (local[4], shuffle=4) min-of-N timing for one query. */
+/** Bench-config min-of-N timing for one query. Defaults mirror r13
+  * probe practice (local[4], shuffle=4); QB_CPUS overrides to match a
+  * graded config, QB_WARMUP_DIR points the warmup at another SF (the
+  * warmup is skipped when the directory is absent, so the tool still
+  * times on hosts without generated sf0.001 data). */
 object QBenchOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q287_nb_cv")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("QB_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
     if (sys.env.contains("QB_EXPLAIN")) fn(spark, sf).explain("formatted")
-    fn(spark, "/root/testdata/sf0.001").count() // warmup
+    val warmupDir = sys.env.getOrElse("QB_WARMUP_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmupDir).isDirectory) fn(spark, warmupDir).count()
     val reps = sys.env.getOrElse("QB_REPS","5").toInt
     val ts = (1 to reps).map { _ =>
       val t0 = System.nanoTime(); fn(spark, sf).count(); (System.nanoTime()-t0)/1e9 }
