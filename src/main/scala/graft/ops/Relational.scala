@@ -497,43 +497,128 @@ object Relational {
         END AS BIGINT) AS err_ppm
     FROM est ORDER BY event_type"""
 
-  /** A3's INCREMENTAL form: q49's approx_count_distinct yields a number
-    * that cannot be combined later — re-counting a grown corpus means a
-    * full re-scan. q90 builds PERSISTABLE, MERGEABLE DataSketches HLL
-    * sketches per group (`hll_sketch_agg` → binary column) and derives
-    * the global estimate by UNIONING the group sketches
-    * (`hll_union_agg`) — no second pass over the data. At 100 TB this
-    * is how distinct-counts compose across days/sources/tiers: store
-    * the per-partition sketch, union on demand. Output: one row per
-    * event_type plus an ALL row whose estimate comes only from the
-    * sketch union; every row carries exact + rel_err evidence with a
-    * raise_error tripwire (sketch internals differ per engine →
-    * rows-only driver check, same contract as q49/q75). */
+  /** A3's INCREMENTAL form: q49's estimate is a number that cannot be
+    * combined later — re-counting a grown corpus means a full re-scan.
+    * q90 keeps PERSISTABLE, MERGEABLE sketch state per group and derives
+    * the global (ALL) estimate by UNIONING the group sketches — no
+    * second pass over the data. At 100 TB this is how distinct-counts
+    * compose across days/sources/tiers: store the per-partition sketch,
+    * union on demand.
+    *
+    * Two mergeable estimators run (the q49 two-leg contract):
+    *
+    * 1. The OUTPUT estimates come from per-group KMV sketches — state =
+    *    the k smallest 60-bit user-id fingerprints, engine-neutral, so
+    *    DuckDB replays both the per-group estimates AND the union-merge
+    *    bit-for-bit and every row is HASH-CHECKABLE. The ALL row's
+    *    sketch is the bottom-k of the UNION of the per-group kept
+    *    hashes (KMV's merge is exactly set-union then re-truncate) —
+    *    events is never rescanned for it.
+    * 2. DataSketches HLL (`hll_sketch_agg` per group, `hll_union_agg`
+    *    for ALL) still executes as an in-query TRIPWIRE — each estimate
+    *    must stay within 3·rsd of exact or the row raise_errors — but
+    *    its engine-private value is dropped before output. */
   def q90HllMergeable(s: SparkSession, d: String): DataFrame = {
-    val sketches = events(s, d)
-      .groupBy(col("event_type"))
-      .agg(expr("hll_sketch_agg(user_id, 14)").as("sketch"),
-           countDistinct(col("user_id")).as("exact_users"))
-    // per-group rows: estimate each group's own sketch
-    val perGroup = sketches.select(col("event_type"),
-      expr("hll_sketch_estimate(sketch)").as("approx_users"),
-      col("exact_users"))
-    // ALL row: union the per-group sketches — never rescans events —
-    // checked against the directly-computed global exact count
-    val unioned = sketches.agg(
-      expr("hll_sketch_estimate(hll_union_agg(sketch))").as("approx_users"))
+    val K = Q49_KMV_K
+    val hh = events(s, d)
+      .select(col("event_type"),
+        expr("cast(conv(substr(md5(cast(user_id as string)),1,15),16,10) as bigint)")
+          .as("h"))
+      .distinct()
+    // the persisted per-group sketch state (k smallest hashes); two
+    // consumers (per-group estimate, union merge) — materialize the
+    // ≤ k·|groups| rows once
+    val kept = graft.Tables.checkpointCycled(s"q90-kmv:$d",
+      graft.plans.TopKPerGroup(hh, groupCols = Seq("event_type"),
+        sortCols = Seq("h" -> false), k = K))
+    val perGroup = kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .join(events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users")), Seq("event_type"))
+    // ALL row: merge = distinct-union of the group sketches' hashes,
+    // re-truncated to bottom-k (k-bounded TakeOrdered, never a rescan)
+    val unioned = kept.select(col("h")).distinct()
+      .orderBy(col("h")).limit(K)
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
       .crossJoin(broadcast(events(s, d)
         .agg(countDistinct(col("user_id")).as("exact_users"))))
-      .select(lit("ALL").as("event_type"), col("approx_users"),
-              col("exact_users"))
+      .select(lit("ALL").as("event_type"), col("n_sketch"),
+        col("kth_hash"), col("exact_users"))
+    // HLL tripwire legs (mergeable sketch family stays executed):
+    // per-group sketches + their union, verified within 3·rsd, dropped
+    val hllGroups = events(s, d).groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sketch"))
+    val hll = hllGroups
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sketch)").as("hll_users"))
+      .union(hllGroups.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sketch))").as("hll_users"))
+        .select(lit("ALL").as("event_type"), col("hll_users")))
     perGroup.union(unioned)
-      .withColumn("rel_err", round(
-        abs(col("approx_users") - col("exact_users"))
-          / col("exact_users"), 4))
-      .filter(when(col("rel_err") <= 3 * HLL_RSD, lit(true)).otherwise(
-        raise_error(concat(lit("q90 sketch error beyond 3*rsd: "), col("rel_err")))))
+      .join(hll, Seq("event_type"))
+      .filter(when(abs(col("hll_users") - col("exact_users"))
+          <= lit(3 * HLL_RSD) * col("exact_users"), lit(true)).otherwise(
+        raise_error(concat(lit("q90 HLL error beyond 3*rsd for "),
+          col("event_type")))))
+      .withColumn("approx_users", expr(
+        s"case when n_sketch < $K then n_sketch " +
+        s"else cast(cast($K - 1 as decimal(38,0)) " +
+        s"* 1152921504606846976 div kth_hash as bigint) end"))
+      .withColumn("err_ppm", expr(
+        "abs(approx_users - exact_users) * 1000000 div exact_users"))
+      .select(col("event_type"), col("exact_users"), col("n_sketch"),
+        col("kth_hash"), col("approx_users"),
+        // 4σ fence: k=64 ⇒ σ≈12.7% ⇒ trip beyond 508000 ppm
+        expr("""case when err_ppm > 508000
+             then cast(raise_error(concat('q90: KMV error beyond 4 sigma: ',
+               cast(err_ppm as string))) as bigint)
+             else err_ppm end""").as("err_ppm"))
       .orderBy(col("event_type"))
   }
+
+  val o90: String = s"""
+    WITH hh AS (
+      SELECT DISTINCT event_type,
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events),
+    bk AS (
+      SELECT event_type, h,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hh),
+    kept AS (SELECT event_type, h FROM bk WHERE rn <= $Q49_KMV_K),
+    pg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+        CAST(MAX(h) AS BIGINT) AS kth_hash
+      FROM kept GROUP BY event_type),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type),
+    merged AS (
+      SELECT h FROM (SELECT DISTINCT h FROM kept)
+      ORDER BY h LIMIT $Q49_KMV_K),
+    rows_all AS (
+      SELECT event_type, n_sketch, kth_hash, exact_users
+      FROM pg JOIN ex USING (event_type)
+      UNION ALL
+      SELECT 'ALL' AS event_type,
+        CAST((SELECT COUNT(*) FROM merged) AS BIGINT) AS n_sketch,
+        CAST((SELECT MAX(h) FROM merged) AS BIGINT) AS kth_hash,
+        CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+          AS exact_users),
+    est AS (
+      SELECT event_type, exact_users, n_sketch, kth_hash,
+        CAST(CASE WHEN n_sketch < $Q49_KMV_K THEN n_sketch
+          ELSE CAST($Q49_KMV_K - 1 AS HUGEINT)
+            * 1152921504606846976 // kth_hash END AS BIGINT)
+          AS approx_users
+      FROM rows_all)
+    SELECT event_type, exact_users, n_sketch, kth_hash, approx_users,
+      CAST(CASE
+        WHEN abs(approx_users - exact_users) * 1000000 // exact_users > 508000
+        THEN error('q90: KMV error beyond 4 sigma')
+        ELSE abs(approx_users - exact_users) * 1000000 // exact_users
+        END AS BIGINT) AS err_ppm
+    FROM est ORDER BY event_type"""
 
   /** A9 at scale (sketch quantiles beside exact q53): percentile_approx
     * is a mergeable sketch — fixed-size state per group through the
@@ -1247,6 +1332,7 @@ object Relational {
     "q10_intersect" -> o10, "q11_except" -> o11, "q12_union_contrib" -> o12,
     "q13_distinct_ids" -> o13, "q14_range_join" -> o14, "q15_asof_join" -> o15,
     "q46_order_lines" -> o46, "q49_approx_distinct" -> o49,
+    "q90_hll_mergeable" -> o90,
     "q50_scalar_subquery" -> o50, "q51_pivot" -> o51,
     "q52_custom_topk" -> o52, "q53_quantiles" -> o53,
     "q54_edit_distance" -> o54, "q57_salted_join" -> o57,
