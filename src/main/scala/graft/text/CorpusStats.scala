@@ -120,9 +120,12 @@ object CorpusStats {
     * structurally NEVER underestimates (cells sum every colliding
     * token), and here WIDTH=256 ≥ 8× the corpus vocabulary, so no
     * collisions occur and estimates are exact — both asserted inline
-    * with raise_error. No DuckDB oracle (xxhash64 is Spark-native) →
-    * rows-only driver check; CorpusStatsSpec covers the collision
-    * regime at WIDTH=8 where only the ≥-bound holds. */
+    * with raise_error. That exactness makes the query HASH-CHECKABLE
+    * despite xxhash64 being Spark-native: the oracle replays the exact
+    * counts the in-query tripwire proves the sketch must equal (the
+    * q95 Misra–Gries exact-under-capacity pattern) — a sketch bug
+    * either raise_errors or hash-mismatches. CorpusStatsSpec covers
+    * the collision regime at WIDTH=8 where only the ≥-bound holds. */
   def cmsSketch(toks: DataFrame, depth: Int, width: Int): DataFrame =
     toks
       .select(col("w"), explode(expr(
@@ -160,6 +163,18 @@ object CorpusStats {
       .orderBy(desc("true_cnt"), col("word"))
       .limit(20)
   }
+
+  /** Replays the exactness invariant the in-query tripwire enforces:
+    * at WIDTH ≥ 8× vocabulary est == true, so the oracle's est_cnt IS
+    * the exact count. */
+  val o144 = """
+    WITH toks AS (
+      SELECT t.w FROM documents, unnest(string_split(text, ' ')) t(w)
+      WHERE t.w <> ''),
+    ex AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt
+           FROM toks GROUP BY w)
+    SELECT w AS word, true_cnt, true_cnt AS est_cnt
+    FROM ex ORDER BY true_cnt DESC, word LIMIT 20"""
 
   /** q94: cross-source contamination matrix — for every source pair
     * with any verbatim SPAN-token overlap, the number of distinct
@@ -708,6 +723,7 @@ object CorpusStats {
     "q291_bottomk_distinct" -> o291,
     "q94_source_overlap" -> o94,
     "q95_heavy_hitters"  -> o95,
+    "q144_cms_point_queries" -> o144,
     "q116_source_drift"  -> o116,
     "q238_dataset_card"  -> o238)
 }
