@@ -54,11 +54,16 @@ object StreamGate {
     def stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
 
+    // elapsed seconds of the drain are recorded per stream so the gate
+    // also attests THROUGHPUT, not just equality (see rate leg below)
+    val elapsed = scala.collection.mutable.Map.empty[String, Double]
     def runToSink(df: DataFrame, name: String): DataFrame = {
       val q = df.writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt_$name")
         .format("parquet").option("path", s"$work/sink_$name").start()
+      val t0 = System.nanoTime()
       try q.processAllAvailable() finally q.stop()
+      elapsed(name) = (System.nanoTime() - t0) / 1e9
       spark.read.parquet(s"$work/sink_$name")
     }
     def xorHash(df: DataFrame, cols: Seq[String]): Long = df
@@ -97,16 +102,31 @@ object StreamGate {
       pairRows == batchPairs.count()
 
     val rocksUsed = new java.io.File(s"$work/ckpt_lsh/state").exists()
+    // ---- throughput leg: input rows per drained second, with a FLOOR.
+    // The floor is deliberately low (observed idle: curate ~110 rows/s
+    // at sf0.001, dominated by the fixed streaming-startup cost): it
+    // exists to catch a catastrophic per-batch regression (accidentally
+    // quadratic state, a corpus rescan per micro-batch), not to
+    // benchmark — equality stays the primary gate and host contention
+    // must not flake the round artifact.
+    val inRows = docs.count()
+    val rateFloor = 20.0
+    def rate(name: String): Double =
+      BigDecimal(inRows / math.max(elapsed(name), 1e-9))
+        .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val curRate = rate("curate"); val lshRate = rate("lsh")
+    val rateOk = curRate >= rateFloor && lshRate >= rateFloor
     val json =
       s"""{"round":$round,"sf":"$sfDir","state_store":"rocksdb","micro_batches":2,
          |"curation":{"sink_rows":$curRows,"fp_xxhash_xor":$curChk,"equals_batch":$curOk},
          |"lsh_near_dup":{"verified_pairs":$pairRows,"pair_xxhash_xor":$pairChk,"equals_batch":$lshOk},
+         |"throughput":{"input_rows":$inRows,"curate_rows_per_sec":$curRate,"lsh_rows_per_sec":$lshRate,"floor_rows_per_sec":$rateFloor,"rate_ok":$rateOk},
          |"checkpoint_state_dir":$rocksUsed}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(f"STREAMING_r$round%02d.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
-    if (!curOk || !lshOk) sys.exit(1)
+    if (!curOk || !lshOk || !rateOk) sys.exit(1)
   }
 }
