@@ -385,8 +385,8 @@ object CorpusStats {
     * (KMV / k-minimum-values) sketch — the third cardinality estimator
     * beside exact countDistinct (q13) and HLL (q49/q90), and the one
     * that is fully HASH-CHECKABLE cross-engine: the sketch state is
-    * just the k smallest distinct 32-bit hashes, so DuckDB can replay
-    * the estimator bit-for-bit (est = (k−1)·2³² div kth-min,
+    * just the k smallest distinct 60-bit hashes, so DuckDB can replay
+    * the estimator bit-for-bit (est = (k−1)·2⁶⁰ div kth-min,
     * Bar-Yossef et al. 2002) — no engine-private register layout like
     * HLL's. The estimated universe is the dedup-family one: distinct
     * 3-gram shingles per source (the q40/q79 `ShingleSet` tokenizer) —
@@ -410,7 +410,7 @@ object CorpusStats {
         graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
       .select(col("source"), explode(col("sgs")).as("sg"))
       .select(col("source"),
-        expr("cast(conv(substr(md5(sg), 1, 8), 16, 10) as bigint)").as("h"))
+        expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)").as("h"))
       .distinct()
     val exact = hh.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
     val bottomK = graft.plans.TopKPerGroup(
@@ -420,7 +420,8 @@ object CorpusStats {
     exact.join(bottomK, Seq("source"))
       .withColumn("est", expr(
         s"case when n_sketch < $KMV_K then n_sketch " +
-        s"else ($KMV_K - 1) * 4294967296 div kth_hash end"))
+        s"else cast(cast($KMV_K - 1 as decimal(38,0)) " +
+        s"* 1152921504606846976 div kth_hash as bigint) end"))
       .withColumn("err_ppm", expr(
         "abs(est - n_distinct) * 1000000 div n_distinct"))
       .select(col("source"), col("n_distinct"), col("n_sketch"),
@@ -442,7 +443,7 @@ object CorpusStats {
       WHERE len(t) >= 3),
     hh AS (
       SELECT DISTINCT source,
-        ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+        ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
       FROM sg),
     bk AS (
       SELECT source, h,
@@ -458,7 +459,8 @@ object CorpusStats {
     est AS (
       SELECT source, n_distinct, n_sketch, kth_hash,
         CAST(CASE WHEN n_sketch < $KMV_K THEN n_sketch
-          ELSE ($KMV_K - 1) * 4294967296 // kth_hash END AS BIGINT) AS est
+          ELSE CAST($KMV_K - 1 AS HUGEINT)
+            * 1152921504606846976 // kth_hash END AS BIGINT) AS est
       FROM ex JOIN agg USING (source))
     SELECT source, n_distinct, n_sketch, kth_hash, est,
       CAST(CASE WHEN abs(est - n_distinct) * 1000000 // n_distinct > 508000
@@ -583,7 +585,7 @@ object CorpusStats {
           graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
         .select(col("source"), explode(col("sgs")).as("sg"))
         .select(col("source"),
-          expr("cast(conv(substr(md5(sg), 1, 8), 16, 10) as bigint)").as("h"))
+          expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)").as("h"))
         .distinct())
     val bk = graft.Tables.checkpointCycled(s"kmvov-bk:$d",
       graft.plans.TopKPerGroup(hh, groupCols = Seq("source"),
@@ -610,7 +612,9 @@ object CorpusStats {
       .agg(count(lit(1)).as("m"), max(col("h")).as("kth"),
         sum(col("ina") * col("inb")).as("matched"))
       .withColumn("est_union", expr(
-        s"case when m < $KMV_K then m else ($KMV_K - 1) * 4294967296 div kth end"))
+        s"case when m < $KMV_K then m " +
+        s"else cast(cast($KMV_K - 1 as decimal(38,0)) " +
+        s"* 1152921504606846976 div kth as bigint) end"))
       .withColumn("est_inter",
         expr("matched * est_union div m"))
       .withColumn("jacc_est_ppm", expr("matched * 1000000 div m"))
@@ -649,7 +653,7 @@ object CorpusStats {
       WHERE len(t) >= 3),
     hh AS (
       SELECT DISTINCT source,
-        ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+        ('0x' || substr(md5(sg), 1, 15))::BIGINT AS h
       FROM sg),
     bk AS (
       SELECT source, h FROM (
@@ -680,9 +684,11 @@ object CorpusStats {
     est AS (
       SELECT sa, sb, matched,
         CAST(CASE WHEN m < $KMV_K THEN m
-          ELSE ($KMV_K - 1) * 4294967296 // kth END AS BIGINT) AS est_union,
+          ELSE CAST($KMV_K - 1 AS HUGEINT)
+            * 1152921504606846976 // kth END AS BIGINT) AS est_union,
         CAST(matched * CASE WHEN m < $KMV_K THEN m
-          ELSE ($KMV_K - 1) * 4294967296 // kth END // m AS BIGINT)
+          ELSE CAST($KMV_K - 1 AS HUGEINT)
+            * 1152921504606846976 // kth END // m AS BIGINT)
           AS est_inter,
         CAST(matched * 1000000 // m AS BIGINT) AS jacc_est_ppm
       FROM sk),

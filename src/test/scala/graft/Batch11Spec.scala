@@ -91,7 +91,7 @@ class Batch11Spec extends AnyFunSuite {
     def md5hex(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    // full replay: distinct 3-gram shingles per source → 32-bit
+    // full replay: distinct 3-gram shingles per source → 60-bit
     // hashes → bottom-k → KMV
     val docs = Tables.documents(spark, TestSpark.SF)
       .select(col("source"), col("text")).collect()
@@ -102,7 +102,7 @@ class Batch11Spec extends AnyFunSuite {
         if (t.length < 3) Seq.empty[String]
         else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
       }.distinct
-        .map(g => java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16))
+        .map(g => java.lang.Long.parseLong(md5hex(g).substring(0, 15), 16))
         .distinct.sorted
     }
     assert(rows.map(_.getAs[String]("source")).toSet == hBySrc.keySet)
@@ -112,8 +112,10 @@ class Batch11Spec extends AnyFunSuite {
       val sk = hs.take(k)
       assert(r.getAs[Long]("n_sketch") == sk.length)
       assert(r.getAs[Long]("kth_hash") == sk.last)
+      // (k−1)·2^60 overflows Long — BigInt mirrors the query's
+      // decimal(38,0) numerator
       val est = if (sk.length < k) sk.length.toLong
-                else (k - 1).toLong * 4294967296L / sk.last
+                else (BigInt(k - 1) * BigInt(1L << 60) / sk.last).toLong
       assert(r.getAs[Long]("est") == est,
         s"KMV estimate for ${r.getAs[String]("source")}")
       val err = math.abs(est - hs.length) * 1000000L / hs.length
@@ -509,7 +511,7 @@ class Batch11Spec extends AnyFunSuite {
         if (t.length < 3) Seq.empty[String]
         else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
       }.distinct
-        .map(g => java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16))
+        .map(g => java.lang.Long.parseLong(md5hex(g).substring(0, 15), 16))
         .toSet
     }
     val sketch = full.map { case (s2, hs) => s2 -> hs.toSeq.sorted.take(k) }
@@ -530,7 +532,8 @@ class Batch11Spec extends AnyFunSuite {
       // estimator replay from the sketches alone
       val m = mergedFromSketch.length.toLong
       val estU = if (m < k) m
-                 else (k - 1).toLong * 4294967296L / mergedFromSketch.last
+                 else (BigInt(k - 1) * BigInt(1L << 60)
+                   / mergedFromSketch.last).toLong
       val matched = mergedFromSketch
         .count(h => sketch(a).contains(h) && sketch(b2).contains(h)).toLong
       assert(r.getAs[Long]("est_union") == estU, s"est_union $a/$b2")
