@@ -32,7 +32,8 @@ object SparkEntry {
       sim.Similarity.queries ++ sim.Pca.queries ++
       multimodal.Multimodal.queries ++ multimodal.Codecs.queries ++
       sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
-      sources.OsmCensus.queries ++ sources.PartitionedScan.queries
+      sources.OsmCensus.queries ++ sources.OsmE2e.queries ++
+      sources.PartitionedScan.queries
 
   /** One-time physical-layout materialization (q82's partitioned copy,
     * q134's bucketed tables). `Bench` calls this before the timed region
@@ -43,6 +44,7 @@ object SparkEntry {
     sources.PartitionedScan.ensurePartitioned(spark, sfDir)
     sources.PartitionedScan.ensureBuckets(spark, sfDir)
     sources.PartitionedScan.ensureSorted(spark, sfDir)
+    sources.OsmE2e.ensureExtract(spark, sfDir)
     sim.Similarity.ensureAnnIndexes(spark, sfDir)
     // Pair VERDICT tables both engines produce once and every consumer
     // (q220 audit, q76 labels) reads thereafter; q40/q47 themselves stay
@@ -72,5 +74,6 @@ object SparkEntry {
       sim.Similarity.oracles ++ sim.Pca.oracles ++
       multimodal.Multimodal.oracles ++ multimodal.Codecs.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
-      sources.OsmCensus.oracles ++ sources.PartitionedScan.oracles
+      sources.OsmCensus.oracles ++ sources.OsmE2e.oracles ++
+      sources.PartitionedScan.oracles
 }

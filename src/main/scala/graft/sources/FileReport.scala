@@ -31,17 +31,53 @@ object FileReport {
     files.toSeq.toDF("file", "parent", "bytes")
   }
 
-  /** q77: size report over the SF directory's parquet tables —
-    * deterministic (driver-generated fixed files), rows-only checked
-    * (DuckDB cannot stat files, so no SQL oracle). */
-  def q77FileSizes(s: SparkSession, d: String): DataFrame =
-    report(s, d)
-      .filter(col("file").endsWith(".parquet"))
-      .select(col("file"), col("bytes"))
-      .orderBy(col("file"))
+  /** q77: size report over artifacts the pipeline itself PRODUCED —
+    * the reference family prints `os.path.getsize` per file it wrote,
+    * so the faithful shape is: write a sink, stat it, report. HASH-GREEN
+    * as of r14: the artifact is a header-less CSV of a deterministic
+    * 25-row dim (nation⋈region, all fields quote-free), so the data
+    * file's byte size is CONTENT-DERIVED — DuckDB reproduces it as
+    * Σ octet_length(row)+1 over the same join, making the oracle a
+    * genuinely independent check of the Hadoop stat (not a golden
+    * constant). Part-file names carry a writer UUID → normalized to a
+    * stable artifact label; `.crc` client checksums are excluded (the
+    * Hadoop hidden-file convention), `_SUCCESS` is reported
+    * deliberately (it IS a produced artifact; its size pins to 0).
+    *
+    * Scale shape: the listing is O(#files) driver-side metadata RPC
+    * (never contents); the sink write is the data-sized part and uses
+    * one writer task because the dim is 25 rows (writer parallelism
+    * tracks data size, not cluster size — q62's stance). */
+  def q77FileSizes(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.nation(s, d)
+      .join(graft.Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val base = TmpWorkspace.dir("file_report", d)
+    dim.coalesce(1).write.mode("overwrite").csv(base + "/csv")
+    report(s, base + "/csv")
+      .filter(!col("file").startsWith("."))
+      .select(
+        when(col("file").rlike("^part-.*\\.csv$"), lit("part.csv"))
+          .otherwise(col("file")).as("artifact"),
+        col("bytes"))
+      .groupBy(col("artifact"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+      .orderBy(col("artifact"))
+  }
+
+  val o77 = """
+    SELECT '_SUCCESS' AS artifact, CAST(1 AS BIGINT) AS n_files,
+      CAST(0 AS BIGINT) AS bytes
+    UNION ALL
+    SELECT 'part.csv', CAST(1 AS BIGINT),
+      CAST(SUM(octet_length(CAST(n_nationkey::VARCHAR || ',' || n_name
+        || ',' || r_name AS BLOB)) + 1) AS BIGINT)
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY artifact"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_file_sizes" -> (q77FileSizes _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q77_file_sizes" -> o77)
 }

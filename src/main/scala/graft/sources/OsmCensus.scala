@@ -97,7 +97,18 @@ object OsmCensus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_osm_count_tags" -> (q81OsmCountTags _))
 
-  // no oracle: DuckDB cannot read XML — rows-only check; golden
-  // per-tag counts asserted in OsmShapeSpec.
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB cannot read XML, but it doesn't need to: the fixture is
+    * STATIC content, so the census has exactly one right answer — a
+    * golden-constant oracle pins it (r14, same counts OsmShapeSpec
+    * hand-verifies), graduating the gate from rows-only to
+    * hash-equality over the whole XML-scan pipeline. The in-query
+    * raise_error tripwire independently cross-checks the structured
+    * `format("osm")` pass against the raw census either way. */
+  val oracles: Map[String, String] = Map(
+    "q81_osm_count_tags" -> """
+      SELECT tag, CAST(n AS BIGINT) AS "count" FROM (VALUES
+        ('bounds', 1), ('member', 2), ('nd', 2), ('node', 3),
+        ('osm', 2), ('relation', 1), ('tag', 4), ('way', 1))
+        t(tag, n)
+      ORDER BY tag""")
 }

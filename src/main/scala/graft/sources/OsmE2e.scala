@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.OsmShape
+
+/** S1 at BENCH scale: the full OSM pipeline end-to-end over a
+  * data-sized extract, under the hash gate.
+  *
+  * q81 proves the XML scan on a hand-written two-file fixture; this
+  * module proves the whole pipeline at the same scale as every other
+  * bench query: the EVENTS table is serialized as a multi-file `.osm`
+  * extract (one well-formed document per partition — the per-region
+  * extract layout real OSM dumps ship in), scanned back through the
+  * DSv2 `format("osm")` source, shaped with `OsmShape.shapeNodes`/
+  * `shapeTags` (the reference's E2 ETL), and audited with an
+  * aggregate whose expected value DuckDB computes DIRECTLY from the
+  * same events parquet — so a row lost, mangled, or duplicated by the
+  * serializer, the StAX parser, the row model, or the shaper breaks
+  * the cross-engine hash.
+  *
+  * Determinism: file CONTENT depends on partitioning, but the parsed
+  * row SET does not, and the audit is an aggregate over that set.
+  * Every audited column round-trips exactly: ids/uids are integers,
+  * timestamps are serialized at whole-second precision (floor — same
+  * as the oracle's epoch_ns div 1e9), and value rides as the repo's
+  * exact DECIMAL(12,2) string (the dsum discipline). lat/lon exist to
+  * satisfy node validation, not the audit.
+  *
+  * Scale shape: serialization is one row-local projection + an
+  * O(#partitions) file fan-out (executor-side streaming writes, never
+  * a driver collect); the scan is one task per file (OsmScan's
+  * partitioning); the audit is one map-side-combined aggregate. At
+  * 100 TB the extract count scales with partitions and each file
+  * streams through constant StAX memory.
+  */
+object OsmE2e {
+
+  val N_FILES = 8
+
+  /** XML attribute-value guard: the generator writes attribute values
+    * UNESCAPED, which is only correct while the vocabulary is
+    * XML-clean — enforced, not assumed (raise_error on violation). */
+  private def xmlClean(c: Column): Column =
+    when(c.rlike("""[&<>"']"""), raise_error(
+      concat(lit("q305: value needs XML escaping: "), c)).cast("string"))
+      .otherwise(c)
+
+  /** One-time per (process, sfDir): serialize events as an N_FILES
+    * `.osm` extract. Executor-side Hadoop streaming writes (local
+    * scratch here; the same code writes any Hadoop FS). */
+  def ensureExtract(s: SparkSession, d: String): String = {
+    val base = TmpWorkspace.dir("osm_e2e", d)
+    TmpWorkspace.once(base) {
+      val ev = graft.Tables.events(s, d)
+      val node = concat(
+        lit("  <node id=\""), col("event_id"),
+        lit("\" lat=\""),
+        expr("cast(cast((user_id % 1800) - 900 as double) / 10 as string)"),
+        lit("\" lon=\""),
+        expr("cast(cast((event_id % 3600) - 1800 as double) / 10 as string)"),
+        lit("\" user=\"u"), col("user_id"),
+        lit("\" uid=\""), col("user_id"),
+        lit("\" version=\"1\" changeset=\""), col("event_id") % 1000,
+        lit("\" timestamp=\""),
+        date_format(col("ts_us"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit("\">\n    <tag k=\"type\" v=\""), xmlClean(col("event_type")),
+        lit("\"/>\n    <tag k=\"value\" v=\""),
+        graft.Tables.dec2(col("value")).cast("string"),
+        lit("\"/>\n  </node>\n"))
+      val written = ev.select(node.as("x"))
+        .repartition(N_FILES)
+        .rdd.mapPartitionsWithIndex { (i, it) =>
+          val p = new Path(s"$base/extract_$i.osm")
+          // fresh Configuration: resolves the scheme on the executor
+          // (SparkContext's conf object is not task-serializable)
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+            w.write("<osm version=\"0.6\" generator=\"graft-e2e\">\n")
+            var n = 0L
+            it.foreach { r => w.write(r.getString(0)); n += 1 }
+            w.write("</osm>\n")
+            Iterator.single(n)
+          } finally w.close()
+        }.fold(0L)(_ + _)
+      require(written > 0, s"q305: empty extract at $base")
+    }
+    base
+  }
+
+  /** q305: parquet → XML serializer → DSv2 scan → shape → audit,
+    * hash-checked against the direct-SQL computation of the same
+    * aggregate from the same events table. */
+  def q305OsmE2e(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureExtract(s, d)
+    val e = s.read.format("osm").load(dir)
+    val nodes = OsmShape.shapeNodes(e)
+    val tags = OsmShape.shapeTags(e, "node")
+    val ty = tags.filter(col("key") === "type" && col("type") === "regular")
+      .select(col("id"), col("value").as("event_type"))
+    val vc = tags.filter(col("key") === "value" && col("type") === "regular")
+      .select(col("id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("v"))
+    nodes.select(col("id"), col("uid"),
+        unix_timestamp(col("timestamp")).as("ts_s"))
+      .join(ty, Seq("id"))
+      .join(vc, Seq("id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_nodes"),
+           countDistinct(col("uid")).as("n_users"),
+           min(col("ts_s")).as("min_ts_s"),
+           max(col("ts_s")).as("max_ts_s"),
+           sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val o305 = """
+    SELECT event_type,
+      COUNT(*) AS n_nodes,
+      COUNT(DISTINCT user_id) AS n_users,
+      MIN(epoch_ns(ts) // 1000000000) AS min_ts_s,
+      MAX(epoch_ns(ts) // 1000000000) AS max_ts_s,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_osm_e2e" -> (q305OsmE2e _))
+
+  val oracles: Map[String, String] = Map(
+    "q305_osm_e2e" -> o305)
+}

@@ -160,13 +160,25 @@ class DedupClusterSpec extends AnyFunSuite {
         s"doc $dropped dropped without being anyone's near-dup") }
   }
 
-  test("file report lists parquet tables with positive sizes") {
+  test("file report: stat of the produced csv artifact matches its content-derived size") {
     val fr = graft.sources.FileReport.q77FileSizes(spark, TestSpark.SF)
-      .as[(String, Long)].collect()
-    assert(fr.nonEmpty)
-    assert(fr.forall(_._2 > 0))
-    val tables = fr.map(_._1).toSet
-    assert(tables.exists(_.contains("lineitem")))
+      .as[(String, Long, Long)].collect().toSeq
+    // exactly the two artifacts, part names normalized, _SUCCESS pinned 0
+    assert(fr.map(_._1) == Seq("_SUCCESS", "part.csv"))
+    assert(fr.forall(_._2 == 1L))
+    assert(fr.head._3 == 0L)
+    // independent expected size: sum of utf-8 line lengths of the dim
+    import org.apache.spark.sql.functions._
+    val expected = graft.Tables.nation(spark, TestSpark.SF)
+      .join(graft.Tables.region(spark, TestSpark.SF),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(concat(col("n_nationkey").cast("string"), lit(","),
+        col("n_name"), lit(","), col("r_name")).as("line"))
+      .agg(sum(octet_length(col("line")) + 1)).head().getLong(0)
+    assert(fr(1)._3 == expected, s"csv stat ${fr(1)._3} != content-derived $expected")
+    // the generic recursive listing still reads arbitrary dirs
+    val sf = graft.sources.FileReport.report(spark, TestSpark.SF).collect()
+    assert(sf.exists(r => r.getString(0).contains("lineitem") && r.getLong(2) > 0))
   }
 
   test("q250 funnel: monotone, consistent with its constituent stages") {

@@ -226,6 +226,27 @@ class OsmShapeSpec extends AnyFunSuite {
       "relation" -> 1L, "tag" -> 4L, "nd" -> 2L, "member" -> 2L))
   }
 
+  test("q305 extract round-trips every event row losslessly") {
+    // parquet → XML serializer → DSv2 scan: parsed node set must be the
+    // events table exactly (ids, uids, second-floored timestamps), with
+    // zero rows routed to the corrupt side by shape validation.
+    import org.apache.spark.sql.functions._
+    val dir = graft.sources.OsmE2e.ensureExtract(spark, TestSpark.SF)
+    val e = spark.read.format("osm").load(dir)
+    assert(OsmShape.corrupt(e).count() == 0)
+    val parsed = OsmShape.shapeNodes(e)
+      .select(col("id"), col("uid"), unix_timestamp(col("timestamp")).as("s"))
+    val expected = graft.Tables.events(spark, TestSpark.SF)
+      .select(col("event_id").as("id"), col("user_id").as("uid"),
+        expr("ts div 1000000000").as("s")) // integer div: ts exceeds 2^53
+    assert(parsed.count() == expected.count())
+    assert(parsed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(parsed).count() == 0)
+    // multi-file layout: one well-formed document per partition
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".osm"))
+    assert(files.length == graft.sources.OsmE2e.N_FILES)
+  }
+
   test("street canonicalization leaves unmapped values untouched") {
     val nt = OsmShape.shapeTags(elems, "node", Map("Rd" -> "Road")).collect()
       .map(r => (r.getString(1), r.getString(2))).toMap

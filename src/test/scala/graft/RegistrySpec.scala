@@ -28,6 +28,24 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("q75 sample quantile degenerates to exact when n < K; tripwires hold") {
+    // sf0.001 groups have ~2k rows < K=4096, so the bottom-K sample IS
+    // the full group: sample centi must equal exact centi bit-for-bit
+    // (err 0) and sample_n == n. Completion also proves the in-query
+    // tripwires: Spark percentile == centi leg to 1e-9 and
+    // percentile_approx within 1.0 of exact.
+    val rows = ops.Relational.q75ApproxQuantiles(spark, TestSpark.SF)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("sample_n"))
+      assert(r.getAs[Long]("p50_err_centi") == 0L)
+      assert(r.getAs[Long]("p99_err_centi") == 0L)
+      assert(r.getAs[Long]("p50_samp_centi") == r.getAs[Long]("p50_centi"))
+      assert(r.getAs[Long]("p99_samp_centi") == r.getAs[Long]("p99_centi"))
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, TestSpark.SF)
