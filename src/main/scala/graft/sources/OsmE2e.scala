@@ -127,9 +127,98 @@ object OsmE2e {
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // ---- q306: ORDERED way membership at bench scale (J2 + P-track
+  //      shapeWayNodes under the hash gate) ----
+
+  val WAY_FILES = 4
+
+  /** One-time per (process, sfDir): each user's event history becomes a
+    * `<way>` whose ordered `<nd>` refs are that user's event_ids sorted
+    * by (ts, event_id) — ~1500 ways × ~67 refs at sf0.1. ORDER is the
+    * payload here: q305 proves the row SET round-trips; this extract
+    * exists to prove SEQUENCE survives serializer → parser → posexplode.
+    * The per-way collect_list is user-history-bounded (the q24 grouped-
+    * collect shape), never corpus-bounded. */
+  def ensureWayExtract(s: SparkSession, d: String): String = {
+    val base = TmpWorkspace.dir("osm_e2e_ways", d)
+    TmpWorkspace.once(base) {
+      val ev = graft.Tables.events(s, d)
+      val way = ev
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"))))
+          .as("seq"))
+        .select(concat(
+          lit("  <way id=\""), col("user_id"),
+          lit("\" user=\"u"), col("user_id"),
+          lit("\" uid=\""), col("user_id"),
+          lit("\" version=\"1\" changeset=\"1\""),
+          lit(" timestamp=\"2020-01-01T00:00:00Z\">\n"),
+          concat_ws("", expr(
+            "transform(seq, x -> concat('    <nd ref=\"', x.event_id, '\"/>\n'))")),
+          lit("  </way>\n")).as("x"))
+      val written = way.repartition(WAY_FILES)
+        .rdd.mapPartitionsWithIndex { (i, it) =>
+          val p = new Path(s"$base/ways_$i.osm")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+            w.write("<osm version=\"0.6\" generator=\"graft-e2e\">\n")
+            var n = 0L
+            it.foreach { r => w.write(r.getString(0)); n += 1 }
+            w.write("</osm>\n")
+            Iterator.single(n)
+          } finally w.close()
+        }.fold(0L)(_ + _)
+      require(written > 0, s"q306: empty way extract at $base")
+    }
+    base
+  }
+
+  /** q306: ordered-membership audit. shapeWayNodes posexplodes the
+    * parsed ways into (way id, node_id, position); joining back to the
+    * q305 node extract recovers each member's event_type, and the
+    * audit aggregates BOTH the membership counts and the POSITION sums
+    * — a single swapped pair anywhere in a 67-element sequence moves
+    * sum_pos, so the hash certifies order, not just multiplicity.
+    * DuckDB replays position as row_number()−1 over the same
+    * (ts, event_id) sort. */
+  def q306OsmWayOrder(s: SparkSession, d: String): DataFrame = {
+    val nodesDir = ensureExtract(s, d)
+    val waysDir = ensureWayExtract(s, d)
+    val wn = OsmShape.shapeWayNodes(s.read.format("osm").load(waysDir))
+      .select(col("id").as("way_id"), col("node_id"), col("position"))
+    val ty = OsmShape.shapeTags(s.read.format("osm").load(nodesDir), "node")
+      .filter(col("key") === "type" && col("type") === "regular")
+      .select(col("id").as("node_id"), col("value").as("event_type"))
+    wn.join(ty, Seq("node_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_members"),
+           countDistinct(col("way_id")).as("n_ways"),
+           sum(col("position").cast("long")).as("sum_pos"),
+           max(col("position").cast("long")).as("max_pos"))
+      .orderBy(col("event_type"))
+  }
+
+  val o306 = """
+    WITH pos AS (
+      SELECT event_type, user_id AS way_id,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) - 1 AS position
+      FROM events)
+    SELECT event_type,
+      COUNT(*) AS n_members,
+      COUNT(DISTINCT way_id) AS n_ways,
+      CAST(SUM(position) AS BIGINT) AS sum_pos,
+      CAST(MAX(position) AS BIGINT) AS max_pos
+    FROM pos GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q305_osm_e2e" -> (q305OsmE2e _))
+    "q305_osm_e2e" -> (q305OsmE2e _),
+    "q306_osm_way_order" -> (q306OsmWayOrder _))
 
   val oracles: Map[String, String] = Map(
-    "q305_osm_e2e" -> o305)
+    "q305_osm_e2e" -> o305,
+    "q306_osm_way_order" -> o306)
 }

@@ -247,6 +247,24 @@ class OsmShapeSpec extends AnyFunSuite {
     assert(files.length == graft.sources.OsmE2e.N_FILES)
   }
 
+  test("q306 way extract preserves exact member ORDER per way") {
+    // (way, node, position) triples must equal the row_number order of
+    // each user's events — a single transposition anywhere fails
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = graft.sources.OsmE2e.ensureWayExtract(spark, TestSpark.SF)
+    val parsed = OsmShape
+      .shapeWayNodes(spark.read.format("osm").load(dir))
+      .select(col("id"), col("node_id"), col("position").cast("long").as("p"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expected = graft.Tables.events(spark, TestSpark.SF)
+      .select(col("user_id").as("id"), col("event_id").as("node_id"),
+        (row_number().over(w) - 1).cast("long").as("p"))
+    assert(parsed.count() == expected.count())
+    assert(parsed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(parsed).count() == 0)
+  }
+
   test("street canonicalization leaves unmapped values untouched") {
     val nt = OsmShape.shapeTags(elems, "node", Map("Rd" -> "Road")).collect()
       .map(r => (r.getString(1), r.getString(2))).toMap
