@@ -140,7 +140,11 @@ object ClusterSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val round = sys.env.get("ROUND").flatMap(_.toIntOption).getOrElse(0)
-    val panel = FIXED ++ rotating(round)
+    // ad-hoc panel: explicit query names as args replace the
+    // fixed+rotating panel (dev probe for newly-landed machinery; the
+    // round artifact below still only gets written for the full run)
+    val adHoc = args.filter(graft.SparkEntry.queries.contains).toSeq
+    val panel = if (adHoc.nonEmpty) adHoc else FIXED ++ rotating(round)
     val clusterMaster = "local-cluster[2,4,2048]"
     if (!sys.env.contains("SPARK_HOME"))
       System.err.println("[cluster-smoke] WARNING: SPARK_HOME unset - " +
@@ -156,9 +160,10 @@ object ClusterSmoke {
     val nMatch = panel.count(n => local(n) == clustered(n))
     val json =
       s"""{"metric":"cluster_smoke","master":"$clusterMaster","sf":"$sfDir","round":$round,"fixed":${FIXED.size},"rotating":${rotating(round).size},"n_queries":${panel.size},"n_match":$nMatch,"results":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("cluster_smoke.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (adHoc.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("cluster_smoke.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     if (nMatch != panel.size) sys.exit(1)
   }
