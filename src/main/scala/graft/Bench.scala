@@ -7,50 +7,96 @@ import org.apache.spark.sql.SparkSession
   * the final (always-surviving) line carries a sha256 of the committed
   * bench.json, so the full per-query file is tamper-evident without
   * needing to fit on one stdout line.
+  *
+  * KILL-PROOF (r14 post-mortem: BENCH_r14 was rc=124/parsed=null — the
+  * 5-rep suite overran the harness wall-clock in a contended window and
+  * the artifact, written only at the end, was lost entirely). Three
+  * layers make a timeout non-fatal now:
+  *
+  *  1. `bench.json` is rewritten after EVERY query with
+  *     `"partial":true` + progress counters, so a kill at any point
+  *     leaves a parsable artifact covering everything timed so far.
+  *  2. A sha-stamped partial summary line (same shape as the final
+  *     summary, plus `"partial":true`) prints + flushes every
+  *     PARTIAL_EVERY queries, and a JVM shutdown hook re-prints the
+  *     latest one on SIGTERM — the tail capture always ends with a
+  *     parsable `{"metric":"total",...}` line.
+  *  3. A wall-clock budget (env SPARK_GRAFT_BENCH_BUDGET_S, default
+  *     1500 s) downshifts reps 5→3→2→1 when the projected finish
+  *     (observed wall-per-rep × remaining reps) exceeds it; every
+  *     downshift is recorded in the artifact's "reps_schedule", so a
+  *     slow host degrades rep count gracefully instead of dying at
+  *     query 290/306 with nothing to show.
   */
 object Bench {
-  /** (sf, per-query min, provenance) of the baseline this run adjudicates
-    * against. Prefers the COMMITTED `HEAD:bench.json` (via `git show`) so a
-    * second Bench run in the same checkout does not adjudicate against its
-    * own freshly-overwritten numbers, and a dirty working-tree bench.json
-    * never silently becomes the baseline; falls back to the working-tree
-    * file only when git is unavailable. sf is carried so a local dev run at
-    * a different SF never adjudicates against incomparable numbers. */
-  private def readPrevBench(): (Option[String], Map[String, Double], String) = {
-    def parse(bytes: Array[Byte]): (Option[String], Map[String, Double]) = {
+
+  /** The host-calibration probe: an expensive, shuffle-heavy,
+    * CPU-bound query whose min is a stable fingerprint of host speed.
+    * Its suite min is stamped into bench.json ("calibration"), and the
+    * adjudicator refuses to re-probe movers when a fresh measurement
+    * of it exceeds 1.5× the committed floor — a re-probe taken during
+    * the same contention that produced the mover is evidence of
+    * nothing (r14: 8 "real" verdicts, all contention on idle re-probe). */
+  val CALIB_Q = "q229_lsh_sweep"
+  val CALIB_MAX_RATIO = 1.5
+
+  /** (sf, per-query min, calibration floor, provenance) of the baseline
+    * this run adjudicates against. Prefers the COMMITTED
+    * `HEAD:bench.json` (via `git show`) so a second Bench run in the
+    * same checkout does not adjudicate against its own
+    * freshly-overwritten numbers, and a dirty working-tree bench.json
+    * never silently becomes the baseline; falls back to the
+    * working-tree file only when git is unavailable. sf is carried so a
+    * local dev run at a different SF never adjudicates against
+    * incomparable numbers. */
+  private def readPrevBench()
+      : (Option[String], Map[String, Double], Option[Double], String) = {
+    def parse(bytes: Array[Byte])
+        : (Option[String], Map[String, Double], Option[Double]) = {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
       val sf = Option(root.get("sf")).map(_.asText())
+      val calib = Option(root.get("calibration"))
+        .flatMap(c => Option(c.get("min_sec"))).map(_.asDouble())
       val q = root.get("queries")
-      if (q == null) (sf, Map.empty)
+      if (q == null) (sf, Map.empty, calib)
       else {
         val b = Map.newBuilder[String, Double]
         val it = q.fields()
         while (it.hasNext) {
           val e = it.next(); b += e.getKey -> e.getValue.asDouble()
         }
-        (sf, b.result())
+        (sf, b.result(), calib)
       }
     }
-    val fromGit: Option[(Option[String], Map[String, Double], String)] =
+    val fromGit: Option[(Option[String], Map[String, Double], Option[Double], String)] =
       try {
         val p = new ProcessBuilder("git", "show", "HEAD:bench.json").start()
         val bytes = p.getInputStream.readAllBytes()
         if (p.waitFor() == 0 && bytes.nonEmpty) {
-          val (sf, m) = parse(bytes)
-          Some((sf, m, "git:HEAD"))
+          val (sf, m, c) = parse(bytes)
+          Some((sf, m, c, "git:HEAD"))
         } else None
       } catch { case _: Throwable => None }
     fromGit.getOrElse {
       try {
         val f = new java.io.File("bench.json")
-        if (!f.exists()) (None, Map.empty, "none")
+        if (!f.exists()) (None, Map.empty, None, "none")
         else {
-          val (sf, m) = parse(java.nio.file.Files.readAllBytes(f.toPath))
-          (sf, m, "worktree")
+          val (sf, m, c) = parse(java.nio.file.Files.readAllBytes(f.toPath))
+          (sf, m, c, "worktree")
         }
-      } catch { case _: Throwable => (None, Map.empty, "none") }
+      } catch { case _: Throwable => (None, Map.empty, None, "none") }
     }
   }
+
+  // 3-decimal rounding keeps per-query entries ~25 bytes each so the
+  // chunked attestation lines below stay far under the tail window.
+  private def r3(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def sha256(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +108,12 @@ object Bench {
     // the min still landed 3-8× above idle-machine probe mins under host
     // contention; min-of-5 tracks the idle PerfProbe numbers.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // Wall-clock budget: projected-finish checks downshift reps before
+    // each query so the suite lands inside it. 1500 s default ≈ 0.8× the
+    // shortest harness window the suite has been killed under.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val startWall = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - startWall) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,6 +134,21 @@ object Bench {
     sorted.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+
+    // ---- kill-proof state: partial artifact + last summary line ----
+    // The shutdown hook re-prints the newest partial summary on SIGTERM
+    // (the harness timeout signal), so the stdout tail always ends in a
+    // parsable line even when the periodic print was many queries ago.
+    @volatile var latestPartialLine: String = null
+    @volatile var finished = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finished && latestPartialLine != null) {
+        println(latestPartialLine)
+        System.out.flush()
+      }
+    }))
+    val PARTIAL_EVERY = 20
+
     // Keep min (the graded steady-state number) AND median per query:
     // min-vs-median spread is the host-contention fingerprint, so a
     // future regression can be adjudicated from the committed artifact
@@ -92,9 +159,91 @@ object Bench {
     // fail-fast "timing" that makes a broken engine look faster than a
     // working one. Failures are counted per query, failed queries are
     // excluded from the graded total, and an "errors" map goes in the JSON.
-    val allTimes = sorted.map { case (name, fn) =>
+    var curReps = reps
+    var repsExecuted = 0L
+    // Projection basis is the SUM OF TIMED REP DURATIONS, not wall
+    // elapsed: wall includes the one-time benchSetup/warmup cost, which
+    // divided by the first query's reps inflates per-rep cost ~10× and
+    // cascades the downshift to 1 rep immediately (observed in the
+    // budget self-test). Setup time is sunk — it stays in elapsedS on
+    // the left of the projection, just not in the per-rep rate.
+    var repSecondsExecuted = 0.0
+    val downshifts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Double], Int, Int)]
+
+    def fmtMap(m: Seq[(String, Double)]): String = m.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def medianOf(ts: Seq[Double]): Double =
+      // Upper median for odd sizes; mean of the two middle reps for even
+      // sizes (ts(size/2) alone would report the max at reps=2).
+      if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+
+    /** The full per-query JSON for everything timed so far. `partial`
+      * adds the in-flight markers a consumer needs to know the artifact
+      * is a prefix, not a finished suite. */
+    def buildJson(partial: Boolean): String = {
+      val okRows = acc.filter(_._3 == 0)
+      val entries = fmtMap(okRows.map { case (n, ts, _, _) => n -> ts.min }.toSeq)
+      val meds = fmtMap(okRows.map { case (n, ts, _, _) => n -> medianOf(ts) }.toSeq)
+      val errJson = acc.collect { case (n, _, f, _) if f > 0 => n -> f }
+        .sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = okRows.map(_._2.min).sum
+      val sched = downshifts.mkString("[", ",", "]")
+      val minUsed = if (acc.isEmpty) reps else acc.map(_._4).min
+      val calib = okRows.collectFirst { case (CALIB_Q, ts, _, _) =>
+        s""","calibration":{"query":"$CALIB_Q","min_sec":${r3(ts.min)},"median_sec":${r3(medianOf(ts))}}"""
+      }.getOrElse("")
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val partialPart =
+        if (partial) s""","partial":true,"completed":${acc.size},"n_total":${sorted.size}"""
+        else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$entries,"queries_median":$meds,"errors":$errJson,"sf":"$sfDir","reps":$reps,"reps_min_used":$minUsed,"reps_schedule":$sched,"budget_sec":${r3(budgetS)},"wall_sec":${r3(elapsedS)},"host_load_1m":${r3(load)},"generated_at_epoch_s":${System.currentTimeMillis() / 1000}$calib,"timing":"min-of-reps"$partialPart}"""
+    }
+
+    /** Rewrite bench.json (cheap: ~10 KB) and refresh the summary line
+      * the shutdown hook would print. Returns the artifact sha. */
+    def persist(partial: Boolean): String = {
+      val bytes = (buildJson(partial) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"), bytes)
+      val sha = sha256(bytes)
+      val okRows = acc.filter(_._3 == 0)
+      val total = okRows.map(_._2.min).sum
+      val nErr = acc.size - okRows.size
+      val partialPart =
+        if (partial) s""","partial":true,"completed":${acc.size},"n_total":${sorted.size},"reps_current":$curReps,"elapsed_sec":${r3(elapsedS)}"""
+        else ""
+      latestPartialLine =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${okRows.size},"n_errors":$nErr,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps","queries_file":"bench.json","queries_sha256":"$sha"$partialPart}"""
+      sha
+    }
+
+    sorted.zipWithIndex.foreach { case ((name, fn), idx) =>
+      // Budget projection BEFORE each query: observed wall-per-rep so
+      // far × reps still planned. Downshift while the projection
+      // overruns; never below 1 rep — completeness (an entry for every
+      // query) beats per-entry precision, and the incremental artifact
+      // plus the min/median spread mark any 1-rep era as low-trust.
+      if (repsExecuted > 0 && curReps > 1) {
+        val perRep = repSecondsExecuted / repsExecuted
+        var projected = elapsedS + perRep * (sorted.size - idx) * curReps
+        while (curReps > 1 && projected > budgetS) {
+          val nxt = List(3, 2, 1).find(_ < curReps).getOrElse(1)
+          downshifts += s"""{"at_query":"$name","at_index":$idx,"from":$curReps,"to":$nxt,"elapsed_sec":${r3(elapsedS)},"projected_sec":${r3(projected)}}"""
+          System.err.println(s"[bench] budget downshift $curReps->$nxt at " +
+            s"$name (elapsed ${r3(elapsedS)}s, projected ${r3(projected)}s, " +
+            s"budget ${r3(budgetS)}s)")
+          curReps = nxt
+          projected = elapsedS + perRep * (sorted.size - idx) * curReps
+        }
+      }
+      val useReps = curReps
       var failures = 0
-      val times = (1 to reps).map { _ =>
+      val times = (1 to useReps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -107,36 +256,22 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times, failures)
+      repsExecuted += useReps
+      repSecondsExecuted += times.sum
+      acc += ((name, times, failures, useReps))
+      persist(partial = true)
+      if ((idx + 1) % PARTIAL_EVERY == 0 && idx + 1 < sorted.size) {
+        println(latestPartialLine)
+        System.out.flush()
+      }
     }
+
+    val allTimes = acc.toSeq.map { case (n, ts, f, _) => (n, ts, f) }
     val errors = allTimes.collect { case (n, _, f) if f > 0 => n -> f }.toMap
     val ok = allTimes.filter(_._3 == 0)
     val results = ok.map { case (n, ts, _) => n -> ts.min }.toMap
-    // Upper median for odd sizes; mean of the two middle reps for even
-    // sizes (ts(size/2) alone would report the max at reps=2).
-    val medians = ok.map { case (n, ts, _) =>
-      n -> (if (ts.size % 2 == 1) ts(ts.size / 2)
-            else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0)
-    }.toMap
-    // 3-decimal rounding keeps per-query entries ~25 bytes each so the
-    // chunked attestation lines below stay far under the tail window.
-    def r3(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmt(m: Map[String, Double]): Seq[String] = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-    val entries = fmt(results)
-    val qs = entries.mkString("{", ",", "}")
-    val medEntries = fmt(medians)
-    val meds = medEntries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_median":$meds,"errors":$errJson,"sf":"$sfDir","reps":$reps,"timing":"min-of-reps"}"""
-    // Persist the full per-query JSON to a file the driver (or a human)
-    // can always read; its sha256 goes on the final stdout line so the
-    // committed file is tamper-evident (driver-attested) even though the
-    // full line itself would overflow the ~4 KB tail capture at 137+
-    // queries (it front-truncated in rounds 2-5).
+    val json = buildJson(partial = false)
     // ---- Automated regression adjudication (pre-overwrite baseline) ----
     // Four rounds (r4/r5/r10/r11) ended with judge or builder hand-probing
     // >2× "regressions" that were driver-host contention, not code. This
@@ -145,7 +280,7 @@ object Bench {
     // right after the suite (no other queries interleaving — the same
     // isolation PerfProbe provided manually), and both numbers land in
     // bench_adjudication.json so the verdict needs zero manual probes.
-    val (prevSf, prevMins, baselineProvenance) = readPrevBench()
+    val (prevSf, prevMins, prevCalib, baselineProvenance) = readPrevBench()
     // ---- Host calibration (r13 judge finding: 10/10 "real" verdicts were
     // false — the committed baseline came from a faster host era, so every
     // comparison carried a hidden host factor). The suite itself is the
@@ -189,6 +324,38 @@ object Bench {
           (norm(ts.min) > 1.25 * p || p >= 1.0)) =>
         (n, prevMins(n), ts.min)
       }.sortBy { case (_, p, g) => p - norm(g) }.take(driftN)
+    // ---- Calibration gate on the re-probe itself (r14 post-mortem: 8
+    // "real" verdicts, every one exonerated by idle probes — the
+    // re-probes ran during the SAME contended window as the graded reps,
+    // so they confirmed nothing). Before probing any mover, re-measure
+    // the calibration query min-of-3 against the committed floor; if the
+    // host is >1.5× its recorded idle speed, every verdict becomes
+    // "deferred_contended_host" — an explicit "no evidence either way"
+    // the next session re-probes idle, instead of a false "real". Also
+    // defer on budget exhaustion: a probe pass (up to 16 movers × 7
+    // reps) started past the wall-clock budget is what killed r14.
+    val anyMovers = adjMovers.nonEmpty || driftMovers.nonEmpty
+    val calibFloor = prevCalib.orElse(prevMins.get(CALIB_Q))
+    val (calibProbe, calibRatio, deferReason) =
+      if (!anyMovers) (Double.NaN, Double.NaN, "")
+      else if (elapsedS > budgetS) (Double.NaN, Double.NaN, "deferred_budget")
+      else calibFloor match {
+        case None => (Double.NaN, Double.NaN, "")
+        case Some(floor) =>
+          val fn = SparkEntry.queries(CALIB_Q)
+          val ts = (1 to 3).flatMap { _ =>
+            val t0 = System.nanoTime()
+            val okRep = try { fn(spark, sfDir).count(); true }
+                        catch { case _: Throwable => false }
+            if (okRep) Some((System.nanoTime() - t0) / 1e9) else None
+          }
+          if (ts.isEmpty) (Double.NaN, Double.NaN, "")
+          else {
+            val ratio = ts.min / floor
+            (ts.min, ratio,
+             if (ratio > CALIB_MAX_RATIO) "deferred_contended_host" else "")
+          }
+      }
     val probeReps = 7
     // A probe rep that throws must not contribute a fail-fast "timing":
     // a query that OOMs or errors during the re-probe would otherwise get
@@ -196,26 +363,29 @@ object Bench {
     // are excluded; all-failed ⇒ verdict 'probe_failed'.
     def adjudicate(movers: Seq[(String, Double, Double)]) = movers.map {
       case (n, prev, graded) =>
-        val fn = SparkEntry.queries(n)
-        val probeTimes = (1 to probeReps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val okRep = try { fn(spark, sfDir).count(); true }
-                      catch { case _: Throwable => false }
-          if (okRep) Some((System.nanoTime() - t0) / 1e9) else None
-        }
-        if (probeTimes.isEmpty) (n, prev, graded, Double.NaN, "probe_failed")
+        if (deferReason.nonEmpty) (n, prev, graded, Double.NaN, deferReason)
         else {
-          val probe = probeTimes.min
-          // Both timings measure the SAME code; the steady-state estimate
-          // is the best of them (the re-probe itself can land on a
-          // contended window — observed: graded 0.44 s, re-probe 1.10 s,
-          // idle 0.18 s). Host-normalized before comparing: "real" must
-          // mean a code-level regression, not a slower host era.
-          val best = norm(math.min(graded, probe))
-          val verdict =
-            if (best <= math.max(1.5 * prev, prev + 0.15)) "contention"
-            else "real"
-          (n, prev, graded, probe, verdict)
+          val fn = SparkEntry.queries(n)
+          val probeTimes = (1 to probeReps).flatMap { _ =>
+            val t0 = System.nanoTime()
+            val okRep = try { fn(spark, sfDir).count(); true }
+                        catch { case _: Throwable => false }
+            if (okRep) Some((System.nanoTime() - t0) / 1e9) else None
+          }
+          if (probeTimes.isEmpty) (n, prev, graded, Double.NaN, "probe_failed")
+          else {
+            val probe = probeTimes.min
+            // Both timings measure the SAME code; the steady-state estimate
+            // is the best of them (the re-probe itself can land on a
+            // contended window — observed: graded 0.44 s, re-probe 1.10 s,
+            // idle 0.18 s). Host-normalized before comparing: "real" must
+            // mean a code-level regression, not a slower host era.
+            val best = norm(math.min(graded, probe))
+            val verdict =
+              if (best <= math.max(1.5 * prev, prev + 0.15)) "contention"
+              else "real"
+            (n, prev, graded, probe, verdict)
+          }
         }
     }
     val adjudicated = adjudicate(adjMovers)
@@ -229,14 +399,18 @@ object Bench {
       val nReal = adjudicated.count(_._5 == "real")
       val baseline =
         if (prevSf.contains(sfDir)) s""""$sfDir"""" else "null"
-      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps":$probeReps,"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","host_factor":${r3(hostFactor)},"host_factor_method":"median per-query min ratio vs baseline over ${ratios.size} common queries; all mover selection and verdicts use graded/host_factor","n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._5 == "contention")},"movers":${moversJson(adjudicated)},"drift":{"top_n_by_abs_delta":$driftN,"ratio_floor":"1.25x, waived for prev>=1s","n_movers":${drifted.size},"n_real":${drifted.count(_._5 == "real")},"movers":${moversJson(drifted)}}}"""
+      val calibFloorS = calibFloor.map(r3).getOrElse("null")
+      val calibProbeS = if (calibProbe.isNaN) "null" else r3(calibProbe)
+      val calibRatioS = if (calibRatio.isNaN) "null" else r3(calibRatio)
+      val deferS = if (deferReason.isEmpty) "null" else s""""$deferReason""""
+      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps":$probeReps,"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","host_factor":${r3(hostFactor)},"host_factor_method":"median per-query min ratio vs baseline over ${ratios.size} common queries; all mover selection and verdicts use graded/host_factor","calibration_gate":{"query":"$CALIB_Q","floor_sec":$calibFloorS,"probe_min_sec":$calibProbeS,"ratio":$calibRatioS,"max_ratio":$CALIB_MAX_RATIO,"deferred":$deferS},"n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._5 == "contention")},"movers":${moversJson(adjudicated)},"drift":{"top_n_by_abs_delta":$driftN,"ratio_floor":"1.25x, waived for prev>=1s","n_movers":${drifted.size},"n_real":${drifted.count(_._5 == "real")},"movers":${moversJson(drifted)}}}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_adjudication.json"),
       (adjJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val jsonBytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"), jsonBytes)
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(jsonBytes).map("%02x".format(_)).mkString
+    val sha = sha256(jsonBytes)
+    finished = true
     spark.stop()
     println(json)
     println(adjJson)
@@ -244,7 +418,12 @@ object Bench {
     // self-describing JSON fragment ~300 bytes. The LAST few lines of
     // stdout always survive tail capture, so at minimum the final chunks
     // plus the summary line parse; the sha256 covers whatever scrolled off.
-    entries.zip(medEntries).grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+    val okSorted = ok.sortBy(_._1)
+    val entrySeq = okSorted.map { case (n, ts, _) =>
+      s"\"" + n + "\":" + r3(ts.min) }
+    val medSeq = okSorted.map { case (n, ts, _) =>
+      s"\"" + n + "\":" + r3(medianOf(ts)) }
+    entrySeq.zip(medSeq).grouped(10).zipWithIndex.foreach { case (chunk, i) =>
       val mins = chunk.map(_._1).mkString("{", ",", "}")
       val meds = chunk.map(_._2).mkString("{", ",", "}")
       println(s"""{"metric":"chunk","i":$i,"queries":$mins,"medians":$meds}""")

@@ -46,6 +46,7 @@ object SparkEntry {
     sources.PartitionedScan.ensureSorted(spark, sfDir)
     sources.OsmE2e.ensureExtract(spark, sfDir)
     sources.OsmE2e.ensureWayExtract(spark, sfDir)
+    sources.OsmE2e.ensureRelationExtract(spark, sfDir)
     sim.Similarity.ensureAnnIndexes(spark, sfDir)
     // Pair VERDICT tables both engines produce once and every consumer
     // (q220 audit, q76 labels) reads thereafter; q40/q47 themselves stay

@@ -82,6 +82,18 @@ object OsmShape {
       .select(col("id"), posexplode(col("nds")).as(Seq("position", "node_id")))
       .select(col("id"), col("node_id"), col("position"))
 
+  /** Ordered, TYPED relation membership via posexplode: (relation id,
+    * member type, member ref, role, position). The relation analogue of
+    * `shapeWayNodes` — position preserves the member sequence, mtype and
+    * role preserve the typed-membership semantics `<member>` carries
+    * beyond a way's bare `<nd ref>`. */
+  def shapeRelationMembers(elements: DataFrame): DataFrame =
+    elements.filter(col("type") === "relation" && isValid(col("type")))
+      .select(col("id"), posexplode(col("members")).as(Seq("position", "m")))
+      .select(col("id"), col("m.mtype").as("member_type"),
+        col("m.ref").as("member_ref"), col("m.role").as("role"),
+        col("position"))
+
   /** The full E2 pipeline: one scan, five outputs. */
   def shapeAll(elements: DataFrame,
                streetMapping: Map[String, String] = Map.empty)

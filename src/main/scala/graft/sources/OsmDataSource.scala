@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -305,6 +305,24 @@ class OsmPartitionReader(file: String, required: StructType,
   // ordinal in the FULL schema for each required field
   private val fullOrdinals: Array[Int] =
     required.fields.map(f => OsmXml.schema.fieldIndex(f.name))
+  /** Nested-pruning support: Catalyst's nestedSchemaPruning can request
+    * the tags/members ELEMENT struct with a SUBSET (or reorder) of its
+    * fields — e.g. `posexplode(members)` under a bare count() prunes the
+    * element to one field. Emitting the full struct then feeds codegen
+    * the wrong ordinals (observed: getLong(ref) landing on mtype's
+    * UTF8String). Map each required sub-field to its full-struct ordinal
+    * by NAME and emit exactly the required shape. */
+  private def subOrdinals(name: String): Array[Int] = {
+    val fullElem = OsmXml.schema(name).dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    required.fields.find(_.name == name) match {
+      case Some(f) => f.dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fields.map(sf => fullElem.fieldIndex(sf.name))
+      case None => fullElem.fields.indices.toArray
+    }
+  }
+  private val tagSub = subOrdinals("tags")
+  private val memberSub = subOrdinals("members")
   private var current: InternalRow = _
   private var emitted = 0
 
@@ -338,24 +356,35 @@ class OsmPartitionReader(file: String, required: StructType,
       case 8         => // timestamp → micros
         val ts = r.getAs[java.sql.Timestamp](8)
         ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
-      case 9         => // tags: array<struct<k,v>>
+      case 9         => // tags: array<struct<k,v>>, nested-pruned shape
         val tags = r.getSeq[org.apache.spark.sql.Row](9)
         new GenericArrayData(tags.map { t =>
-          val s = new GenericInternalRow(2)
-          s.update(0, Option(t.getString(0)).map(UTF8String.fromString).orNull)
-          s.update(1, Option(t.getString(1)).map(UTF8String.fromString).orNull)
+          val s = new GenericInternalRow(tagSub.length)
+          var j = 0
+          while (j < tagSub.length) {
+            s.update(j, Option(t.getString(tagSub(j)))
+              .map(UTF8String.fromString).orNull)
+            j += 1
+          }
           s: Any
         }.toArray)
       case 10        => // nds: array<long>; parser may leave null members
         val nds = r.getSeq[Any](10)
         new GenericArrayData(nds.toArray): ArrayData
-      case 11        => // members: array<struct<mtype,ref,role>>
+      case 11        => // members: array<struct<mtype,ref,role>>,
+                        // nested-pruned shape (ref is the one long field)
         val ms = r.getSeq[org.apache.spark.sql.Row](11)
         new GenericArrayData(ms.map { m =>
-          val s = new GenericInternalRow(3)
-          s.update(0, Option(m.getString(0)).map(UTF8String.fromString).orNull)
-          s.update(1, if (m.isNullAt(1)) null else m.getLong(1))
-          s.update(2, Option(m.getString(2)).map(UTF8String.fromString).orNull)
+          val s = new GenericInternalRow(memberSub.length)
+          var j = 0
+          while (j < memberSub.length) {
+            val fi = memberSub(j)
+            s.update(j,
+              if (m.isNullAt(fi)) null
+              else if (fi == 1) m.getLong(fi)
+              else UTF8String.fromString(m.getString(fi)))
+            j += 1
+          }
           s: Any
         }.toArray)
       case other     => throw new IllegalStateException(s"ordinal $other")

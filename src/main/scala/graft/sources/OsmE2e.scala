@@ -44,8 +44,47 @@ object OsmE2e {
     * XML-clean — enforced, not assumed (raise_error on violation). */
   private def xmlClean(c: Column): Column =
     when(c.rlike("""[&<>"']"""), raise_error(
-      concat(lit("q305: value needs XML escaping: "), c)).cast("string"))
+      concat(lit("osm-e2e: value needs XML escaping: "), c)).cast("string"))
       .otherwise(c)
+
+  /** Executor-side partitioned `.osm` writer with a task-commit
+    * protocol (r14 advice): each task writes to a task-attempt-unique
+    * temp path and RENAMES on completion, so a speculative or zombie
+    * duplicate attempt can never interleave bytes into a live file —
+    * the rename winner is whole-file consistent, the loser's temp is
+    * dropped. (Local scratch here; the same code writes any Hadoop FS,
+    * which is exactly why speculation-safety can't be assumed away.)
+    * Returns the total row count written. */
+  private def writeExtract(base: String, prefix: String,
+                           payload: org.apache.spark.sql.DataFrame,
+                           nFiles: Int): Long =
+    payload.repartition(nFiles)
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val dst = new Path(s"$base/${prefix}_$i.osm")
+        val tmp = new Path(s"$base/.${prefix}_${i}_attempt_$attempt.tmp")
+        // fresh Configuration: resolves the scheme on the executor
+        // (SparkContext's conf object is not task-serializable)
+        val fs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+        var n = 0L
+        try {
+          w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+          w.write("<osm version=\"0.6\" generator=\"graft-e2e\">\n")
+          it.foreach { r => w.write(r.getString(0)); n += 1 }
+          w.write("</osm>\n")
+        } finally w.close()
+        // Commit: one rename. If a sibling attempt already committed,
+        // its file is complete and equivalent (same partition rows) —
+        // drop ours instead of clobbering a live reader.
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(dst)) fs.delete(tmp, false)
+          else throw new java.io.IOException(s"extract commit failed: $tmp -> $dst")
+        }
+        Iterator.single(n)
+      }.fold(0L)(_ + _)
 
   /** One-time per (process, sfDir): serialize events as an N_FILES
     * `.osm` extract. Executor-side Hadoop streaming writes (local
@@ -69,24 +108,7 @@ object OsmE2e {
         lit("\"/>\n    <tag k=\"value\" v=\""),
         graft.Tables.dec2(col("value")).cast("string"),
         lit("\"/>\n  </node>\n"))
-      val written = ev.select(node.as("x"))
-        .repartition(N_FILES)
-        .rdd.mapPartitionsWithIndex { (i, it) =>
-          val p = new Path(s"$base/extract_$i.osm")
-          // fresh Configuration: resolves the scheme on the executor
-          // (SparkContext's conf object is not task-serializable)
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
-          try {
-            w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-            w.write("<osm version=\"0.6\" generator=\"graft-e2e\">\n")
-            var n = 0L
-            it.foreach { r => w.write(r.getString(0)); n += 1 }
-            w.write("</osm>\n")
-            Iterator.single(n)
-          } finally w.close()
-        }.fold(0L)(_ + _)
+      val written = writeExtract(base, "extract", ev.select(node.as("x")), N_FILES)
       require(written > 0, s"q305: empty extract at $base")
     }
     base
@@ -156,21 +178,7 @@ object OsmE2e {
           concat_ws("", expr(
             "transform(seq, x -> concat('    <nd ref=\"', x.event_id, '\"/>\n'))")),
           lit("  </way>\n")).as("x"))
-      val written = way.repartition(WAY_FILES)
-        .rdd.mapPartitionsWithIndex { (i, it) =>
-          val p = new Path(s"$base/ways_$i.osm")
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
-          try {
-            w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
-            w.write("<osm version=\"0.6\" generator=\"graft-e2e\">\n")
-            var n = 0L
-            it.foreach { r => w.write(r.getString(0)); n += 1 }
-            w.write("</osm>\n")
-            Iterator.single(n)
-          } finally w.close()
-        }.fold(0L)(_ + _)
+      val written = writeExtract(base, "ways", way, WAY_FILES)
       require(written > 0, s"q306: empty way extract at $base")
     }
     base
@@ -214,11 +222,97 @@ object OsmE2e {
       CAST(MAX(position) AS BIGINT) AS max_pos
     FROM pos GROUP BY event_type ORDER BY event_type"""
 
+  // ---- q307: TYPED + ORDERED relation membership at bench scale (the
+  //      last S1 corner: <relation> parsed and shaped under the hash
+  //      gate, like q305 did for nodes and q306 for ways) ----
+
+  val REL_FILES = 4
+
+  /** One-time per (process, sfDir): each user's event history becomes a
+    * `<relation>` whose ordered `<member>` children are that user's
+    * events sorted by (ts, event_id), each member TYPED (`type="node"`)
+    * and ROLED (role = the event_type — XML-clean enforced, same guard
+    * as q305), plus one trailing `type="way" role="history"` member
+    * referencing the user — so one relation exercises every attribute
+    * the member model carries (mtype, ref, role) AND a mixed-type
+    * sequence. Per-relation collect_list is user-history-bounded (the
+    * q24 grouped-collect shape), never corpus-bounded. */
+  def ensureRelationExtract(s: SparkSession, d: String): String = {
+    val base = TmpWorkspace.dir("osm_e2e_rels", d)
+    TmpWorkspace.once(base) {
+      val ev = graft.Tables.events(s, d)
+      val rel = ev
+        .select(col("user_id"), col("ts"), col("event_id"),
+          xmlClean(col("event_type")).as("role"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("role")))).as("seq"))
+        .select(concat(
+          lit("  <relation id=\""), col("user_id"),
+          lit("\" user=\"u"), col("user_id"),
+          lit("\" uid=\""), col("user_id"),
+          lit("\" version=\"1\" changeset=\"1\""),
+          lit(" timestamp=\"2020-01-01T00:00:00Z\">\n"),
+          concat_ws("", expr(
+            "transform(seq, x -> concat('    <member type=\"node\" ref=\"', " +
+              "x.event_id, '\" role=\"', x.role, '\"/>\n'))")),
+          lit("    <member type=\"way\" ref=\""), col("user_id"),
+          lit("\" role=\"history\"/>\n  </relation>\n")).as("x"))
+      val written = writeExtract(base, "rels", rel, REL_FILES)
+      require(written > 0, s"q307: empty relation extract at $base")
+    }
+    base
+  }
+
+  /** q307: typed-ordered-membership audit. shapeRelationMembers
+    * posexplodes the parsed relations into (id, member_type,
+    * member_ref, role, position); the audit groups by (member_type,
+    * role) and aggregates membership counts, POSITION sums (order
+    * certificate, as in q306), and REF sums (a mangled ref anywhere
+    * moves sum_ref even when counts survive). The trailing way member
+    * sits at position = that user's event count, so its sum_pos leg
+    * re-certifies every sequence's LENGTH independently of the node
+    * legs. DuckDB replays position as row_number()−1 over the same
+    * (ts, event_id) sort and the way member from the per-user count. */
+  def q307OsmRelationOrder(s: SparkSession, d: String): DataFrame = {
+    val relsDir = ensureRelationExtract(s, d)
+    val rm = OsmShape.shapeRelationMembers(s.read.format("osm").load(relsDir))
+    rm.groupBy(col("member_type"), col("role"))
+      .agg(count(lit(1)).as("n_members"),
+           countDistinct(col("id")).as("n_relations"),
+           sum(col("position").cast("long")).as("sum_pos"),
+           max(col("position").cast("long")).as("max_pos"),
+           sum(col("member_ref")).as("sum_ref"))
+      .orderBy(col("member_type"), col("role"))
+  }
+
+  val o307 = """
+    WITH pos AS (
+      SELECT user_id AS rel_id, 'node' AS member_type, event_type AS role,
+        event_id AS ref,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) - 1 AS position
+      FROM events),
+    wm AS (
+      SELECT user_id AS rel_id, 'way' AS member_type, 'history' AS role,
+        user_id AS ref, COUNT(*) AS position
+      FROM events GROUP BY user_id),
+    m AS (SELECT * FROM pos UNION ALL SELECT * FROM wm)
+    SELECT member_type, role,
+      COUNT(*) AS n_members,
+      COUNT(DISTINCT rel_id) AS n_relations,
+      CAST(SUM(position) AS BIGINT) AS sum_pos,
+      CAST(MAX(position) AS BIGINT) AS max_pos,
+      CAST(SUM(ref) AS BIGINT) AS sum_ref
+    FROM m GROUP BY member_type, role ORDER BY member_type, role"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q305_osm_e2e" -> (q305OsmE2e _),
-    "q306_osm_way_order" -> (q306OsmWayOrder _))
+    "q306_osm_way_order" -> (q306OsmWayOrder _),
+    "q307_osm_relation_order" -> (q307OsmRelationOrder _))
 
   val oracles: Map[String, String] = Map(
     "q305_osm_e2e" -> o305,
-    "q306_osm_way_order" -> o306)
+    "q306_osm_way_order" -> o306,
+    "q307_osm_relation_order" -> o307)
 }

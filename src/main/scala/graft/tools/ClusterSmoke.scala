@@ -142,8 +142,17 @@ object ClusterSmoke {
     val round = sys.env.get("ROUND").flatMap(_.toIntOption).getOrElse(0)
     // ad-hoc panel: explicit query names as args replace the
     // fixed+rotating panel (dev probe for newly-landed machinery; the
-    // round artifact below still only gets written for the full run)
-    val adHoc = args.filter(graft.SparkEntry.queries.contains).toSeq
+    // round artifact below still only gets written for the full run).
+    // Unknown names FAIL FAST (r14 advice): silently dropping a typo'd
+    // arg could fall back to the full panel and "pass" a dev probe that
+    // never ran the intended queries.
+    val unknown = args.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println("[cluster-smoke] unknown queries: " +
+        unknown.mkString(", ") + " — not in SparkEntry.queries; aborting")
+      sys.exit(2)
+    }
+    val adHoc = args.toSeq
     val panel = if (adHoc.nonEmpty) adHoc else FIXED ++ rotating(round)
     val clusterMaster = "local-cluster[2,4,2048]"
     if (!sys.env.contains("SPARK_HOME"))

@@ -265,6 +265,34 @@ class OsmShapeSpec extends AnyFunSuite {
     assert(expected.exceptAll(parsed).count() == 0)
   }
 
+  test("q307 relation extract preserves TYPED ordered members with roles") {
+    // (relation, member_type, ref, role, position) tuples must equal the
+    // row_number order of each user's events with role = event_type,
+    // plus the trailing way member at position = that user's event count
+    // — a transposition, a swapped role, or a retyped member all fail.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = graft.sources.OsmE2e.ensureRelationExtract(spark, TestSpark.SF)
+    val parsed = OsmShape
+      .shapeRelationMembers(spark.read.format("osm").load(dir))
+      .select(col("id"), col("member_type"), col("member_ref"),
+        col("role"), col("position").cast("long").as("p"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = graft.Tables.events(spark, TestSpark.SF)
+    val nodeLeg = ev.select(col("user_id").as("id"),
+      lit("node").as("member_type"), col("event_id").as("member_ref"),
+      col("event_type").as("role"),
+      (row_number().over(w) - 1).cast("long").as("p"))
+    val wayLeg = ev.groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).cast("long").as("p"))
+      .select(col("id"), lit("way").as("member_type"),
+        col("id").as("member_ref"), lit("history").as("role"), col("p"))
+    val expected = nodeLeg.unionByName(wayLeg)
+    assert(parsed.count() == expected.count())
+    assert(parsed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(parsed).count() == 0)
+  }
+
   test("street canonicalization leaves unmapped values untouched") {
     val nt = OsmShape.shapeTags(elems, "node", Map("Rd" -> "Road")).collect()
       .map(r => (r.getString(1), r.getString(2))).toMap
