@@ -16,7 +16,15 @@ import org.apache.spark.sql.types._
 object StreamGate {
   def main(args: Array[String]): Unit = {
     val round = args.headOption.getOrElse("0").toInt
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // sf0.1 (5000 docs), not sf0.001 (500 — and sf0.01 ALSO ships 500
+    // docs, the generator only scales documents at sf0.1): at 500 rows
+    // the drain time is all fixed streaming-startup cost, so the
+    // measured "rate" (~80 rows/s) said nothing about per-row
+    // throughput and the floor could not catch a real regression (r14
+    // verdict, optional task). At 5000 rows per-row cost dominates and
+    // the floor below is calibrated from a committed idle run at this
+    // SF.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -103,14 +111,17 @@ object StreamGate {
 
     val rocksUsed = new java.io.File(s"$work/ckpt_lsh/state").exists()
     // ---- throughput leg: input rows per drained second, with a FLOOR.
-    // The floor is deliberately low (observed idle: curate ~110 rows/s
-    // at sf0.001, dominated by the fixed streaming-startup cost): it
-    // exists to catch a catastrophic per-batch regression (accidentally
-    // quadratic state, a corpus rescan per micro-batch), not to
-    // benchmark — equality stays the primary gate and host contention
-    // must not flake the round artifact.
+    // Calibrated from a committed idle run at sf0.1 (r15, load 0.44:
+    // curate 1144 rows/s, lsh 1767 rows/s over 5000 docs in 2
+    // micro-batches). 150 leaves ~7.6× headroom below the slower leg —
+    // tolerant of heavy host contention (a 4× slow host still clears
+    // 280) while catching the catastrophic regressions the leg exists
+    // for (accidentally quadratic state, a corpus rescan per
+    // micro-batch — each an order-of-magnitude rate drop). Equality
+    // stays the primary gate. At sf0.001's 500 rows the old 20-floor
+    // measured only startup cost and could not catch anything.
     val inRows = docs.count()
-    val rateFloor = 20.0
+    val rateFloor = if (sfDir.endsWith("sf0.1")) 150.0 else 20.0
     def rate(name: String): Double =
       BigDecimal(inRows / math.max(elapsed(name), 1e-9))
         .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
