@@ -19,17 +19,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev-only subset filter (driver sets no env): regex over query names.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,9 +31,26 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written BEFORE the query loop (the Bench rc=124
+    // lesson applied here): it depends on nothing the loop computes, and
+    // writing it last meant a timeout kill at query 300/307 would have
+    // left a round with per-query parquet but NO oracle file — i.e. zero
+    // gradable correctness. Killed runs now grade every query that
+    // finished dumping.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dev-only subset filter (driver sets no env): regex over query names.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

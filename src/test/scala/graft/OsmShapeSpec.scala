@@ -164,6 +164,51 @@ class OsmShapeSpec extends AnyFunSuite {
       s"type filter not absorbed:\n$nPlan")
   }
 
+  test("DataSourceV2: nested schema pruning on tags/members element structs") {
+    // Catalyst's nestedSchemaPruning can hand the source a tags/members
+    // ELEMENT struct with a SUBSET (or reorder) of its fields; the
+    // reader must emit exactly that shape. Regression for the q307 bug:
+    // the reader always emitted the full 3-field member struct, so a
+    // pruned read of `ref` (LongType) landed on mtype's UTF8String and
+    // codegen threw ClassCastException.
+    import org.apache.spark.sql.functions.{explode, posexplode, sum}
+    val xml = """<?xml version="1.0"?>
+      |<osm>
+      |  <node id="1" lat="1" lon="2" uid="10" timestamp="2020-01-01T00:00:00Z">
+      |    <tag k="amenity" v="cafe"/><tag k="name" v="x"/>
+      |  </node>
+      |  <relation id="9" uid="10" timestamp="2020-01-01T00:00:00Z">
+      |    <member type="node" ref="1" role="stop"/>
+      |    <member type="way" ref="7" role="path"/>
+      |  </relation>
+      |</osm>""".stripMargin
+    val dir = graft.sources.TmpWorkspace.fresh("osm_nested_prune")
+    java.nio.file.Files.write(dir.resolve("a.osm"), xml.getBytes("UTF-8"))
+    def df = spark.read.format("osm").load(dir.toString)
+
+    // members pruned to the single LONG field (the crash shape): a bare
+    // aggregate over exploded refs only needs m.ref
+    val refSum = df.filter(col("type") === "relation")
+      .select(explode(col("members")).as("m"))
+      .agg(sum(col("m.ref"))).collect().head.getLong(0)
+    assert(refSum == 8L)
+    // members pruned to a reordered (role, ref) subset
+    val roleRef = df.filter(col("type") === "relation")
+      .select(explode(col("members")).as("m"))
+      .select(col("m.role"), col("m.ref")).orderBy(col("m.ref")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(roleRef == Seq(("stop", 1L), ("path", 7L)))
+    // tags pruned to v only
+    val vs = df.filter(col("type") === "node")
+      .select(explode(col("tags")).as("t"))
+      .select(col("t.v")).orderBy(col("t.v")).collect()
+      .map(_.getString(0)).toSeq
+    assert(vs == Seq("cafe", "x"))
+    // bare count over posexplode(members) — the q307 count() path
+    assert(df.filter(col("type") === "relation")
+      .select(posexplode(col("members"))).count() == 2L)
+  }
+
   test("DataSourceV2: COUNT aggregate pushdown serves counts without row materialization") {
     // two files → partial counts per file must sum correctly
     val xml1 = """<?xml version="1.0"?>
