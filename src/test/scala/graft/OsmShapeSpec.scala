@@ -81,6 +81,8 @@ class OsmShapeSpec extends AnyFunSuite {
       |  <relation id="9" user="dan" uid="14" version="1" changeset="104"
       |            timestamp="2020-01-01T00:00:00Z">
       |    <member type="way" ref="7" role="outer"/>
+      |    <tag k="type" v="multipolygon"/>
+      |    <tag k="addr:street" v="Main St"/>
       |  </relation>
       |</osm>""".stripMargin
     val dir = graft.sources.TmpWorkspace.fresh("osm")
@@ -108,6 +110,17 @@ class OsmShapeSpec extends AnyFunSuite {
     val wn = out("ways_nodes").collect()
       .map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2)
     assert(wn.toSeq == Seq((1L, 0), (3L, 1), (2L, 2)))
+    // relation tags flow through the SAME shapeTags rules (P4 colon
+    // split, P7 street canonicalization) as node/way tags
+    val rt = OsmShape.shapeTags(elems, "relation", mapping).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rt == Set(("type", "multipolygon", "regular"),
+      ("street", "Main Street", "addr")))
+    // and relation members shape to typed ordered rows
+    val rm = OsmShape.shapeRelationMembers(elems).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getInt(4))).toSeq
+    assert(rm == Seq((9L, "way", 7L, "outer", 0)))
     // corrupt side: node 2 (lat out of range) and node 3 (unparseable lat)
     assert(OsmShape.corrupt(elems).collect().map(_.getLong(1)).toSet == Set(2L, 3L))
   }
