@@ -159,8 +159,13 @@ object Bench {
     // fail-fast "timing" that makes a broken engine look faster than a
     // working one. Failures are counted per query, failed queries are
     // excluded from the graded total, and an "errors" map goes in the JSON.
+    // Baseline read up-front: the repair pass and the adjudicator both
+    // consume it (git:HEAD preferred, so this run's own writes to
+    // bench.json never become their own baseline).
+    val (prevSf, prevMins, prevCalib, baselineProvenance) = readPrevBench()
     var curReps = reps
     var repsExecuted = 0L
+    var repairAdded = 0
     // Projection basis is the SUM OF TIMED REP DURATIONS, not wall
     // elapsed: wall includes the one-time benchSetup/warmup cost, which
     // divided by the first query's reps inflates per-rep cost ~10× and
@@ -201,7 +206,7 @@ object Bench {
       val partialPart =
         if (partial) s""","partial":true,"completed":${acc.size},"n_total":${sorted.size}"""
         else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$entries,"queries_median":$meds,"errors":$errJson,"sf":"$sfDir","reps":$reps,"reps_min_used":$minUsed,"reps_schedule":$sched,"budget_sec":${r3(budgetS)},"wall_sec":${r3(elapsedS)},"host_load_1m":${r3(load)},"generated_at_epoch_s":${System.currentTimeMillis() / 1000}$calib,"timing":"min-of-reps"$partialPart}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$entries,"queries_median":$meds,"errors":$errJson,"sf":"$sfDir","reps":$reps,"reps_min_used":$minUsed,"reps_schedule":$sched,"repair_reps_added":$repairAdded,"budget_sec":${r3(budgetS)},"wall_sec":${r3(elapsedS)},"host_load_1m":${r3(load)},"generated_at_epoch_s":${System.currentTimeMillis() / 1000}$calib,"timing":"min-of-reps"$partialPart}"""
     }
 
     /** Rewrite bench.json (cheap: ~10 KB) and refresh the summary line
@@ -266,12 +271,77 @@ object Bench {
       }
     }
 
+    // ---- Repair pass: spend LEFTOVER budget restoring rep quality ----
+    // A transient contention spike early in the run leaves every later
+    // entry a low-rep min even after the host recovers (observed live in
+    // the r15 driver-sim: benchSetup took 169 s in a contended window,
+    // the projection downshifted 5→1 within three queries, and the
+    // finished artifact carried 1-rep minima 6–12× the idle baseline
+    // with 700 s of budget UNSPENT). While wall-clock remains, re-run
+    // single reps against the entries farthest below the requested rep
+    // count — worst baseline ratio first within a rep class, so the
+    // least-trustworthy numbers are repaired first — folding each timing
+    // into the entry's sorted rep list. Mins are monotone under repair:
+    // a second contention window stops improvement, never corrupts.
+    val repairStop = budgetS * 0.95
+    if (elapsedS < repairStop) {
+      def worstIdx(): Int = {
+        var best = -1
+        var bestUsed = Int.MaxValue
+        var bestRatio = -1.0
+        var i = 0
+        while (i < acc.length) {
+          val (n, ts, f, used) = acc(i)
+          if (f == 0 && used < reps) {
+            val ratio = prevMins.get(n).filter(_ > 0.05)
+              .map(ts.min / _).getOrElse(1.0)
+            if (used < bestUsed || (used == bestUsed && ratio > bestRatio)) {
+              best = i; bestUsed = used; bestRatio = ratio
+            }
+          }
+          i += 1
+        }
+        best
+      }
+      var i = worstIdx()
+      while (i >= 0 && elapsedS < repairStop) {
+        val (n, ts, f, used) = acc(i)
+        val fn = SparkEntry.queries(n)
+        val t0 = System.nanoTime()
+        val okRep = try { fn(spark, sfDir).count(); true }
+                    catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        // a failed repair rep still consumes the slot — repeated failure
+        // must not spin the loop; the entry keeps its loop-pass timings
+        acc(i) = if (okRep) (n, (ts :+ t).sorted, f, used + 1)
+                 else (n, ts, f, used + 1)
+        repairAdded += 1
+        if (repairAdded % 50 == 0) persist(partial = false)
+        i = worstIdx()
+      }
+      if (repairAdded > 0) {
+        System.err.println(s"[bench] repair pass added $repairAdded reps " +
+          s"(elapsed ${r3(elapsedS)}s of ${r3(budgetS)}s budget)")
+        persist(partial = false)
+      }
+    }
+
     val allTimes = acc.toSeq.map { case (n, ts, f, _) => (n, ts, f) }
     val errors = allTimes.collect { case (n, _, f) if f > 0 => n -> f }.toMap
     val ok = allTimes.filter(_._3 == 0)
     val results = ok.map { case (n, ts, _) => n -> ts.min }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = buildJson(partial = false)
+    // Every query is timed: persist the FINAL artifact now, before the
+    // adjudication probe pass below — probes can run for minutes and a
+    // kill there must not leave a complete suite marked "partial" (only
+    // bench_adjudication.json would be lost). The shutdown-hook line is
+    // refreshed to the final shape for the same reason.
+    val jsonBytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"), jsonBytes)
+    val sha = sha256(jsonBytes)
+    latestPartialLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","reps":$reps,"timing":"min-of-reps","queries_file":"bench.json","queries_sha256":"$sha"}"""
     // ---- Automated regression adjudication (pre-overwrite baseline) ----
     // Four rounds (r4/r5/r10/r11) ended with judge or builder hand-probing
     // >2× "regressions" that were driver-host contention, not code. This
@@ -280,7 +350,7 @@ object Bench {
     // right after the suite (no other queries interleaving — the same
     // isolation PerfProbe provided manually), and both numbers land in
     // bench_adjudication.json so the verdict needs zero manual probes.
-    val (prevSf, prevMins, prevCalib, baselineProvenance) = readPrevBench()
+    // (prevSf/prevMins/prevCalib were read before the main loop.)
     // ---- Host calibration (r13 judge finding: 10/10 "real" verdicts were
     // false — the committed baseline came from a faster host era, so every
     // comparison carried a hidden host factor). The suite itself is the
@@ -407,9 +477,6 @@ object Bench {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_adjudication.json"),
       (adjJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val jsonBytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"), jsonBytes)
-    val sha = sha256(jsonBytes)
     finished = true
     spark.stop()
     println(json)
