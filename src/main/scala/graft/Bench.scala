@@ -294,6 +294,10 @@ object Bench {
       // on the recovered host. Ratio-less entries (new queries, SF
       // mismatch) never get bonus reps — there is no evidence they
       // need them.
+      // Ratios are only meaningful against a SAME-SF baseline: a dev run
+      // at another SF would otherwise see phantom >2× ratios everywhere
+      // and burn the whole repair budget on bonus reps.
+      val sfComparable = prevSf.contains(sfDir)
       def worstIdx(): Int = {
         var best = -1
         var bestUsed = Int.MaxValue
@@ -304,8 +308,10 @@ object Bench {
         while (i < acc.length) {
           val (n, ts, f, used) = acc(i)
           if (f == 0) {
-            val ratio = prevMins.get(n).filter(_ > 0.05)
-              .map(ts.min / _).getOrElse(1.0)
+            val ratio =
+              if (!sfComparable) 1.0
+              else prevMins.get(n).filter(_ > 0.05)
+                .map(ts.min / _).getOrElse(1.0)
             if (used < reps) {
               if (used < bestUsed || (used == bestUsed && ratio > bestRatio)) {
                 best = i; bestUsed = used; bestRatio = ratio
