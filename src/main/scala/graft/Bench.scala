@@ -22,23 +22,66 @@ import org.apache.spark.sql.SparkSession
   *     latest one on SIGTERM — the tail capture always ends with a
   *     parsable `{"metric":"total",...}` line.
   *  3. A wall-clock budget (env SPARK_GRAFT_BENCH_BUDGET_S, default
-  *     1500 s) downshifts reps 5→3→2→1 when the projected finish
-  *     (observed wall-per-rep × remaining reps) exceeds it; every
-  *     downshift is recorded in the artifact's "reps_schedule", so a
-  *     slow host degrades rep count gracefully instead of dying at
-  *     query 290/306 with nothing to show.
+  *     1500 s) governs a BUDGET-DERIVED rep schedule (below); every
+  *     schedule change is recorded in the artifact's "reps_schedule",
+  *     so a slow host degrades rep count gracefully instead of dying
+  *     at query 290/306 with nothing to show.
+  *
+  * REP SCHEDULE (r15 post-mortem: the old observed-wall-per-rep
+  * projection panic-downshifted 5→1 within the first four queries of a
+  * contention storm and every later entry was a zero-noise-rejection
+  * 1-rep min — 100× spikes on trivial queries entered the artifact).
+  * Reps are now derived from the COMMITTED baseline total: before each
+  * query, remaining cost is estimated as
+  * Σ committed-min over remaining queries × a recent host-slowdown
+  * factor (actual ok-rep seconds / committed expectation over the last
+  * REP_WINDOW entries), and the largest rep count in 1..reps that fits
+  * `budget − adjudication tranche` wins. The factor is windowed so the
+  * schedule UPSHIFTS after a storm passes instead of staying panicked;
+  * at the committed 164 s suite total a 3× host still holds 3+ reps
+  * within a 1500 s budget. Failed reps contribute to neither side of
+  * the factor (a fail-fast 0.05 s rep would deflate it).
+  *
+  * ADJUDICATION TRANCHE (r15 post-mortem: 80 movers, ZERO verdicts —
+  * the main loop alone overran the budget under the storm and every
+  * verdict became `deferred_budget`, so the exact runs that generate
+  * movers were the ones guaranteed to adjudicate none of them). A
+  * reserved tranche (~120 s) is carved off the top: the repair pass may
+  * only spend to `budget − tranche`, and adjudication runs
+  * UNCONDITIONALLY — calibration probe first (a contended host defers
+  * everything cheaply as `deferred_contended_host`), then movers in
+  * descending normalized-Δ order with EARLY-EXIT exoneration (one probe
+  * rep under the threshold settles `contention` immediately, so a
+  * storm's false movers cost ~1 rep each). bench_adjudication.json is
+  * persisted incrementally after every verdict, so even a harness kill
+  * mid-probe leaves the verdicts reached so far on disk. No verdict is
+  * ever `deferred_budget`.
+  *
+  * HOST EVIDENCE: every PARTIAL_EVERY queries the loop samples 1-min
+  * load, /proc/stat steal ticks, and cgroup cpu.stat throttling
+  * counters; the per-chunk deltas land in bench.json ("host_samples")
+  * so a contention storm is data in the artifact, not an inference
+  * from ratios.
   */
 object Bench {
 
   /** The host-calibration probe: an expensive, shuffle-heavy,
     * CPU-bound query whose min is a stable fingerprint of host speed.
-    * Its suite min is stamped into bench.json ("calibration"), and the
-    * adjudicator refuses to re-probe movers when a fresh measurement
-    * of it exceeds 1.5× the committed floor — a re-probe taken during
-    * the same contention that produced the mover is evidence of
-    * nothing (r14: 8 "real" verdicts, all contention on idle re-probe). */
+    * Its suite min is stamped into bench.json ("calibration") — only
+    * when it received the full requested rep count, so a downshifted
+    * era can never inflate the committed floor — and the adjudicator
+    * refuses to re-probe movers when a fresh measurement of it exceeds
+    * 1.5× the committed floor: a re-probe taken during the same
+    * contention that produced the mover is evidence of nothing (r14:
+    * 8 "real" verdicts, all contention on idle re-probe). */
   val CALIB_Q = "q229_lsh_sweep"
   val CALIB_MAX_RATIO = 1.5
+
+  /** Sliding window (completed entries) for the host-slowdown factor
+    * the rep schedule uses. Wide enough to smooth heterogeneous query
+    * costs, narrow enough that a passed storm stops depressing reps
+    * within ~2 chunks. */
+  val REP_WINDOW = 40
 
   /** (sf, per-query min, calibration floor, provenance) of the baseline
     * this run adjudicates against. Prefers the COMMITTED
@@ -98,6 +141,40 @@ object Bench {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map("%02x".format(_)).mkString
 
+  /** (1-min load, /proc/stat steal ticks, cgroup nr_throttled, cgroup
+    * throttled_usec). Missing counters read as -1 (bare metal, cgroup
+    * v1 without the file, macOS dev box) so a consumer can tell
+    * "absent" from "zero". */
+  private def readHostCounters(): (Double, Long, Long, Long) = {
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def firstLongs(path: String): Option[Array[String]] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try Some(src.getLines().toArray.map(_.trim))
+        finally src.close()
+      } catch { case _: Throwable => None }
+    val steal = firstLongs("/proc/stat")
+      .flatMap(_.find(_.startsWith("cpu ")))
+      .flatMap { line =>
+        // cpu user nice system idle iowait irq softirq steal ...
+        val f = line.split("\\s+")
+        if (f.length > 8) scala.util.Try(f(8).toLong).toOption else None
+      }.getOrElse(-1L)
+    def cgroupStat(lines: Array[String], key: String): Option[Long] =
+      lines.find(_.startsWith(key + " "))
+        .flatMap(l => scala.util.Try(l.split("\\s+")(1).toLong).toOption)
+    val (nThr, usThr) = firstLongs("/sys/fs/cgroup/cpu.stat").map { ls =>
+      (cgroupStat(ls, "nr_throttled").getOrElse(-1L),
+       cgroupStat(ls, "throttled_usec").getOrElse(-1L))
+    }.orElse(firstLongs("/sys/fs/cgroup/cpu/cpu.stat").map { ls =>
+      // cgroup v1 reports throttled_time in ns
+      (cgroupStat(ls, "nr_throttled").getOrElse(-1L),
+       cgroupStat(ls, "throttled_time").map(_ / 1000L).getOrElse(-1L))
+    }).getOrElse((-1L, -1L))
+    (load, steal, nThr, usThr)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,10 +185,16 @@ object Bench {
     // the min still landed 3-8× above idle-machine probe mins under host
     // contention; min-of-5 tracks the idle PerfProbe numbers.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    // Wall-clock budget: projected-finish checks downshift reps before
-    // each query so the suite lands inside it. 1500 s default ≈ 0.8× the
-    // shortest harness window the suite has been killed under.
+    // Wall-clock budget: the rep schedule and repair pass land the suite
+    // inside it. 1500 s default ≈ 0.8× the shortest harness window the
+    // suite has been killed under.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    // Reserved adjudication tranche: the repair pass may not spend into
+    // it, so calibration + mover probes always have wall-clock left even
+    // when the main loop overran (the r15 failure: 80 movers, 0 verdicts).
+    val trancheS = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_TRANCHE_S", "120").toDouble,
+      budgetS * 0.25)
     val startWall = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - startWall) / 1e9
     val spark = SparkSession.builder()
@@ -159,23 +242,54 @@ object Bench {
     // fail-fast "timing" that makes a broken engine look faster than a
     // working one. Failures are counted per query, failed queries are
     // excluded from the graded total, and an "errors" map goes in the JSON.
-    // Baseline read up-front: the repair pass and the adjudicator both
-    // consume it (git:HEAD preferred, so this run's own writes to
-    // bench.json never become their own baseline).
+    // Baseline read up-front: the rep schedule, the repair pass, and the
+    // adjudicator all consume it (git:HEAD preferred, so this run's own
+    // writes to bench.json never become their own baseline).
     val (prevSf, prevMins, prevCalib, baselineProvenance) = readPrevBench()
+    val sfComparable = prevSf.contains(sfDir)
     var curReps = reps
-    var repsExecuted = 0L
     var repairAdded = 0
-    // Projection basis is the SUM OF TIMED REP DURATIONS, not wall
-    // elapsed: wall includes the one-time benchSetup/warmup cost, which
-    // divided by the first query's reps inflates per-rep cost ~10× and
-    // cascades the downshift to 1 rep immediately (observed in the
-    // budget self-test). Setup time is sunk — it stays in elapsedS on
-    // the left of the projection, just not in the per-rep rate.
-    var repSecondsExecuted = 0.0
-    val downshifts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val repairFailures = scala.collection.mutable.Map.empty[String, Int]
+    val schedule = scala.collection.mutable.ArrayBuffer.empty[String]
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[Double], Int, Int)]
+    // (committed-expected seconds, actual ok-rep seconds) per completed
+    // entry with a baseline — the rep schedule's host-factor basis.
+    val factorBasis = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // Fallback projection basis when no same-SF baseline exists:
+    // SUCCESSFUL rep durations only (a fail-fast rep deflates per-rep
+    // cost and delays a needed downshift).
+    var okRepSeconds = 0.0
+    var okRepsExecuted = 0L
+
+    // Remaining-committed suffix sums over the sorted query list; names
+    // the baseline lacks (new queries) are estimated at the baseline's
+    // median per-query min.
+    val prevMedian =
+      if (prevMins.isEmpty) 0.5
+      else prevMins.values.toSeq.sorted.apply(prevMins.size / 2)
+    val committedAt: Array[Double] =
+      sorted.map { case (n, _) => prevMins.getOrElse(n, prevMedian) }.toArray
+    val committedSuffix: Array[Double] = {
+      val a = new Array[Double](committedAt.length + 1)
+      var i = committedAt.length - 1
+      while (i >= 0) { a(i) = a(i + 1) + committedAt(i); i -= 1 }
+      a
+    }
+
+    // ---- host evidence: load / steal / cgroup throttling per chunk ----
+    val hostSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastHost = readHostCounters()
+    var lastHostElapsed = 0.0
+    def sampleHost(atIndex: Int, atQuery: String): String = {
+      val cur = readHostCounters()
+      def d(a: Long, b: Long): String = if (a < 0 || b < 0) "null" else (b - a).toString
+      val s = s"""{"at_index":$atIndex,"at_query":"$atQuery","elapsed_sec":${r3(elapsedS)},"window_sec":${r3(elapsedS - lastHostElapsed)},"load_1m":${r3(cur._1)},"steal_ticks_d":${d(lastHost._2, cur._2)},"nr_throttled_d":${d(lastHost._3, cur._3)},"throttled_usec_d":${d(lastHost._4, cur._4)}}"""
+      lastHost = cur
+      lastHostElapsed = elapsedS
+      hostSamples += s
+      s
+    }
 
     def fmtMap(m: Seq[(String, Double)]): String = m.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -195,18 +309,25 @@ object Bench {
       val errJson = acc.collect { case (n, _, f, _) if f > 0 => n -> f }
         .sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val repairErrJson = repairFailures.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = okRows.map(_._2.min).sum
-      val sched = downshifts.mkString("[", ",", "]")
+      val sched = schedule.mkString("[", ",", "]")
       val minUsed = if (acc.isEmpty) reps else acc.map(_._4).min
-      val calib = okRows.collectFirst { case (CALIB_Q, ts, _, _) =>
-        s""","calibration":{"query":"$CALIB_Q","min_sec":${r3(ts.min)},"median_sec":${r3(medianOf(ts))}}"""
+      // The calibration floor is a committed artifact future rounds gate
+      // on; a min taken in a downshifted era (< the requested rep count)
+      // is not floor-quality and is withheld rather than stamped inflated.
+      val calib = okRows.collectFirst {
+        case (CALIB_Q, ts, _, used) if used >= reps =>
+          s""","calibration":{"query":"$CALIB_Q","min_sec":${r3(ts.min)},"median_sec":${r3(medianOf(ts))},"reps":$used}"""
       }.getOrElse("")
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
+      val hostJson = hostSamples.mkString("[", ",", "]")
       val partialPart =
         if (partial) s""","partial":true,"completed":${acc.size},"n_total":${sorted.size}"""
         else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$entries,"queries_median":$meds,"errors":$errJson,"sf":"$sfDir","reps":$reps,"reps_min_used":$minUsed,"reps_schedule":$sched,"repair_reps_added":$repairAdded,"budget_sec":${r3(budgetS)},"wall_sec":${r3(elapsedS)},"host_load_1m":${r3(load)},"generated_at_epoch_s":${System.currentTimeMillis() / 1000}$calib,"timing":"min-of-reps"$partialPart}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$entries,"queries_median":$meds,"errors":$errJson,"repair_failures":$repairErrJson,"sf":"$sfDir","reps":$reps,"reps_min_used":$minUsed,"reps_schedule":$sched,"repair_reps_added":$repairAdded,"budget_sec":${r3(budgetS)},"adj_tranche_sec":${r3(trancheS)},"wall_sec":${r3(elapsedS)},"host_load_1m":${r3(load)},"host_samples":$hostJson,"generated_at_epoch_s":${System.currentTimeMillis() / 1000}$calib,"timing":"min-of-reps"$partialPart}"""
     }
 
     /** Rewrite bench.json (cheap: ~10 KB) and refresh the summary line
@@ -227,30 +348,52 @@ object Bench {
       sha
     }
 
+    /** Budget-derived rep count for the query at `idx`: the largest
+      * r in 1..reps whose projected finish (elapsed + committed
+      * remaining × recent host factor × r) fits the main-loop budget
+      * (total budget minus the adjudication tranche). Windowed factor ⇒
+      * the schedule recovers (upshifts) when a storm passes. Falls back
+      * to the observed ok-rep rate when no same-SF baseline exists. */
+    def repsFor(idx: Int): Int = {
+      val mainBudget = budgetS - trancheS
+      val remaining =
+        if (sfComparable) committedSuffix(idx)
+        else if (okRepsExecuted > 0)
+          okRepSeconds / okRepsExecuted * (sorted.size - idx)
+        else 0.0
+      if (remaining <= 0.0) return reps
+      val factor = {
+        val recent = factorBasis.takeRight(REP_WINDOW)
+        val exp = recent.map(_._1).sum
+        val act = recent.map(_._2).sum
+        if (!sfComparable) 1.0 // remaining is already in observed units
+        else if (exp < 2.0) 1.0
+        else math.min(10.0, math.max(0.7, act / exp))
+      }
+      var r = reps
+      while (r > 1 && elapsedS + remaining * factor * r > mainBudget) r -= 1
+      // Hysteresis on upshift: moving back up needs 10% headroom beyond
+      // "barely fits", so the schedule doesn't flap 3↔4 every query at
+      // the budget boundary (each flap is a schedule entry).
+      if (r > curReps &&
+          elapsedS + remaining * factor * r > mainBudget * 0.9) curReps
+      else r
+    }
+
     sorted.zipWithIndex.foreach { case ((name, fn), idx) =>
-      // Budget projection BEFORE each query: observed wall-per-rep so
-      // far × reps still planned. Downshift while the projection
-      // overruns; never below 1 rep — completeness (an entry for every
-      // query) beats per-entry precision, and the incremental artifact
-      // plus the min/median spread mark any 1-rep era as low-trust.
-      if (repsExecuted > 0 && curReps > 1) {
-        val perRep = repSecondsExecuted / repsExecuted
-        var projected = elapsedS + perRep * (sorted.size - idx) * curReps
-        while (curReps > 1 && projected > budgetS) {
-          val nxt = List(3, 2, 1).find(_ < curReps).getOrElse(1)
-          downshifts += s"""{"at_query":"$name","at_index":$idx,"from":$curReps,"to":$nxt,"elapsed_sec":${r3(elapsedS)},"projected_sec":${r3(projected)}}"""
-          System.err.println(s"[bench] budget downshift $curReps->$nxt at " +
-            s"$name (elapsed ${r3(elapsedS)}s, projected ${r3(projected)}s, " +
-            s"budget ${r3(budgetS)}s)")
-          curReps = nxt
-          projected = elapsedS + perRep * (sorted.size - idx) * curReps
-        }
+      val want = repsFor(idx)
+      if (want != curReps) {
+        schedule += s"""{"at_query":"$name","at_index":$idx,"from":$curReps,"to":$want,"elapsed_sec":${r3(elapsedS)}}"""
+        System.err.println(s"[bench] rep schedule $curReps->$want at $name " +
+          s"(elapsed ${r3(elapsedS)}s of ${r3(budgetS)}s budget)")
+        curReps = want
       }
       val useReps = curReps
       var failures = 0
+      var okSecs = 0.0
       val times = (1 to useReps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        val okRep = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           failures += 1
           // e.toString is never empty (class name at minimum), so the
@@ -258,18 +401,32 @@ object Bench {
           val msg = e.toString.linesIterator.nextOption()
             .getOrElse(e.getClass.getName)
           System.err.println(s"[bench] $name failed: $msg")
+          false
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (okRep) okSecs += t
+        t
       }.sorted
-      repsExecuted += useReps
-      repSecondsExecuted += times.sum
+      val okReps = useReps - failures
+      okRepsExecuted += okReps
+      okRepSeconds += okSecs
+      if (sfComparable && failures == 0)
+        prevMins.get(name).foreach(p => factorBasis += ((p * okReps, okSecs)))
       acc += ((name, times, failures, useReps))
       persist(partial = true)
       if ((idx + 1) % PARTIAL_EVERY == 0 && idx + 1 < sorted.size) {
+        sampleHost(idx, name)
+        persist(partial = true) // pick up the fresh host sample
         println(latestPartialLine)
         System.out.flush()
       }
     }
+    sampleHost(sorted.size - 1, "main_loop_end")
+    // Every query is timed: the suite is complete from here on. Persist
+    // the artifact as FINAL now — a kill during the repair pass or the
+    // adjudication probes must never leave a fully-covered suite marked
+    // "partial":true on disk.
+    persist(partial = false)
 
     // ---- Repair pass: spend LEFTOVER budget restoring rep quality ----
     // A transient contention spike early in the run leaves every later
@@ -277,14 +434,18 @@ object Bench {
     // the r15 driver-sim: benchSetup took 169 s in a contended window,
     // the projection downshifted 5→1 within three queries, and the
     // finished artifact carried 1-rep minima 6–12× the idle baseline
-    // with 700 s of budget UNSPENT). While wall-clock remains, re-run
-    // single reps against the entries farthest below the requested rep
-    // count — worst baseline ratio first within a rep class, so the
-    // least-trustworthy numbers are repaired first — folding each timing
-    // into the entry's sorted rep list. Mins are monotone under repair:
-    // a second contention window stops improvement, never corrupts.
-    val repairStop = budgetS * 0.95
+    // with 700 s of budget UNSPENT). While wall-clock remains — capped
+    // at budget − tranche, so the adjudicator's reserve is untouchable —
+    // re-run single reps against the entries farthest below the
+    // requested rep count, folding each timing into the entry's sorted
+    // rep list. Mins are monotone under repair: a second contention
+    // window stops improvement, never corrupts.
+    val repairStop = budgetS - trancheS
     if (elapsedS < repairStop) {
+      // Priority 0: CALIB_Q up to the full rep count — its min becomes
+      // the committed calibration floor, and the floor stamp is withheld
+      // unless it got all its reps, so it must be topped up FIRST while
+      // the leftover budget is still fresh.
       // Phase 1 candidates: entries below the requested rep count.
       // Phase 2 (once everything has its reps): BONUS reps, up to
       // 3×reps, for entries still >2× their baseline — the r14 graded
@@ -297,7 +458,6 @@ object Bench {
       // Ratios are only meaningful against a SAME-SF baseline: a dev run
       // at another SF would otherwise see phantom >2× ratios everywhere
       // and burn the whole repair budget on bonus reps.
-      val sfComparable = prevSf.contains(sfDir)
       def worstIdx(): Int = {
         var best = -1
         var bestUsed = Int.MaxValue
@@ -308,6 +468,7 @@ object Bench {
         while (i < acc.length) {
           val (n, ts, f, used) = acc(i)
           if (f == 0) {
+            if (n == CALIB_Q && used < reps) return i
             val ratio =
               if (!sfComparable) 1.0
               else prevMins.get(n).filter(_ > 0.05)
@@ -333,9 +494,14 @@ object Bench {
                     catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         // a failed repair rep still consumes the slot — repeated failure
-        // must not spin the loop; the entry keeps its loop-pass timings
+        // must not spin the loop; the entry keeps its loop-pass timings,
+        // and the failure is COUNTED (repair_failures in the artifact)
+        // so post-loop instability leaves a trace.
         acc(i) = if (okRep) (n, (ts :+ t).sorted, f, used + 1)
-                 else (n, ts, f, used + 1)
+                 else {
+                   repairFailures(n) = repairFailures.getOrElse(n, 0) + 1
+                   (n, ts, f, used + 1)
+                 }
         repairAdded += 1
         if (repairAdded % 50 == 0) persist(partial = false)
         i = worstIdx()
@@ -343,8 +509,9 @@ object Bench {
       if (repairAdded > 0) {
         System.err.println(s"[bench] repair pass added $repairAdded reps " +
           s"(elapsed ${r3(elapsedS)}s of ${r3(budgetS)}s budget)")
-        persist(partial = false)
       }
+      sampleHost(sorted.size - 1, "repair_end")
+      persist(partial = false)
     }
 
     val allTimes = acc.toSeq.map { case (n, ts, f, _) => (n, ts, f) }
@@ -353,11 +520,10 @@ object Bench {
     val results = ok.map { case (n, ts, _) => n -> ts.min }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = buildJson(partial = false)
-    // Every query is timed: persist the FINAL artifact now, before the
-    // adjudication probe pass below — probes can run for minutes and a
-    // kill there must not leave a complete suite marked "partial" (only
-    // bench_adjudication.json would be lost). The shutdown-hook line is
-    // refreshed to the final shape for the same reason.
+    // Persist the FINAL artifact before the adjudication probe pass —
+    // probes can run for minutes and a kill there must not lose the
+    // suite (only the not-yet-persisted tail of bench_adjudication.json
+    // would be lost, and that file is persisted incrementally below).
     val jsonBytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"), jsonBytes)
     val sha = sha256(jsonBytes)
@@ -367,10 +533,13 @@ object Bench {
     // Four rounds (r4/r5/r10/r11) ended with judge or builder hand-probing
     // >2× "regressions" that were driver-host contention, not code. This
     // closes that loop in-process: any query whose min regressed >2× vs
-    // the PREVIOUS committed bench.json gets a dedicated min-of-5 re-probe
-    // right after the suite (no other queries interleaving — the same
-    // isolation PerfProbe provided manually), and both numbers land in
+    // the PREVIOUS committed bench.json gets a dedicated re-probe right
+    // after the suite (no other queries interleaving — the same isolation
+    // PerfProbe provided manually), and both numbers land in
     // bench_adjudication.json so the verdict needs zero manual probes.
+    // The pass runs UNCONDITIONALLY inside its reserved tranche (r15: the
+    // main loop overran the whole budget and 80 movers got zero verdicts
+    // under the old `elapsedS > budgetS` defer).
     // (prevSf/prevMins/prevCalib were read before the main loop.)
     // ---- Host calibration (r13 judge finding: 10/10 "real" verdicts were
     // false — the committed baseline came from a faster host era, so every
@@ -384,7 +553,7 @@ object Bench {
     // the baseline. Clamped to [0.5, 3.0]: outside that the baseline is
     // not comparable at all and raw ratios would mislead either way.
     val ratios =
-      if (!prevSf.contains(sfDir)) Seq.empty[Double]
+      if (!sfComparable) Seq.empty[Double]
       else ok.flatMap { case (n, ts, _) =>
         prevMins.get(n).filter(_ > 0.05).map(p => ts.min / p) }.sorted
     val hostFactor =
@@ -394,7 +563,7 @@ object Bench {
         else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0))
     def norm(t: Double): Double = t / hostFactor
     val adjMovers =
-      if (!prevSf.contains(sfDir)) Seq.empty
+      if (!sfComparable) Seq.empty
       else ok.collect { case (n, ts, _) if prevMins.get(n).exists(p =>
         norm(ts.min) > 2 * p && norm(ts.min) - p > 0.15) =>
         (n, prevMins(n), ts.min) }
@@ -409,7 +578,7 @@ object Bench {
     val driftN = 8
     val ratioSelected = adjMovers.map(_._1).toSet
     val driftMovers =
-      if (!prevSf.contains(sfDir)) Seq.empty
+      if (!sfComparable) Seq.empty
       else ok.collect { case (n, ts, _) if !ratioSelected(n) &&
         prevMins.get(n).exists(p => norm(ts.min) - p > 0.15 &&
           (norm(ts.min) > 1.25 * p || p >= 1.0)) =>
@@ -418,18 +587,18 @@ object Bench {
     // ---- Calibration gate on the re-probe itself (r14 post-mortem: 8
     // "real" verdicts, every one exonerated by idle probes — the
     // re-probes ran during the SAME contended window as the graded reps,
-    // so they confirmed nothing). Before probing any mover, re-measure
-    // the calibration query min-of-3 against the committed floor; if the
-    // host is >1.5× its recorded idle speed, every verdict becomes
-    // "deferred_contended_host" — an explicit "no evidence either way"
-    // the next session re-probes idle, instead of a false "real". Also
-    // defer on budget exhaustion: a probe pass (up to 16 movers × 7
-    // reps) started past the wall-clock budget is what killed r14.
+    // so they confirmed nothing). It runs FIRST, before any mover probe:
+    // re-measure the calibration query min-of-3 against the committed
+    // floor; if the host is >1.5× its recorded idle speed, every verdict
+    // becomes "deferred_contended_host" — an explicit "no evidence either
+    // way" the next session re-probes idle, instead of a false "real" —
+    // at the cost of three calibration reps, not 80 mover probes.
+    val adjStart = elapsedS
+    val hostAtAdj = sampleHost(sorted.size - 1, "adjudication_start")
     val anyMovers = adjMovers.nonEmpty || driftMovers.nonEmpty
     val calibFloor = prevCalib.orElse(prevMins.get(CALIB_Q))
     val (calibProbe, calibRatio, deferReason) =
       if (!anyMovers) (Double.NaN, Double.NaN, "")
-      else if (elapsedS > budgetS) (Double.NaN, Double.NaN, "deferred_budget")
       else calibFloor match {
         case None => (Double.NaN, Double.NaN, "")
         case Some(floor) =>
@@ -447,61 +616,88 @@ object Bench {
              if (ratio > CALIB_MAX_RATIO) "deferred_contended_host" else "")
           }
       }
+    // Probe reps are adaptive inside the tranche: each probe rep that
+    // lands under the exoneration threshold settles "contention"
+    // immediately (a storm's false movers cost ~1 rep each), and a mover
+    // is only charged the full rep count while tranche remains — past it,
+    // the verdict stands on the reps taken (min-of-3 under a green
+    // calibration gate is still real evidence; "deferred_budget" is not).
     val probeReps = 7
+    val probeRepsMin = 3
+    def trancheLeft: Double = trancheS - (elapsedS - adjStart)
     // A probe rep that throws must not contribute a fail-fast "timing":
     // a query that OOMs or errors during the re-probe would otherwise get
     // an artificially tiny min and be adjudicated 'contention'. Failed reps
     // are excluded; all-failed ⇒ verdict 'probe_failed'.
-    def adjudicate(movers: Seq[(String, Double, Double)]) = movers.map {
-      case (n, prev, graded) =>
-        if (deferReason.nonEmpty) (n, prev, graded, Double.NaN, deferReason)
-        else {
-          val fn = SparkEntry.queries(n)
-          val probeTimes = (1 to probeReps).flatMap { _ =>
-            val t0 = System.nanoTime()
-            val okRep = try { fn(spark, sfDir).count(); true }
-                        catch { case _: Throwable => false }
-            if (okRep) Some((System.nanoTime() - t0) / 1e9) else None
-          }
-          if (probeTimes.isEmpty) (n, prev, graded, Double.NaN, "probe_failed")
-          else {
-            val probe = probeTimes.min
-            // Both timings measure the SAME code; the steady-state estimate
-            // is the best of them (the re-probe itself can land on a
-            // contended window — observed: graded 0.44 s, re-probe 1.10 s,
-            // idle 0.18 s). Host-normalized before comparing: "real" must
-            // mean a code-level regression, not a slower host era.
-            val best = norm(math.min(graded, probe))
-            val verdict =
-              if (best <= math.max(1.5 * prev, prev + 0.15)) "contention"
-              else "real"
-            (n, prev, graded, probe, verdict)
-          }
-        }
+    def adjudicateOne(n: String, prev: Double, graded: Double)
+        : (String, Double, Double, Double, Int, String) = {
+      if (deferReason.nonEmpty) return (n, prev, graded, Double.NaN, 0, deferReason)
+      val fn = SparkEntry.queries(n)
+      val exonerationBar = math.max(1.5 * prev, prev + 0.15)
+      var probeMin = Double.NaN
+      var taken = 0
+      var failed = 0
+      var verdict: String = null
+      while (verdict == null) {
+        val t0 = System.nanoTime()
+        val okRep = try { fn(spark, sfDir).count(); true }
+                    catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        taken += 1
+        if (okRep) { if (probeMin.isNaN || t < probeMin) probeMin = t }
+        else failed += 1
+        if (failed >= taken && taken >= probeRepsMin) verdict = "probe_failed"
+        else if (!probeMin.isNaN &&
+                 norm(math.min(graded, probeMin)) <= exonerationBar)
+          // Both timings measure the SAME code; the steady-state estimate
+          // is the best of them (the re-probe itself can land on a
+          // contended window — observed: graded 0.44 s, re-probe 1.10 s,
+          // idle 0.18 s). Host-normalized before comparing: "real" must
+          // mean a code-level regression, not a slower host era.
+          verdict = "contention"
+        else if (taken >= probeReps ||
+                 (taken >= probeRepsMin && trancheLeft <= 0))
+          verdict = if (probeMin.isNaN) "probe_failed" else "real"
+      }
+      (n, prev, graded, probeMin, taken, verdict)
     }
-    val adjudicated = adjudicate(adjMovers)
-    val drifted = adjudicate(driftMovers)
-    def moversJson(rows: Seq[(String, Double, Double, Double, String)]) =
-      rows.sortBy(_._1).map { case (n, p, g, pr, v) =>
+    def moversJson(rows: Seq[(String, Double, Double, Double, Int, String)]) =
+      rows.sortBy(_._1).map { case (n, p, g, pr, taken, v) =>
         val prS = if (pr.isNaN) "null" else r3(pr)
-        s"""{"query":"$n","prev_min":${r3(p)},"graded_min":${r3(g)},"reprobe_min":$prS,"verdict":"$v"}"""
+        s"""{"query":"$n","prev_min":${r3(p)},"graded_min":${r3(g)},"reprobe_min":$prS,"probe_reps":$taken,"verdict":"$v"}"""
       }.mkString("[", ",", "]")
-    val adjJson = {
-      val nReal = adjudicated.count(_._5 == "real")
-      val baseline =
-        if (prevSf.contains(sfDir)) s""""$sfDir"""" else "null"
+    val adjudicated = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Double, Int, String)]
+    val drifted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Double, Int, String)]
+    def adjJson(): String = {
+      val nReal = adjudicated.count(_._6 == "real")
+      val baseline = if (sfComparable) s""""$sfDir"""" else "null"
       val calibFloorS = calibFloor.map(r3).getOrElse("null")
       val calibProbeS = if (calibProbe.isNaN) "null" else r3(calibProbe)
       val calibRatioS = if (calibRatio.isNaN) "null" else r3(calibRatio)
       val deferS = if (deferReason.isEmpty) "null" else s""""$deferReason""""
-      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps":$probeReps,"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","host_factor":${r3(hostFactor)},"host_factor_method":"median per-query min ratio vs baseline over ${ratios.size} common queries; all mover selection and verdicts use graded/host_factor","calibration_gate":{"query":"$CALIB_Q","floor_sec":$calibFloorS,"probe_min_sec":$calibProbeS,"ratio":$calibRatioS,"max_ratio":$CALIB_MAX_RATIO,"deferred":$deferS},"n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._5 == "contention")},"movers":${moversJson(adjudicated)},"drift":{"top_n_by_abs_delta":$driftN,"ratio_floor":"1.25x, waived for prev>=1s","n_movers":${drifted.size},"n_real":${drifted.count(_._5 == "real")},"movers":${moversJson(drifted)}}}"""
+      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps_max":$probeReps,"tranche_sec":${r3(trancheS)},"tranche_spent_sec":${r3(elapsedS - adjStart)},"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","host_factor":${r3(hostFactor)},"host_factor_method":"median per-query min ratio vs baseline over ${ratios.size} common queries; all mover selection and verdicts use graded/host_factor","host_at_adjudication":$hostAtAdj,"calibration_gate":{"query":"$CALIB_Q","floor_sec":$calibFloorS,"probe_min_sec":$calibProbeS,"ratio":$calibRatioS,"max_ratio":$CALIB_MAX_RATIO,"deferred":$deferS},"n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._6 == "contention")},"movers":${moversJson(adjudicated.toSeq)},"drift":{"top_n_by_abs_delta":$driftN,"ratio_floor":"1.25x, waived for prev>=1s","n_movers":${drifted.size},"n_real":${drifted.count(_._6 == "real")},"movers":${moversJson(drifted.toSeq)}}}"""
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_adjudication.json"),
-      (adjJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def persistAdj(): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_adjudication.json"),
+        (adjJson() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Probe order: worst normalized regression first, so if a kill lands
+    // mid-pass the verdicts that matter most are already on disk.
+    val adjOrdered = adjMovers.sortBy { case (n, p, g) => -(norm(g) - p) }
+    val driftOrdered = driftMovers.sortBy { case (n, p, g) => -(norm(g) - p) }
+    adjOrdered.foreach { case (n, p, g) =>
+      adjudicated += adjudicateOne(n, p, g); persistAdj()
+    }
+    driftOrdered.foreach { case (n, p, g) =>
+      drifted += adjudicateOne(n, p, g); persistAdj()
+    }
+    persistAdj()
+    val adjOut = adjJson()
     finished = true
     spark.stop()
     println(json)
-    println(adjJson)
+    println(adjOut)
     // Chunked per-query attestation: 10 queries per line, each line a
     // self-describing JSON fragment ~300 bytes. The LAST few lines of
     // stdout always survive tail capture, so at minimum the final chunks
@@ -516,6 +712,10 @@ object Bench {
       val meds = chunk.map(_._2).mkString("{", ",", "}")
       println(s"""{"metric":"chunk","i":$i,"queries":$mins,"medians":$meds}""")
     }
+    // Host-evidence attestation line: the per-chunk load/steal/throttle
+    // deltas sampled during the run, so contention storms are readable
+    // off the stdout tail as data, not inferred from ratios.
+    println(s"""{"metric":"host","samples":${hostSamples.mkString("[", ",", "]")}}""")
     // Final line: compact summary, shape deliberately DISTINCT from the
     // full report (no "queries" key at all) so a consumer can never
     // mistake it for a full run that recorded zero queries. Whatever

@@ -274,6 +274,126 @@ case class TopCells(child: Expression, cents: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Integer-exact variant of TopCells for the oracle-checked IVF path
+  * (q55): the vector is quantized ONCE per row to 1e-6 fixed point with
+  * half-away-from-zero rounding (the ROUND both engines apply — JVM
+  * Math.round is half-toward-+∞, which differs at negative .5), and
+  * every centroid score s_k = 2·cq_k·xq − |cq_k|² is exact int64
+  * arithmetic — so cell assignment is bit-identical between Spark and a
+  * DuckDB replay of the same integer centroids regardless of summation
+  * order (int64 addition is associative; double dots are not). Overflow
+  * headroom: |x| ≤ ~10 ⇒ |xq| ≤ 1e7, 64-dim dot ≤ 6.4e15, ×2 ≪ 2⁶³.
+  *
+  * Tie-break: score descending, LOWER cell id wins — mirroring the
+  * oracle's `ORDER BY score DESC, cell` window. */
+case class TopCellsInt(child: Expression, cents: Array[Array[Long]],
+                       cids: Array[Int], probe: Int, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val bias: Array[Long] =
+    cents.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val k = cents.length
+    val dim = a.numElements()
+    val xq = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      val x = VecAccess.get(child.dataType)(a, i) * scale
+      xq(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      i += 1
+    }
+    val keep = math.min(probe, k)
+    val ts = new Array[Long](keep)
+    val tc = new Array[Int](keep)
+    var filled = 0
+    var ki = 0
+    while (ki < k) {
+      val c = cents(ki)
+      val n = math.min(dim, c.length)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += xq(i) * c(i); i += 1 }
+      val s = 2L * dot - bias(ki)
+      val cid = cids(ki)
+      var pos = filled
+      while (pos > 0 && (s > ts(pos - 1) ||
+          (s == ts(pos - 1) && cid < tc(pos - 1))))
+        pos -= 1
+      if (pos < keep) {
+        val end = math.min(filled, keep - 1)
+        var m = end
+        while (m > pos) { ts(m) = ts(m - 1); tc(m) = tc(m - 1); m -= 1 }
+        ts(pos) = s; tc(pos) = cid
+        if (filled < keep) filled += 1
+      }
+      ki += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(tc, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    val bRef = ctx.addReferenceObj("bias", bias, "long[]")
+    val idRef = ctx.addReferenceObj("cids", cids, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val keep = ctx.freshName("keep"); val ts = ctx.freshName("ts")
+      val tc = ctx.freshName("tc"); val filled = ctx.freshName("filled")
+      val ki = ctx.freshName("ki"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val cid = ctx.freshName("cid")
+      val pos = ctx.freshName("pos"); val end = ctx.freshName("end")
+      val m = ctx.freshName("m"); val dim = ctx.freshName("dim")
+      val xq = ctx.freshName("xq"); val xv = ctx.freshName("xv")
+      // Same no-leading-pipe rule as TopCells: downstream formatting
+      // eats a leading '|' as a margin char, so tie-breaks run through
+      // plain statements.
+      s"""
+         |int $dim = $a.numElements();
+         |long[] $xq = new long[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $xv = ${VecAccess.gen(child.dataType, a, i)} * ${scale}L;
+         |  $xq[$i] = (long) ($xv >= 0 ? Math.floor($xv + 0.5D) : Math.ceil($xv - 0.5D));
+         |}
+         |int $keep = Math.min($probe, $cRef.length);
+         |long[] $ts = new long[$keep];
+         |int[] $tc = new int[$keep];
+         |int $filled = 0;
+         |for (int $ki = 0; $ki < $cRef.length; $ki++) {
+         |  int $n = Math.min($dim, $cRef[$ki].length);
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $xq[$i] * $cRef[$ki][$i];
+         |  }
+         |  long $s = 2L * $dot - $bRef[$ki];
+         |  int $cid = $idRef[$ki];
+         |  int $pos = $filled;
+         |  while ($pos > 0) {
+         |    if ($s > $ts[$pos - 1] || ($s == $ts[$pos - 1] && $cid < $tc[$pos - 1])) $pos--;
+         |    else break;
+         |  }
+         |  if ($pos < $keep) {
+         |    int $end = Math.min($filled, $keep - 1);
+         |    for (int $m = $end; $m > $pos; $m--) {
+         |      $ts[$m] = $ts[$m - 1]; $tc[$m] = $tc[$m - 1];
+         |    }
+         |    $ts[$pos] = $s; $tc[$pos] = $cid;
+         |    if ($filled < $keep) $filled++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf($tc, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftInternal
 
@@ -295,4 +415,11 @@ object VectorFunctions {
   def top_cells(v: Column, cents: Seq[(Int, Array[Double])], probe: Int): Column =
     GraftInternal.toColumn(TopCells(GraftInternal.toExpression(v),
       cents.map(_._2).toArray, cents.map(_._1).toArray, probe))
+
+  /** Integer-exact nearest-`probe` cells over 1e-6-quantized coords
+    * (the oracle-checked IVF path). */
+  def top_cells_int(v: Column, cents: Seq[(Int, Array[Long])], probe: Int,
+                    scale: Long): Column =
+    GraftInternal.toColumn(TopCellsInt(GraftInternal.toExpression(v),
+      cents.map(_._2).toArray, cents.map(_._1).toArray, probe, scale))
 }

@@ -669,10 +669,14 @@ object Codecs {
 
   /** q303: LOSSY-codec image decode — the JPEG leg the multimodal
     * pillar lacked (every prior format was lossless and hash-checked;
-    * a real crawl is mostly JPEG). No DuckDB oracle CAN exist — the
-    * reconstruction is quantized by the codec — so this runs under the
-    * self-evidence contract (q162/q204's shape): every row must sniff
-    * as `jpeg` via the reader registry, dimensions must round-trip
+    * a real crawl is mostly JPEG). DuckDB cannot DECODE the payloads,
+    * but it does not have to: the fixture is static and the JDK codec
+    * is container-pinned, so every per-class stat has exactly one
+    * right answer — committed as the 576-row golden table below
+    * (JPEG_GOLDEN_PACKED; o303 replays it) and re-derived from the
+    * real decode by CodecsSpec, graduating the query from no_oracle to
+    * hash-checked. The inline tripwires stay: every row must sniff as
+    * `jpeg` via the reader registry, dimensions must round-trip
     * exactly, per-image mean/max reconstruction error against the
     * planted gradient must stay inside calibrated tolerances, AND the
     * corpus-wide total error must be strictly positive — a stub that
@@ -743,6 +747,128 @@ object Codecs {
       .orderBy(col("doc_id"))
   }
 
+
+  /** Golden per-class JPEG stats: `(n_bytes, mae_milli, max_err)` for
+    * each residue class of doc_id mod 576. The planted raster depends
+    * on doc_id only through (doc_id % 9, doc_id % 64) — lcm 576 — so
+    * the encode bytes and reconstruction errors are a pure function of
+    * the class, and with the container-pinned JDK codec there is
+    * exactly ONE right answer per class. Derived by running the real
+    * encode+decode over all 576 classes (CodecsSpec re-derives and
+    * asserts equality, so codec drift fails the build before it can
+    * fail the oracle). Packed as n_bytes:mae_milli:max_err. */
+  val JPEG_GOLDEN_PACKED: String =
+    "637:458:2,650:470:2,647:437:2,654:512:2,653:477:2,655:452:2,654:465:2,\n" +
+    "654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,653:477:2,\n" +
+    "655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,\n" +
+    "654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,\n" +
+    "650:470:2,647:437:2,654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,\n" +
+    "654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,653:477:2,655:452:2,\n" +
+    "654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,\n" +
+    "653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,\n" +
+    "647:437:2,654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,\n" +
+    "637:458:2,650:515:2,647:470:2,654:489:2,653:500:2,655:456:2,654:456:2,\n" +
+    "654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,653:500:2,\n" +
+    "655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,\n" +
+    "654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,\n" +
+    "650:515:2,647:470:2,654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,\n" +
+    "654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,653:500:2,655:456:2,\n" +
+    "654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,\n" +
+    "653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,\n" +
+    "647:470:2,654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,\n" +
+    "637:375:1,650:515:2,647:496:2,654:458:2,653:416:2,655:487:2,654:441:2,\n" +
+    "654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,653:416:2,\n" +
+    "655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,\n" +
+    "654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,\n" +
+    "650:444:2,647:496:2,654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,\n" +
+    "654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,653:416:2,655:487:2,\n" +
+    "654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,\n" +
+    "653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,\n" +
+    "647:496:2,654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,\n" +
+    "637:416:2,650:444:2,646:496:2,654:512:2,653:477:2,655:452:2,654:465:2,\n" +
+    "654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,653:477:2,\n" +
+    "655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,\n" +
+    "654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,\n" +
+    "650:470:2,647:437:2,654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,\n" +
+    "654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,653:477:2,655:452:2,\n" +
+    "654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,\n" +
+    "653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,\n" +
+    "647:437:2,654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,\n" +
+    "637:458:2,650:470:2,646:437:2,653:512:2,653:500:2,655:456:2,654:456:2,\n" +
+    "654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,653:500:2,\n" +
+    "655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,\n" +
+    "654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,\n" +
+    "650:515:2,647:470:2,654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,\n" +
+    "654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,653:500:2,655:456:2,\n" +
+    "654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,\n" +
+    "653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,\n" +
+    "647:470:2,654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,\n" +
+    "637:375:1,650:515:2,646:470:2,653:489:2,653:500:2,655:487:2,654:441:2,\n" +
+    "654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,653:416:2,\n" +
+    "655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,\n" +
+    "654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,\n" +
+    "650:444:2,647:496:2,654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,\n" +
+    "654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,653:416:2,655:487:2,\n" +
+    "654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,\n" +
+    "653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,\n" +
+    "647:496:2,654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,\n" +
+    "637:416:2,650:444:2,646:496:2,653:458:2,653:416:2,654:487:2,654:465:2,\n" +
+    "654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,653:477:2,\n" +
+    "655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,\n" +
+    "654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,\n" +
+    "650:470:2,647:437:2,654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,\n" +
+    "654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,653:477:2,655:452:2,\n" +
+    "654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,647:437:2,654:512:2,\n" +
+    "653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,637:458:2,650:470:2,\n" +
+    "647:437:2,654:512:2,653:477:2,655:452:2,654:465:2,654:461:2,654:451:2,\n" +
+    "637:458:2,650:470:2,647:437:2,653:512:2,653:477:2,654:452:2,654:465:2,\n" +
+    "654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,653:500:2,\n" +
+    "655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,\n" +
+    "654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,\n" +
+    "650:515:2,647:470:2,654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,\n" +
+    "654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,653:500:2,655:456:2,\n" +
+    "654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,647:470:2,654:489:2,\n" +
+    "653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,637:375:1,650:515:2,\n" +
+    "647:470:2,654:489:2,653:500:2,655:456:2,654:456:2,654:500:2,654:416:2,\n" +
+    "637:375:1,650:515:2,647:470:2,654:489:2,653:500:2,654:456:2,654:456:2,\n" +
+    "654:500:2,654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,653:416:2,\n" +
+    "655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,\n" +
+    "654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,\n" +
+    "650:444:2,647:496:2,654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,\n" +
+    "654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,653:416:2,655:487:2,\n" +
+    "654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,647:496:2,654:458:2,\n" +
+    "653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,637:416:2,650:444:2,\n" +
+    "647:496:2,654:458:2,653:416:2,655:487:2,654:441:2,654:400:2,654:461:2,\n" +
+    "637:416:2,650:444:2,647:496:2,654:458:2,653:416:2,654:487:2,654:441:2,\n" +
+    "654:400:2,654:461:2"
+
+  /** Parsed golden table, indexed by doc_id % 576. */
+  lazy val jpegGolden: Array[(Long, Long, Long)] =
+    JPEG_GOLDEN_PACKED.replaceAll("\\s", "").split(",").map { t =>
+      val p = t.split(":"); (p(0).toLong, p(1).toLong, p(2).toLong)
+    }
+
+  /** q303's DuckDB oracle: the golden class table joined back onto
+    * documents — dims replay the planted formulas, byte/error stats
+    * come from the committed golden constants (the q81 golden-constant
+    * playbook: static fixture + pinned decoder = replayable answer). */
+  val o303: String = {
+    val rows = jpegGolden.zipWithIndex
+      .map { case ((nb, mae, mx), cls) => s"($cls,$nb,$mae,$mx)" }
+      .grouped(16).map(_.mkString(",")).mkString(",\n      ")
+    s"""
+    WITH golden(cls, n_bytes, mae_milli, max_err) AS (VALUES
+      $rows)
+    SELECT d.doc_id, 'jpeg' AS format,
+      CAST(8 + d.doc_id % 9 AS BIGINT) AS width,
+      CAST(8 + (d.doc_id * 5) % 9 AS BIGINT) AS height,
+      CAST(g.n_bytes AS BIGINT) AS n_bytes,
+      CAST(g.mae_milli AS BIGINT) AS mae_milli,
+      CAST(g.max_err AS BIGINT) AS max_err
+    FROM documents d JOIN golden g ON d.doc_id % 576 = g.cls
+    ORDER BY d.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q276_wav_ulaw_decode" -> (q276WavUlawDecode _),
     "q277_adpcm_decode"    -> (q277AdpcmDecode _),
@@ -756,5 +882,6 @@ object Codecs {
     "q277_adpcm_decode" -> o277,
     "q278_gif_video_decode" -> o278,
     "q279_gzip_ingest" -> o279,
-    "q280_zip_archive_ingest" -> o280)
+    "q280_zip_archive_ingest" -> o280,
+    "q303_jpeg_decode" -> o303)
 }

@@ -79,6 +79,69 @@ object KMeans {
     cents
   }
 
+  /** Integer-exact Lloyd fit over `scale`-quantized coords (half-away
+    * rounding — the ROUND both engines apply), driver-local on the
+    * BOUNDED training sample: FIT_SAMPLE × dim longs ≈ 0.5 MB, the same
+    * bounded-ledger class as the k×dim centroid collect the double fit
+    * already does (an IVF quantizer trains on a sample by design — the
+    * 100 TB corpus never participates). Exactness is the point: int64
+    * sums are associative, so the fit is bit-identical across
+    * partitionings and CPU counts, which is what lets the trained
+    * centroids be frozen as DuckDB oracle literals (q55's hash-green
+    * contract). Assignment maximizes 2·cq·xq − |cq|² (ties → lower cell,
+    * matching TopCellsInt); the update is floorDiv(Σ xq, n) per dim;
+    * empty cells keep their previous centroid. */
+  def fitQuantized(df: DataFrame, k: Int, iters: Int, scale: Long,
+                   vecCol: String = "embedding", idCol: String = "vec_id")
+      : Seq[(Int, Array[Long])] = {
+    val sample: Array[Array[Long]] = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val xs = r.getSeq[Number](1)
+        val q = new Array[Long](xs.length)
+        var i = 0
+        while (i < q.length) {
+          val v = xs(i).doubleValue * scale
+          q(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+          i += 1
+        }
+        q
+      }
+    require(sample.length >= k, s"fit sample ${sample.length} < k=$k")
+    val dim = sample(0).length
+    var cents: Array[Array[Long]] = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val bias = cents.map(c => c.map(v => v * v).sum)
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { x =>
+        var best = 0
+        var bestScore = Long.MinValue
+        var ki = 0
+        while (ki < k) {
+          val c = cents(ki)
+          var dot = 0L
+          var i = 0
+          while (i < dim) { dot += x(i) * c(i); i += 1 }
+          val s = 2L * dot - bias(ki)
+          if (s > bestScore) { bestScore = s; best = ki }
+          ki += 1
+        }
+        counts(best) += 1
+        val acc = sums(best)
+        var i = 0
+        while (i < dim) { acc(i) += x(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, ki) =>
+        if (counts(ki) == 0) old
+        else Array.tabulate(dim)(i => Math.floorDiv(sums(ki)(i), counts(ki)))
+      }
+    }
+    cents.zipWithIndex.map { case (c, ki) => (ki, c) }.toSeq
+  }
+
   /** Mean squared distance of each row to its assigned centroid —
     * the quantity Lloyd's iterations are guaranteed not to increase. */
   def inertia(df: DataFrame, cents: Seq[(Int, Array[Double])],

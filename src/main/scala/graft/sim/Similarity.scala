@@ -1052,23 +1052,47 @@ object Similarity {
     if (prev != null) prev else built
   }
 
+  /** Integer-quantizer cache for the oracle-checked IVF path — same
+    * train-once lifecycle as `quantizerCache`, Long centroids. */
+  private val quantizerIntCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()
+
+  private def fitQuantizerInt(key: String, fit: => Seq[(Int, Array[Long])])
+      : Seq[(Int, Array[Long])] = {
+    val hit = quantizerIntCache.get(key)
+    if (hit != null) return hit
+    val built = fit
+    val prev = quantizerIntCache.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
+
   /** IVF search without the evidence wrapper — parameterized so the
     * recall/cost curve is measurable (tools.AnnTune) without editing
-    * the graded constants. */
+    * the graded constants. Cell assignment is INTEGER-EXACT over
+    * 1e-6-quantized coords (KMeans.fitQuantized + TopCellsInt): int64
+    * scores are summation-order-free, so the assignment — and with the
+    * frozen sf0.01 centroids, the whole query — replays bit-identically
+    * in DuckDB (o55), graduating q55 from no_oracle to hash-checked.
+    * The final similarity stays the codegen double cosine on the raw
+    * float embeddings: that pairing is the already-hash-green q43
+    * arithmetic. */
   private[graft] def ivfTopK(s: SparkSession, d: String, nProbe: Int,
                              iters: Int, sample: Int,
                              nCells: Int = N_CELLS): DataFrame = {
     val e = embeddings(s, d)
-    val cents = fitQuantizer(
-      s"$d|$nCells|$iters|$sample",
-      KMeans.fit(e.filter(col("vec_id") < sample), nCells, iters))
-    import graft.functions.VectorFunctions.top_cells
+    val cents = fitQuantizerInt(
+      s"$d|$nCells|$iters|$sample|int",
+      KMeans.fitQuantized(e.filter(col("vec_id") < sample), nCells, iters,
+        Pca.PCA_SCALE))
+    import graft.functions.VectorFunctions.top_cells_int
     val base = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("cell", top_cells(col("nv"), cents, 1)(0))
+      .withColumn("cell",
+        top_cells_int(col("nv"), cents, 1, Pca.PCA_SCALE)(0))
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("nid"))
     val qProbes = e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("cell", explode(top_cells(col("qv"), cents, nProbe)))
+      .withColumn("cell",
+        explode(top_cells_int(col("qv"), cents, nProbe, Pca.PCA_SCALE)))
       .select(col("qid"), col("qv"), col("cell"))
     broadcast(qProbes).join(base, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
@@ -1090,9 +1114,10 @@ object Similarity {
     * caches on first use. */
   def ensureAnnIndexes(s: SparkSession, d: String): Unit = {
     val e = embeddings(s, d)
-    fitQuantizer(
-      s"$d|$N_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
-      KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), N_CELLS, KMEANS_ITERS))
+    fitQuantizerInt(
+      s"$d|$N_CELLS|$KMEANS_ITERS|$FIT_SAMPLE|int",
+      KMeans.fitQuantized(e.filter(col("vec_id") < FIT_SAMPLE), N_CELLS,
+        KMEANS_ITERS, Pca.PCA_SCALE))
     // q204's SemDeDup quantizer: same train-once lifecycle, finer grid.
     fitQuantizer(
       s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
@@ -1481,9 +1506,16 @@ object Similarity {
     import s.implicits._
     val dim = Pca.PCA_DIM
     val scale = MMD_SCALE
-    val blocks = embeddings(s, d)
+    // Per-partition moment blocks are TREE-FOLDED executor-side before
+    // anything reaches the driver: at 100 TB partition counts a direct
+    // collect of #partitions·|labels| d²-blocks (32 KB each) is GBs of
+    // driver traffic, while treeReduce hands the driver exactly ONE
+    // block per label. int64 addition is order-free, so the fold is
+    // exact under any reduction tree.
+    val byLabel: Map[Int, (Long, Array[Long])] = embeddings(s, d)
       .select(col("label"), col("embedding"))
       .as[(Int, Array[Float])]
+      .rdd
       .mapPartitions { it =>
         val accP = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
         val accN = scala.collection.mutable.HashMap.empty[Int, Long]
@@ -1505,15 +1537,24 @@ object Similarity {
             i += 1
           }
         }
-        accP.iterator.map { case (lab, p) => (lab, accN(lab), p) }
-      }.collect()
-    val byLabel: Map[Int, (Long, Array[Long])] =
-      blocks.groupBy(_._1).map { case (lab, bs) =>
-        val m = new Array[Long](dim * dim)
-        bs.foreach { case (_, _, p) =>
-          var i = 0; while (i < m.length) { m(i) += p(i); i += 1 } }
-        lab -> (bs.map(_._2).sum, m)
+        Iterator.single(accP.iterator.map { case (lab, p) =>
+          (lab, (accN(lab), p))
+        }.toMap)
       }
+      .treeReduce({ (a, b) =>
+        val m = scala.collection.mutable.HashMap.empty[Int, (Long, Array[Long])]
+        m ++= a
+        b.foreach { case (lab, (n, p)) =>
+          m.get(lab) match {
+            case Some((n0, p0)) =>
+              var i = 0
+              while (i < p0.length) { p0(i) += p(i); i += 1 }
+              m.update(lab, (n0 + n, p0))
+            case None => m.update(lab, (n, p))
+          }
+        }
+        m.toMap
+      }, depth = 2)
     val labels = byLabel.keys.toSeq.sorted
     val out = for {
       la <- labels; lb <- labels if la < lb
@@ -1622,10 +1663,127 @@ object Similarity {
       .orderBy(col("signal"))
   }
 
+
+  /** Frozen sf0.01 IVF coarse-quantizer centroids in 1e-6 fixed point —
+    * the committed training artifact o55 replays in DuckDB. Training is
+    * integer-exact (KMeans.fitQuantized: int64 sums are associative, so
+    * the fit is bit-identical across partitionings), and SimilaritySpec
+    * re-derives this table from the sf0.01 data, so a drifted fit fails
+    * the build before it can fail the oracle. Train-once/freeze is the
+    * production IVF lifecycle anyway (ensureAnnIndexes): the index
+    * serves queries warm; it is not refit per query. Packed as
+    * ;-separated cells of ,-separated int64 coords (cell id = index). */
+  val Q55_CENTROIDS_SF001_PACKED: String =
+    "22545,27619,49971,-104319,23683,-19119,-33613,843,55001,-54157,-36439,-11676,-45487,-7628,-21220,-1361,40443,62361,33434,51135,-99393,17681,17039,-17049,-8859,55634,86062,-3159,-10988,85769,-9972,49461," +
+    "-39506,-32544,10984,-23503,1801,16363,31011,-10463,-3033,20985,-10040,10494,-12456,39623,26221,-71866,14550,-24335,11986,25447,7074,-31208,61548,4394,-19072,-6956,-85851,-40697,-18832,16034,37905,-57851;" +
+    "-36097,36665,16145,-23822,1089,-18329,-71985,-14922,-16784,105,-68793,84740,88254,-39533,41956,15502,-37871,-17880,35413,-56368,-4,44911,30934,-47604,39815,50778,-19015,-54780,44,45196,-2707,-10666," +
+    "-52875,-16396,-34010,55921,-61403,-8179,22405,-122163,-9564,-53437,60782,29772,24434,-618,-43197,-10443,-78082,-79403,-11343,4690,-2951,24917,-5643,45609,56594,-33416,7594,15242,-39314,3995,-39834,-45388;" +
+    "234,-8882,-13946,54398,33930,-10774,-7097,-34436,-21615,-104481,-6107,16891,-46684,75271,30389,23327,-1387,64908,-50278,-44274,19665,38450,47899,-11959,-827,-55142,-2358,-40326,44114,5323,-8041,-52433," +
+    "-12821,-8187,1244,17315,23500,59238,30683,61342,38135,5882,26540,18795,-2570,-12532,-1069,-3562,45323,29521,41613,-27982,-7546,-71541,23252,66024,29954,-55955,-7725,44187,35953,28240,5812,-5941;" +
+    "-27488,66500,21982,6458,25887,-4230,38446,10033,-30393,30370,13508,37387,24736,114340,34594,13584,-12639,-10020,-7174,30997,-3823,5308,-10875,11126,-20025,20648,-17214,-23762,-67611,-36697,-16504,-888," +
+    "61421,11612,-44387,-10553,9155,4660,-15548,-28994,-16312,-45331,-82332,-20717,-6134,-9021,-3031,-43963,93232,-88873,2787,-20607,10108,50472,-22382,-24440,23086,-28959,13923,-63889,37869,-1804,-1861,-70496;" +
+    "14556,-27621,70597,12085,-28294,-116704,73050,58598,-16367,19838,63385,-37436,16933,-58806,-6154,14533,33657,13378,-7475,44154,-50490,16789,-22059,20960,-33542,-19308,28039,-1050,44114,-24387,34427,15947," +
+    "47912,-2043,7372,-34079,-6049,-65997,-31372,33416,7482,-14371,-73811,50708,-33531,36211,-54213,84408,-54788,-12520,40627,29941,22130,28786,107013,-23015,24271,-51072,13896,-27339,-46099,-860,19302,-13629;" +
+    "-6226,-61484,51503,-9000,61724,-34389,-37642,97074,-43073,41774,-17447,20652,17722,32647,-5450,-1703,24759,-65155,-83991,56956,10998,-4685,38007,27400,48703,-10245,-37456,1821,13367,39011,56391,-36246," +
+    "15635,-3633,-6452,50786,19339,69459,-39522,5125,-71091,8351,-40650,29147,-76113,-54596,539,-12412,-11764,8930,53469,42203,324,45207,-63949,-59957,4481,-56655,-15543,13281,-9186,22177,-22441,41527;" +
+    "18951,-25728,-11024,-44142,15561,53552,-21061,-40749,15779,32724,79629,-25732,12876,54079,-48331,50886,4778,93081,-45888,-20668,10959,-14730,-28987,-80095,-43991,-56408,-8600,51764,20814,-21146,-7340,10275," +
+    "-29246,-68983,-20015,62368,36647,-27401,27992,-38365,38266,-61741,-3660,-39070,31715,41419,40989,64008,23698,14159,-12825,20496,37401,-37801,-3520,60737,-37835,37206,7336,-29822,44007,-9675,24410,17982;" +
+    "121234,13635,-9128,50095,-33151,17399,-183,87489,-37638,7622,45142,37826,-37333,-78664,-23606,4410,-17093,8289,-3351,17064,-20064,10731,12286,24856,5345,-38429,-51585,70032,-12680,47531,94225,39003," +
+    "-35386,4128,-16517,34076,-41496,-44486,21732,-33871,-6825,-27675,7947,-33476,-21557,52458,-6579,104972,-47616,-2892,67311,9885,11187,13383,-22449,30460,9163,6381,-109620,-16346,23281,-13903,-1260,-96728;" +
+    "-46555,-67607,-31058,36587,8796,56050,-11337,15970,-2360,52426,-69463,59175,-27002,14266,7343,77713,33672,-30102,46006,6974,30483,-40814,7055,-40351,-59138,61493,32223,12715,12035,-97018,-15104,-30136," +
+    "-6595,-17597,68116,-30789,-711,19540,38219,14832,-22055,-29257,-26162,8106,-15280,-50929,2974,-35930,-31643,-41806,16396,-12768,-50556,34698,32859,-25853,-18741,60151,65624,-58074,-43757,9213,-2915,-12215;" +
+    "26813,-28074,-49573,25554,2999,31069,-73216,55025,-49467,26211,25739,-45572,-52845,28174,-42386,-37732,-48918,52240,-19724,-24364,2355,-44128,39475,70376,-43783,-26626,-67928,64093,-12641,2200,-8123,-33001," +
+    "-28811,19075,108746,35900,-169819,22363,42424,60262,-64489,32286,131844,57431,-8703,12652,-4716,-16875,-23309,-62103,23435,34553,-39125,32714,3400,35107,12904,-17725,3428,-29258,-5903,14422,-16431,15926;" +
+    "25330,-14041,-73517,-9565,-45647,16723,-15099,31103,34587,-9934,8410,-77582,2927,-30648,17857,-45400,-40748,13429,30401,-32186,-6441,-1568,-19536,6419,45218,95934,-34831,36103,-42472,55298,-102779,38665," +
+    "71481,-56651,-26620,-11594,34810,13894,-32229,40605,-29417,-66312,-27496,22090,-19092,24341,11030,-12165,16145,80597,70721,-29823,41618,-299,-17831,-32741,96522,8206,28049,-979,40108,-47655,-41308,-10439;" +
+    "3901,-22152,-44787,18246,27391,32542,-43484,-48654,26063,-3910,32641,-14018,3459,29526,-29774,-21851,35931,10921,-3482,10407,-59563,-77203,46803,-30779,9587,-15075,43083,83256,-34351,-8643,-7642,-9856," +
+    "53412,-67217,91,-21394,-3015,-26167,-53637,-7720,46927,58122,50160,-6893,31466,-40658,-42518,-27143,53944,23884,-59070,-51442,49629,32868,28485,-13340,-32289,60566,-15494,-7471,20853,51004,68932,96719;" +
+    "17890,-72384,29636,-20988,55165,81415,-50505,-37504,52426,-823,40031,34400,14629,5151,56840,-30039,13838,-103019,-51766,-27436,205,56979,-6186,-19525,6930,77039,11261,16134,-27202,-40203,53926,-11046," +
+    "-13486,-7129,28366,-25679,-20138,-33993,8957,54747,28295,-5970,-28444,28374,25650,32737,-14220,56278,-52499,-6883,-28029,-13745,104369,-37214,-6337,-478,-40329,-33184,67161,-11182,43391,65668,-54331,-61862;" +
+    "-5388,25823,51581,4753,57842,48781,-74569,8886,1616,-48100,61237,7709,-9436,-81038,-31030,4378,15354,32090,27164,-60070,67231,42106,-20584,-27978,16450,-16856,37808,45278,59471,-16110,-18887,5444," +
+    "23101,69124,20580,6436,2396,70670,19277,-23205,-8167,-30811,787,-75007,-73963,-14474,26421,4194,-25557,-64910,-23798,-5594,-55132,-33714,-19729,-20782,-56995,29150,-8557,36020,-9909,5582,-38153,49400;" +
+    "-43513,60912,5412,-45309,-44191,22116,-13983,31192,19414,98695,-46310,-40148,36403,-890,33803,70740,16533,-16650,34336,15833,28598,-28419,-47509,59326,-36005,42668,-24573,-12803,-2797,7514,-3021,-6725," +
+    "37875,91620,50231,-16822,39936,-106180,-69995,12938,15878,35138,98277,33683,-55624,-36870,-4884,15983,-2985,16957,-25648,23682,19376,-25666,60710,11860,-13894,35481,-86221,35753,-58854,-61792,40686,-6311;" +
+    "-42307,21770,-27544,-20514,-25583,-40427,27303,-67308,-40026,-80165,-20352,-27469,-47923,-23651,-30194,-65142,-25562,-388,51260,46002,-12317,-16526,5349,-27005,27640,14874,-30764,-57816,-7732,-22198,64353,-79382," +
+    "25344,-8025,-15334,-61389,-31410,-30098,-24272,-9531,27175,41126,28771,-73459,44519,45453,28668,7888,1123,45613,-33454,-37239,-17968,-79506,-49744,-78711,44247,-1075,22782,12926,-37291,6409,23292,-28333"
+
+  /** Parsed frozen centroids, (cellId, coords). */
+  lazy val q55CentroidsSf001: Seq[(Int, Array[Long])] =
+    Q55_CENTROIDS_SF001_PACKED.split(";").toSeq.zipWithIndex.map {
+      case (c, i) => (i, c.split(",").map(_.toLong))
+    }
+
+  /** q55's DuckDB oracle: replays the frozen integer centroids — cell
+    * assignment in exact int64 (score = 2 cq·xq − |cq|² over ROUND(x·1e6)
+    * coords, ties to the lower cell, mirroring TopCellsInt), top-1 cell
+    * for the base / top-N_PROBE for queries, then the q43 double-cosine
+    * arithmetic on the raw floats for ranking, plus the same
+    * recall-vs-exact evidence column the Spark side carries. */
+  val o55: String = {
+    val rows = q55CentroidsSf001
+      .map { case (cid, c) => s"($cid, [${c.mkString(",")}])" }
+      .mkString(",\n      ")
+    s"""
+    WITH cents(cell, cq) AS (VALUES
+      $rows),
+    cc AS (SELECT cell, i, CAST(cq[i + 1] AS BIGINT) AS c
+           FROM cents, unnest(range(0, ${Pca.PCA_DIM})) u(i)),
+    eq AS (SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE})
+               AS BIGINT) AS x
+           FROM embeddings, unnest(range(0, ${Pca.PCA_DIM})) u(i)),
+    scored AS (
+      SELECT eq.vec_id, cc.cell, SUM(2 * cc.c * eq.x - cc.c * cc.c) AS score
+      FROM eq JOIN cc USING (i) GROUP BY 1, 2),
+    base AS (
+      SELECT vec_id AS nid, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        FROM scored WHERE vec_id < $N_QUERIES) WHERE rn <= $N_PROBE),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT p.qid, b.nid,
+        ROUND(list_dot_product(a.v, c.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM probes p JOIN base b USING (cell)
+      JOIN e a ON a.vec_id = p.qid JOIN e c ON c.vec_id = b.nid
+      WHERE p.qid <> b.nid),
+    res AS (
+      SELECT qid, rank, nid, sim FROM (
+        SELECT qid, nid, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM sims) WHERE rank <= $TOP_K),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, b.vec_id AS nid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_dot_product(q.v, b.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+            b.vec_id) AS rk
+        FROM (SELECT * FROM e
+              WHERE vec_id < $N_QUERIES AND vec_id % $EVIDENCE_MOD = 0) q
+        JOIN e b ON q.vec_id <> b.vec_id) WHERE rk <= $TOP_K),
+    rec AS (
+      SELECT ROUND(COUNT(r.nid)::DOUBLE / COUNT(*), 4) AS recall_vs_exact
+      FROM exact x LEFT JOIN
+        (SELECT qid, nid FROM res WHERE qid % $EVIDENCE_MOD = 0) r
+      ON x.qid = r.qid AND x.nid = r.nid)
+    SELECT res.qid, res.rank, res.nid, res.sim, rec.recall_vs_exact
+    FROM res CROSS JOIN rec ORDER BY res.qid, res.rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q286_mmd_two_sample" -> o286,
     "q100_label_centroids" -> o100,
     "q43_knn_bruteforce" -> o43,
+    "q55_knn_ivf" -> o55,
     "q47_embed_near_dup" -> o47,
     "q87_margin_near_dup" -> o87,
     "q146_int8_ann" -> o146,

@@ -121,7 +121,14 @@ object StreamGate {
     // stays the primary gate. At sf0.001's 500 rows the old 20-floor
     // measured only startup cost and could not catch anything.
     val inRows = docs.count()
-    val rateFloor = if (sfDir.endsWith("sf0.1")) 150.0 else 20.0
+    // Floor keyed on the NORMALIZED basename (a trailing slash or an
+    // absolute prefix must not silently fall back to the 20-floor that
+    // catches nothing at sf0.1), and the selection is logged + emitted
+    // so a fallback is visible in the round artifact.
+    val sfBase = new java.io.File(sfDir).getName
+    val rateFloor = if (sfBase == "sf0.1") 150.0 else 20.0
+    System.err.println(
+      s"[streamgate] sf basename '$sfBase' -> rate floor $rateFloor rows/s")
     def rate(name: String): Double =
       BigDecimal(inRows / math.max(elapsed(name), 1e-9))
         .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -190,6 +190,32 @@ class CodecsSpec extends AnyFunSuite {
     assert(totErr > 0, "zero total error across 64 images - not lossy")
   }
 
+  test("JPEG: committed golden class table matches the real decode for all 576 classes") {
+    // q303's oracle replays JPEG_GOLDEN_PACKED in DuckDB; this re-derives
+    // every class from the real encode+decode so codec drift (a JDK bump
+    // changing the quantization tables) fails HERE, not at the driver's
+    // hash gate. doc_id mod 576 (lcm of the 9-cycle dims and 64-cycle
+    // base level) fully determines the raster, hence the stats.
+    assert(Codecs.jpegGolden.length == 576)
+    for (cls <- 0L until 576L) {
+      val payload = Codecs.encodeJpeg(cls)
+      val (fmt, img) = Codecs.decodeJpegRaster(payload)
+      val (w, h) = Codecs.jpegDims(cls)
+      assert(fmt == "jpeg" && img.getWidth == w && img.getHeight == h)
+      var sumErr = 0L
+      var maxErr = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val dec = (img.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        val err = math.abs(dec - Codecs.jpegPlanted(cls, x, y, c)).toLong
+        sumErr += err
+        maxErr = math.max(maxErr, err)
+      }
+      val expect = (payload.length.toLong, sumErr * 1000L / (3L * w * h), maxErr)
+      assert(Codecs.jpegGolden(cls.toInt) == expect,
+        s"class $cls: golden ${Codecs.jpegGolden(cls.toInt)} vs derived $expect")
+    }
+  }
+
   test("JPEG: planted corruption schedule - truncation and entropy bit flips detected") {
     val payload = Codecs.encodeJpeg(7L)
     // (a) truncation: reader must fail, not return a fabricated raster

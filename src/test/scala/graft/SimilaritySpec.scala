@@ -151,6 +151,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.15, s"recall@1 $recall implausibly low for ${Similarity.N_PROBE}/${Similarity.N_CELLS} probes")
   }
 
+  test("q55: frozen sf0.01 centroids equal a fresh integer-exact fit") {
+    // o55 replays Q55_CENTROIDS_SF001_PACKED in DuckDB; this re-derives
+    // the table from the sf0.01 data through the REAL fit so quantizer
+    // drift (changed iters/sample/rounding) fails here, not at the
+    // driver's hash gate. The fit is int64-exact, so equality is
+    // bit-for-bit, not approximate.
+    val fresh = graft.sim.KMeans.fitQuantized(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+        .filter(col("vec_id") < Similarity.FIT_SAMPLE),
+      Similarity.N_CELLS, Similarity.KMEANS_ITERS, graft.sim.Pca.PCA_SCALE)
+    val frozen = Similarity.q55CentroidsSf001
+    assert(fresh.size == frozen.size)
+    fresh.zip(frozen).foreach { case ((ci, c), (fi, f)) =>
+      assert(ci == fi && c.sameElements(f),
+        s"cell $ci drifted from the frozen oracle constants")
+    }
+  }
+
   test("q100 centroid matrix equals a driver-side naive computation") {
     val got = Similarity.q100LabelCentroids(spark, TestSpark.SF)
       .as[(Int, Int, Double)].collect()
