@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Element access for the vector expressions, dispatched on the array's
   * ELEMENT TYPE at plan time: the base embeddings column is
@@ -14,19 +14,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * reinterpret half a double's bytes. Both paths accumulate in DOUBLE,
   * sequentially, so oracle parity is unchanged. */
 private[functions] object VecAccess {
-  /** Interpreted getter for one array child. */
+  /** Interpreted getter for one array child. array<bigint> supports the
+    * integer-exact paths (q162's unit-quantized coords, |v| ≤ 1e6 —
+    * exactly representable in double, so the widening is lossless). */
   def get(dt: DataType)(a: ArrayData, i: Int): Double = dt match {
     case ArrayType(FloatType, _) => a.getFloat(i).toDouble
     case ArrayType(DoubleType, _) => a.getDouble(i)
+    case ArrayType(LongType, _) => a.getLong(i).toDouble
     case other => throw new IllegalArgumentException(
-      s"vector expressions need array<float|double>, got $other")
+      s"vector expressions need array<float|double|bigint>, got $other")
   }
   /** Codegen fragment reading element `i` of array variable `a`. */
   def gen(dt: DataType, a: String, i: String): String = dt match {
     case ArrayType(FloatType, _) => s"(double) $a.getFloat($i)"
     case ArrayType(DoubleType, _) => s"$a.getDouble($i)"
+    case ArrayType(LongType, _) => s"(double) $a.getLong($i)"
     case other => throw new IllegalArgumentException(
-      s"vector expressions need array<float|double>, got $other")
+      s"vector expressions need array<float|double|bigint>, got $other")
   }
 }
 
@@ -394,6 +398,92 @@ case class TopCellsInt(child: Expression, cents: Array[Array[Long]],
     copy(child = newChild)
 }
 
+/** Integer-exact LSH bucket assignment for the oracle-checked q44 path:
+  * the vector is quantized ONCE to `scale` fixed point (half-away
+  * rounding), and each table's bucket is the sign pattern of its
+  * hyperplane projections in exact int64 — Σ pq·xq ≥ 0 — so bucketing
+  * replays bit-identically in DuckDB against the same frozen integer
+  * planes. `planes` is [table·P + p][dim]; output is one bucket value
+  * per table (array<int>, length T). Overflow headroom: |pq| ≤ 3.6e6
+  * (quantized N(0,1) tails), |xq| ≤ 1e7, 64-dim dot ≤ 2.3e15 ≪ 2⁶³. */
+case class LshBucketsInt(child: Expression, planes: Array[Array[Long]],
+                         tables: Int, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.length % tables == 0, "planes not a multiple of tables")
+  private val perTable = planes.length / tables
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val xq = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      val x = VecAccess.get(child.dataType)(a, i) * scale
+      xq(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      i += 1
+    }
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < perTable) {
+        val w = planes(t * perTable + p)
+        val n = math.min(dim, w.length)
+        var dot = 0L
+        i = 0
+        while (i < n) { dot += xq(i) * w(i); i += 1 }
+        if (dot >= 0) bucket |= 1 << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "long[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim"); val xq = ctx.freshName("xq")
+      val xv = ctx.freshName("xv"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val t = ctx.freshName("t")
+      val bucket = ctx.freshName("bucket"); val p = ctx.freshName("p")
+      val w = ctx.freshName("w"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $dim = $a.numElements();
+         |long[] $xq = new long[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $xv = ${VecAccess.gen(child.dataType, a, i)} * ${scale}L;
+         |  $xq[$i] = (long) ($xv >= 0 ? Math.floor($xv + 0.5D) : Math.ceil($xv - 0.5D));
+         |}
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < $perTable; $p++) {
+         |    long[] $w = $pRef[$t * $perTable + $p];
+         |    int $n = Math.min($dim, $w.length);
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $xq[$i] * $w[$i];
+         |    }
+         |    if ($dot >= 0) $bucket |= 1 << $p;
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftInternal
 
@@ -422,4 +512,10 @@ object VectorFunctions {
                     scale: Long): Column =
     GraftInternal.toColumn(TopCellsInt(GraftInternal.toExpression(v),
       cents.map(_._2).toArray, cents.map(_._1).toArray, probe, scale))
+
+  /** Integer-exact per-table LSH buckets (the oracle-checked q44 path). */
+  def lsh_buckets_int(v: Column, planes: Array[Array[Long]], tables: Int,
+                      scale: Long): Column =
+    GraftInternal.toColumn(LshBucketsInt(GraftInternal.toExpression(v),
+      planes, tables, scale))
 }

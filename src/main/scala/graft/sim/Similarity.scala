@@ -209,24 +209,26 @@ object Similarity {
   }
 
   /** (table, bucket) pairs for a vector column — one struct per table.
-    * Hyperplane projections run through the codegen DotWithConst
-    * expression (weights in referenced fields, not literal trees). */
+    * Buckets come from the INTEGER-EXACT LshBucketsInt codegen
+    * expression over the frozen 1e-6-quantized planes
+    * (FrozenQuantizers.lshPlanes — SimilaritySpec asserts they equal
+    * the live seeded generator): int64 sign patterns replay
+    * bit-identically in the o44 DuckDB oracle, which is what graduated
+    * q44 from rows-only to hash-checked. */
   private def bucketEntries(df: DataFrame, v: String): DataFrame = {
-    import graft.functions.VectorFunctions.dot_const
-    val entries = (0 until N_TABLES).map { t =>
-      val bucket = (0 until N_PLANES).map { p =>
-        when(dot_const(col(v), planes(t)(p)) >= 0, lit(1 << p)).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
-    df.withColumn("tb", explode(array(entries: _*)))
+    import graft.functions.VectorFunctions.lsh_buckets_int
+    df.select(col("*"), posexplode(lsh_buckets_int(col(v),
+        FrozenQuantizers.lshPlanes, N_TABLES, Pca.PCA_SCALE))
+      .as(Seq("tbl", "bucket")))
+      .withColumn("tb", struct(col("tbl"), col("bucket")))
+      .drop("tbl", "bucket")
   }
 
   /** q44: ANN over the union of the query's buckets across N_TABLES
     * independent hash tables — the 100 TB plan: (table, bucket) is the
     * shuffle key, each bucket searched independently, candidates deduped
     * before scoring. More tables raise recall, more planes per table
-    * sharpen pruning; both are config, not code. Rows-only checked;
+    * sharpen pruning; both are config, not code. Hash-checked via o44;
     * recall vs. the exact baseline asserted in SimilaritySpec. */
   def q44KnnLshBucketed(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -249,6 +251,72 @@ object Similarity {
       .filter(col("rank") <= TOP_K)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
     withRecallEvidence(s, d, res, Q44_RECALL_FLOOR, "q44")
+  }
+
+  /** q44's DuckDB oracle: replays the frozen integer hyperplanes — each
+    * table's bucket is the int64 sign pattern Σ pq·xq ≥ 0 over
+    * ROUND(x·1e6) coords, mirroring LshBucketsInt — then the q43
+    * double-cosine ranking over the deduped bucket candidates, plus the
+    * same sampled recall-evidence column the Spark side carries. */
+  // lazy: this declaration precedes `val EVIDENCE_MOD` in the object
+  // body, and a strict val would interpolate its pre-init default (0)
+  // into the SQL — caught live as `qid % 0` in the dumped oracle. The
+  // oracles map at the bottom forces it after every constant is set.
+  lazy val o44: String = {
+    val rows = FrozenQuantizers.lshPlanes.zipWithIndex
+      .map { case (w, pid) => s"($pid, [${w.mkString(",")}])" }
+      .mkString(",\n      ")
+    s"""
+    WITH planes(pid, pw) AS (VALUES
+      $rows),
+    pc AS (SELECT pid // $N_PLANES AS t, pid % $N_PLANES AS p, i,
+             CAST(pw[i + 1] AS BIGINT) AS w
+           FROM planes, unnest(range(0, ${Pca.PCA_DIM})) u(i)),
+    eq AS (SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE})
+               AS BIGINT) AS x
+           FROM embeddings, unnest(range(0, ${Pca.PCA_DIM})) u(i)),
+    proj AS (
+      SELECT eq.vec_id, pc.t, pc.p, SUM(pc.w * eq.x) AS dot
+      FROM eq JOIN pc USING (i) GROUP BY 1, 2, 3),
+    bk AS (
+      SELECT vec_id, t,
+        SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bucket
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, b.vec_id AS nid
+      FROM bk q JOIN bk b ON q.t = b.t AND q.bucket = b.bucket
+      WHERE q.vec_id < $N_QUERIES AND q.vec_id <> b.vec_id),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT c.qid, c.nid,
+        ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid),
+    res AS (
+      SELECT qid, rank, nid, sim FROM (
+        SELECT qid, nid, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM sims) WHERE rank <= $TOP_K),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, b.vec_id AS nid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_dot_product(q.v, b.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+            b.vec_id) AS rk
+        FROM (SELECT * FROM e
+              WHERE vec_id < $N_QUERIES AND vec_id % $EVIDENCE_MOD = 0) q
+        JOIN e b ON q.vec_id <> b.vec_id) WHERE rk <= $TOP_K),
+    rec AS (
+      SELECT ROUND(COUNT(r.nid)::DOUBLE / COUNT(*), 4) AS recall_vs_exact
+      FROM exact x LEFT JOIN
+        (SELECT qid, nid FROM res WHERE qid % $EVIDENCE_MOD = 0) r
+      ON x.qid = r.qid AND x.nid = r.nid)
+    SELECT res.qid, res.rank, res.nid, res.sim, rec.recall_vs_exact
+    FROM res CROSS JOIN rec ORDER BY res.qid, res.rank"""
   }
 
   /** Recall floors for the self-evidencing no_oracle ANN queries —
@@ -1032,28 +1100,13 @@ object Similarity {
 
   /** Trained-quantizer cache: an IVF index fits its coarse quantizer
     * once and serves many queries with it. The fit is deterministic
-    * (no RNG, fixed init), so memoizing per (dataset, params) changes
-    * no results — it just reflects the real lifecycle. */
-  private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Double])]]()
-
-  /** Memoized KMeans fit, built OUTSIDE the map's bin lock (the fit
-    * runs Spark jobs; computeIfAbsent would hold a ConcurrentHashMap
-    * bin across them, blocking every other thread hashing to that bin
-    * for the duration). A concurrent racer may fit twice; the result
-    * is deterministic driver-side data, so the duplicate is garbage,
-    * not a leak. */
-  private def fitQuantizer(key: String, fit: => Seq[(Int, Array[Double])])
-      : Seq[(Int, Array[Double])] = {
-    val hit = quantizerCache.get(key)
-    if (hit != null) return hit
-    val built = fit
-    val prev = quantizerCache.putIfAbsent(key, built)
-    if (prev != null) prev else built
-  }
-
-  /** Integer-quantizer cache for the oracle-checked IVF path — same
-    * train-once lifecycle as `quantizerCache`, Long centroids. */
+    * (integer-exact, no RNG, fixed init), so memoizing per (dataset,
+    * params) changes no results — it just reflects the real lifecycle.
+    * Built OUTSIDE the map's bin lock (the fit runs Spark jobs;
+    * computeIfAbsent would hold a ConcurrentHashMap bin across them,
+    * blocking every other thread hashing to that bin for the duration).
+    * A concurrent racer may fit twice; the result is deterministic
+    * driver-side data, so the duplicate is garbage, not a leak. */
   private val quantizerIntCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()
 
@@ -1119,9 +1172,10 @@ object Similarity {
       KMeans.fitQuantized(e.filter(col("vec_id") < FIT_SAMPLE), N_CELLS,
         KMEANS_ITERS, Pca.PCA_SCALE))
     // q204's SemDeDup quantizer: same train-once lifecycle, finer grid.
-    fitQuantizer(
-      s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
-      KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE), SEM_CELLS, KMEANS_ITERS))
+    fitQuantizerInt(
+      s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE|int",
+      KMeans.fitQuantized(e.filter(col("vec_id") < FIT_SAMPLE), SEM_CELLS,
+        KMEANS_ITERS, Pca.PCA_SCALE))
     pqCodes(s, d)
     ()
   }
@@ -1201,45 +1255,54 @@ object Similarity {
   val PQ_RERANK = 128
   val Q162_RECALL_FLOOR = 0.85
 
-  /** Codebook cache, same lifecycle stance as `quantizerCache`: a PQ
+  /** Codebook cache, same lifecycle stance as `quantizerIntCache`: a PQ
     * index trains once and serves many queries; the fit is
-    * deterministic (no RNG), memoization changes no results. Holds
-    * (dim, per-subspace codebooks). */
+    * deterministic (integer-exact, no RNG), memoization changes no
+    * results. Holds (dim, per-subspace codebooks). */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, IndexedSeq[Seq[(Int, Array[Double])]])]()
+    String, (Int, IndexedSeq[Seq[(Int, Array[Long])]])]()
 
-  /** Unit-normalized double view of the embeddings: PQ's ADC score
+  /** Integer unit-quantized view of the embeddings: PQ's ADC score
     * approximates the INNER PRODUCT, which on unit vectors IS the
-    * cosine. Zero vectors pass through unscaled (their cosine is
-    * defined as 0 downstream, matching q43's guard). */
-  private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
+    * cosine. uq_i = ROUND(xq_i·1e6 / √(Σxq²)) over xq = ROUND(x·1e6):
+    * the norm is an exact int64 sum, xq·1e6 ≤ 1e13 is exactly
+    * representable in double, and sqrt/divide are single correctly-
+    * rounded IEEE ops — so uq replays bit-identically in DuckDB (o162),
+    * which is what graduated q162 from rows-only to hash-checked.
+    * Zero vectors pass through as zeros (their cosine is defined as 0
+    * downstream, matching q43's guard). |uq| ≤ 1e6. */
+  private[graft] def unitQuantized(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
-      .withColumn("ev", expr("cast(embedding as array<double>)"))
-      .withColumn("pnrm", expr(
-        "sqrt(aggregate(zip_with(ev, ev, (a, b) -> a * b), 0D, (acc, x) -> acc + x))"))
-      .select(col("vec_id"), when(col("pnrm") === 0.0, col("ev"))
-        .otherwise(expr("transform(ev, x -> x / pnrm)")).as("nv"))
+      .withColumn("xq", expr(
+        s"transform(embedding, x -> cast(round(cast(x as double) * ${Pca.PCA_SCALE}) as bigint))"))
+      .withColumn("n2", expr("aggregate(xq, 0L, (acc, v) -> acc + v * v)"))
+      .select(col("vec_id"), when(col("n2") === 0L, col("xq"))
+        .otherwise(expr(
+          s"transform(xq, v -> cast(round(cast(v as double) * ${Pca.PCA_SCALE} / sqrt(cast(n2 as double))) as bigint))"))
+        .as("uq"))
 
   /** Train the M per-subspace codebooks on a bounded sample (the same
     * train-then-broadcast stance as the IVF coarse quantizer — only
-    * M·K·(dim/M) centroid doubles ever reach the driver). */
-  private def pqCodebooks(s: SparkSession, d: String)
-      : (Int, IndexedSeq[Seq[(Int, Array[Double])]]) = {
-    // Built outside the bin lock (fitQuantizer rationale): M KMeans
+    * M·K·(dim/M) centroid longs ever reach the driver). Integer-exact:
+    * the sf0.01 result is frozen in FrozenQuantizers and replayed by
+    * o162; SimilaritySpec asserts the fresh fit still equals it. */
+  private[graft] def pqCodebooks(s: SparkSession, d: String)
+      : (Int, IndexedSeq[Seq[(Int, Array[Long])]]) = {
+    // Built outside the bin lock (fitQuantizerInt rationale): M KMeans
     // fits are Spark jobs; a racing duplicate is deterministic driver
     // data, discarded, never leaked.
-    val key = s"$d|$PQ_M|$PQ_K"
+    val key = s"$d|$PQ_M|$PQ_K|int"
     val hit = pqCache.get(key)
     if (hit != null) return hit
-    val u = unitEmbeddings(s, d)
-    val dim = u.select(size(col("nv"))).head().getInt(0)
+    val u = unitQuantized(s, d)
+    val dim = u.select(size(col("uq"))).head().getInt(0)
     require(dim % PQ_M == 0, s"dim $dim not divisible by $PQ_M subspaces")
     val sub = dim / PQ_M
     val sample = u.filter(col("vec_id") < FIT_SAMPLE)
     val books = (0 until PQ_M).map { m =>
-      KMeans.fit(sample.select(col("vec_id"),
-        slice(col("nv"), m * sub + 1, sub).as("sv")),
-        PQ_K, KMEANS_ITERS, "sv")
+      KMeans.fitQuantized(sample.select(col("vec_id"),
+        slice(col("uq"), m * sub + 1, sub).as("sv")),
+        PQ_K, KMEANS_ITERS, 1L, "sv")
     }
     val built = (dim, books)
     val prev = pqCache.putIfAbsent(key, built)
@@ -1281,10 +1344,11 @@ object Similarity {
       // leaking for the application's lifetime.
       val (dim, books) = pqCodebooks(s, d)
       val sub = dim / PQ_M
-      val c = unitEmbeddings(s, d).select(col("vec_id").as("nid"),
+      import graft.functions.VectorFunctions.top_cells_int
+      val c = unitQuantized(s, d).select(col("vec_id").as("nid"),
         array((0 until PQ_M).map(m =>
-          KMeans.assignCol(books(m), slice(col("nv"), m * sub + 1, sub))
-            .cast("int")): _*).as("codes"))
+          top_cells_int(slice(col("uq"), m * sub + 1, sub), books(m), 1, 1L)(0)
+        ): _*).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count() // force the build outside any timed consumer
       val prev = pqCodesCache.putIfAbsent(key, c)
@@ -1295,17 +1359,20 @@ object Similarity {
   private[graft] def pqTopK(s: SparkSession, d: String, rerank: Int): DataFrame = {
     val (dim, books) = pqCodebooks(s, d)
     val sub = dim / PQ_M
-    val u = unitEmbeddings(s, d)
+    val u = unitQuantized(s, d)
     val codes = pqCodes(s, d)
     // Per-query lookup tables, computed driver-side from the (bounded)
-    // query set: lut[m·K + c] = ⟨q_subspace_m, centroid_c of book m⟩.
+    // query set: lut[m·K + c] = ⟨q_subspace_m, centroid_c of book m⟩ —
+    // exact int64 (|uq|,|cq| ≤ 1e6, sub-dim 4 ⇒ |dp| ≤ 4e12), so the
+    // ADC scores and the RERANK candidate cut replay bit-identically
+    // in DuckDB regardless of summation order.
     val qRows = u.filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id"), col("nv")).collect()
+      .select(col("vec_id"), col("uq")).collect()
     val luts = qRows.toSeq.map { r =>
-      val qv = r.getSeq[Double](1).toArray
-      val lut = new Array[Double](PQ_M * PQ_K)
+      val qv = r.getSeq[Long](1).toArray
+      val lut = new Array[Long](PQ_M * PQ_K)
       for (m <- 0 until PQ_M; (cid, c) <- books(m)) {
-        var dp = 0.0; var i = 0
+        var dp = 0L; var i = 0
         while (i < sub) { dp += qv(m * sub + i) * c(i); i += 1 }
         lut(m * PQ_K + cid) = dp
       }
@@ -1318,7 +1385,7 @@ object Similarity {
       .withColumn("adc", expr(
         s"aggregate(zip_with(codes, sequence(0, ${PQ_M - 1}), " +
           s"(c, m) -> element_at(lut, m * $PQ_K + c + 1)), " +
-          "0D, (acc, x) -> acc + x)"))
+          "0L, (acc, x) -> acc + x)"))
     // Map-side bounded-heap top-k (the q52 plan node) instead of a
     // row_number window: the ADC scan emits |queries|·|codes| scored
     // rows, and the window would shuffle ALL of them to rank per qid —
@@ -1341,6 +1408,86 @@ object Similarity {
 
   def q162KnnPq(s: SparkSession, d: String): DataFrame =
     withRecallEvidence(s, d, pqTopK(s, d, PQ_RERANK), Q162_RECALL_FLOOR, "q162")
+
+  /** q162's DuckDB oracle: replays the whole PQ serving path in exact
+    * arithmetic — unit quantization (int64 norm, one IEEE sqrt/divide,
+    * half-away round), per-subspace code assignment against the frozen
+    * sf0.01 codebooks (int64 scores, ties to the lower code), the int64
+    * ADC scan with the RERANK candidate cut, the q43 double-cosine
+    * re-rank on the raw floats, and the sampled recall-evidence
+    * column. */
+  val o162: String = {
+    val rows = FrozenQuantizers.pqSf001.zipWithIndex.flatMap { case (book, m) =>
+      book.map { case (cid, c) => s"($m, $cid, [${c.mkString(",")}])" }
+    }.mkString(",\n      ")
+    val sub = Pca.PCA_DIM / PQ_M
+    s"""
+    WITH books(m, cid, cq) AS (VALUES
+      $rows),
+    bc AS (SELECT m, cid, i, CAST(cq[i + 1] AS BIGINT) AS c
+           FROM books, unnest(range(0, $sub)) u(i)),
+    xq AS (SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE})
+               AS BIGINT) AS x
+           FROM embeddings, unnest(range(0, ${Pca.PCA_DIM})) u(i)),
+    n2 AS (SELECT vec_id, SUM(x * x) AS n2 FROM xq GROUP BY 1),
+    uq AS (SELECT xq.vec_id, xq.i,
+             CASE WHEN n2.n2 = 0 THEN xq.x
+                  ELSE CAST(ROUND(CAST(xq.x AS DOUBLE) * ${Pca.PCA_SCALE}
+                         / sqrt(CAST(n2.n2 AS DOUBLE))) AS BIGINT) END AS u
+           FROM xq JOIN n2 USING (vec_id)),
+    sc AS (SELECT uq.vec_id, bc.m, bc.cid,
+             SUM(2 * bc.c * uq.u - bc.c * bc.c) AS score
+           FROM uq JOIN bc ON bc.m = uq.i // $sub AND bc.i = uq.i % $sub
+           GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score DESC, cid) AS rn
+        FROM sc) WHERE rn = 1),
+    lut AS (SELECT q.vec_id AS qid, bc.m, bc.cid, SUM(bc.c * q.u) AS dp
+            FROM (SELECT * FROM uq WHERE vec_id < $N_QUERIES) q
+            JOIN bc ON bc.m = q.i // $sub AND bc.i = q.i % $sub
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT l.qid, c.vec_id AS nid, SUM(l.dp) AS adc
+            FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+            WHERE l.qid <> c.vec_id GROUP BY 1, 2),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+        FROM adc) WHERE rn <= $PQ_RERANK),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT c.qid, c.nid,
+        ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid),
+    res AS (
+      SELECT qid, rank, nid, sim FROM (
+        SELECT qid, nid, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM sims) WHERE rank <= $TOP_K),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, b.vec_id AS nid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            ROUND(list_dot_product(q.v, b.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+            b.vec_id) AS rk
+        FROM (SELECT * FROM e
+              WHERE vec_id < $N_QUERIES AND vec_id % $EVIDENCE_MOD = 0) q
+        JOIN e b ON q.vec_id <> b.vec_id) WHERE rk <= $TOP_K),
+    rec AS (
+      SELECT ROUND(COUNT(r.nid)::DOUBLE / COUNT(*), 4) AS recall_vs_exact
+      FROM exact x LEFT JOIN
+        (SELECT qid, nid FROM res WHERE qid % $EVIDENCE_MOD = 0) r
+      ON x.qid = r.qid AND x.nid = r.nid)
+    SELECT res.qid, res.rank, res.nid, res.sim, rec.recall_vs_exact
+    FROM res CROSS JOIN rec ORDER BY res.qid, res.rank"""
+  }
 
   // ---- q204: SemDeDup (cluster-bucketed semantic dedup) ----
 
@@ -1381,21 +1528,27 @@ object Similarity {
     * approximation (exactly SemDeDup's contract: Abbas et al. dedup
     * within clusters only). */
   def q204SemDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dot_product, top_cells}
+    import graft.functions.VectorFunctions.{dot_product, top_cells_int}
     val e = embeddings(s, d)
-    val cents = fitQuantizer(
-      s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE",
-      KMeans.fit(e.filter(col("vec_id") < FIT_SAMPLE),
-                 SEM_CELLS, KMEANS_ITERS))
+    // Integer-exact quantizer (the q55 graduation): int64 assignment
+    // scores replay bit-identically in DuckDB against the frozen sf0.01
+    // centroid literals (FrozenQuantizers.SEM_SF001_PACKED → o204), so
+    // q204 is hash-checked end to end — the pair-verify cosine and the
+    // recall column were already the proven q47 arithmetic.
+    val cents = fitQuantizerInt(
+      s"$d|$SEM_CELLS|$KMEANS_ITERS|$FIT_SAMPLE|int",
+      KMeans.fitQuantized(e.filter(col("vec_id") < FIT_SAMPLE),
+                 SEM_CELLS, KMEANS_ITERS, Pca.PCA_SCALE))
     // The multi-probe assignment projection feeds BOTH sides of the
     // cell join below; materialize it once (probed: the old 64-struct
     // sort_array projection cost 0.75 s at sf0.1 and the join was
-    // recomputing it per side — top_cells is the one-loop codegen
-    // replacement, bit-identical ordering).
+    // recomputing it per side — top_cells_int is the one-loop codegen
+    // replacement).
     val assigned = checkpointCycled("semdedup-assign", e
       .withColumn("nrm", sqrt(dot_product(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(top_cells(col("embedding"), cents, SEM_PROBE)).as("cell")))
+        explode(top_cells_int(col("embedding"), cents, SEM_PROBE,
+          Pca.PCA_SCALE)).as("cell")))
     val aS = assigned.select(col("cell"), col("vec_id").as("i"),
       col("embedding").as("va"), col("nrm").as("na"))
     val bS = assigned.select(col("cell"), col("vec_id").as("j"),
@@ -1438,6 +1591,64 @@ object Similarity {
         when(col("dup_of").isNull, "keep").otherwise("drop").as("status"),
         col("dup_of"), col("recall_vs_exact"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q204's DuckDB oracle: frozen integer quantizer (o55's playbook —
+    * exact int64 assignment scores over ROUND(x·1e6) coords, top-
+    * SEM_PROBE cells, ties to the lower cell), cell-bucketed candidate
+    * pairs verified with the q47 double-cosine arithmetic at τ, the
+    * lowest-id-keeper verdict, and the sampled recall-evidence column
+    * (0/0 → 1.0, mirroring try_divide+coalesce). */
+  val o204: String = {
+    val rows = FrozenQuantizers.semSf001
+      .map { case (cid, c) => s"($cid, [${c.mkString(",")}])" }
+      .mkString(",\n      ")
+    s"""
+    WITH cents(cell, cq) AS (VALUES
+      $rows),
+    cc AS (SELECT cell, i, CAST(cq[i + 1] AS BIGINT) AS c
+           FROM cents, unnest(range(0, ${Pca.PCA_DIM})) u(i)),
+    eq AS (SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * ${Pca.PCA_SCALE})
+               AS BIGINT) AS x
+           FROM embeddings, unnest(range(0, ${Pca.PCA_DIM})) u(i)),
+    scored AS (
+      SELECT eq.vec_id, cc.cell, SUM(2 * cc.c * eq.x - cc.c * cc.c) AS score
+      FROM eq JOIN cc USING (i) GROUP BY 1, 2),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        FROM scored) WHERE rn <= $SEM_PROBE),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE (CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) = 0
+                    OR sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0
+             ELSE list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))) END) >= $NEAR_DUP_TAU),
+    ex AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % $EVIDENCE_MOD = 0 AND b.vec_id % $EVIDENCE_MOD = 0
+        AND (CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0
+                    OR sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0
+             ELSE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) END) >= $NEAR_DUP_TAU),
+    rec AS (
+      SELECT COALESCE(ROUND(COUNT(p.i)::DOUBLE / NULLIF(COUNT(*), 0), 4), 1.0)
+        AS recall_vs_exact
+      FROM ex LEFT JOIN pairs p ON ex.i = p.i AND ex.j = p.j),
+    drp AS (SELECT j AS vec_id, MIN(i) AS dup_of FROM pairs GROUP BY 1)
+    SELECT em.vec_id, em.label,
+      CASE WHEN d.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS status,
+      d.dup_of, rec.recall_vs_exact
+    FROM embeddings em LEFT JOIN drp d USING (vec_id) CROSS JOIN rec
+    ORDER BY em.vec_id"""
   }
 
   val o220: String = s"""
@@ -1783,7 +1994,10 @@ object Similarity {
     "q286_mmd_two_sample" -> o286,
     "q100_label_centroids" -> o100,
     "q43_knn_bruteforce" -> o43,
+    "q44_knn_lsh_bucketed" -> o44,
     "q55_knn_ivf" -> o55,
+    "q162_knn_pq" -> o162,
+    "q204_semdedup" -> o204,
     "q47_embed_near_dup" -> o47,
     "q87_margin_near_dup" -> o87,
     "q146_int8_ann" -> o146,

@@ -169,6 +169,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q44: frozen quantized hyperplanes equal the live seeded generator") {
+    // o44 replays FrozenQuantizers.lshPlanes; the planes are dataset-
+    // independent (seeded Gaussian), so provenance is a pure transform
+    // of the committed generator — quantize and compare bit-for-bit.
+    val live = Similarity.planes.flatten.map(_.map { w =>
+      val v = w * graft.sim.Pca.PCA_SCALE
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    })
+    val frozen = graft.sim.FrozenQuantizers.lshPlanes
+    assert(live.size == frozen.length)
+    live.zip(frozen).zipWithIndex.foreach { case ((l, f), i) =>
+      assert(l.sameElements(f), s"plane $i drifted from the frozen table")
+    }
+  }
+
+  test("q162: frozen sf0.01 PQ codebooks equal a fresh integer-exact fit") {
+    val (_, fresh) = Similarity.pqCodebooks(spark, "/root/testdata/sf0.01")
+    val frozen = graft.sim.FrozenQuantizers.pqSf001
+    assert(fresh.size == frozen.size)
+    fresh.zip(frozen).zipWithIndex.foreach { case ((fb, zb), m) =>
+      assert(fb.size == zb.size, s"book $m size")
+      fb.zip(zb).foreach { case ((ci, c), (zi, z)) =>
+        assert(ci == zi && c.sameElements(z),
+          s"PQ book $m code $ci drifted from the frozen oracle constants")
+      }
+    }
+  }
+
+  test("q204: frozen sf0.01 SemDeDup quantizer equals a fresh integer-exact fit") {
+    val fresh = graft.sim.KMeans.fitQuantized(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+        .filter(col("vec_id") < Similarity.FIT_SAMPLE),
+      Similarity.SEM_CELLS, Similarity.KMEANS_ITERS, graft.sim.Pca.PCA_SCALE)
+    val frozen = graft.sim.FrozenQuantizers.semSf001
+    assert(fresh.size == frozen.size)
+    fresh.zip(frozen).foreach { case ((ci, c), (fi, f)) =>
+      assert(ci == fi && c.sameElements(f),
+        s"SemDeDup cell $ci drifted from the frozen oracle constants")
+    }
+  }
+
   test("q100 centroid matrix equals a driver-side naive computation") {
     val got = Similarity.q100LabelCentroids(spark, TestSpark.SF)
       .as[(Int, Int, Double)].collect()
