@@ -33,6 +33,10 @@ class ClusterSmokeRotationSpec extends AnyFunSuite {
   test("no-oracle set derives from the registry") {
     assert(ClusterSmoke.noOracle ==
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
-    assert(ClusterSmoke.noOracle.nonEmpty)
+    // Since the r16 graduations (q44/q55/q162/q204/q303 moved to frozen
+    // int64 quantizers / golden tables) every registry query is
+    // oracle-backed; a query regressing to no-oracle should be loud.
+    assert(ClusterSmoke.noOracle.isEmpty,
+      s"unexpected no-oracle queries: ${ClusterSmoke.noOracle}")
   }
 }
