@@ -31,7 +31,8 @@ object SparkEntry {
       text.CorpusSignals.queries ++
       sim.Similarity.queries ++ sim.Pca.queries ++
       multimodal.Multimodal.queries ++ multimodal.Codecs.queries ++
-      sources.SinkRoundtrip.queries ++ sources.FileReport.queries ++
+      sources.SinkRoundtrip.queries ++ sources.AvroRoundtrip.queries ++
+      sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.OsmE2e.queries ++
       sources.PartitionedScan.queries
 
@@ -75,7 +76,8 @@ object SparkEntry {
       text.CorpusSignals.oracles ++
       sim.Similarity.oracles ++ sim.Pca.oracles ++
       multimodal.Multimodal.oracles ++ multimodal.Codecs.oracles ++
-      sources.SinkRoundtrip.oracles ++ sources.FileReport.oracles ++
+      sources.SinkRoundtrip.oracles ++ sources.AvroRoundtrip.oracles ++
+      sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.OsmE2e.oracles ++
       sources.PartitionedScan.oracles
 }
