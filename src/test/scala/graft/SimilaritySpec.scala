@@ -185,7 +185,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("q162: frozen sf0.01 PQ codebooks equal a fresh integer-exact fit") {
-    val (_, fresh) = Similarity.pqCodebooks(spark, "/root/testdata/sf0.01")
+    val (_, fresh) = Similarity.pqCodebooksFit(spark, "/root/testdata/sf0.01")
     val frozen = graft.sim.FrozenQuantizers.pqSf001
     assert(fresh.size == frozen.size)
     fresh.zip(frozen).zipWithIndex.foreach { case ((fb, zb), m) =>
