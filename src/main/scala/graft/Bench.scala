@@ -672,12 +672,19 @@ object Bench {
       .empty[(String, Double, Double, Double, Int, String)]
     def adjJson(): String = {
       val nReal = adjudicated.count(_._6 == "real")
+      // Fresh host sample per persist: the probe WINDOW is where
+      // verdicts form, and r16's first re-baseline run showed probes
+      // degrading 4-34x late in the run with no counter covering that
+      // era (host_at_adjudication is a point sample at the start). The
+      // delta since the previous sample makes probe-window steal data
+      // in the artifact, not an inference from the probe times.
+      val hostNow = sampleHost(sorted.size - 1, "adjudication_window")
       val baseline = if (sfComparable) s""""$sfDir"""" else "null"
       val calibFloorS = calibFloor.map(r3).getOrElse("null")
       val calibProbeS = if (calibProbe.isNaN) "null" else r3(calibProbe)
       val calibRatioS = if (calibRatio.isNaN) "null" else r3(calibRatio)
       val deferS = if (deferReason.isEmpty) "null" else s""""$deferReason""""
-      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps_max":$probeReps,"tranche_sec":${r3(trancheS)},"tranche_spent_sec":${r3(elapsedS - adjStart)},"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","host_factor":${r3(hostFactor)},"host_factor_method":"median per-query min ratio vs baseline over ${ratios.size} common queries; all mover selection and verdicts use graded/host_factor","host_at_adjudication":$hostAtAdj,"calibration_gate":{"query":"$CALIB_Q","floor_sec":$calibFloorS,"probe_min_sec":$calibProbeS,"ratio":$calibRatioS,"max_ratio":$CALIB_MAX_RATIO,"deferred":$deferS},"n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._6 == "contention")},"movers":${moversJson(adjudicated.toSeq)},"drift":{"top_n_by_abs_delta":$driftN,"ratio_floor":"1.25x, waived for prev>=1s","n_movers":${drifted.size},"n_real":${drifted.count(_._6 == "real")},"movers":${moversJson(drifted.toSeq)}}}"""
+      s"""{"metric":"adjudication","threshold":2.0,"abs_floor_sec":0.15,"probe_reps_max":$probeReps,"tranche_sec":${r3(trancheS)},"tranche_spent_sec":${r3(elapsedS - adjStart)},"baseline_sf":$baseline,"baseline_source":"$baselineProvenance","host_factor":${r3(hostFactor)},"host_factor_method":"median per-query min ratio vs baseline over ${ratios.size} common queries; all mover selection and verdicts use graded/host_factor","host_at_adjudication":$hostAtAdj,"host_at_last_persist":$hostNow,"calibration_gate":{"query":"$CALIB_Q","floor_sec":$calibFloorS,"probe_min_sec":$calibProbeS,"ratio":$calibRatioS,"max_ratio":$CALIB_MAX_RATIO,"deferred":$deferS},"n_movers":${adjudicated.size},"n_real":$nReal,"n_contention":${adjudicated.count(_._6 == "contention")},"movers":${moversJson(adjudicated.toSeq)},"drift":{"top_n_by_abs_delta":$driftN,"ratio_floor":"1.25x, waived for prev>=1s","n_movers":${drifted.size},"n_real":${drifted.count(_._6 == "real")},"movers":${moversJson(drifted.toSeq)}}}"""
     }
     def persistAdj(): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_adjudication.json"),
