@@ -32,7 +32,7 @@ object SparkEntry {
       sim.Similarity.queries ++ sim.Pca.queries ++
       multimodal.Multimodal.queries ++ multimodal.Codecs.queries ++
       sources.SinkRoundtrip.queries ++ sources.AvroRoundtrip.queries ++
-      sources.ArrowRoundtrip.queries ++
+      sources.ArrowRoundtrip.queries ++ sources.ThriftRoundtrip.queries ++
       sources.FileReport.queries ++
       sources.OsmCensus.queries ++ sources.OsmE2e.queries ++
       sources.PartitionedScan.queries
@@ -78,7 +78,7 @@ object SparkEntry {
       sim.Similarity.oracles ++ sim.Pca.oracles ++
       multimodal.Multimodal.oracles ++ multimodal.Codecs.oracles ++
       sources.SinkRoundtrip.oracles ++ sources.AvroRoundtrip.oracles ++
-      sources.ArrowRoundtrip.oracles ++
+      sources.ArrowRoundtrip.oracles ++ sources.ThriftRoundtrip.oracles ++
       sources.FileReport.oracles ++
       sources.OsmCensus.oracles ++ sources.OsmE2e.oracles ++
       sources.PartitionedScan.oracles
