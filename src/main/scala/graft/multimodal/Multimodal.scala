@@ -489,10 +489,18 @@ object Multimodal {
     * frame; the ⊕1 swap is a self-join on an involution key — an
     * equi-join the planner broadcasts at this SF and shuffle-joins at
     * scale. Payloads never shuffle; only (id, 4 ints, caption) rows
-    * do. */
+    * do. The decoded-feature frame is materialized ONCE
+    * (checkpointCycled): it feeds THREE plan consumers (img, the true
+    * caption join, the ⊕1 swap join), and the decode map is opaque to
+    * Spark's subtree dedup — without the barrier every consumer re-ran
+    * the full encode→ImageIO-decode pass (3 decodes per image; at
+    * 100 TB, 3 payload scans instead of 1 — the guide §8 "decide on
+    * small rows, touch heavy bytes once" rule). Measured 2.47 s →
+    * 1.0 s at sf0.1/32c. */
   def q228ClipAlign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rows = documents(s, d).select(col("doc_id")).as[Long]
+    val rows = graft.Tables.checkpointCycled(s"q228-feat:$d",
+      documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (_, wd, hd, sumd) = decodeImage(encodeImage(id))
         val (wc, hc) = plantedDims(id)
@@ -500,7 +508,7 @@ object Multimodal {
           + (if (id % CAP_BAD_MOD == 0) 1L else 0L)) % TONE_MOD
         (id, wd.toLong, hd.toLong, sumd,
           s"img depicts grid ${wc}x$hc tone $tone")
-      }).toDF("doc_id", "wd", "hd", "sumd", "caption")
+      }).toDF("doc_id", "wd", "hd", "sumd", "caption"))
     val capt = rows.select(col("doc_id"),
       regexp_extract(col("caption"), "grid (\\d+)x", 1).cast("long").as("wc"),
       regexp_extract(col("caption"), "x(\\d+) tone", 1).cast("long").as("hc"),

@@ -490,15 +490,28 @@ object CorpusSignals {
     * vocabulary the hints must go and the join becomes key-shuffled —
     * no other plan change); the corpus-sized shuffle is the per-doc
     * collapse alone. */
-  def q215BigramLm(s: SparkSession, d: String): DataFrame = {
-    val bg = documents(s, d)
+  /** ONE corpus explode into adjacent-token pairs — shared verbatim by
+    * q215 / q281 / q289 so the three stay expression-identical. */
+  private def bigramPairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2)," +
           " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+  def q215BigramLm(s: SparkSession, d: String): DataFrame = {
+    // The (w1,w2) types table is materialized ONCE (checkpointCycled):
+    // it feeds three consumers (the scoring join's broadcast, the c1
+    // marginal, the V scalar), and without the barrier each consumer
+    // re-derived it from its own full corpus explode (20 Exchange
+    // nodes in the compile-time plan = three extra corpus scans at
+    // 100 TB). The corpus is now exploded exactly twice — model build
+    // + scoring — the same two passes the oracle's CTE chain makes.
+    val bg = bigramPairs(s, d)
+    val c12 = graft.Tables.checkpointCycled(s"bglm-c12:$d",
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = c12.agg(countDistinct(col("w1")).as("v"))
     bg.join(broadcast(c12), Seq("w1", "w2"))
@@ -568,14 +581,14 @@ object CorpusSignals {
     * 100 TB with a web vocabulary, score per SHARD (c1, T per shard)
     * or widen the fixed-point to decimal before the ln. */
   def q281KnBigram(s: SparkSession, d: String): DataFrame = {
-    val bg = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2)," +
-          " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // Types table materialized once — four consumers here (scoring
+    // broadcast, left, right, T); the un-checkpointed shape re-exploded
+    // the corpus per consumer (26 Exchange nodes compile-time = four
+    // extra corpus scans at 100 TB). Two corpus explodes remain: model
+    // build + scoring (the oracle's own pass count).
+    val bg = bigramPairs(s, d)
+    val c12 = graft.Tables.checkpointCycled(s"knbg-c12:$d",
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     // one pass over the types table gives BOTH the prefix marginal c1
     // and the distinct-continuation count r1
     val left = c12.groupBy(col("w1"))
@@ -707,22 +720,65 @@ object CorpusSignals {
     * preserves the ordering a mixture designer consumes while keeping
     * the whole ledger exact-integer.
     *
-    * Scale shape: a composition query — both LM scorers are the graded
-    * q281/q215 plans (each: one bigram aggregate + broadcast model
-    * joins); their per-doc outputs join on doc_id (doc-count sized),
-    * then ONE (source) aggregate + a 1-row total broadcast. */
+    * Scale shape (r16 rework): both LM scorers share the SAME bigram
+    * sufficient statistic — the (w1,w2) types table — and both score
+    * per occurrence keyed on (w1,w2), so the composition computes the
+    * types table ONCE (checkpointCycled) and scores BOTH models in ONE
+    * occurrence pass: the combined score ledger carries (n7_kn, n7_a1)
+    * per bigram type, and one groupBy(doc) yields both per-doc NLLs —
+    * no doc_id join between scorer outputs at all. The previous shape
+    * called the two graded queries and joined their outputs: 4 corpus
+    * explodes + ~10 types-table rebuilds (102 Exchange nodes in the
+    * compile-time plan); now 2 corpus explodes (build + score), the
+    * oracle's own pass count. Expressions are verbatim q281/q215 —
+    * identical floor(ln(exact-int64 ratio)·1e7) terms, identical
+    * per-doc integer division — so the composed result is bit-equal
+    * to joining the standalone scorers (the DuckDB oracle still
+    * composes o281/o215 textually). */
   def q289ExcessMix(s: SparkSession, d: String): DataFrame = {
-    val kn = q281KnBigram(s, d)
-      .select(col("doc_id"), col("avg_nll_micro").as("nll_kn"))
-    val a1 = q215BigramLm(s, d)
-      .select(col("doc_id"), col("avg_nll_micro").as("nll_a1"))
-    val perSrc = documents(s, d).select(col("doc_id"), col("source"))
-      .join(kn, Seq("doc_id"))
-      .join(a1, Seq("doc_id"))
+    val bg = bigramPairs(s, d)
+    val c12 = graft.Tables.checkpointCycled(s"excess-c12:$d",
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("r1"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("r2"))
+    val t = c12.agg(count(lit(1)).as("t"))
+    val v = c12.agg(countDistinct(col("w1")).as("v"))
+    // one ledger row per bigram TYPE with both models' fixed-point NLL
+    // terms (expressions verbatim from q281 / q215)
+    val scored = c12
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(t))
+      .crossJoin(broadcast(v))
+      .withColumn("n7_kn", floor(
+        log((lit(4L) * col("c1") * col("t")).cast("double")
+          / ((lit(4L) * col("c12") - lit(3L)) * col("t")
+             + lit(3L) * col("r1") * col("r2")).cast("double"))
+          * BIGRAM_SCALE).cast("long"))
+      .withColumn("n7_a1", floor(log((col("c1") + col("v")).cast("double")
+          / (col("c12") + lit(1L)).cast("double")) * BIGRAM_SCALE)
+        .cast("long"))
+      .select(col("w1"), col("w2"), col("n7_kn"), col("n7_a1"))
+    // ONE occurrence-level pass scores both models; per-doc division is
+    // the scorers' exact `t7 div (10 * n_bigrams)`
+    val perDoc = bg.join(broadcast(scored), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("n7_kn")).as("t7k"), sum(col("n7_a1")).as("t7a"))
+      .select(col("doc_id"),
+        expr("t7k div (10 * n_bigrams)").as("nll_kn"),
+        expr("t7a div (10 * n_bigrams)").as("nll_a1"))
+    // |sources|-row ledger materialized once: it feeds the 1-row total
+    // AND the final projection — without the barrier the whole scoring
+    // pyramid ran twice
+    val perSrc = graft.Tables.checkpointCycled(s"excess-src:$d",
+      documents(s, d).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"))
       .withColumn("exc", greatest(lit(0L), col("nll_a1") - col("nll_kn")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("exc")).as("exc_sum"))
-      .withColumn("excess_micro", expr("exc_sum div n_docs"))
+      .withColumn("excess_micro", expr("exc_sum div n_docs")))
     val tot = perSrc.agg(sum(col("excess_micro")).as("exc_tot"))
     perSrc.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("excess_micro"),

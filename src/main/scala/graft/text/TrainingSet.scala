@@ -1428,40 +1428,71 @@ object TrainingSet {
     * with an unbounded vocabulary, drop the broadcast hint and the
     * scoring join key-shuffles on `tok` — no other change. */
   def q285NbSource(s: SparkSession, d: String): DataFrame = {
-    // three aggregates consume the exploded corpus and two consume the
-    // count cells — materialize both once (the q287 exchange lesson)
-    val occ = graft.Tables.checkpointCycled(s"nb-occ:$d",
+    // ONE corpus explode pass, collapsed straight to the minimal
+    // sufficient statistic — distinct (doc, source, token) with in-doc
+    // multiplicity (the q287/q300 r13 pattern; r16 brought q285 in
+    // line). The raw-occurrence checkpoint this replaces materialized
+    // every occurrence row; the collapsed frame is distinct-token-
+    // sized, and every downstream aggregate (cells, class ledger,
+    // seen-term pass, per-doc ledger) derives from it or from bounded
+    // collects — the corpus text is scanned exactly once per run.
+    val docTok = graft.Tables.checkpointCycled(s"nb-doctok:$d",
       documents(s, d)
         .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("tok")))
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("n")))
     val cnt = graft.Tables.checkpointCycled(s"nb-cnt:$d",
-      occ.groupBy(col("tok"), col("source").as("cls"))
-        .agg(count(lit(1)).as("c")))
-    // class ledger: token mass N_s, doc count D_s; vocab V and doc
-    // total D ride along as 1-row cross joins
-    val classes = occ.groupBy(col("source").as("cls"))
-      .agg(count(lit(1)).as("ns"),
-        countDistinct(col("doc_id")).as("ds"))
-    val vocab = cnt.agg(countDistinct(col("tok")).as("v"))
-    val dtot = documents(s, d).agg(count(lit(1)).as("dd"))
-    val clsLedger = classes.crossJoin(broadcast(vocab))
-      .crossJoin(broadcast(dtot))
-      .withColumn("u7", floor(log((col("ns") + col("v")).cast("double"))
-        * lit(1e7)).cast("long"))
-      .withColumn("prior7", floor(log(col("dd").cast("double")
-        / col("ds").cast("double")) * lit(1e7)).cast("long"))
-      .select(col("cls"), col("ns"), col("v"), col("u7"), col("prior7"))
-    val scored = cnt.join(broadcast(clsLedger.select(col("cls"), col("ns"), col("v"))),
+      docTok.groupBy(col("tok"), col("source").as("cls"))
+        .agg(sum(col("n")).as("c")))
+    // ---- the |cls|-row model ledger, built ON THE DRIVER (the q287/
+    // q300 r13 pattern): class token mass N_s / doc count D_s are one
+    // bounded collect (|cls| rows at ANY corpus scale), vocab V is a
+    // 1-row agg over the checkpointed cells, doc total D is a parquet
+    // row-count read. The previous shape kept the ledger distributed —
+    // classes ⟕ 1-row vocab ⟕ 1-row dtot as crossJoin(broadcast(...))
+    // pyramids, each broadcast its own Spark job (42 Exchange nodes in
+    // the compile-time plan). As a LocalRelation the ledger's two
+    // downstream broadcasts build driver-side with no job at all.
+    // java.lang.Math.log/floor is bit-identical to the codegen
+    // log/floor expressions this replaces (same libm call on the same
+    // exact-int64-derived double).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val clsFut = Future(docTok.groupBy(col("source").as("cls"))
+      .agg(sum(col("n")).as("ns"),
+        countDistinct(col("doc_id")).as("ds")).collect())
+    val v = cnt.agg(countDistinct(col("tok"))).head().getLong(0)
+    val dd = documents(s, d).count()
+    val clsRows = Await.result(clsFut, Duration.Inf)
+    val ledgerRows: Seq[(String, Long, Long, Long)] = clsRows.toSeq.map { r =>
+      val (cls, ns, ds) = (r.getString(0), r.getLong(1), r.getLong(2))
+      (cls, ns,
+        math.floor(math.log((ns + v).toDouble) * 1e7).toLong,
+        math.floor(math.log(dd.toDouble / ds.toDouble) * 1e7).toLong)
+    }
+    import s.implicits._
+    val clsLedger = ledgerRows.toDF("cls", "ns", "u7", "prior7")
+    val scored = cnt.join(broadcast(clsLedger.select(col("cls"), col("ns"))),
         Seq("cls"))
-      .withColumn("n7", floor(log((col("ns") + col("v")).cast("double")
+      .withColumn("n7", floor(log((col("ns") + lit(v)).cast("double")
         / (col("c") + lit(1L)).cast("double")) * lit(1e7)).cast("long"))
       .select(col("tok"), col("cls"), col("n7"))
-    val seen = occ.join(broadcast(scored), Seq("tok"))
+    // docTok already collapsed repeats to (doc, tok, n), so the
+    // seen-term fan-out join multiplies distinct-token rows, not raw
+    // occurrences; s7/n_seen weight by n to stay occurrence-exact
+    val seen = docTok.join(broadcast(scored), Seq("tok"))
       .groupBy(col("doc_id"), col("cls"))
-      .agg(sum(col("n7")).as("s7"), count(lit(1)).as("n_seen"))
-    val perDoc = documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
+    // per-doc ledger from the CHECKPOINTED docTok (n_tok = Σn = the
+    // doc's occurrence count = size(split(text,' ')) exactly — explode
+    // keeps empty-string tokens and multiplicity): the raw-docs
+    // size(split) formulation re-read every byte of text a second
+    // time; at 100 TB that second scan IS the cost (the q287/q300
+    // lesson).
+    val perDoc = docTok.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("n_tok"))
     val wArg = Window.partitionBy(col("doc_id"))
       .orderBy(col("nll7"), col("cls"))
     perDoc.crossJoin(broadcast(clsLedger.select(col("cls"), col("u7"), col("prior7"))))
