@@ -467,13 +467,18 @@ object Similarity {
         """zip_with(c, sequence(0L, 63L), (x, i) ->
            x + cast(conv(substr(md5(concat(vec_id, ':', i)), 1, 4), 16, 10)
                as bigint) % 2001 - 1000)""").as("c"))
-    val sk = Pca.jlProjectFrame(base.unionAll(aug))
+    // Materialized ONCE (r16): sk feeds three consumers (the chunk
+    // explode and both verify joins), and the JL projection + sketch
+    // fold re-ran per consumer — 8 embeddings scans in the executed
+    // plan, i.e. 3 full projection passes at 100 TB. One pass now.
+    val sk = graft.Tables.checkpointCycled(s"q236-sk:$d",
+      Pca.jlProjectFrame(base.unionAll(aug))
       .withColumn("sk", expr(
         s"""aggregate(zip_with(y, sequence(0L, ${SRP_BITS - 1}L),
             (v, j) -> case when v > 0 then shiftleft(1L, cast(j as int))
                       else 0L end), 0L, (acc, x) -> acc + x)"""))
       .withColumn("na2", expr("aggregate(c, 0L, (acc, x) -> acc + x * x)"))
-      .select(col("vec_id"), col("c"), col("sk"), col("na2"))
+      .select(col("vec_id"), col("c"), col("sk"), col("na2")))
     val chunks = sk.select(col("vec_id"), col("sk"),
       explode(array(
         struct(lit(0).as("ci"), expr("sk % 256").as("cv")),

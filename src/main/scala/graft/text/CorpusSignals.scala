@@ -93,12 +93,22 @@ object CorpusSignals {
     * TakeOrderedAndProject — per-partition heaps, 20 rows to the
     * driver, no global sort. */
   def q123Cooccur(s: SparkSession, d: String): DataFrame = {
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val kept = occurrences(s, d).distinct()
-      .join(docFreq(s, d), Seq("tok"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") * 5 < col("n_docs") * 4)
-      .select(col("doc_id"), col("tok"))
+    // r16: the distinct (doc,tok) set is materialized ONCE and df
+    // derives from it — the un-checkpointed shape re-exploded the
+    // corpus per consumer (6 documents scans in the executed plan:
+    // df's input, kept's input, both self-join sides re-deriving
+    // kept). n_docs is a parquet row-count read, inlined as a literal
+    // (exact integer either way). `kept` is itself checkpointed: it is
+    // the self-join's both sides, and re-deriving it costs the dt⋈df
+    // join twice. One corpus scan total at any scale.
+    val nd = documents(s, d).count()
+    val dt = graft.Tables.checkpointCycled(s"q123-dt:$d",
+      occurrences(s, d).distinct())
+    val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val kept = graft.Tables.checkpointCycled(s"q123-kept:$d",
+      dt.join(df, Seq("tok"))
+      .filter(col("df") * 5 < lit(nd) * 4)
+      .select(col("doc_id"), col("tok")))
     kept.select(col("doc_id"), col("tok").as("t1"))
       .join(kept.select(col("doc_id"), col("tok").as("t2")), Seq("doc_id"))
       .filter(col("t1") < col("t2"))

@@ -138,9 +138,23 @@ object CorpusStats {
     val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    val sketch = cmsSketch(toks, CMS_DEPTH, CMS_WIDTH)
-    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // r16: ONE corpus pass. The exact per-token counts are needed for
+    // the probes anyway, and both the sketch and the total are pure
+    // functions of them — cell(i,h) = Σ_{w: h_i(w)=h} count(w) (h
+    // depends only on w), n_total = Σ count(w) — so they derive from
+    // the vocab-sized checkpoint instead of each re-exploding the
+    // corpus (3 documents scans in the executed plan before). The
+    // stream-shaped builder `cmsSketch` stays as the ingest/merge
+    // surface (spec-covered); the sketch TABLE here is identical.
+    val exact = checkpointCycled(s"q144-exact:$d",
+      toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt")))
+    val sketch = exact
+      .select(col("true_cnt"), explode(expr(
+        s"transform(sequence(0, ${CMS_DEPTH - 1}), i -> " +
+          s"struct(i AS i, pmod(xxhash64(i, w), $CMS_WIDTH) AS h))")).as("c"))
+      .groupBy(col("c.i"), col("c.h"))
+      .agg(sum(col("true_cnt")).as("cnt"))
+    val total = exact.agg(sum(col("true_cnt")).as("n_total"))
     val probes = exact
       .select(col("w"), col("true_cnt"), explode(expr(
         s"transform(sequence(0, ${CMS_DEPTH - 1}), i -> " +

@@ -246,17 +246,27 @@ object Dedup {
     * exact verify from 409k candidates down to 120k). */
   def ppjoinJaccard(s: SparkSession, d: String): DataFrame = {
     val tau = JACCARD_THRESHOLD
-    val sh = shingles(s, d)
+    // Shingle arrays materialized ONCE (r16): the un-checkpointed shape
+    // re-scanned documents and re-computed shingle_set SIX times in the
+    // executed plan (docFreq's input, the prefix join's input, both
+    // sides of the candidate self-join via prefixes, and both verify
+    // joins) — five extra corpus scans at 100 TB. A real PPJoin
+    // materializes its index; the prefix index (a second, prefix-sized
+    // checkpoint) is self-joined, so it too is built once.
+    val arr = graft.Tables.checkpointCycled(s"q80-arr:$d",
+      shingleArrays(s, d))
+    val sh = arr.select(col("doc_id"), explode(col("sgs")).as("sg"))
     val docFreq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))
-    val prefixes = sh.join(docFreq, Seq("sg"))
+    val prefixes = graft.Tables.checkpointCycled(s"q80-prefix:$d",
+      sh.join(docFreq, Seq("sg"))
       .withColumn("pos", row_number().over(wDoc))
       .withColumn("n_sg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("pos") <=
         col("n_sg") - ceil(col("n_sg") * lit(tau)) + 1)
-      .select(col("doc_id"), col("sg"), col("pos"), col("n_sg"))
+      .select(col("doc_id"), col("sg"), col("pos"), col("n_sg")))
     // Candidate generation with PPJoin's two LOSSLESS prunes (profiled:
     // the exact array_intersect verify was ~5 s of the 6.4 s total over
     // 409k candidates of which 256 survive — the filters exist to starve
@@ -287,7 +297,7 @@ object Dedup {
           + least(col("ni") - col("mpi"), col("nj") - col("mpj"))
         >= ceil(lit(tau / (1 + tau)) * (col("ni") + col("nj"))))
       .select(col("i"), col("j"))
-    verifyPairs(cand, shingleArrays(s, d))
+    verifyPairs(cand, arr)
   }
 
   val o40 = ORA_JACCARD_PAIRS
