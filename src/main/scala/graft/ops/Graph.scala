@@ -604,13 +604,20 @@ object Graph {
         .join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
       val deg = e2.groupBy(col("dst").as("v")).agg(count(lit(1)).as("deg"))
-      val withDeg = alive.join(deg, Seq("v"), "left")
-        .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      // Checkpoint the per-round DEGREE LEDGER, not just the survivor
+      // set (r16): the peel ledger rows fed the final union lazily, so
+      // each round's two semi-joins + degree aggregate re-executed at
+      // output time — every peel round ran twice. Both the survivors
+      // and the peeled rows now derive from the one materialized pass;
+      // `alive` is a filter over the checkpoint, so per-round lineage
+      // stays flat exactly as before.
+      val withDeg = graft.Tables.checkpointCycled(s"kcore-wd-$r:$d",
+        alive.join(deg, Seq("v"), "left")
+          .withColumn("deg", coalesce(col("deg"), lit(0L))))
       peeled += withDeg.filter(col("deg") < K_CORE)
         .select(col("v"), lit("peeled").as("status"),
           lit(r.toLong).as("peel_round"), col("deg"))
-      alive = graft.Tables.checkpointCycled(s"kcore-alive-$r:$d",
-        withDeg.filter(col("deg") >= K_CORE).select(col("v")))
+      alive = withDeg.filter(col("deg") >= K_CORE).select(col("v"))
     }
     val eF = edges
       .join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")

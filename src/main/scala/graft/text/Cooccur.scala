@@ -40,9 +40,14 @@ object Cooccur {
     * N crosses ~1e6 docs (DuckDB mirrors with HUGEINT). */
   def q196CooccurLift(s: SparkSession, d: String): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val postings = documents(s, d)
+    // Postings materialized ONCE (r16): df counts and both self-join
+    // sides re-exploded the corpus per consumer (5 documents scans in
+    // the executed plan); n_docs is a parquet row-count read inlined
+    // as an exact literal. One corpus scan at any scale.
+    val postings = graft.Tables.checkpointCycled(s"q196-postings:$d",
+      documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode(array_distinct(split(col("text"), " "))).as("tok")))
     val dfCounts = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
     val vocab = dfCounts
@@ -59,10 +64,10 @@ object Cooccur {
         col("a.df").as("df1"), col("b.df").as("df2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= MIN_SUPPORT)
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
-    pairs.crossJoin(broadcast(nDocs))
+    val nDocs = documents(s, d).count()
+    pairs
       .select(col("t1"), col("t2"), col("n_pair"), col("df1"), col("df2"),
-        expr("cast((cast(n_pair as decimal(38,0)) * n_docs * 1000000) div " +
+        expr(s"cast((cast(n_pair as decimal(38,0)) * $nDocs * 1000000) div " +
           "(cast(df1 as decimal(38,0)) * df2) as bigint)").as("lift_micro"))
       .orderBy(desc("lift_micro"), col("t1"), col("t2"))
       .limit(TOP_PAIRS)

@@ -375,7 +375,11 @@ object CorpusSignals {
         .as("b"))
       .select(col("b.x"), col("b.y"))
       .filter(col("x") =!= "" && col("y") =!= "")
-    val pairCnt = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    // Pair table materialized ONCE (r16): its four consumers (both
+    // margins, N, the support-filtered join) each re-exploded the
+    // corpus otherwise (4 documents scans in the executed plan).
+    val pairCnt = graft.Tables.checkpointCycled(s"q140-paircnt:$d",
+      bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy")))
     val leftCnt = pairCnt.groupBy(col("x")).agg(sum(col("cxy")).as("cxl"))
     val rightCnt = pairCnt.groupBy(col("y")).agg(sum(col("cxy")).as("cyr"))
     val nBi = pairCnt.agg(sum(col("cxy")).as("n_bi"))

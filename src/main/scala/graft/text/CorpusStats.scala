@@ -256,8 +256,12 @@ object CorpusStats {
     * table (broadcast self-join). At 100 TB the data pass is one scan
     * emitting a few hundred partial counters per partition. */
   def q116SourceDrift(s: SparkSession, d: String): DataFrame = {
-    val counts = documents(s, d)
-      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+    // |sources|×|langs| counts materialized ONCE (r16): totals, the
+    // lang-distinct grid and the densify join each re-ran the corpus
+    // aggregate otherwise (6 documents scans in the executed plan).
+    val counts = checkpointCycled(s"q116-counts:$d",
+      documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt")))
     val totals = counts.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
     // Densify to the full source×lang grid so a language exclusive to
     // one source contributes its (p−0)²/(p+0) term instead of silently

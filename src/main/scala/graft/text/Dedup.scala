@@ -220,6 +220,13 @@ object Dedup {
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("common"))
+    // Set sizes stay the arr projection (measured r16): deriving them
+    // from the postings exchange (groupBy(doc_id).count over sh) is
+    // scan-free but adds a doc-keyed shuffle that probed 1.34 s vs
+    // 1.12 s for this shape at sf0.1/32c — the two size-only corpus
+    // re-scans are column-pruned and cheaper than the extra exchange
+    // here, and the pair aggregation (not the scans) is the measured
+    // floor of this query (tools/Q40Profile).
     val sizes = arr.select(col("doc_id"), size(col("sgs")).cast("long").as("n_sg"))
     common
       .join(sizes.select(col("doc_id").as("i"), col("n_sg").as("ni")), Seq("i"))
@@ -1147,7 +1154,14 @@ object Dedup {
     val u = neigh.join(m, Seq("a", "b"), "left_anti")
     val pop = m.withColumn("is_match", lit(1L))
       .unionAll(u.withColumn("is_match", lit(0L)))
-    val pairs = pop
+    // Comparison vectors materialized ONCE (r16): `pairs` feeds both
+    // the m/u estimation ledger and the final scoring pass, and the
+    // un-checkpointed shape re-ran the whole featurization pyramid
+    // (neighbor window + anti-join + two doc-feature joins — 8
+    // documents scans in the executed plan) per consumer. This is the
+    // EM-training shape too: comparison vectors are built once, every
+    // estimation pass reads them.
+    val pairs = graft.Tables.checkpointCycled(s"q294-pairs:$d", pop
       .join(feat.select(col("doc_id").as("a"), col("lang").as("la"),
         col("source").as("sa"), col("band").as("ba"), col("tok0").as("ta")),
         Seq("a"))
@@ -1158,7 +1172,7 @@ object Dedup {
         when(col("la") === col("lb"), 1L).otherwise(0L).as("g1"),
         when(col("sa") === col("sb"), 1L).otherwise(0L).as("g2"),
         when(col("ba") === col("bb"), 1L).otherwise(0L).as("g3"),
-        when(col("ta") === col("tb"), 1L).otherwise(0L).as("g4"))
+        when(col("ta") === col("tb"), 1L).otherwise(0L).as("g4")))
     // m/u estimation: one 1-row ledger per labeled set, then the
     // 8 weight constants in a single broadcast row
     val led = pairs.groupBy(col("is_match"))
