@@ -1004,14 +1004,18 @@ object Analytics {
       expr("cast(round(value * 100) as bigint)").as("cents"))
     val split = ev.agg((min(col("ts"))
       + lit(CUPED_PRE_DAYS * 86400000000000L)).as("split_ns"))
-    val panel = ev.crossJoin(broadcast(split))
+    // User panel materialized ONCE (r16): the global-moments aggregate
+    // and the per-variant rollup each re-ran the events scan + split
+    // otherwise (4 events scans in the executed plan). |users| rows.
+    val panel = graft.Tables.checkpointCycled(s"q270-panel:$d",
+      ev.crossJoin(broadcast(split))
       .groupBy(col("user_id"))
       .agg(sum(when(col("ts") < col("split_ns"), col("cents"))
         .otherwise(0L)).as("pre"),
         sum(when(col("ts") >= col("split_ns"), col("cents"))
           .otherwise(0L)).as("post"))
       .withColumn("variant", expr(
-        "cast(conv(substr(md5(cast(user_id as string)), 1, 4), 16, 10) as bigint) % 2"))
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 4), 16, 10) as bigint) % 2")))
     val mom = panel.agg(count(lit(1)).as("n"),
       sum(col("pre").cast(d38)).as("spre"),
       sum(col("post").cast(d38)).as("spost"),
@@ -1339,21 +1343,21 @@ object Analytics {
       .withColumn("llr", col("c") * c1 + (col("i") - col("c")) * c0)
       .withColumn("crs", when(col("llr") >= a7, lit("reject_h0"))
         .when(col("llr") <= -a7, lit("accept_h0")))
-    val firstCross = scored.filter(col("crs").isNotNull)
-      .groupBy(col("arm"))
-      .agg(min(struct(col("i"), col("crs"))).as("fc"))
-      .select(col("arm"), col("fc").getField("i").as("n_decide"),
-        col("fc").getField("crs").as("decision"))
+    // ONE aggregate over the scored stream (r16): the first-crossing
+    // ledger folds into the same groupBy as the terminal stats via a
+    // null-skipping min(when(crossed, struct(i, crs))) — the two-
+    // consumer shape re-ran the window pyramid + both events scans per
+    // consumer (4 events scans in the executed plan; now 2, the
+    // banded-prefix design's intrinsic pair).
     scored.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_events"), sum(col("conv")).as("n_conv"),
-        max(struct(col("i"), col("llr"))).as("e"))
+        max(struct(col("i"), col("llr"))).as("e"),
+        min(when(col("crs").isNotNull, struct(col("i"), col("crs"))))
+          .as("fc"))
       .select(col("arm"), col("n_events"), col("n_conv"),
+        coalesce(col("fc").getField("crs"), lit("continue")).as("decision"),
+        coalesce(col("fc").getField("i"), lit(-1L)).as("n_decide"),
         col("e").getField("llr").as("llr_end_e7"))
-      .join(firstCross, Seq("arm"), "left")
-      .select(col("arm"), col("n_events"), col("n_conv"),
-        coalesce(col("decision"), lit("continue")).as("decision"),
-        coalesce(col("n_decide"), lit(-1L)).as("n_decide"),
-        col("llr_end_e7"))
       .orderBy(col("arm"))
   }
 

@@ -428,11 +428,16 @@ object Relational {
     // hash space in decimal(38,0) (the (k−1)·2^60 numerator overflows
     // int64); `div` yields the same truncated integer as DuckDB's
     // HUGEINT `//`.
-    val hh = events(s, d)
+    // Distinct (event_type, hash) stream materialized ONCE (r16): the
+    // exact count and the bottom-k sketch both consume it, and the
+    // un-checkpointed shape re-ran the events scan + md5 + distinct
+    // per consumer (3 events scans in the executed plan; the HLL
+    // tripwire leg is the intrinsic extra pass).
+    val hh = graft.Tables.checkpointCycled(s"q49-hh:$d", events(s, d)
       .select(col("event_type"),
         expr("cast(conv(substr(md5(cast(user_id as string)),1,15),16,10) as bigint)")
           .as("h"))
-      .distinct()
+      .distinct())
     val exact = hh.groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_users"))
     val bottomK = graft.plans.TopKPerGroup(

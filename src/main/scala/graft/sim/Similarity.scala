@@ -985,8 +985,17 @@ object Similarity {
     * documented miss on the margin-free corpus). */
   def embedNearDupLsh(s: SparkSession, df: DataFrame, tau: Double): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    val e = df.select(col("vec_id"), col("embedding"),
-      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+    // Vector+norm frame materialized ONCE (r16): it feeds the bucket
+    // entries (self-joined) and both verify joins, and without the
+    // barrier each consumer re-derived the input frame — for q87 that
+    // meant re-building the planted-margin fixture up to 4× (8
+    // embeddings scans in the executed plan). Tag carries the input
+    // plan's semantic hash so distinct inputs (q87's fixture, the
+    // spec's frames) cycle independently.
+    val e = graft.Tables.checkpointCycled(
+      s"embed-lsh-e:${df.queryExecution.analyzed.semanticHash()}:$tau",
+      df.select(col("vec_id"), col("embedding"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm")))
     val entries = bucketEntries(
       e.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nv")
       .select(col("tb"), col("nid"))

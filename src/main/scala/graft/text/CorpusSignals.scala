@@ -47,6 +47,12 @@ object CorpusSignals {
     * plan, not a driver-side `.count()`. Per-doc scoring is then a
     * doc-keyed aggregate: one scan, two bounded exchanges. */
   def q120TokenRarity(s: SparkSession, d: String): DataFrame = {
+    // Deliberately left in the lazy raw-occurrence shape (r16 A/B,
+    // same era, min-of-7 at sf0.1/32c): collapsing to a checkpointed
+    // (doc, tok, n) statistic probed 0.86 s vs 0.58 s here — the
+    // collapse shuffle + block writes cost more than the one duplicate
+    // explode under df. The df subtree's extra corpus explode is
+    // column-pruned (doc_id, text) and map-side-combined at any scale.
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     occurrences(s, d)
       .join(docFreq(s, d), Seq("tok"))
@@ -1132,9 +1138,13 @@ object CorpusSignals {
     * join vocabulary-sized tables on the term key; ledger = |sources|
     * rows. */
   def q246SourceEntropy(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
+    // (source, term) census materialized ONCE (r16): ns, cf (and via
+    // it nAll) and the contribution join each re-exploded the corpus
+    // otherwise (4 documents scans in the executed plan).
+    val tf = graft.Tables.checkpointCycled(s"q246-tf:$d",
+      documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
-      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c")))
     val ns = tf.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val cf = tf.groupBy(col("t")).agg(sum(col("c")).as("c_all"))
     val nAll = cf.agg(sum(col("c_all")).as("n_all"))
@@ -1271,6 +1281,11 @@ object CorpusSignals {
     * overflow the int64 path. */
   def q251BleuEval(s: SparkSession, d: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // Deliberately left lazy (r16 A/B, same era, min-of-7 at
+    // sf0.1/32c): checkpointing the (rt, ct) token arrays for the five
+    // consumers probed 0.87 s vs 0.75 s — wide array-column block
+    // writes cost more than the duplicate split/md5 subtrees they
+    // replace at bench scale.
     val base = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("rt"))
       .withColumn("ct", expr(

@@ -873,6 +873,14 @@ object Dedup {
       .join(base.select(md5(lower(col("text"))).as("fp")).distinct(),
         Seq("fp"), "left_semi")
       .select(col("doc_id"))
+    // Deliberately NOT checkpointed (r16 A/B, same era, min-of-7 at
+    // sf0.1/32c): materializing arr+buckets probed 0.97 s and buckets
+    // alone 0.82 s vs 0.66 s for this lazy shape — the block writes
+    // cost more than the duplicate shingle/minhash subtrees they
+    // replace at bench scale. At 100 TB the base-side index is a
+    // PERSISTED table maintained outside the per-batch probe (the
+    // Scaladoc's scale story), not an in-query localCheckpoint, so the
+    // lazy shape is also the honest one-shot cost.
     val arr = shingleArrays(s, d)
     val buckets = bandBuckets(arr)
     val cand = buckets.filter(col("doc_id") % INC_MOD === 0)

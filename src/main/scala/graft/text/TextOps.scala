@@ -739,16 +739,21 @@ object TextOps {
     * aggregate over the corpus (the q35 exchange); tp/fp/fn derive
     * from conditional sums over that |classes|²-bounded ledger. */
   def q245LangidEval(s: SparkSession, d: String): DataFrame = {
-    val cm = documents(s, d)
+    // Confusion matrix materialized ONCE (r16): tp/fn/fp and the class
+    // roster each re-ran the corpus aggregate (with the regex-heavy
+    // langGuess) otherwise — 4 documents scans in the executed plan.
+    // The roster derives from cm (every document contributes a cm row,
+    // so cm's distinct lang == the corpus's distinct lang).
+    val cm = graft.Tables.checkpointCycled(s"q245-cm:$d", documents(s, d)
       .groupBy(col("lang"), langGuess(col("text")).as("predicted"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val tp = cm.filter(col("lang") === col("predicted"))
       .select(col("lang"), col("n").as("tp"))
     val fn = cm.filter(col("lang") =!= col("predicted"))
       .groupBy(col("lang")).agg(sum(col("n")).as("fn"))
     val fp = cm.filter(col("lang") =!= col("predicted"))
       .groupBy(col("predicted").as("lang")).agg(sum(col("n")).as("fp"))
-    documents(s, d).select(col("lang")).distinct()
+    cm.select(col("lang")).distinct()
       .join(tp, Seq("lang"), "left")
       .join(fn, Seq("lang"), "left")
       .join(fp, Seq("lang"), "left")
