@@ -1444,16 +1444,18 @@ object Analytics {
       .withColumn("p", sum(col("x") - col("k_allow")).over(wCum))
       .withColumn("s", col("p") - least(min(col("p")).over(wCum), lit(0L)))
       .withColumn("alarm", col("s") >= col("h_thresh"))
-    val firstAlarm = ladder.filter(col("alarm"))
-      .groupBy(col("event_type")).agg(min(col("day")).as("alarm_day"))
+    // ONE aggregate over the CUSUM ladder (r16, the q293 fold): the
+    // first-alarm ledger folds into the terminal-stats groupBy via a
+    // null-skipping min(when(alarm, day)) — the two-consumer shape
+    // re-ran the grid + both windows per consumer.
     ladder.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), max(col("s")).as("s_max"),
         max(col("mu")).as("mu"), max(col("k_allow")).as("k_allow"),
-        max(col("h_thresh")).as("h_thresh"))
-      .join(firstAlarm, Seq("event_type"), "left")
+        max(col("h_thresh")).as("h_thresh"),
+        min(when(col("alarm"), col("day"))).as("alarm_day0"))
       .select(col("event_type"), col("n_days"), col("mu"), col("k_allow"),
         col("h_thresh"), col("s_max"),
-        coalesce(col("alarm_day"), lit(-1L)).as("alarm_day"))
+        coalesce(col("alarm_day0"), lit(-1L)).as("alarm_day"))
       .orderBy(col("event_type"))
   }
 
