@@ -47,13 +47,19 @@ object Reconcile {
 
   /** Row signature: md5-60 of the full payload (k + attributes). 60-bit
     * collisions over any realistic snapshot are negligible and the
-    * comparison is deterministic either way. */
+    * comparison is deterministic either way. Bucket assignment is split
+    * out (withBucket) so the delta re-read can prune buckets BEFORE
+    * paying the md5 — r17, guide §1.2: the signature pass needs every
+    * payload column by definition (ReadSchema is already minimal), but
+    * the re-read must not hash rows the bucket prune discards. */
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", col("k") % DIFF_BUCKETS)
+
   private def withSig(df: DataFrame): DataFrame = df
     .withColumn("payload", concat_ws("|", col("k"), col("o_custkey"),
       col("o_orderstatus"), col("price").cast("string")))
     .withColumn("sig",
       expr("cast(conv(substr(md5(payload),1,15),16,10) as bigint)"))
-    .withColumn("bucket", col("k") % DIFF_BUCKETS)
 
   /** Per-bucket snapshot signature: (row count, exact decimal sum of row
     * sigs). Commutative + associative, so partials combine map-side and
@@ -67,9 +73,9 @@ object Reconcile {
     * the only buckets whose rows need to be re-read. Exposed for the
     * pruning-effectiveness spec. */
   private[graft] def changedBuckets(s: SparkSession, d: String): DataFrame = {
-    val b = bucketSigs(withSig(baseSnapshot(s, d)))
+    val b = bucketSigs(withSig(withBucket(baseSnapshot(s, d))))
       .withColumnsRenamed(Map("n" -> "bn", "bsig" -> "bs"))
-    val n = bucketSigs(withSig(newSnapshot(s, d)))
+    val n = bucketSigs(withSig(withBucket(newSnapshot(s, d))))
     b.join(n, Seq("bucket"), "full_outer")
       .filter(!(col("bn") <=> col("n")) || !(col("bs") <=> col("bsig")))
       .select(col("bucket"))
@@ -96,9 +102,12 @@ object Reconcile {
     // full signature scans + full-outer) isn't evaluated per consumer.
     val changed = broadcast(
       checkpointCycled("q105-changed", changedBuckets(s, d)))
-    val b = withSig(baseSnapshot(s, d)).join(changed, Seq("bucket"))
+    // bucket prune FIRST, md5 after: only surviving buckets pay the
+    // row-signature hash on the re-read (plan-visible: the md5 Project
+    // sits above the broadcast bucket join now, below it before r17)
+    val b = withSig(withBucket(baseSnapshot(s, d)).join(changed, Seq("bucket")))
       .select(col("k"), col("sig").as("bsig"))
-    val n = withSig(newSnapshot(s, d)).join(changed, Seq("bucket"))
+    val n = withSig(withBucket(newSnapshot(s, d)).join(changed, Seq("bucket")))
       .select(col("k"), col("sig").as("nsig"))
     b.join(n, Seq("k"), "full_outer")
       .withColumn("status",

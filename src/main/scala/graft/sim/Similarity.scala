@@ -983,17 +983,23 @@ object Similarity {
     * corpus at τ=0.45 it under-recalls by design — SimilaritySpec
     * asserts both facts (equality on planted near-dups at τ=0.8, the
     * documented miss on the margin-free corpus). */
-  def embedNearDupLsh(s: SparkSession, df: DataFrame, tau: Double): DataFrame = {
+  def embedNearDupLsh(s: SparkSession, df: DataFrame, tau: Double,
+      tag: String = "default"): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
     // Vector+norm frame materialized ONCE (r16): it feeds the bucket
     // entries (self-joined) and both verify joins, and without the
     // barrier each consumer re-derived the input frame — for q87 that
     // meant re-building the planted-margin fixture up to 4× (8
-    // embeddings scans in the executed plan). Tag carries the input
-    // plan's semantic hash so distinct inputs (q87's fixture, the
-    // spec's frames) cycle independently.
+    // embeddings scans in the executed plan). Tag is CALLER-SUPPLIED
+    // (r17, per advice): the previous semanticHash(input-plan) key
+    // could collide across two concurrently-live input frames, and the
+    // second call's cycle would unpersist the first frame's
+    // localCheckpoint blocks — unrecoverable, since the checkpoint
+    // truncates lineage. tau is deliberately NOT in the tag: the
+    // materialized frame (vec_id, embedding, nrm) does not depend on
+    // it, so tau-distinct calls share one cycle slot per tag.
     val e = graft.Tables.checkpointCycled(
-      s"embed-lsh-e:${df.queryExecution.analyzed.semanticHash()}:$tau",
+      s"embed-lsh-e:$tag",
       df.select(col("vec_id"), col("embedding"),
         sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm")))
     val entries = bucketEntries(
@@ -1055,7 +1061,7 @@ object Similarity {
   }
 
   def q87MarginNearDup(s: SparkSession, d: String): DataFrame =
-    embedNearDupLsh(s, marginFixture(s, d), MARGIN_TAU)
+    embedNearDupLsh(s, marginFixture(s, d), MARGIN_TAU, tag = s"q87:$d")
 
   /** Oracle = the EXACT pair join over the same fixture: under the
     * margin the LSH candidates + exact verify must return identical

@@ -36,14 +36,27 @@ object CorpusPipeline {
     * (or doesn't) per its own contract. */
   private[graft] def curatedKeepers(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val survivors = TextOps.withQuality(docs)
-      .filter(TextOps.langGuess(col("text")) === "en"
-        && col("quality") >= QUALITY_FLOOR)
-      .select(col("doc_id"), col("text"), col("lang"), col("n_tok"), col("quality"))
+    // ONE survivor materialization shared by every consumer (r17,
+    // guide §2.4/§5): the row-local filters + quality + the shingle
+    // arrays are computed once. Without the checkpoint this subtree
+    // re-ran per plan consumer — the LSH bucket self-join (i and j
+    // sides), the exact-verify join (i and j sides), and the final
+    // keeper join each re-derived the corpus scan + langGuess +
+    // quality + shingle_set (up to 5 evaluations per invocation; the
+    // q80 lesson: subtrees with real per-row hash work win from one
+    // materialization). Survivor-bounded, within-query, recomputed
+    // from parquet on every invocation. Same TAG-REUSE CONTRACT as
+    // cc-curation below: callers build-then-immediately-execute.
+    val sv = graft.Tables.checkpointCycled(s"curation-sv:$d",
+      TextOps.withQuality(docs)
+        .filter(TextOps.langGuess(col("text")) === "en"
+          && col("quality") >= QUALITY_FLOOR)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_tok"),
+          col("quality"),
+          graft.functions.ShingleSet.shingle_set(col("text")).as("sgs")))
+    val survivors = sv.drop("sgs")
     // dedup over survivors only: shingle AFTER the cheap filters
-    val arr = survivors
-      .select(col("doc_id"),
-        graft.functions.ShingleSet.shingle_set(col("text")).as("sgs"))
+    val arr = sv.select(col("doc_id"), col("sgs"))
       .filter(size(col("sgs")) > 0)
     val useLsh = s.conf.getOption(CURATION_LSH_CONF).forall(_.toBoolean)
     val pairs = (if (useLsh) Dedup.lshVerifiedPairs(s, arr)

@@ -1423,8 +1423,9 @@ object TrainingSet {
     * Scale shape: the model is ONE (tok, source) aggregate (vocab-
     * bounded, broadcast back) + a |sources|-row class ledger; scoring
     * is one occurrence-level broadcast join + ONE (doc, source)
-    * aggregate; the argmin window runs over the ≤|sources|-row per-doc
-    * ledger, never over occurrences. Nothing driver-side. At 100 TB
+    * aggregate; the argmin is a min-of-orderable-struct hash aggregate
+    * over the ≤|sources|-row per-doc ledger (map-side partial, no
+    * window sort), never over occurrences. Nothing driver-side. At 100 TB
     * with an unbounded vocabulary, drop the broadcast hint and the
     * scoring join key-shuffles on `tok` — no other change. */
   def q285NbSource(s: SparkSession, d: String): DataFrame = {
@@ -1454,7 +1455,7 @@ object TrainingSet {
     // pyramids, each broadcast its own Spark job (42 Exchange nodes in
     // the compile-time plan). As a LocalRelation the ledger's two
     // downstream broadcasts build driver-side with no job at all.
-    // java.lang.Math.log/floor is bit-identical to the codegen
+    // java.lang.StrictMath.log + math.floor matches the codegen
     // log/floor expressions this replaces (same libm call on the same
     // exact-int64-derived double).
     import scala.concurrent.{Await, Future}
@@ -1469,8 +1470,8 @@ object TrainingSet {
     val ledgerRows: Seq[(String, Long, Long, Long)] = clsRows.toSeq.map { r =>
       val (cls, ns, ds) = (r.getString(0), r.getLong(1), r.getLong(2))
       (cls, ns,
-        math.floor(math.log((ns + v).toDouble) * 1e7).toLong,
-        math.floor(math.log(dd.toDouble / ds.toDouble) * 1e7).toLong)
+        math.floor(java.lang.StrictMath.log((ns + v).toDouble) * 1e7).toLong,
+        math.floor(java.lang.StrictMath.log(dd.toDouble / ds.toDouble) * 1e7).toLong)
     }
     import s.implicits._
     val clsLedger = ledgerRows.toDF("cls", "ns", "u7", "prior7")
@@ -1493,16 +1494,21 @@ object TrainingSet {
     // lesson).
     val perDoc = docTok.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n")).as("n_tok"))
-    val wArg = Window.partitionBy(col("doc_id"))
-      .orderBy(col("nll7"), col("cls"))
+    // per-doc argmin WITHOUT a window (r17, guide §2.3): min over an
+    // orderable struct ordered (nll7, cls) — exactly the old
+    // row_number(orderBy(nll7, cls)) = 1 pick (cls unique per doc) —
+    // as a hash aggregate: partial map-side combining collapses the
+    // |cls| rows per doc BEFORE the exchange, where the window
+    // shuffled them all and sorted each partition.
     perDoc.crossJoin(broadcast(clsLedger.select(col("cls"), col("u7"), col("prior7"))))
       .join(seen, Seq("doc_id", "cls"), "left")
       .withColumn("nll7", coalesce(col("s7"), lit(0L))
         + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
         + col("prior7"))
-      .withColumn("rn", row_number().over(wArg))
-      .filter(col("rn") === 1)
-      .groupBy(col("source"), col("cls").as("predicted"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct(col("nll7"), col("cls"))).getField("cls")
+        .as("predicted"))
+      .groupBy(col("source"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("predicted"))
   }
@@ -1591,18 +1597,22 @@ object TrainingSet {
     * break to the lexicographically smallest source.
     *
     * Scale shape: two corpus aggregates — the (tok, cls, fold) cell
-    * ledger and the (doc, cls, α) score aggregate; everything else is
+    * ledger and ONE (doc, cls) score aggregate; everything else is
     * ledger arithmetic on |cls|·K·|α| rows broadcast back. The naive
     * scoring fan-out is |cls|·|α| per distinct (doc, tok) — the price
-    * of a JOINT sweep — so the sweep runs retrieval-then-rerank: the
-    * screening α (CV_ALPHAS.head) scores ALL classes, and the larger
-    * α candidates rerank only each doc's top-CV_BEAM screening classes
-    * (mirrored exactly in the oracle). Fan-out drops |cls|·|α| →
-    * |cls| + (|α|−1)·CV_BEAM per (doc, tok) — 60× → 24× here, and the
-    * gap widens with the grid, which is what makes a wide α sweep
-    * affordable at 100 TB. The beam join (docTok ⋈ per-doc beam on
-    * doc_id) carries no hint: AQE broadcasts the beam at bench scale
-    * and falls back to a key-shuffle when the doc count outgrows it.
+    * of a JOINT sweep. The sweep is still retrieval-then-rerank in its
+    * SEMANTICS (the screening α = CV_ALPHAS.head scores ALL classes;
+    * larger α candidates rerank only each doc's top-CV_BEAM screening
+    * classes, mirrored exactly in the oracle), but since r17 the
+    * per-α scores ride ONE occurrence pass: the score ledger is
+    * pivoted WIDE (one row per (tok, f, cls) carrying an n7 column per
+    * α — score-row existence is α-independent, so the pivot is total),
+    * so a single docTok ⋈ scoredW join at |cls| fan-out aggregates
+    * every α's (s7_α, n_seen) simultaneously, and both the screen
+    * window and the rerank argmins run over the beam-sized per-doc
+    * ledger — the former second token-level scoring pass (docTok ⋈
+    * beam ⋈ scored, +(|α|−1)·CV_BEAM fan-out) is gone (the q289
+    * combined-ledger trick; guide §2.4 "remove passes outright").
     * Over an unbounded web vocabulary the cell/cellF broadcasts become
     * key-shuffles on `tok` (drop the hints; q285 stance) — no other
     * plan change. */
@@ -1668,7 +1678,7 @@ object TrainingSet {
     // becomes a LocalRelation, so its three downstream broadcasts build
     // driver-side with NO Spark job each. At 100 TB the two collects are
     // still K and |cls|·K rows; only their INPUT aggregations scale, and
-    // those stay distributed. Double math is java.lang.Math.log / floor
+    // those stay distributed. Double math is java.lang.StrictMath.log / floor
     // — bit-identical to the codegen expressions this replaces.
     //
     // Per-fold training vocabulary via the exclusive-fold identity:
@@ -1710,78 +1720,111 @@ object TrainingSet {
       den = nsTr + alpha * vtrain(f)
     } yield (cls, f, alpha,
       den,
-      math.floor(math.log(den.toDouble / alpha.toDouble) * 1e7).toLong,
-      math.floor(math.log((dd - df).toDouble / dsTr.toDouble) * 1e7).toLong)
-    import s.implicits._
-    val ledger = ledgerRows.toDF("cls", "f", "alpha", "den", "u7", "prior7")
-    // vocabulary-bounded score ledger: n7 once per (tok, cls, f, α) —
-    // |V|·|cls|·K·|α| rows — instead of one log() per occurrence×cls×α
-    // row (the fan-out join below then carries only a precomputed long).
-    // Materialized once (measured: letting the two consumer broadcasts
-    // each rebuild it from cellF costs more than the one barrier); the
-    // screen and rerank passes each broadcast a slice of the checkpoint.
-    val scored = graft.Tables.checkpointCycled(s"nbcv-scored:$d",
+      math.floor(java.lang.StrictMath.log(den.toDouble / alpha.toDouble) * 1e7).toLong,
+      math.floor(java.lang.StrictMath.log((dd - df).toDouble / dsTr.toDouble) * 1e7).toLong)
+    // WIDE (cls, f) model ledger — one row per (cls, f) carrying every
+    // α's (den, u7) plus the α-independent prior7. ledgerRows is total
+    // in α (the α loop sits inside the dsTr > 0 guard), so the pivot
+    // is exact; built as an explicit LocalRelation (createDataFrame on
+    // a driver list) so its broadcasts need no Spark job, like the
+    // long-form ledger it replaces.
+    val alpha0 = CV_ALPHAS.head
+    val ledgerW: DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        StructField("cls", StringType, nullable = false) ::
+        StructField("f", LongType, nullable = false) ::
+        StructField("prior7", LongType, nullable = false) ::
+        CV_ALPHAS.toList.flatMap(a => Seq(
+          StructField(s"den_$a", LongType, nullable = false),
+          StructField(s"u7_$a", LongType, nullable = false))))
+      val rows = ledgerRows.groupBy(r => (r._1, r._2)).toSeq
+        .sortBy(_._1)
+        .map { case ((cls, f), grp) =>
+          val byA = grp.map(r => r._3 -> ((r._4, r._5))).toMap
+          require(byA.keySet == CV_ALPHAS.toSet,
+            s"q287: ledger not total in alpha for ($cls, $f)")
+          org.apache.spark.sql.Row.fromSeq(
+            cls +: f +: grp.head._6 +:
+              CV_ALPHAS.flatMap(a => Seq(byA(a)._1, byA(a)._2)))
+        }
+      val list = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+      rows.foreach(list.add)
+      s.createDataFrame(list, schema)
+    }
+    // vocabulary-bounded WIDE score ledger: one row per (tok, cls, f)
+    // with an n7 column per α — |V|·|cls|·K rows (|α|× fewer than the
+    // long form), each n7 the identical floor(log(den_α/(c_tr+α))·1e7)
+    // expression the long form computed. Materialized once; the single
+    // scoring pass below broadcasts it whole.
+    val scoredW = graft.Tables.checkpointCycled(s"nbcv-scoredw:$d",
       cell.select(col("tok"), col("cls"), col("c"), foldGen)
         .join(cellF, Seq("tok", "cls", "f"), "left")
         .withColumn("c_tr", col("c") - coalesce(col("cf"), lit(0L)))
         .filter(col("c_tr") > 0)
-        .join(broadcast(ledger.select(col("cls"), col("f"), col("alpha"),
-          col("den"))), Seq("cls", "f"))
-        .withColumn("n7", floor(log(col("den").cast("double")
-          / (col("c_tr") + col("alpha")).cast("double")) * lit(1e7)).cast("long"))
-        .select(col("tok"), col("f"), col("cls"), col("alpha"), col("n7")))
-    // doc-level scoring: seen-in-train terms only; unseen terms fold
-    // into the (n_tok − n_seen)·u7 remainder. docTok already collapsed
-    // repeats to (doc, tok, n), so the fan-out joins below multiply
-    // distinct-token rows, not raw occurrences
-    val alpha0 = CV_ALPHAS.head
-    // SCREEN: full |cls| fan-out at the screening alpha only
-    val seen1 = docTok
-      .join(broadcast(scored.filter(col("alpha") === alpha0)), Seq("tok", "f"))
+        .join(broadcast(ledgerW.select(col("cls") +: col("f") +:
+          CV_ALPHAS.map(a => col(s"den_$a")): _*)), Seq("cls", "f"))
+        .select(col("tok") +: col("f") +: col("cls") +:
+          CV_ALPHAS.map(a =>
+            floor(log(col(s"den_$a").cast("double")
+              / (col("c_tr") + lit(a)).cast("double")) * lit(1e7))
+              .cast("long").as(s"n7_$a")): _*))
+    // ONE doc-level scoring pass for EVERY α: |cls| fan-out per
+    // distinct (doc, tok) — the old screen's fan-out, with the rerank
+    // pass folded in as extra sum columns. docTok already collapsed
+    // repeats to (doc, tok, n), so the join multiplies distinct-token
+    // rows, not raw occurrences; unseen terms fold into the
+    // (n_tok − n_seen)·u7_α remainder (n_seen is α-independent because
+    // score-row existence is).
+    val seen = docTok
+      .join(broadcast(scoredW), Seq("tok", "f"))
       .groupBy(col("doc_id"), col("cls"))
-      .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
+      .agg(sum(col("n") * col(s"n7_$alpha0")).as(s"s7_$alpha0"),
+        CV_ALPHAS.tail.map(a =>
+          sum(col("n") * col(s"n7_$a")).as(s"s7_$a")) :+
+          sum(col("n")).as("n_seen"): _*)
+    def nllCol(a: Long) = (coalesce(col(s"s7_$a"), lit(0L))
+      + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col(s"u7_$a")
+      + col("prior7")).as(s"nll7_$a")
     val wBeam = Window.partitionBy(col("doc_id"))
-      .orderBy(col("nll7"), col("cls"))
-    // per-doc screening ranks: rn=1 is the alpha0 prediction, rn ≤
-    // CV_BEAM is the rerank candidate set for the other alphas.
-    // Checkpointed: three consumers (win1, the two beam joins) and the
-    // screen pyramid below is the query's heaviest sub-plan — measured,
-    // exchange reuse does NOT dedupe it across the three uses (the
-    // window/filter sit above the shared exchange but each consumer
-    // re-plans its own copy), so dropping this barrier tripled the
-    // action time. One eager materialization is the cheaper shape.
-    val nll1 = graft.Tables.checkpointCycled(s"nbcv-nll1:$beamK:$d",
-      perDoc.join(broadcast(ledger.filter(col("alpha") === alpha0)), Seq("f"))
-        .join(seen1, Seq("doc_id", "cls"), "left")
-        .withColumn("nll7", coalesce(col("s7"), lit(0L))
-          + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
-          + col("prior7"))
+      .orderBy(col(s"nll7_$alpha0"), col("cls"))
+    // per-doc screening ranks over the α0 NLL: rn=1 is the α0
+    // prediction, rn ≤ CV_BEAM is the rerank candidate set — and the
+    // candidate rows already CARRY every other α's NLL, so the rerank
+    // below never touches docTok again. Checkpointed (beam-sized:
+    // ≤ CV_BEAM rows per doc): two consumers (win1, the rerank
+    // explode), and the screen pyramid above it is the query's
+    // heaviest sub-plan — measured in r16, exchange reuse does NOT
+    // dedupe it across consumers.
+    val nllW = graft.Tables.checkpointCycled(s"nbcv-nllw:$beamK:$d",
+      perDoc.join(broadcast(ledgerW.select(col("cls") +: col("f") +:
+          col("prior7") +: CV_ALPHAS.map(a => col(s"u7_$a")): _*)),
+          Seq("f"))
+        .join(seen, Seq("doc_id", "cls"), "left")
+        .select(col("doc_id") +: col("f") +: col("source") +: col("cls") +:
+          CV_ALPHAS.map(nllCol): _*)
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beamK)
-        .select(col("doc_id"), col("f"), col("source"), col("n_tok"),
-          col("cls"), col("rn")))
-    val win1 = nll1.filter(col("rn") === 1)
+        .select(col("doc_id") +: col("f") +: col("source") +: col("cls") +:
+          col("rn") +: CV_ALPHAS.tail.map(a => col(s"nll7_$a")): _*))
+    val win1 = nllW.filter(col("rn") === 1)
       .select(lit(alpha0).as("alpha"), col("f"), col("source"), col("cls"))
-    val beam = nll1.select(col("doc_id"), col("cls"))
-    // RERANK: remaining alphas score only the beam classes (no hint —
-    // AQE broadcasts the per-doc beam while it fits, shuffles beyond)
-    val seenR = docTok.join(beam, Seq("doc_id"))
-      .join(broadcast(scored.filter(col("alpha") =!= alpha0)),
-        Seq("tok", "f", "cls"))
-      .groupBy(col("doc_id"), col("cls"), col("alpha"))
-      .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
-    val wArg = Window.partitionBy(col("doc_id"), col("alpha"))
-      .orderBy(col("nll7"), col("cls"))
-    val winR = perDoc.join(beam, Seq("doc_id"))
-      .join(broadcast(ledger.filter(col("alpha") =!= alpha0)),
-        Seq("cls", "f"))
-      .join(seenR, Seq("doc_id", "cls", "alpha"), "left")
-      .withColumn("nll7", coalesce(col("s7"), lit(0L))
-        + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
-        + col("prior7"))
-      .withColumn("rn", row_number().over(wArg))
-      .filter(col("rn") === 1)
-      .select(col("alpha"), col("f"), col("source"), col("cls"))
+    // RERANK: per remaining α, argmin over the beam classes — a
+    // min-of-orderable-struct hash aggregate ordered (nll7, cls) over
+    // the beam-sized ledger (≤ CV_BEAM rows per (doc, α)); f and
+    // source are per-doc constants riding behind the ordering fields
+    // (cls is unique within a doc, so they never decide). No window,
+    // no sort; partial aggregation combines map-side (guide §2.3).
+    val winR = nllW
+      .select(col("doc_id"), col("f"), col("source"), col("cls"),
+        explode(array(CV_ALPHAS.tail.map(a =>
+          struct(lit(a).as("alpha"), col(s"nll7_$a").as("nll7"))): _*))
+          .as("t"))
+      .groupBy(col("doc_id"), col("t.alpha").as("alpha"))
+      .agg(min(struct(col("t.nll7").as("nll7"), col("cls"), col("f"),
+        col("source"))).as("m"))
+      .select(col("alpha"), col("m.f").as("f"),
+        col("m.source").as("source"), col("m.cls").as("cls"))
     win1.unionByName(winR)
       .groupBy(col("alpha"), col("f"))
       .agg(count(lit(1)).as("n_docs"),
@@ -2000,7 +2043,7 @@ object TrainingSet {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // (lang, h) model ledger ON THE DRIVER; zero-doc classes excluded
     // per holdout by rule; holdouts with no surviving vocab drop (the
-    // old inner join on vH). Double math is java.lang.Math.log/floor —
+    // old inner join on vH). Double math is java.lang.StrictMath.log/floor —
     // bit-identical to the codegen expressions this replaces.
     val ledgerRows: Seq[(String, String, Long, Long, Long, Long)] = for {
       lang <- langs.toSeq
@@ -2016,8 +2059,8 @@ object TrainingSet {
       ddh = dd - (if (h == FULL) 0L
                   else cubeCell(None, Some(h)).map(_._2).getOrElse(0L))
     } yield (lang, h, nsl, v,
-      math.floor(math.log((nsl + v).toDouble) * 1e7).toLong,
-      math.floor(math.log(ddh.toDouble / dsl.toDouble) * 1e7).toLong)
+      math.floor(java.lang.StrictMath.log((nsl + v).toDouble) * 1e7).toLong,
+      math.floor(java.lang.StrictMath.log(ddh.toDouble / dsl.toDouble) * 1e7).toLong)
     val ledger = ledgerRows.toDF("cls", "h", "nsl", "v", "u7", "prior7")
     val scored = cellH.withColumnRenamed("lang", "cls")
       .join(broadcast(ledger.select(col("cls"), col("h"), col("nsl"),
@@ -2032,6 +2075,13 @@ object TrainingSet {
       .agg(sum(col("n7")).as("s7"), count(lit(1)).as("n_seen"))
     val perDoc = evl.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // per-(doc, holdout) argmin: PROBED as a min-of-struct aggregate
+    // in r17 (the q285/q300 treatment) and REVERTED — min over a
+    // struct buffer is not hash-aggregable (non-mutable buffer type →
+    // SortAggregate), and with only |langs| rows per (doc, h) group
+    // the partial-agg row reduction doesn't pay for the extra
+    // map-side sort of the fan-out frame: window 2.42 s vs agg
+    // 3.44 s, same-era min-of-7 at sf0.1/32c. The window stays.
     val wArg = Window.partitionBy(col("doc_id"), col("h"))
       .orderBy(col("nll7"), col("cls"))
     val acc = perDoc.crossJoin(broadcast(ledger.select(col("cls"), col("h"),
@@ -2522,44 +2572,61 @@ object TrainingSet {
     val v = cnt.agg(countDistinct(col("tok"))).head().getLong(0)
     val clsRows = Await.result(clsFut, Duration.Inf)
     val dd = clsRows.map(_.getLong(2)).sum
-    // |cls|·2 model ledger ON THE DRIVER (cluster-size-independent);
-    // java.lang.Math.log/floor is bit-identical to the codegen
+    // WIDE |cls|-row model ledger ON THE DRIVER (cluster-size-
+    // independent): one row per cls carrying BOTH alphas' (den, u7) —
+    // score-row existence is alpha-independent, so the pivot is total
+    // (the q287 r17 fusion, one axis smaller).
+    // java.lang.StrictMath.log + math.floor matches the codegen
     // expressions this replaces
-    val ledgerRows: Seq[(String, Long, Long, Long, Long)] = for {
+    val ledgerRows: Seq[(String, Long, Long, Long, Long, Long)] = for {
       r <- clsRows.toSeq
       (cls, ns, ds) = (r.getString(0), r.getLong(1), r.getLong(2))
-      alpha <- Seq(MCN_A1, MCN_A4)
-      den = ns + alpha * v
-    } yield (cls, alpha, den,
-      math.floor(math.log(den.toDouble / alpha.toDouble) * 1e7).toLong,
-      math.floor(math.log(dd.toDouble / ds.toDouble) * 1e7).toLong)
+      den1 = ns + MCN_A1 * v
+      den4 = ns + MCN_A4 * v
+    } yield (cls, den1, den4,
+      math.floor(java.lang.StrictMath.log(den1.toDouble / MCN_A1.toDouble) * 1e7).toLong,
+      math.floor(java.lang.StrictMath.log(den4.toDouble / MCN_A4.toDouble) * 1e7).toLong,
+      math.floor(java.lang.StrictMath.log(dd.toDouble / ds.toDouble) * 1e7).toLong)
     import s.implicits._
-    val ledger = ledgerRows.toDF("cls", "alpha", "den", "u7", "prior7")
+    val ledger = ledgerRows.toDF("cls", "den_1", "den_4", "u7_1", "u7_4",
+      "prior7")
+    def n7Col(den: String, a: Long) =
+      floor(log(col(den).cast("double")
+        / (col("c") + lit(a)).cast("double")) * lit(1e7)).cast("long")
     val scored = cnt
-      .join(broadcast(ledger.select(col("cls"), col("alpha"), col("den"))),
+      .join(broadcast(ledger.select(col("cls"), col("den_1"), col("den_4"))),
         Seq("cls"))
-      .withColumn("n7", floor(log(col("den").cast("double")
-        / (col("c") + col("alpha")).cast("double")) * lit(1e7)).cast("long"))
-      .select(col("tok"), col("cls"), col("alpha"), col("n7"))
+      .select(col("tok"), col("cls"),
+        n7Col("den_1", MCN_A1).as("n7_1"), n7Col("den_4", MCN_A4).as("n7_4"))
+    // ONE scoring pass for both alphas: |cls| fan-out per distinct
+    // (doc, tok) — half the long form's 2·|cls| — with both alphas'
+    // sums as extra agg columns (n_seen is alpha-independent)
     val seen = docTok.join(broadcast(scored), Seq("tok"))
-      .groupBy(col("doc_id"), col("cls"), col("alpha"))
-      .agg(sum(col("n") * col("n7")).as("s7"), sum(col("n")).as("n_seen"))
-    val wArg = Window.partitionBy(col("doc_id"), col("alpha"))
-      .orderBy(col("nll7"), col("cls"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("n") * col("n7_1")).as("s7_1"),
+        sum(col("n") * col("n7_4")).as("s7_4"),
+        sum(col("n")).as("n_seen"))
+    def nllCol(a: Long) = (coalesce(col(s"s7_$a"), lit(0L))
+      + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col(s"u7_$a")
+      + col("prior7")).as(s"nll7_$a")
+    // per-doc argmin WITHOUT a window (r17, guide §2.3): min over an
+    // orderable struct ordered (nll7, cls) — exactly the old
+    // row_number(orderBy(nll7, cls)) = 1 pick (cls is unique within a
+    // doc, so the trailing rt field never decides) — as a hash
+    // aggregate: partial map-side combining collapses the |cls| rows
+    // per doc BEFORE the exchange, where the window shuffled them all
+    // and sorted each partition.
+    def argminRight(a: Long) = min(struct(col(s"nll7_$a"), col("cls"),
+      when(col("cls") === col("source"), 1L).otherwise(0L).as("rt")))
+      .getField("rt")
     val pred = docLedger
-      .crossJoin(broadcast(ledger.select(col("cls"), col("alpha"),
-        col("u7"), col("prior7"))))
-      .join(seen, Seq("doc_id", "cls", "alpha"), "left")
-      .withColumn("nll7", coalesce(col("s7"), lit(0L))
-        + (col("n_tok") - coalesce(col("n_seen"), lit(0L))) * col("u7")
-        + col("prior7"))
-      .withColumn("rn", row_number().over(wArg))
-      .filter(col("rn") === 1)
+      .crossJoin(broadcast(ledger.select(col("cls"), col("u7_1"),
+        col("u7_4"), col("prior7"))))
+      .join(seen, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("source"), col("cls"),
+        nllCol(MCN_A1), nllCol(MCN_A4))
       .groupBy(col("doc_id"))
-      .agg(max(when(col("alpha") === MCN_A1 &&
-        col("cls") === col("source"), 1L).otherwise(0L)).as("r1"),
-        max(when(col("alpha") === MCN_A4 &&
-          col("cls") === col("source"), 1L).otherwise(0L)).as("r4"))
+      .agg(argminRight(MCN_A1).as("r1"), argminRight(MCN_A4).as("r4"))
     pred.agg(count(lit(1)).as("n_docs"),
         sum(when(col("r1") === 1L && col("r4") === 1L, 1L).otherwise(0L))
           .as("n_both_right"),
